@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design:
+
+- Exact dedup is a hash-groupBy on the normalized-text fingerprint — one
+  shuffle keyed by a 128-bit hash, no skew (hashes are uniform).
+- Exact n-gram Jaccard is quadratic in the worst case; it is the
+  correctness-tier operator. The scale path is MinHash-LSH: per-doc
+  signatures are computed in one pass with native ``xxhash64`` (seeded),
+  banded, and only same-band candidates are pair-verified — shuffle
+  volume is O(docs × bands), not O(docs²).
+- SimHash gives a single 64-bit sketch per doc; near-dups collide on
+  band substrings of the sketch.
+
+All hashing uses Spark-native ``xxhash64`` (JVM-side, codegen'd) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kickstarter_etl_pipeline_spark.operators.text import fingerprint_md5, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via normalized-text fingerprint: one row per distinct
+    content with the multiplicity and the keeper (min id)."""
+    return (
+        df.select(fingerprint_md5(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def drop_exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep only the min-id representative of each exact-duplicate group."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Guarded for docs shorter than n tokens: Spark's ``sequence(1, 0)``
+    counts DOWN (step defaults to -1), which would index element 0 and
+    throw under ANSI mode — hence the explicit when/otherwise.
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs — the join key table for set-similarity."""
+    return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard ≥ threshold (exact).
+
+    Set-similarity self-join: explode shingles, join on shingle with
+    id_a < id_b, count intersections, Jaccard = |∩| / (|A|+|B|−|∩|).
+    Exact but worst-case quadratic — use minhash_lsh_candidates at scale
+    and reserve this for verification of candidate pairs.
+    """
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# --- MinHash + LSH ---
+
+
+def minhash_signature(text_col: str = "text", num_hashes: int = 64, n: int = 3) -> Column:
+    """MinHash signature: per seed i, min over shingles of xxhash64(shingle, i).
+
+    One pass over the shingle array per document via higher-order
+    functions — no explode, no shuffle, pure codegen.
+    """
+    sh = shingles(text_col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Signature is split into ``bands`` rows of ``num_hashes/bands`` hashes;
+    docs sharing any band hash become candidates. With r=4 rows/band and
+    b=16 bands the S-curve crosses ~ (1/16)^(1/4) ≈ 0.5 Jaccard.
+    Shuffle volume is O(docs × bands).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col), minhash_signature(text_col, num_hashes, n).alias("sig"))
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_side = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_side, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The scale-path near-dup detector: LSH prunes the pair space, exact
+    verification runs only on candidates.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
+    pair_shingles = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle_b")), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pair_shingles.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("size_a")), "id_a"
+        )
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ---
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Classic construction: for each bit position, sum +1/−1 weighted by the
+    token-hash bit, then take the sign. One pass over the token array via
+    higher-order functions — no explode, no shuffle. Two withColumn steps
+    so the 64-element bit-sum array is computed once (a single expression
+    would be duplicated 64× in the sign-packing step).
+
+    Shift amounts must be Python ints (PySpark shiftright doesn't take a
+    Column), hence the unrolled range(64) loops.
+    """
+    toks = tokens(text_col)
+    token_bits = lambda t: F.array(  # noqa: E731
+        *[
+            F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            for i in range(64)
+        ]
+    )
+    bit_sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, bit: a + bit),
+    )
+    staged = df.withColumn("_bit_sums", bit_sums)
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit_value = -(1 << 63) if i == 63 else (1 << i)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at("_bit_sums", i + 1) > 0, F.lit(bit_value).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return staged.withColumn(out, packed).drop("_bit_sums")
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """Near-dup candidates: docs whose SimHash matches on ≥1 of ``bands``
+    16-bit bands (Hamming-distance blocking)."""
+    sig = with_simhash(df, text_col).select(F.col(id_col), "simhash")
+    width = 64 // bands
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk")
+    b_side = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk")
+    pairs = (
+        a.join(b_side, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("id_a", "id_b", hamming.cast("int").alias("hamming"))

@@ -1,0 +1,99 @@
+"""Dimension builders — distinct + sort + dense surrogate keys.
+
+The reference assigns surrogate keys by sorting the distinct dimension
+rows and inserting them into SQLite AUTOINCREMENT tables one by one
+(``src/etl_pipeline.py:222-254``) — i.e. dense keys 1..N *in sort order*.
+The set-based equivalent is ``row_number()`` over a global sort, which is
+deterministic and matches the reference exactly.
+
+Scale note: a global-order window funnels through one partition, which is
+correct-by-construction for enumeration dims (statuses, categories:
+≤ thousands of rows after the distinct shuffles away the fact volume).
+For high-cardinality dims use :func:`dim_with_scalable_keys`, which keeps
+the sort distributed (rangepartition + per-partition offsets) and assigns
+the same dense 1..N keys without a single-reducer window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dim_from_distinct(
+    df: DataFrame,
+    columns: list[str],
+    key_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """A2/A3 + O1/O2 + A6: distinct rows, sorted, keyed 1..N.
+
+    Mirrors the reference's drop_duplicates().sort_values() + AUTOINCREMENT
+    insert loops (src/etl_pipeline.py:223,241) set-based.
+    """
+    order_cols = order_cols or columns
+    window = Window.orderBy(*order_cols)
+    return (
+        df.select(*columns)
+        .distinct()
+        .withColumn(key_col, F.row_number().over(window).cast("int"))
+        .select(key_col, *columns)
+    )
+
+
+def dim_with_scalable_keys(df: DataFrame, columns: list[str], key_col: str) -> DataFrame:
+    """Dense 1..N keys without a single-partition window.
+
+    Sort-distributes via repartitionByRange, numbers rows inside each
+    partition, then adds per-partition offsets computed from partition
+    sizes (tiny driver-side list, not data). Keys equal the global-sort
+    row_number, but no stage is single-threaded — the variant to use when
+    a dimension has millions of distinct values.
+    """
+    distinct = df.select(*columns).distinct().repartitionByRange(*columns).sortWithinPartitions(*columns)
+    part_win = Window.partitionBy(F.spark_partition_id()).orderBy(*columns)
+    local = distinct.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_rn", F.row_number().over(part_win)
+    )
+    sizes = local.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, running = {}, 0
+    for row in sizes:
+        offsets[row["_pid"]] = running
+        running += row["count"]
+    offset_col = F.coalesce(
+        *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()]
+    ) if offsets else F.lit(0)
+    return (
+        local.withColumn(key_col, (F.col("_local_rn") + offset_col).cast("long"))
+        .select(key_col, *columns)
+    )
+
+
+def build_dim_date(df: DataFrame, ts_col: str) -> DataFrame:
+    """Dim_Date: distinct dates + derived attributes (F4-F9).
+
+    Reference load_dim_date (src/etl_pipeline.py:163-209): date_key is the
+    natural YYYYMMDD int (no sequence), full_date a 'YYYY-MM-DD' string.
+    is_weekend uses Spark dayofweek ∈ {1=Sun, 7=Sat} — equivalent to the
+    reference's pandas weekday()>=5 (src/etl_pipeline.py:186).
+    """
+    d = F.col("_d")
+    return (
+        df.select(F.to_date(ts_col).alias("_d"))
+        .distinct()
+        .select(
+            F.date_format(d, "yyyyMMdd").cast("int").alias("date_key"),
+            F.date_format(d, "yyyy-MM-dd").alias("full_date"),
+            F.year(d).cast("int").alias("year"),
+            F.quarter(d).cast("int").alias("quarter"),
+            F.month(d).cast("int").alias("month"),
+            F.dayofmonth(d).cast("int").alias("day"),
+            F.date_format(d, "EEEE").alias("day_of_week"),
+            F.when(F.dayofweek(d).isin(1, 7), 1).otherwise(0).cast("int").alias("is_weekend"),
+        )
+    )
+
+
+def date_key(ts_col) -> Column:
+    """F9: YYYYMMDD int key, computable inline — the derived-key shortcut
+    that lets the fact build skip the date-dim join entirely (SURVEY.md J3)."""
+    return F.date_format(ts_col, "yyyyMMdd").cast("int")

@@ -1,0 +1,75 @@
+"""Event-stream analytics (batch form): windows, sessions, JSON extraction.
+
+These are the batch twins of the streaming module — same semantics, so
+the streaming results can be verified against them. All time arithmetic
+is integer microseconds (``unix_micros``), so comparisons are exact and
+engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def with_unix_micros(df: DataFrame, ts_col: str = "ts", out: str = "_us") -> DataFrame:
+    # ts is TimestampNTZ; unix_micros needs an instant — with the UTC
+    # session timezone the cast is wall-clock-identity and exact.
+    return df.withColumn(out, F.unix_micros(F.col(ts_col).cast("timestamp")))
+
+
+def tumbling_agg(events: DataFrame, ts_col: str = "ts", duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    Bucket start is emitted as a formatted string so results compare
+    cleanly across engines (no tz-annotation mismatches).
+    """
+    bucket = F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm:ss")
+    return (
+        events.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same user exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum construction; one shuffle on user_id.
+    The comparison is on integer microseconds → exact. Output one row per
+    (user, session) with count / duration / value rollups.
+    """
+    with_us = with_unix_micros(events)
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap_us = gap_seconds * 1_000_000
+    new_session = (
+        F.when(
+            F.lag("_us").over(w).isNull()
+            | ((F.col("_us") - F.lag("_us").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = with_us.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(cum).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def json_field_agg(events: DataFrame, path: str = "$.k") -> DataFrame:
+    """Extract an int field from the JSON props column, aggregate by it."""
+    k = F.get_json_object("props", path).cast("int")
+    return events.groupBy(k.alias("k")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

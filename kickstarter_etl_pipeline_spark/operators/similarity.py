@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+
+- :func:`brute_force_topk` — exact cosine top-k. The query set broadcasts;
+  the corpus streams through one codegen'd stage (dot products via
+  zip_with/aggregate in the JVM — no Python). Exact answer; cost is
+  O(|corpus| × |queries|), fine when the query set is bounded.
+- :func:`lsh_topk` — random-hyperplane LSH: corpus and queries are
+  bucketed by sign-pattern; only same-bucket candidates get exact
+  scoring. Sub-linear candidate sets at scale; recall < 1 by design.
+  Hyperplanes are derived deterministically from xxhash64 so runs are
+  reproducible without a driver-side RNG.
+
+Embedding-cosine near-dup detection (dedup use-case) reuses the same
+scoring with a threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (accumulation order = array order,
+    matching any sequential oracle bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Broadcast the (small) query set against the corpus; rank on the
+    rounded similarity with an id tie-break so results are deterministic.
+    Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane p is
+    a hash of (p, j) mapped into [−1, 1]. Reproducible across runs and
+    executors with zero driver-side state."""
+    return F.array(
+        *[
+            (F.xxhash64(F.lit(f"plane_{plane}_{j}")) % 100_003) / 100_003.0
+            for j in range(dim)
+        ]
+    )
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str, dim: int, num_planes: int = 8) -> DataFrame:
+    """Sign-pattern bucket id from ``num_planes`` random hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        sign_bit = F.when(dot(F.col(vec_col), _hyperplane(dim, p)) >= 0, 1).otherwise(0)
+        bucket = F.shiftleft(bucket, 1) + sign_bit
+    return df.withColumn("_bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket. At 100 TB the bucket join replaces the full cross product;
+    multi-probe (flipping low-confidence bits) is the recall lever left
+    as a parameter bump (num_planes ↓ = recall ↑)."""
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        "_cvec",
+        dim,
+        num_planes,
+    )
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        "_qvec",
+        dim,
+        num_planes,
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
+    LSH-bucketed so the self-join is per-bucket rather than all-pairs."""
+    bucketed = with_lsh_bucket(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        "_vec",
+        dim,
+        num_planes,
+    )
+    a = bucketed.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_vec_a"), "_bucket")
+    b = bucketed.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vec_b"), "_bucket")
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_vec_a"), F.col("_vec_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators for the documents table — all native expressions.
+
+Language-ID, quality scoring, token counting and fingerprinting for a
+training-data pipeline, built from ``pyspark.sql.functions`` only (no
+Python UDFs — everything stays in whole-stage codegen and scales linearly
+with executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword
+#: language heuristic. Real corpora would use larger lists; the operator
+#: shape (vectorized membership counting + argmax) is what matters.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "de", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+
+def normalized(text: Column | str) -> Column:
+    """Canonical form for hashing/dedup: trim, collapse whitespace, lowercase."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of the trimmed, lowercased text."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, punctuation &
+    stopword ratios — the quality-scoring feature vector."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        # nullif guards: ANSI mode (Spark 4 default) errors on x/0.
+        F.round(n_punct / F.nullif(F.length(text_col), F.lit(0)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite 0..1 quality heuristic: length band + lexical diversity −
+    punctuation noise. Deterministic, expression-only."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tokens
+    length_ok = F.when((F.length(text_col) >= 100) & (F.length(text_col) <= 10000), 1.0).otherwise(0.5)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    punct_penalty = F.least(n_punct / F.greatest(F.length(text_col), F.lit(1)) * 5, F.lit(0.5))
+    return F.round(length_ok * (0.5 + 0.5 * diversity) - punct_penalty, 6)
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Stopword-hit count per language over the token multiset."""
+    toks = tokens(text_col)
+    def _hits(words: list[str]):
+        marker_arr = F.array(*[F.lit(w) for w in words])
+        # NB: the lambda must be single-arg — a second parameter would be
+        # interpreted by Spark as the element index.
+        return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+
+    return {lang: _hits(words) for lang, words in LANG_MARKERS.items()}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK character presence, else stopword argmax
+    (ties → alphabetical lang order; all-zero → 'und')."""
+    scores = lang_scores(text_col)
+    has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
+    best = F.greatest(*scores.values())
+    # Precedence: CJK presence → zh; no stopword hits → und; else the first
+    # language in alphabetical order achieving the max score.
+    pred = F.when(has_cjk, F.lit("zh")).when(best == 0, F.lit("und"))
+    for lang in sorted(scores):
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn("lang_pred", pred)

@@ -1,0 +1,697 @@
+"""Driver contract: named queries + DuckDB oracle SQL twins.
+
+Every implemented operator from SURVEY.md §2 (plus the scale extensions)
+is exposed as a named query callable ``(spark, sf_dir) -> DataFrame``
+with, where SQL-expressible, an ANSI-SQL twin that DuckDB runs on the
+same parquet tables. Aliases and types are kept IDENTICAL on both sides
+(the driver hash-compares values column-name-sorted), and every float
+produced by arithmetic is rounded the same way in both engines.
+
+Determinism rules used throughout:
+- time arithmetic in integer microseconds (exact);
+- double aggregates rounded (2-6 dp) in BOTH engines;
+- rankings ordered by (rounded value, id) so ties break identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators import text as TX
+from kickstarter_etl_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from kickstarter_etl_pipeline_spark.operators.dims import build_dim_date
+from kickstarter_etl_pipeline_spark.operators.multimodal import documents_as_media, extract_features
+from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+from kickstarter_etl_pipeline_spark.operators.transform import fractional_days
+from kickstarter_etl_pipeline_spark.plans.star import (
+    tpch_dim_category,
+    tpch_dim_state,
+    tpch_fact,
+    tpch_star,
+)
+from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_tumbling_counts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Star schema over the fixtures (FIXTURES.md §B mapping)
+# ---------------------------------------------------------------------------
+
+_DIM_STATE_SQL = """
+  SELECT CAST(row_number() OVER (ORDER BY state_name) AS INTEGER) AS state_key,
+         state_name,
+         CAST(CASE WHEN state_name = 'F' THEN 1 ELSE 0 END AS INTEGER) AS is_finished
+  FROM (SELECT DISTINCT o_orderstatus AS state_name FROM orders)
+"""
+
+_DIM_CATEGORY_SQL = """
+  SELECT CAST(row_number() OVER (ORDER BY main_category_name, sub_category_name) AS INTEGER) AS category_key,
+         main_category_name, sub_category_name
+  FROM (SELECT DISTINCT p_brand AS main_category_name, p_type AS sub_category_name FROM part)
+"""
+
+_FACT_SQL = f"""
+  WITH dim_state AS ({_DIM_STATE_SQL}),
+       dim_category AS ({_DIM_CATEGORY_SQL})
+  SELECT l.l_orderkey, l.l_linenumber,
+         round(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue,
+         round((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 86400000000.0, 6) AS ship_delay_days,
+         s.state_key, c.category_key,
+         CAST(strftime(o.o_orderdate, '%Y%m%d') AS INTEGER) AS order_date_key
+  FROM lineitem l
+  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  LEFT JOIN dim_state s ON s.state_name = o.o_orderstatus
+  LEFT JOIN dim_category c
+         ON c.main_category_name = p.p_brand AND c.sub_category_name = p.p_type
+"""
+
+
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + F4-F9: distinct dates with derived attributes (Dim_Date)."""
+    return build_dim_date(load_table(spark, sf_dir, "orders"), "o_orderdate")
+
+
+def q_dim_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + O1 + A6: distinct → sort → dense surrogate keys (Dim_State)."""
+    return tpch_dim_state(load_table(spark, sf_dir, "orders"))
+
+
+def q_dim_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + O2 + A6: composite-key dimension (Dim_Category)."""
+    return tpch_dim_category(load_table(spark, sf_dir, "part"))
+
+
+def q_fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 + F2 + F9: fully-keyed fact table (Fact_Campaigns analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return tpch_fact(lineitem, orders, part, tpch_dim_state(orders), tpch_dim_category(part))
+
+
+def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full star build + analytical rollup by state × year."""
+    star = tpch_star(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+    return (
+        star.fact.groupBy(
+            "state_key",
+            F.expr("CAST(order_date_key DIV 10000 AS INT)").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.round(F.avg("ship_delay_days"), 4).alias("avg_ship_delay_days"),
+        )
+        .join(F.broadcast(star.dim_state.select("state_key", "state_name")), "state_key")
+        .select("state_name", "order_year", "n_items", "total_revenue", "avg_ship_delay_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic relational operators
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter + wide aggregate (A1/A4/A5 analogs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-06-30 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_group_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: value_counts() — group-count, descending (reference :78)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "o_orderstatus")
+    )
+
+
+def q_project_rename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + P2 + predicate filter: projection, rename, comparison filter."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            "c_acctbal",
+        )
+    )
+
+
+def q_conditional_flag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: when/otherwise flag (success_flag analog) + aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    flag = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("int")
+    return orders.groupBy(flag.alias("is_finished")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 via join: fractional-day difference aggregated per priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.round(fractional_days("l_shipdate", "o_orderdate"), 6)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .select("o_orderpriority", delay.alias("_delay"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("_delay"), 6).alias("avg_delay_days"),
+            F.round(F.max("_delay"), 6).alias("max_delay_days"),
+        )
+    )
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: top-k by aggregate, deterministic tie-break, + broadcast join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count("*").alias("n_orders"))
+    )
+    return (
+        spend.join(F.broadcast(customer.select("c_custkey", "c_name")), spend.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number: top-3 orders per customer by price."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window running aggregate: cumulative spend per customer over time."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the S4 idempotent-insert primitive)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_customers_with_orders_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join + count."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_semi")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_custkeys_1998_not_1999(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return y98.subtract(y99)
+
+
+def q_custkeys_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT (distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return y98.intersect(y99)
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join + ROLLUP grouping sets."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windows, sessions, JSON
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.json_field_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of q_events_tumbling (AvailableNow)."""
+    return streaming_tumbling_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint_md5("text").alias("fingerprint"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.with_text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection (scale path; Spark-native hashing,
+    not SQL-portable → rows-only check)."""
+    return minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding candidates (rows-only check)."""
+    return simhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: mapInPandas feature extraction."""
+    return extract_features(documents_as_media(load_table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, QueryFn] = {
+    "dim_date": q_dim_date,
+    "dim_state": q_dim_state,
+    "dim_category": q_dim_category,
+    "fact_star": q_fact_star,
+    "star_flagship": q_star_flagship,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "group_count_ordered": q_group_count_ordered,
+    "project_rename_filter": q_project_rename_filter,
+    "conditional_flag_agg": q_conditional_flag_agg,
+    "ship_delay_by_priority": q_ship_delay_by_priority,
+    "topk_customers": q_topk_customers,
+    "window_rank_topn": q_window_rank_topn,
+    "window_running_sum": q_window_running_sum,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders_count": q_customers_with_orders_count,
+    "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
+    "custkeys_both_years": q_custkeys_both_years,
+    "region_rollup": q_region_rollup,
+    "pivot_status_priority": q_pivot_status_priority,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_json_kv": q_events_json_kv,
+    "events_stream_tumbling": q_events_stream_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprints": q_doc_fingerprints,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "simhash_candidates": q_simhash_candidates,
+    "multimodal_features": q_multimodal_features,
+    "embedding_topk": q_embedding_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+_EN_STOP = "['the','a','of','and','to','is']"
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+_ORACLES: dict[str, str] = {
+    "dim_date": """
+        SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+               strftime(d, '%Y-%m-%d') AS full_date,
+               CAST(year(d) AS INTEGER) AS year,
+               CAST(quarter(d) AS INTEGER) AS quarter,
+               CAST(month(d) AS INTEGER) AS month,
+               CAST(day(d) AS INTEGER) AS day,
+               dayname(d) AS day_of_week,
+               CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS INTEGER) AS is_weekend
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+    "dim_state": _DIM_STATE_SQL,
+    "dim_category": _DIM_CATEGORY_SQL,
+    "fact_star": _FACT_SQL,
+    "star_flagship": f"""
+        WITH dim_state AS ({_DIM_STATE_SQL}), fact AS ({_FACT_SQL})
+        SELECT s.state_name,
+               CAST(f.order_date_key // 10000 AS INTEGER) AS order_year,
+               count(*) AS n_items,
+               round(sum(f.revenue), 2) AS total_revenue,
+               round(avg(f.ship_delay_days), 4) AS avg_ship_delay_days
+        FROM fact f JOIN dim_state s USING (state_key)
+        GROUP BY 1, 2
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "group_count_ordered": """
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY n_orders DESC, o_orderstatus
+    """,
+    "project_rename_filter": """
+        SELECT c_custkey, c_name AS customer_name, c_mktsegment AS segment, c_acctbal
+        FROM customer WHERE c_acctbal > 5000
+    """,
+    "conditional_flag_agg": """
+        SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INTEGER) AS is_finished,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY 1
+    """,
+    "ship_delay_by_priority": """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               round(avg(d), 6) AS avg_delay_days,
+               round(max(d), 6) AS max_delay_days
+        FROM (
+          SELECT o_orderpriority,
+                 round((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0, 6) AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ) GROUP BY o_orderpriority
+    """,
+    "topk_customers": """
+        SELECT c_custkey, c_name, total_spend, n_orders
+        FROM (
+          SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ) JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spend DESC, c_custkey LIMIT 10
+    """,
+    "window_rank_topn": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        FROM orders
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "customers_with_orders_count": """
+        SELECT count(*) AS n_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "custkeys_1998_not_1999": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+    """,
+    "custkeys_both_years": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+    """,
+    "region_rollup": """
+        SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "pivot_status_priority": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "events_tumbling": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lagd),
+        sess AS (SELECT *, CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               max(us) - min(us) AS duration_us,
+               round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "events_json_kv": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               count(*) AS n_events,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1
+    """,
+    "events_stream_tumbling": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": f"""
+        SELECT md5({_NORM}) AS fingerprint,
+               count(*) AS n_copies,
+               min(doc_id) AS keeper_id
+        FROM documents GROUP BY 1
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    """,
+    "text_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+               round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / nullif(length(text), 0), 6) AS punct_ratio,
+               round(len(list_filter(toks, t -> list_contains({_EN_STOP}, t))) / nullif(len(toks), 0), 6) AS stopword_ratio
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    """,
+    "lang_id": f"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS s_de,
+                 len(list_filter(toks, t -> list_contains({_EN_STOP}, t))) AS s_en,
+                 len(list_filter(toks, t -> list_contains(['el','la','los','de','que','es'], t))) AS s_es,
+                 len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS s_fr
+          FROM (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents)
+        )
+        SELECT doc_id, lang,
+               CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+                    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    """,
+    "quality_scores": f"""
+        SELECT doc_id,
+               round(
+                 (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+                 * (0.5 + 0.5 * (len(list_distinct(toks)) / nullif(len(toks), 0)))
+                 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / greatest(length(text), 1) * 5, 0.5)
+               , 6) AS quality
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) - 1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+                 FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.8
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    "embedding_topk": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (SELECT query_id, neighbor_id,
+                          round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+                   FROM q, c WHERE neighbor_id <> query_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB twins for every SQL-expressible query.
+
+    Omitted (rows-only check, by design): minhash_dedup_pairs,
+    simhash_candidates, ann_lsh_topk — they depend on Spark-native
+    xxhash64 / approximate bucketing that ANSI SQL can't reproduce.
+    """
+    return dict(_ORACLES)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full star-schema build + rollup at sf0.001."""
+    ensure_runtime_confs(spark)
+    return q_star_flagship(spark, "/root/testdata/sf0.001")

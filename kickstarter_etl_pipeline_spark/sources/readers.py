@@ -1,0 +1,82 @@
+"""Source readers: CSV (reference-parity contract) and Parquet fixtures.
+
+The reference extract (``src/etl_pipeline.py:45-64``) reads one CSV with
+pandas inference and returns ``None`` + a CRITICAL log on a missing file.
+:func:`read_csv` keeps that contract while defaulting to an explicit
+schema (inference at 100 TB means a second full scan).
+
+:func:`load_table` is the canonical way to read driver fixture tables; it
+normalizes the nanosecond ``events.ts`` column to ``TimestampNTZ`` so all
+downstream time logic is µs-precision wall-clock, matching DuckDB's
+reading of the same file.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
+
+from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
+
+logger = logging.getLogger("kickstarter_etl_pipeline_spark")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame | None:
+    """CSV scan with the reference's missing-file contract (S1).
+
+    Header row, UTF-8, explicit ``schema`` by default; ``infer=True`` is
+    the parity mode matching the reference's pandas inference. Returns
+    ``None`` (plus a CRITICAL log) when the path does not exist, exactly
+    like reference ``src/etl_pipeline.py:57-60``.
+    """
+    reader = spark.read.option("header", True).option("encoding", "UTF-8")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    try:
+        df = reader.csv(path)
+        # Force path resolution now so the missing-file contract holds at
+        # call time rather than first action.
+        df.schema
+        return df
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            logger.critical("CRITICAL: file not found at %s", path)
+            return None
+        raise
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from an sf directory, normalizing types.
+
+    ``events.ts`` is stored as Parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong=true``
+    (set by ensure_runtime_confs). The raw int64 nanoseconds are
+    converted here to µs-precision TimestampNTZ (truncation, matching
+    DuckDB's ns→µs cast of the same column).
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)

@@ -1,0 +1,117 @@
+"""Structured Streaming analogs over the events table.
+
+The reference is strictly batch (one CSV → one DB); this module is the
+engine's streaming extension (SURVEY.md §7 step 9): file-source streams
+with watermarks, tumbling-window aggregation, and within-watermark
+dedup. ``Trigger.AvailableNow`` turns the fixture parquet into a finite
+stream so results are comparable 1:1 with the batch twins in
+operators.events.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+#: Scratch root for stream checkpoints — kept inside the repo tree.
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _checkpoint_dir(prefix: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kickstarter_etl_pipeline_spark import schemas
+from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (ns→µs ts conversion,
+    same normalization as the batch reader)."""
+    ensure_runtime_confs(spark)
+    # The file stream source requires a directory; glob-filter down to the
+    # events table within the sf dir.
+    raw = (
+        spark.readStream.schema(schemas.EVENTS)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ; with
+    # the UTC session timezone the wall clock is identical either way.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation, run to completion with
+    AvailableNow against the fixture, returning the final batch result.
+
+    Semantics match operators.events.tumbling_agg, so the batch oracle
+    verifies the streaming path.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stream_ckpt_")
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_dedup_events(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Within-watermark dedup on (user_id, event_type) — the streaming
+    dedup primitive (dropDuplicatesWithinWatermark). Returns the
+    deduplicated event count per type, materialized via AvailableNow."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_user_events"))
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stream_ckpt_")
+    query = (
+        deduped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,80 @@
+"""Local replica of the driver's correctness gate.
+
+For every query with a DuckDB oracle twin: run the Spark query and the
+oracle on the same parquet tables, then compare row count, column names,
+and cell values EXACTLY (post-rounding both engines must agree bit-wise
+— that is the design contract in queries.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as ENTRY
+from tests.conftest import SF_SMOKE
+
+ORACLES = ENTRY.oracle_sql()
+QUERIES = ENTRY.queries()
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df):
+    """Sort columns by name and rows by all values; stringify cells."""
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    rows = []
+    for row in out.itertuples(index=False):
+        cells = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                cells.append("∅")
+            elif isinstance(v, float):
+                cells.append(repr(v))
+            else:
+                cells.append(str(v))
+        rows.append(tuple(cells))
+    return cols, sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    spark_df = QUERIES[name](spark, SF_SMOKE).toPandas()
+    with _duck(SF_SMOKE) as con:
+        oracle_df = con.sql(ORACLES[name]).df()
+
+    s_cols, s_rows = _normalize(spark_df)
+    o_cols, o_rows = _normalize(oracle_df)
+
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"{name}: rowcount {len(s_rows)} vs {len(o_rows)}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without oracles must still execute and return a schema."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert df.columns, name
+        df.count()
+
+
+def test_entry_smoke(spark):
+    df = ENTRY.entry(spark)
+    assert df.count() > 0
+    assert "state_name" in df.columns
