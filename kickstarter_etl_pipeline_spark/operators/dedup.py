@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
 from kickstarter_etl_pipeline_spark.operators.text import fingerprint_md5, tokens
 
 
@@ -45,14 +46,14 @@ def drop_exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.join(keepers, on=id_col, how="left_semi")
 
 
-def shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text.
+def shingles_from_tokens(toks_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array column.
 
     Guarded for docs shorter than n tokens: Spark's ``sequence(1, 0)``
     counts DOWN (step defaults to -1), which would index element 0 and
     throw under ANSI mode — hence the explicit when/otherwise.
     """
-    toks = tokens(text_col)
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
@@ -61,9 +62,26 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
 
 
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out: str = "_sh", n: int = 3
+) -> DataFrame:
+    """Stage tokens, then shingles, as real columns.
+
+    Two projection steps on purpose: inlining tokens() into the gram
+    lambda would re-run the regex split once per element_at reference —
+    O(tokens²) tokenizer work per document.
+    """
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn(out, shingles_from_tokens("_toks", n))
+        .drop("_toks")
+    )
+
+
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exploded (id, shingle) pairs — the join key table for set-similarity."""
-    return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+    staged = with_shingles(ensure_min_partitions(df), text_col, "_sh", n)
+    return staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -108,13 +126,16 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH ---
 
 
-def minhash_signature(text_col: str = "text", num_hashes: int = 64, n: int = 3) -> Column:
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column:
     """MinHash signature: per seed i, min over shingles of xxhash64(shingle, i).
 
     One pass over the shingle array per document via higher-order
-    functions — no explode, no shuffle, pure codegen.
+    functions — no explode, no shuffle, pure codegen. ``shingle_col``
+    must be a MATERIALIZED column (withColumn the shingle array first):
+    passing the raw shingles() expression would inline the tokenize +
+    n-gram work ``num_hashes`` times over.
     """
-    sh = shingles(text_col, n)
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     return F.array(
         *[
             F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
@@ -123,15 +144,13 @@ def minhash_signature(text_col: str = "text", num_hashes: int = 64, n: int = 3) 
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
+def _candidates_from_staged(
+    staged: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
-    n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH.
+    """Banded-LSH candidate pairs from a frame with a ``_sh`` shingle column.
 
     Signature is split into ``bands`` rows of ``num_hashes/bands`` hashes;
     docs sharing any band hash become candidates. With r=4 rows/band and
@@ -139,7 +158,7 @@ def minhash_lsh_candidates(
     Shuffle volume is O(docs × bands).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col), minhash_signature(text_col, num_hashes, n).alias("sig"))
+    sig = staged.withColumn("sig", minhash_signature("_sh", num_hashes)).select(id_col, "sig")
     banded = sig.select(
         id_col,
         F.explode(
@@ -156,6 +175,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # Both sides of the self-join read the banded signatures; persist so
+    # the shingle+signature pipeline runs once, not twice.
+    banded = banded.persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_side = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -164,6 +186,20 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH (see
+    _candidates_from_staged for the S-curve math)."""
+    staged = with_shingles(ensure_min_partitions(df), text_col, "_sh", n)
+    return _candidates_from_staged(staged, id_col, num_hashes, bands)
 
 
 def minhash_dedup_pairs(
@@ -180,13 +216,20 @@ def minhash_dedup_pairs(
     The scale-path near-dup detector: LSH prunes the pair space, exact
     verification runs only on candidates.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
-    sh = shingle_table(df, text_col, id_col, n)
+    # Shingle once, share everywhere: the staged frame feeds the LSH
+    # signature pipeline AND the three verification branches (a-side,
+    # b-side, sizes). Persist spills to disk rather than OOM at scale.
+    staged = with_shingles(ensure_min_partitions(df), text_col, "_sh", n).select(
+        id_col, "_sh"
+    ).persist()
+    cands = _candidates_from_staged(staged, id_col, num_hashes, bands)
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle")).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
+    # Intersection count: expand each candidate pair by A's shingles, then
+    # equi-join on (id_b, shingle) — NOT a per-pair shingle cross product.
     pair_shingles = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle_b")), "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -219,21 +262,27 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
     Shift amounts must be Python ints (PySpark shiftright doesn't take a
     Column), hence the unrolled range(64) loops.
     """
-    toks = tokens(text_col)
-    token_bits = lambda t: F.array(  # noqa: E731
+    hash_bits = lambda h: F.array(  # noqa: E731
         *[
-            F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
             .cast("long")
             for i in range(64)
         ]
     )
     bit_sums = F.aggregate(
-        toks,
+        F.col("_hashes"),
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, bit: a + bit),
+        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, bit: a + bit),
     )
-    staged = df.withColumn("_bit_sums", bit_sums)
+    # Hash each token exactly once (staged column); the 64 bit probes then
+    # reference the computed hash value, not 64 fresh xxhash64 calls.
+    staged = (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn("_hashes", F.transform("_toks", lambda t: F.xxhash64(t)))
+        .withColumn("_bit_sums", bit_sums)
+        .drop("_toks", "_hashes")
+    )
     packed = F.lit(0).cast("long")
     for i in range(64):
         bit_value = -(1 << 63) if i == 63 else (1 << i)
@@ -248,7 +297,7 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
 def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4) -> DataFrame:
     """Near-dup candidates: docs whose SimHash matches on ≥1 of ``bands``
     16-bit bands (Hamming-distance blocking)."""
-    sig = with_simhash(df, text_col).select(F.col(id_col), "simhash")
+    sig = with_simhash(ensure_min_partitions(df), text_col).select(F.col(id_col), "simhash")
     width = 64 // bands
     banded = sig.select(
         id_col,
@@ -267,6 +316,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
             )
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    banded = banded.persist()
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk")
     b_side = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk")
     pairs = (

@@ -1,0 +1,34 @@
+"""Partitioning helpers for CPU-heavy per-row operators.
+
+Small fixture tables arrive as a single parquet file → one input
+partition → expression-heavy operators (shingling, hashing, vector
+math) run single-threaded regardless of cluster size. These helpers
+spread such inputs across the available parallelism. At real scale the
+inputs already have many partitions and the helpers are no-ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only if the plan currently has fewer partitions.
+
+    The repartition is followed by a (lazy) localCheckpoint as an
+    optimizer barrier: without it, Catalyst pushes the downstream
+    expression-heavy Projects/Filters below the Exchange (e.g. the
+    not-empty filter InferFiltersFromGenerate derives from an explode,
+    with the full shingle expression inlined), putting all the compute
+    back into the single pre-shuffle partition. Measured on the 5k-doc
+    fixture: 27.6s single-threaded → 3.9s with the barrier on local[32].
+
+    The checkpoint stores only the raw repartitioned rows (memory+disk).
+    On already-parallel input — any real-scale table — this is a no-op
+    and no checkpoint happens.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target).localCheckpoint(eager=False)
+    return df

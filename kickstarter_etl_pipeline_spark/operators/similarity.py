@@ -52,19 +52,27 @@ def brute_force_topk(
     rounded similarity with an id tie-break so results are deterministic.
     Self-matches are excluded.
     """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    # Norms are precomputed per row — computing them inside the pair
+    # scoring would redo each row's norm once per counterpart.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -40,13 +40,20 @@ def fingerprint_md5(text: Column | str) -> Column:
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: chars, tokens, distinct tokens, punctuation &
-    stopword ratios — the quality-scoring feature vector."""
-    toks = tokens(text_col)
+    stopword ratios — the quality-scoring feature vector.
+
+    Tokens are staged as a column so the regex split runs once per doc,
+    not once per downstream reference.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    staged = ensure_min_partitions(df).withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     en_stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
-    return df.select(
+    return staged.select(
         "doc_id",
         F.length(text_col).cast("long").alias("n_chars_calc"),
         n_tokens.cast("long").alias("n_tokens"),
