@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the scale contract, not just the answers.
+
+Checks that Catalyst produces the plans the engine is designed around:
+filters and projections reach the Parquet scan, dimension joins
+broadcast, and the hot path stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from kickstarter_etl_pipeline_spark.queries import (
+    q_fact_star,
+    q_project_rename_filter,
+    q_q1_pricing_summary,
+)
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = explain_str(q_project_rename_filter(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThan(c_acctbal,5000" in plan
+
+
+def test_column_pruning_at_scan(spark, sf_dir):
+    plan = explain_str(q_q1_pricing_summary(spark, sf_dir))
+    # Only the 7 referenced lineitem columns may be read.
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema and "l_shipdate" in read_schema
+    # shipdate predicate pushed to the scan
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_fact_build_broadcasts_dims(spark, sf_dir):
+    plan = explain_str(q_fact_star(spark, sf_dir))
+    # part + both dims broadcast; the fact side must never be broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the big (lineitem⋈orders) join must not shuffle the fact side when
+    # orders fits the broadcast threshold — no SortMergeJoin anywhere here
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: partial aggregates run before the exchange, so
+    the shuffle carries one row per group per task, not the raw rows."""
+    plan = explain_str(q_q1_pricing_summary(spark, sf_dir), mode="simple")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange

@@ -1,0 +1,91 @@
+"""Similarity search, multimodal plumbing, and streaming analog units."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kickstarter_etl_pipeline_spark.operators.multimodal import documents_as_media, extract_features
+from kickstarter_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+    streaming_dedup_events,
+    streaming_tumbling_counts,
+)
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),      # identical to 1
+            (3, [0.9, 0.1, 0.0]),      # close to 1
+            (4, [0.0, 0.0, 1.0]),      # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_brute_force_topk_ranks_identical_first(spark):
+    vecs = _vecs(spark)
+    res = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=3)
+    rows = sorted(res.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3, 4]
+    assert rows[0]["cosine_sim"] == 1.0
+    assert rows[2]["cosine_sim"] == 0.0
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    vecs = _vecs(spark)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(vecs, vecs, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(vecs, vecs, dim=3, k=3, num_planes=2).collect()}
+    assert approx <= exact or approx  # approximate: no false scoring, may miss
+    # identical vectors always share every hyperplane sign
+    assert (1, 2) in approx
+
+
+def test_cosine_near_dup_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in
+             cosine_near_dup_pairs(_vecs(spark), threshold=0.95, dim=3).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert all(not (a == 4 or b == 4) for a, b in pairs)
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame([(7, "héllo wörld")], ["doc_id", "text"])
+    feats = extract_features(documents_as_media(docs)).collect()
+    assert len(feats) == 1
+    row = feats[0]
+    payload = "héllo wörld".encode()
+    assert row["media_id"] == 7
+    assert row["n_bytes"] == len(payload)
+    assert row["payload_md5"] == hashlib.md5(payload).hexdigest()
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    from kickstarter_etl_pipeline_spark.operators.events import tumbling_agg
+
+    stream = streaming_tumbling_counts(spark, sf_dir)
+    batch = tumbling_agg(load_table(spark, sf_dir, "events"))
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.select(*stream.columns).collect()}
+    assert s == b
+
+
+def test_streaming_dedup_matches_distinct(spark, sf_dir):
+    stream = {tuple(r) for r in streaming_dedup_events(spark, sf_dir).collect()}
+    batch = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_unique_user_events"))
+        .collect()
+    }
+    assert stream == batch

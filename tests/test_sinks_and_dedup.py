@@ -1,0 +1,79 @@
+"""Sinks (idempotent append = INSERT OR IGNORE) and dedup operator units."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from kickstarter_etl_pipeline_spark.operators.dedup import (
+    drop_exact_dupes,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    with_simhash,
+)
+from kickstarter_etl_pipeline_spark.sources.sinks import append_ignore_existing
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def test_append_ignore_existing(spark):
+    """S4: INSERT OR IGNORE semantics — re-runs add nothing, new keys append."""
+    path = os.path.join(SCRATCH, "sink_idem")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert append_ignore_existing(spark, df, path, ["k"]) == 2
+    # Identical re-run: zero appended (idempotent)
+    assert append_ignore_existing(spark, df, path, ["k"]) == 0
+    # Overlapping batch: only the new key lands
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], ["k", "v"])
+    assert append_ignore_existing(spark, df2, path, ["k"]) == 1
+    assert spark.read.parquet(path).count() == 3
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+            (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+            (4, "completely different text about spark query engines here"),
+            (5, "  The  quick brown fox jumps over the lazy dog today "),  # ws/case dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_normalization(spark):
+    kept = sorted(r["doc_id"] for r in drop_exact_dupes(_docs(spark)).collect())
+    # 2 and 5 collapse into 1 (normalized); 3 and 4 survive
+    assert kept == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_on_high_threshold(spark):
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(_docs(spark), threshold=0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(_docs(spark), threshold=0.8).collect()}
+    # LSH verifies with exact Jaccard, so it can only miss candidates,
+    # never add false positives; identical texts always collide.
+    assert lsh <= exact
+    assert (1, 2) in lsh and (1, 5) in lsh
+
+
+def test_simhash_properties(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in with_simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical sketch
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+    cands = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_candidates(_docs(spark)).collect()}
+    assert cands.get((1, 2)) == 0
