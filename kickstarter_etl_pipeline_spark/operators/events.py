@@ -66,6 +66,38 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide buckets.
+
+    Spark's window() generates the overlapping buckets natively; start is
+    emitted as a formatted string for engine-neutral comparison.
+    """
+    win = F.window(F.col(ts_col).cast("timestamp"), window, slide)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def distinct_user_event_pairs(events: DataFrame) -> DataFrame:
+    """A3 analog on events: multi-column distinct."""
+    return events.select("user_id", "event_type").dropDuplicates()
+
+
 def json_field_agg(events: DataFrame, path: str = "$.k") -> DataFrame:
     """Extract an int field from the JSON props column, aggregate by it."""
     k = F.get_json_object("props", path).cast("int")

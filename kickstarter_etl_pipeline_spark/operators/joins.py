@@ -1,0 +1,78 @@
+"""Join operators beyond Spark's built-ins: as-of join.
+
+Spark has no native ASOF JOIN. The scalable formulation used here is the
+union-merge: tag both sides, sort each key group by (ts, tag, id), and
+carry the right side's latest values forward with last(ignorenulls) —
+one shuffle on the key, no range-explosion, no per-row Python. This is
+the standard big-data as-of pattern (a point-in-time join): cost is the
+same as a window function over the unioned stream, O(n log n) per key
+group, versus the quadratic blow-up of a naive range θ-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """For each left row, attach the most recent right row of the same key
+    with right_ts <= left_ts (backward as-of, tie → right wins).
+
+    Output: all left columns + ``asof_<col>`` for each right value column
+    + ``asof_<right_id>`` + ``asof_ts_us`` (exact microseconds of the
+    matched right row; null when no prior right row exists).
+    """
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    tagged_right = right.select(
+        F.col(on).alias("_key"),
+        r_us.alias("_us"),
+        F.lit(0).alias("_tag"),  # right sorts before left at equal ts → <= semantics
+        F.col(right_id).cast("long").alias("_rid"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        F.lit(None).cast("long").alias("_lid"),
+    )
+    tagged_left = left.select(
+        F.col(on).alias("_key"),
+        l_us.alias("_us"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_rid"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in right_value_cols],
+        F.col(left_id).cast("long").alias("_lid"),
+    )
+    merged = tagged_right.unionByName(tagged_left)
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_us", "_tag", F.coalesce("_rid", "_lid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "_key",
+        "_us",
+        "_tag",
+        "_lid",
+        F.last("_rid", ignorenulls=True).over(w).alias("asof_right_id"),
+        F.last(F.when(F.col("_tag") == 0, F.col("_us")), ignorenulls=True).over(w).alias("asof_ts_us"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        F.col("_key").alias(on),
+        F.col("_lid").alias(left_id),
+        F.col("_us").alias("left_ts_us"),
+        "asof_right_id",
+        "asof_ts_us",
+        *[f"asof_{c}" for c in right_value_cols],
+    )

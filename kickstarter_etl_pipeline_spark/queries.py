@@ -328,6 +328,115 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(spark, sf_dir)
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_events_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.distinct_user_event_pairs(load_table(spark, sf_dir, "events"))
+
+
+def q_events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click."""
+    from kickstarter_etl_pipeline_spark.operators.joins import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    res = asof_join_backward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+        left_id="event_id",
+        right_id="event_id",
+    )
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("asof_right_id").alias("click_event_id"),
+        (F.col("left_ts_us") - F.col("asof_ts_us")).alias("gap_us"),
+        F.round("asof_value", 4).alias("click_value"),
+    )
+
+
+def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation (rows-only: stateful
+    gap-merge has no ANSI-SQL twin)."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_session_windows
+
+    return streaming_session_windows(spark, sf_dir)
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_price_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: exact interpolated percentiles + stddev."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def q_part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, substring, length, LIKE, concat."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%widget%"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 3).alias("name_prefix"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        )
+    )
+
+
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV source: write orders to CSV, read back with the explicit
+    schema, aggregate — proves the CSV reader end-to-end. The oracle runs
+    the same aggregate on the original parquet."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kickstarter_etl_pipeline_spark.sources.readers import read_csv
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scratch")
+    path = os.path.join(os.path.abspath(scratch), "csv_orders")
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -420,6 +529,14 @@ _QUERIES: dict[str, QueryFn] = {
     "events_sessionize": q_events_sessionize,
     "events_json_kv": q_events_json_kv,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_distinct_pairs": q_events_distinct_pairs,
+    "events_asof_purchase_click": q_events_asof_purchase_click,
+    "events_stream_sessions": q_events_stream_sessions,
+    "cube_status_priority": q_cube_status_priority,
+    "price_stats_by_status": q_price_stats_by_status,
+    "part_string_ops": q_part_string_ops,
+    "csv_roundtrip_agg": q_csv_roundtrip_agg,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprints": q_doc_fingerprints,
     "text_stats": q_text_stats,
@@ -595,6 +712,67 @@ _ORACLES: dict[str, str] = {
                round(sum(value), 4) AS sum_value,
                round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "events_sliding": """
+        SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM (
+          SELECT unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+                         (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000]) AS ws,
+                 event_type, value
+          FROM events
+        ) GROUP BY 1, 2
+    """,
+    "events_distinct_pairs": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "events_asof_purchase_click": """
+        WITH tagged AS (
+          SELECT user_id, epoch_us(ts) AS us, 0 AS tag, event_id AS rid,
+                 value AS rvalue, NULL::BIGINT AS lid
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        carried AS (
+          SELECT user_id, us, tag, lid,
+                 last_value(rid IGNORE NULLS) OVER w AS click_event_id,
+                 last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER w AS click_us,
+                 last_value(rvalue IGNORE NULLS) OVER w AS click_raw
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, tag, coalesce(rid, lid)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, lid AS purchase_event_id, click_event_id,
+               us - click_us AS gap_us, round(click_raw, 4) AS click_value
+        FROM carried WHERE tag = 1
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "price_stats_by_status": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(stddev_samp(o_totalprice), 4) AS price_stddev,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "part_string_ops": """
+        SELECT p_partkey, upper(p_name) AS name_upper,
+               substring(p_name, 1, 3) AS name_prefix,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               concat_ws('/', p_brand, p_type) AS brand_type
+        FROM part WHERE p_name LIKE '%widget%'
+    """,
+    "csv_roundtrip_agg": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderstatus
     """,
     "dedup_exact": f"""
         SELECT md5({_NORM}) AS fingerprint,

@@ -88,6 +88,42 @@ def streaming_tumbling_counts(
     return spark.table(name)
 
 
+def streaming_session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap-merged) per user — the custom-stateful
+    streaming operator the reference has no analog for. AvailableNow +
+    memory sink; approximate-by-watermark, so checked rows-only."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stream_ckpt_")
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_events(
     spark: SparkSession,
     sf_dir: str,
