@@ -38,6 +38,23 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(normalized(text))
 
 
+def rolling_hash(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the document's characters.
+
+    h = Σ c_i · base^(n−i) mod p, folded left-to-right with a per-step
+    modulo so every intermediate stays < 2^35 (no ANSI overflow). Pure
+    higher-order expressions — one pass per document, JVM-side.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod,
+    )
+    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: chars, tokens, distinct tokens, punctuation &
     stopword ratios — the quality-scoring feature vector.

@@ -448,7 +448,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.fingerprint_md5("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fingerprint"),
+        TX.rolling_hash("text").alias("rolling_hash"),
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,7 +785,14 @@ _ORACLES: dict[str, str] = {
         FROM documents GROUP BY 1
     """,
     "doc_fingerprints": f"""
-        SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        SELECT doc_id, md5({_NORM}) AS fingerprint,
+               CASE WHEN length(text) = 0 THEN 0 ELSE
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+                   (a, b) -> (a * 31 + b) % 1000000007)
+               END AS rolling_hash
+        FROM documents
     """,
     "text_stats": f"""
         SELECT doc_id,
