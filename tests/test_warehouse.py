@@ -5,10 +5,26 @@ from __future__ import annotations
 import logging
 import os
 
+import shutil
+
+import pytest
+
 from kickstarter_etl_pipeline_spark.logging_config import configure_logger
 from kickstarter_etl_pipeline_spark.plans.star import kickstarter_star
 from kickstarter_etl_pipeline_spark.plans.warehouse import create_warehouse_schema, load_warehouse
 from tests.test_transform_kickstarter import raw_rows
+
+
+@pytest.fixture(autouse=True)
+def clean_warehouse(spark):
+    """Orphan managed-table dirs from a previous session's in-memory
+    catalog block CREATE TABLE (LOCATION_ALREADY_EXISTS) — clear both the
+    catalog entry and the filesystem location."""
+    spark.sql("DROP DATABASE IF EXISTS wh_test CASCADE")
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if warehouse_dir:
+        shutil.rmtree(f"{warehouse_dir}/wh_test.db", ignore_errors=True)
+    yield
 
 
 def test_warehouse_ddl_idempotent(spark):
