@@ -14,6 +14,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread hot keys across salt buckets.
+
+    The large side gets a deterministic per-row salt (hash of the whole
+    row — duplicates co-locate, everything else spreads); the small side
+    is replicated once per bucket. The join key becomes (key, salt), so
+    one hot key's rows land on ``salt_buckets`` reducers instead of one.
+    Use when AQE's skew-join split isn't available (e.g. it can't split a
+    skewed BUILD side) or when the skew is known up front. Result is
+    row-identical to the unsalted join.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets))
+    salted_large = large.withColumn("_salt", salt.cast("int"))
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_large.join(replicated_small, on=on + ["_salt"], how=how).drop("_salt")
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

@@ -370,6 +370,16 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_windows(spark, sf_dir)
 
 
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (single + multi column)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.countDistinct("o_orderstatus", "o_orderpriority").alias("n_status_priority"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over orders."""
     orders = load_table(spark, sf_dir, "orders")
@@ -537,6 +547,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_distinct_pairs": q_events_distinct_pairs,
     "events_asof_purchase_click": q_events_asof_purchase_click,
     "events_stream_sessions": q_events_stream_sessions,
+    "distinct_counts": q_distinct_counts,
     "cube_status_priority": q_cube_status_priority,
     "price_stats_by_status": q_price_stats_by_status,
     "part_string_ops": q_part_string_ops,
@@ -751,6 +762,11 @@ _ORACLES: dict[str, str] = {
         SELECT user_id, lid AS purchase_event_id, click_event_id,
                us - click_us AS gap_us, round(click_raw, 4) AS click_value
         FROM carried WHERE tag = 1
+    """,
+    "distinct_counts": """
+        SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_custkeys,
+               (SELECT count(*) FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)) AS n_status_priority,
+               (SELECT count(*) FROM orders) AS n_rows
     """,
     "cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
