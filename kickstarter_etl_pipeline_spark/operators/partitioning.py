@@ -12,23 +12,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame, min_partitions: int | None = None, barrier: bool = True
+) -> DataFrame:
     """Repartition only if the plan currently has fewer partitions.
 
-    The repartition is followed by a (lazy) localCheckpoint as an
-    optimizer barrier: without it, Catalyst pushes the downstream
-    expression-heavy Projects/Filters below the Exchange (e.g. the
-    not-empty filter InferFiltersFromGenerate derives from an explode,
-    with the full shingle expression inlined), putting all the compute
-    back into the single pre-shuffle partition. Measured on the 5k-doc
-    fixture: 27.6s single-threaded → 3.9s with the barrier on local[32].
+    With ``barrier=True`` the repartition is followed by a (lazy)
+    localCheckpoint as an optimizer barrier: without it, Catalyst pushes
+    downstream expression-heavy Projects/Filters below the Exchange
+    (e.g. the not-empty filter InferFiltersFromGenerate derives from an
+    explode, with the full shingle expression inlined), putting all the
+    compute back into the single pre-shuffle partition. Measured on the
+    5k-doc fixture: 27.6s single-threaded → 3.9s with the barrier on
+    local[32]. The checkpoint stores only the raw repartitioned rows.
 
-    The checkpoint stores only the raw repartitioned rows (memory+disk).
-    On already-parallel input — any real-scale table — this is a no-op
-    and no checkpoint happens.
+    Use ``barrier=False`` when the expensive downstream work is a join
+    or aggregation — those can't sink below the exchange, and skipping
+    the checkpoint avoids materializing the input.
+
+    On already-parallel input — any real-scale table — this is a no-op.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target).localCheckpoint(eager=False)
+        out = df.repartition(target)
+        return out.localCheckpoint(eager=False) if barrier else out
     return df

@@ -95,16 +95,31 @@ def tpch_fact(
     shuffle join on l_orderkey — the natural co-partitioning key). part and
     the dims broadcast. Revenue and fractional ship-delay are computed
     inline; the date key is derived (no date-dim join).
+
+    The fact side is column-narrowed FIRST (manual pruning — the
+    parallelize barrier below blocks Catalyst's), then spread across
+    cores: with every join broadcast there is no shuffle, so otherwise
+    the whole probe+project pipeline would run inside the scan stage —
+    single-threaded when the input is one parquet row group.
     """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    li = ensure_min_partitions(
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_linenumber",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ),
+        barrier=False,  # downstream work is joins — can't sink below the exchange
+    )
     enriched = (
-        lineitem.join(
+        li.join(
             orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
-            lineitem.l_orderkey == F.col("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
             "left",
         )
         .join(
             F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
-            lineitem.l_partkey == F.col("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
             "left",
         )
     )
