@@ -494,6 +494,45 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: language filter → quality filter →
+    exact dedup → clean corpus manifest. The end-to-end shape a 100 TB
+    pretraining-data job runs; each stage is one of the engine's
+    operators chained lazily into a single plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_lang = TX.with_lang_id(docs)
+    quality = TX.quality_score("text")
+    filtered = with_lang.filter(F.col("lang_pred") == "en").withColumn(
+        "quality", quality
+    ).filter(F.col("quality") >= 0.5)
+    from kickstarter_etl_pipeline_spark.operators.dedup import drop_exact_dupes
+
+    clean = drop_exact_dupes(filtered, "text", "doc_id")
+    return clean.select("doc_id", "lang", "quality", F.col("n_chars").alias("n_chars"))
+
+
+def q_q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Q1 via the SQL API (temp view + spark.sql) — Catalyst
+    produces the identical plan; proves the engine's SQL surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2000-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: mapInPandas feature extraction."""
     return extract_features(documents_as_media(load_table(spark, sf_dir, "documents")))
@@ -552,6 +591,8 @@ _QUERIES: dict[str, QueryFn] = {
     "price_stats_by_status": q_price_stats_by_status,
     "part_string_ops": q_part_string_ops,
     "csv_roundtrip_agg": q_csv_roundtrip_agg,
+    "clean_corpus": q_clean_corpus,
+    "q1_pricing_summary_sql": q_q1_pricing_summary_sql,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprints": q_doc_fingerprints,
     "text_stats": q_text_stats,
@@ -864,6 +905,50 @@ _ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.8
+    """,
+    "clean_corpus": f"""
+        WITH scored AS (
+          SELECT doc_id, lang, text, n_chars, toks,
+                 len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS s_de,
+                 len(list_filter(toks, t -> list_contains({_EN_STOP}, t))) AS s_en,
+                 len(list_filter(toks, t -> list_contains(['el','la','los','de','que','es'], t))) AS s_es,
+                 len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS s_fr
+          FROM (SELECT doc_id, lang, text, n_chars, {_TOKS} AS toks FROM documents)
+        ),
+        labeled AS (
+          SELECT *,
+                 CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+                      WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                      WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                      WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                      WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                      ELSE 'fr' END AS lang_pred,
+                 round(
+                   (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+                   * (0.5 + 0.5 * (len(list_distinct(toks)) / nullif(len(toks), 0)))
+                   - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           / greatest(length(text), 1) * 5, 0.5)
+                 , 6) AS quality
+          FROM scored
+        ),
+        filtered AS (SELECT * FROM labeled WHERE lang_pred = 'en' AND quality >= 0.5),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5({_NORM}))
+        SELECT doc_id, lang, quality, n_chars
+        FROM filtered WHERE doc_id IN (SELECT doc_id FROM keepers)
+    """,
+    "q1_pricing_summary_sql": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
