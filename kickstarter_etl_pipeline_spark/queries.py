@@ -554,6 +554,45 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=5)
 
 
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ 0.9).
+
+    The correctness-tier twin of the LSH-bucketed variant: full pair scan,
+    oracle-checkable. The LSH variant is the 100 TB path."""
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+    from kickstarter_etl_pipeline_spark.operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = ensure_min_partitions(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    ).withColumn("_na", norm(F.col("_va")))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb")).withColumn(
+        "_nb", norm(F.col("_vb"))
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+    )
+
+
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, approx quantiles) — rows-only:
+    sketch implementations are engine-specific by nature."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5)), 2).alias("approx_p50"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -604,6 +643,8 @@ _QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "approx_aggregates": q_approx_aggregates,
 }
 
 
@@ -955,6 +996,13 @@ _ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS payload_md5
         FROM documents
+    """,
+    "embedding_near_dup_exact": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
     """,
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
