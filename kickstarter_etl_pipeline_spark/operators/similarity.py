@@ -148,6 +148,74 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    cells; each query scans only its ``n_probe`` nearest cells.
+
+    The index build is a seeded pyspark.ml KMeans fit; the only
+    driver-side state is the K centroid vectors (tiny), embedded as
+    literals in the query-side cell scorer. Approximate by design →
+    rows-only verification; recall rises with n_probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_ml = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_mlvec"),
+    )
+    model = KMeans(k=n_clusters, seed=42, featuresCol="_mlvec", predictionCol="_cell").fit(corpus_ml)
+    assigned = model.transform(corpus_ml).select("neighbor_id", "_cvec", "_cell")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # Query-side: distance to every centroid from literals, take n_probe cells.
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qvec"),
+                        F.array(*[F.lit(x) for x in centroid]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, centroid in enumerate(centroids)
+        ]
+    )
+    probed = q.withColumn(
+        "_cell", F.explode(F.slice(F.array_sort(dists), 1, n_probe).getField("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), on=assigned["_cell"] == probed["_cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

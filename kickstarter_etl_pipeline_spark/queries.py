@@ -554,6 +554,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + n_probe) approximate top-k (rows-only)."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_clusters=8, n_probe=4)
+
+
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ 0.9).
 
@@ -643,6 +651,7 @@ _QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "approx_aggregates": q_approx_aggregates,
 }

@@ -124,6 +124,30 @@ def streaming_session_windows(
     return spark.table(name)
 
 
+def stream_events_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Exactly-once file sink: stream the events table into parquet.
+
+    The checkpoint records committed source offsets + sink file manifest,
+    so re-running with the same checkpoint reprocesses nothing — the
+    streaming analog of the idempotent S4 sink. Returns the sink contents.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def streaming_dedup_events(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,101 @@
+"""Scale-path operators: scalable dim keys, bucketed co-located joins,
+exactly-once streaming sink, IVF ANN."""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+from contextlib import redirect_stdout
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kickstarter_etl_pipeline_spark.operators.dims import dim_from_distinct, dim_with_scalable_keys
+from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+from kickstarter_etl_pipeline_spark.sources.bucketing import colocated_join, write_bucketed
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+from kickstarter_etl_pipeline_spark.streaming.events_stream import stream_events_to_parquet
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def test_scalable_keys_equal_window_keys(spark):
+    """dim_with_scalable_keys must assign the same dense sorted keys as
+    the window implementation, without a global single-reducer sort."""
+    df = spark.createDataFrame(
+        [(f"name_{i % 37:03d}",) for i in range(1000)], ["state_name"]
+    ).repartition(7)
+    scalable = {
+        (int(r["state_key"]), r["state_name"])
+        for r in dim_with_scalable_keys(df, ["state_name"], "state_key").collect()
+    }
+    window = {
+        (int(r["state_key"]), r["state_name"])
+        for r in dim_from_distinct(df, ["state_name"], "state_key").collect()
+    }
+    assert scalable == window and len(scalable) == 37
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Same-bucketed tables join with zero shuffle (the pay-once trade)."""
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for t in ("b_lineitem", "b_orders"):
+        shutil.rmtree(f"{warehouse_dir}/{t}", ignore_errors=True)
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "b_lineitem",
+        "l_orderkey",
+        num_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").selectExpr("o_orderkey AS l_orderkey", "o_orderstatus"),
+        "b_orders",
+        "l_orderkey",
+        num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_lineitem", "b_orders", on="l_orderkey")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketed reads satisfy the join distribution
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_streaming_parquet_sink_exactly_once(spark, sf_dir):
+    out = os.path.join(SCRATCH, "stream_sink_out")
+    ckpt = os.path.join(SCRATCH, "stream_sink_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    first = stream_events_to_parquet(spark, sf_dir, out, ckpt).count()
+    expected = load_table(spark, sf_dir, "events").count()
+    assert first == expected
+    # Same checkpoint, second run: offsets already committed → no duplicates.
+    second = stream_events_to_parquet(spark, sf_dir, out, ckpt).count()
+    assert second == expected
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # Approximate: reasonable recall with n_probe=4 of 8 cells, and every
+    # returned similarity must agree with the exact scorer's ranking rules.
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
+    assert all(r["rank"] <= 5 for r in approx_rows)
