@@ -29,8 +29,12 @@ def tumbling_agg(events: DataFrame, ts_col: str = "ts", duration: str = "1 hour"
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
         )
+        # avg derived from the ROUNDED sum: engines may disagree on the
+        # raw double sum by an ulp, which flips a 6-dp rounding exactly at
+        # half boundaries (seen at sf0.1: 1391.13/32 = 43.4728125).
+        # Dividing the identical rounded numerator is deterministic.
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
     )
 
 
@@ -101,7 +105,12 @@ def distinct_user_event_pairs(events: DataFrame) -> DataFrame:
 def json_field_agg(events: DataFrame, path: str = "$.k") -> DataFrame:
     """Extract an int field from the JSON props column, aggregate by it."""
     k = F.get_json_object("props", path).cast("int")
-    return events.groupBy(k.alias("k")).agg(
-        F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+    return (
+        events.groupBy(k.alias("k"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("_sum"),
+        )
+        .withColumn("avg_value", F.round(F.col("_sum") / F.col("n_events"), 6))
+        .drop("_sum")
     )

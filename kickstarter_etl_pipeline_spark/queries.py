@@ -140,11 +140,15 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum("l_discount"), 4).alias("_sum_disc"),
             F.count("*").alias("count_order"),
         )
+        # averages derived from the rounded sums → engine-independent
+        # (raw double sums can differ by an ulp and flip 6-dp rounding)
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        .withColumn("avg_disc", F.round(F.col("_sum_disc") / F.col("count_order"), 6))
+        .drop("_sum_disc")
     )
 
 
@@ -517,18 +521,24 @@ def q_q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_extendedprice), 6) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem_v
-        WHERE l_shipdate <= TIMESTAMP_NTZ '2000-06-30 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+               sum_charge,
+               round(sum_qty / count_order, 6) AS avg_qty,
+               round(sum_base_price / count_order, 6) AS avg_price,
+               round(sum_disc / count_order, 6) AS avg_disc,
+               count_order
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 4) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base_price,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                 round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                 round(sum(l_discount), 4) AS sum_disc,
+                 count(*) AS count_order
+          FROM lineitem_v
+          WHERE l_shipdate <= TIMESTAMP_NTZ '2000-06-30 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
         """
     )
 
@@ -691,18 +701,24 @@ _ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "q1_pricing_summary": """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_extendedprice), 6) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+               sum_charge,
+               round(sum_qty / count_order, 6) AS avg_qty,
+               round(sum_base_price / count_order, 6) AS avg_price,
+               round(sum_disc / count_order, 6) AS avg_disc,
+               count_order
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 4) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base_price,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                 round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                 round(sum(l_discount), 4) AS sum_disc,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
     """,
     "group_count_ordered": """
         SELECT o_orderstatus, count(*) AS n_orders
@@ -786,12 +802,13 @@ _ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "events_tumbling": """
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
-               event_type,
-               count(*) AS n_events,
-               round(sum(value), 4) AS sum_value,
-               round(avg(value), 6) AS avg_value
-        FROM events GROUP BY 1, 2
+        SELECT bucket_start, event_type, n_events, sum_value,
+               round(sum_value / n_events, 6) AS avg_value
+        FROM (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                 event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+          FROM events GROUP BY 1, 2
+        )
     """,
     "events_sessionize": """
         WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
@@ -806,18 +823,21 @@ _ORACLES: dict[str, str] = {
         FROM sess GROUP BY user_id, session_id
     """,
     "events_json_kv": """
-        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-               count(*) AS n_events,
-               round(avg(value), 6) AS avg_value
-        FROM events GROUP BY 1
+        SELECT k, n_events, round(s / n_events, 6) AS avg_value
+        FROM (
+          SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                 count(*) AS n_events, round(sum(value), 4) AS s
+          FROM events GROUP BY 1
+        )
     """,
     "events_stream_tumbling": """
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
-               event_type,
-               count(*) AS n_events,
-               round(sum(value), 4) AS sum_value,
-               round(avg(value), 6) AS avg_value
-        FROM events GROUP BY 1, 2
+        SELECT bucket_start, event_type, n_events, sum_value,
+               round(sum_value / n_events, 6) AS avg_value
+        FROM (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                 event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+          FROM events GROUP BY 1, 2
+        )
     """,
     "events_sliding": """
         SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -986,20 +1006,8 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id, lang, quality, n_chars
         FROM filtered WHERE doc_id IN (SELECT doc_id FROM keepers)
     """,
-    "q1_pricing_summary_sql": """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_extendedprice), 6) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-    """,
+    # identical semantics to q1_pricing_summary — shared below, after the
+    # dict literal (the SQL-API variant must hash-match the same oracle)
     "multimodal_features": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1026,6 +1034,9 @@ _ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
     """,
 }
+
+
+_ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
 
 
 def oracle_sql() -> dict[str, str]:

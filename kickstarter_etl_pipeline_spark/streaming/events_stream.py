@@ -64,14 +64,14 @@ def streaming_tumbling_counts(
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
             "event_type",
             "n_events",
             "sum_value",
-            "avg_value",
+            # derived from the rounded sum — see operators.events.tumbling_agg
+            F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
         )
     )
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
