@@ -114,7 +114,12 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            # revenue is 4-dp-rounded per row → exact as decimal(18,4);
+            # exact sum makes the 2-dp rounding engine-independent even
+            # when the true total lands on a .005 boundary
+            F.round(F.sum(F.col("revenue").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_revenue"),
             F.round(F.avg("ship_delay_days"), 4).alias("avg_ship_delay_days"),
         )
         .join(F.broadcast(star.dim_state.select("state_key", "state_name")), "state_key")
@@ -136,10 +141,31 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            # sums of PRODUCTS live on a finer grid than the 2-dp rounding,
+            # so a true sum can sit exactly on a .005 boundary where double
+            # accumulation order decides the hash. Per-row round (identical
+            # doubles in, identical out) → exact decimal sum → deterministic.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                        6,
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.sum("l_discount"), 4).alias("_sum_disc"),
             F.count("*").alias("count_order"),
         )
@@ -531,8 +557,8 @@ def q_q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT l_returnflag, l_linestatus,
                  round(sum(l_quantity), 4) AS sum_qty,
                  round(sum(l_extendedprice), 2) AS sum_base_price,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                 round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                  round(sum(l_discount), 4) AS sum_disc,
                  count(*) AS count_order
           FROM lineitem_v
@@ -695,7 +721,7 @@ _ORACLES: dict[str, str] = {
         SELECT s.state_name,
                CAST(f.order_date_key // 10000 AS INTEGER) AS order_year,
                count(*) AS n_items,
-               round(sum(f.revenue), 2) AS total_revenue,
+               CAST(round(sum(CAST(f.revenue AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
                round(avg(f.ship_delay_days), 4) AS avg_ship_delay_days
         FROM fact f JOIN dim_state s USING (state_key)
         GROUP BY 1, 2
@@ -711,8 +737,8 @@ _ORACLES: dict[str, str] = {
           SELECT l_returnflag, l_linestatus,
                  round(sum(l_quantity), 4) AS sum_qty,
                  round(sum(l_extendedprice), 2) AS sum_base_price,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                 round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                  round(sum(l_discount), 4) AS sum_disc,
                  count(*) AS count_order
           FROM lineitem
