@@ -144,22 +144,18 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sums of PRODUCTS live on a finer grid than the 2-dp rounding,
             # so a true sum can sit exactly on a .005 boundary where double
             # accumulation order decides the hash. Per-row round (identical
-            # doubles in, identical out) → exact decimal sum → deterministic.
+            # doubles in, identical out; casts are tie-free since no double
+            # sits exactly on a 5e-7 boundary) → exact sum → deterministic.
             F.round(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
-                        "decimal(18,6)"
-                    )
-                ),
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
                 2,
             )
             .cast("double")
             .alias("sum_disc_price"),
             F.round(
                 F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
-                        6,
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
                     ).cast("decimal(18,6)")
                 ),
                 2,
@@ -557,8 +553,8 @@ def q_q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT l_returnflag, l_linestatus,
                  round(sum(l_quantity), 4) AS sum_qty,
                  round(sum(l_extendedprice), 2) AS sum_base_price,
-                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                  round(sum(l_discount), 4) AS sum_disc,
                  count(*) AS count_order
           FROM lineitem_v
@@ -737,8 +733,8 @@ _ORACLES: dict[str, str] = {
           SELECT l_returnflag, l_linestatus,
                  round(sum(l_quantity), 4) AS sum_qty,
                  round(sum(l_extendedprice), 2) AS sum_base_price,
-                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-                 CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                  round(sum(l_discount), 4) AS sum_disc,
                  count(*) AS count_order
           FROM lineitem
