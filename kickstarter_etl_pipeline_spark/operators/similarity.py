@@ -36,7 +36,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm (degenerate) vector yields NULL similarity
+    # instead of an ANSI DIVIDE_BY_ZERO error.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -71,7 +73,8 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+                F.try_divide(dot(F.col("_qvec"), F.col("_cvec")), F.col("_qnorm") * F.col("_cnorm")),
+                6,
             ).alias("cosine_sim"),
         )
     )

@@ -615,9 +615,9 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.9)
     )

@@ -1,0 +1,74 @@
+"""Edge-case robustness: degenerate vectors, empty inputs, unicode text.
+
+All under ANSI mode (Spark 4 default) — the sweep that caught the
+zero-norm DIVIDE_BY_ZERO in cosine scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from kickstarter_etl_pipeline_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    with_simhash,
+)
+from kickstarter_etl_pipeline_spark.operators.events import sessionize, tumbling_agg
+from kickstarter_etl_pipeline_spark.operators.joins import asof_join_backward
+from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk
+from kickstarter_etl_pipeline_spark.operators.text import rolling_hash, with_lang_id, with_text_stats
+
+
+def test_zero_norm_vector_yields_null_not_error(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])], ["vec_id", "embedding"]
+    )
+    rows = brute_force_topk(vecs, vecs, k=2).collect()
+    sims = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in rows}
+    assert sims[(1, 2)] is None  # degenerate → NULL, ranked last, no crash
+    assert sims[(1, 3)] is not None
+
+
+def test_empty_events(spark):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert sessionize(empty).count() == 0
+    assert tumbling_agg(empty).count() == 0
+
+
+def test_unicode_and_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld 🌍 日本語のテキスト"), (2, ""), (3, "   "), (4, "a")],
+        ["doc_id", "text"],
+    )
+    assert with_text_stats(docs).count() == 4
+    langs = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(docs).collect()}
+    assert langs[1] == "zh"  # CJK presence wins
+    assert langs[2] == "und" and langs[3] == "und"
+    assert docs.select(rolling_hash("text")).count() == 4
+    # sub-n-token docs produce no shingles → no pairs, no ANSI index errors
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert minhash_dedup_pairs(docs).count() == 0
+    assert with_simhash(docs).count() == 4
+
+
+def test_asof_with_no_right_rows(spark):
+    ev = (
+        spark.createDataFrame([(1, 10)], ["event_id", "sec"])
+        .withColumn("ts", F.timestamp_seconds("sec"))
+        .withColumn("user_id", F.lit(1))
+        .withColumn("value", F.lit(1.0))
+    )
+    out = asof_join_backward(
+        ev, ev.filter(F.lit(False)), "user_id", "ts", "ts", ["value"], "event_id", "event_id"
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_right_id"] is None
