@@ -174,6 +174,70 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, date predicates, grouped revenue top-k."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp_ntz")
+    joined = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the region hierarchy; revenue
+    from lineitems where supplier and customer share a nation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_group_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: value_counts() — group-count, descending (reference :78)."""
     return (
@@ -386,6 +450,16 @@ def q_events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("left_ts_us") - F.col("asof_ts_us")).alias("gap_us"),
         F.round("asof_value", 4).alias("click_value"),
     )
+
+
+def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap
+    sessionizer with per-key state. With the finite AvailableNow replay
+    its emitted sessions equal the batch sessionizer's, so it gets a full
+    SQL oracle (closed = every session but the user's last)."""
+    from kickstarter_etl_pipeline_spark.streaming.stateful import stateful_sessionize
+
+    return stateful_sessionize(spark, sf_dir)
 
 
 def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +718,8 @@ _QUERIES: dict[str, QueryFn] = {
     "fact_star": q_fact_star,
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "group_count_ordered": q_group_count_ordered,
     "project_rename_filter": q_project_rename_filter,
     "conditional_flag_agg": q_conditional_flag_agg,
@@ -665,6 +741,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_distinct_pairs": q_events_distinct_pairs,
     "events_asof_purchase_click": q_events_asof_purchase_click,
     "events_stream_sessions": q_events_stream_sessions,
+    "events_stateful_sessions": q_events_stateful_sessions,
     "distinct_counts": q_distinct_counts,
     "cube_status_priority": q_cube_status_priority,
     "price_stats_by_status": q_price_stats_by_status,
@@ -741,6 +818,31 @@ _ORACLES: dict[str, str] = {
           WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
           GROUP BY l_returnflag, l_linestatus
         )
+    """,
+    "shipping_priority": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        GROUP BY n_name
     """,
     "group_count_ordered": """
         SELECT o_orderstatus, count(*) AS n_orders
@@ -831,6 +933,21 @@ _ORACLES: dict[str, str] = {
                  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
           FROM events GROUP BY 1, 2
         )
+    """,
+    "events_stateful_sessions": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lagd),
+        sess AS (SELECT *, CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged),
+        agg AS (SELECT user_id, session_id, count(*) AS n_events,
+                       round(sum(value), 4) AS sum_value,
+                       max(us) - min(us) AS duration_us
+                FROM sess GROUP BY user_id, session_id)
+        SELECT user_id, n_events, sum_value, duration_us,
+               session_id <> max(session_id) OVER (PARTITION BY user_id) AS closed
+        FROM agg
     """,
     "events_sessionize": """
         WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),

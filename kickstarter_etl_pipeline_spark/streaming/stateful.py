@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator: applyInPandasWithState sessionizer.
+
+Where native ``session_window`` covers gap-merged aggregation, a custom
+state handler covers arbitrary per-key session logic (custom rollups,
+emit-on-close). State is one (count, sum, start, last) tuple per user,
+so state size is bounded by live keys — the scale contract for stateful
+streaming.
+
+Timeout-based eviction (GroupStateTimeout.ProcessingTimeTimeout) is the
+production pattern for unbounded streams; with the finite AvailableNow
+replay used here the still-open session is emitted with closed=False
+instead (the ProcessingTime timeout path crashes the pandas state worker
+under AvailableNow on this Spark build — EOF in PythonRunner).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+    _checkpoint_dir,
+    read_events_stream,
+)
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's events into the user's running session; emit a
+    closed row whenever a gap larger than GAP_US splits the stream, plus
+    one open (closed=False) row for the session still accumulating."""
+    (user_id,) = key
+    n, s, start_us, last_us = state.get if state.exists else (0, 0.0, None, None)
+    rows: list[list] = []
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            us = int(ts.value // 1_000)  # pandas ns → µs
+            if last_us is not None and us - last_us > GAP_US:
+                rows.append([user_id, n, round(s, 4), last_us - start_us, True])
+                n, s, start_us = 0, 0.0, None
+            if start_us is None:
+                start_us = us
+            n += 1
+            s += float(value)
+            last_us = us
+    state.update((n, s, start_us, last_us))
+    rows.append([user_id, n, round(s, 4), last_us - start_us, False])
+    yield pd.DataFrame(rows, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+
+def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the custom stateful sessionizer over the events fixture with
+    AvailableNow and return the emitted session rows."""
+    stream = read_events_stream(spark, sf_dir)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stateful_ckpt_")
+    query = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
