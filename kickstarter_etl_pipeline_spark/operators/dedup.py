@@ -98,7 +98,43 @@ def ngram_jaccard_pairs(
     Exact but worst-case quadratic — use minhash_lsh_candidates at scale
     and reserve this for verification of candidate pairs.
     """
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    sh = shingle_table(df, text_col, id_col, n)
+    return jaccard_pairs_from_shingle_table(sh, threshold, id_col)
+
+
+def char_shingles(text_col: str = "text", n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the normalized text — the
+    variant robust to tokenization differences (CJK, no-whitespace text)."""
+    from kickstarter_etl_pipeline_spark.operators.text import normalized
+
+    norm_text = normalized(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(norm_text) - (n - 1)),
+        # Column.substr accepts Column offsets (F.substring needs ints)
+        lambda i: norm_text.substr(i, F.lit(n)),
+    )
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    return F.when(F.length(norm_text) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def char_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Character n-gram Jaccard pairs (same join shape as the word-gram
+    operator, different shingle definition)."""
+    staged = ensure_min_partitions(df).withColumn("_sh", char_shingles(text_col, n))
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    return jaccard_pairs_from_shingle_table(sh, threshold, id_col)
+
+
+def jaccard_pairs_from_shingle_table(sh: DataFrame, threshold: float, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over an exploded (id, shingle) table (shared by the
+    word-gram and char-gram operators)."""
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -470,6 +470,20 @@ def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_windows(spark, sf_dir)
 
 
+def q_events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of q_events_sliding (AvailableNow)."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_sliding_counts
+
+    return streaming_sliding_counts(spark, sf_dir)
+
+
+def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup pairs (tokenization-free)."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import char_jaccard_pairs
+
+    return char_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregates (single + multi column)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -742,6 +756,8 @@ _QUERIES: dict[str, QueryFn] = {
     "events_asof_purchase_click": q_events_asof_purchase_click,
     "events_stream_sessions": q_events_stream_sessions,
     "events_stateful_sessions": q_events_stateful_sessions,
+    "events_stream_sliding": q_events_stream_sliding,
+    "char_jaccard_pairs": q_char_jaccard_pairs,
     "distinct_counts": q_distinct_counts,
     "cube_status_priority": q_cube_status_priority,
     "price_stats_by_status": q_price_stats_by_status,
@@ -1147,6 +1163,24 @@ _ORACLES: dict[str, str] = {
     """,
     # identical semantics to q1_pricing_summary — shared below, after the
     # dict literal (the SQL-API variant must hash-match the same oracle)
+    "char_jaccard_pairs": f"""
+        WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, length(nt) - 3),
+                               i -> substring(nt, i, 5))) AS s
+                 FROM t WHERE length(nt) >= 5)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.8
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1176,6 +1210,7 @@ _ORACLES: dict[str, str] = {
 
 
 _ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
+_ORACLES["events_stream_sliding"] = _ORACLES["events_sliding"]
 
 
 def oracle_sql() -> dict[str, str]:

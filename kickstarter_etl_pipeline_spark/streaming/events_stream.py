@@ -88,6 +88,45 @@ def streaming_tumbling_counts(
     return spark.table(name)
 
 
+def streaming_sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (AvailableNow); semantics
+    match operators.events.sliding_window_agg so the batch oracle
+    verifies the streaming path."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stream_ckpt_")
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_session_windows(
     spark: SparkSession,
     sf_dir: str,
