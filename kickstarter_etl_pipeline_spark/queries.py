@@ -238,6 +238,24 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: orders above their customer's average.
+
+    Expressed as a window (the decorrelated form Catalyst produces for
+    the equivalent correlated subquery). The per-customer average is
+    derived from the ROUNDED sum so row membership at the comparison
+    boundary is engine-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_spend = F.round(F.sum("o_totalprice").over(w), 2) / F.count("*").over(w)
+    return (
+        orders.withColumn("_avg", avg_spend)
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("_avg", 4).alias("cust_avg_price"))
+    )
+
+
 def q_group_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: value_counts() — group-count, descending (reference :78)."""
     return (
@@ -734,6 +752,7 @@ _QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "above_avg_orders": q_above_avg_orders,
     "group_count_ordered": q_group_count_ordered,
     "project_rename_filter": q_project_rename_filter,
     "conditional_flag_agg": q_conditional_flag_agg,
@@ -859,6 +878,15 @@ _ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "above_avg_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice, round(a, 4) AS cust_avg_price
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+                   / count(*) OVER (PARTITION BY o_custkey) AS a
+          FROM orders
+        ) WHERE o_totalprice > a
     """,
     "group_count_ordered": """
         SELECT o_orderstatus, count(*) AS n_orders
