@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.operators.text import fingerprint_md5, tokens
 
 
@@ -149,9 +150,8 @@ def jaccard_pairs_from_shingle_table(sh: DataFrame, threshold: float, id_col: st
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("size_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
+            round_det(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -276,7 +276,7 @@ def minhash_dedup_pairs(
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("size_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6),
+            round_det(F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

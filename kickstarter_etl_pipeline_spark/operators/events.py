@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
 
 def with_unix_micros(df: DataFrame, ts_col: str = "ts", out: str = "_us") -> DataFrame:
     # ts is TimestampNTZ; unix_micros needs an instant — with the UTC
@@ -34,7 +36,7 @@ def tumbling_agg(events: DataFrame, ts_col: str = "ts", duration: str = "1 hour"
         # raw double sum by an ulp, which flips a 6-dp rounding exactly at
         # half boundaries (seen at sf0.1: 1391.13/32 = 43.4728125).
         # Dividing the identical rounded numerator is deterministic.
-        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
+        .withColumn("avg_value", round_det(F.col("sum_value") / F.col("n_events"), 6))
     )
 
 
@@ -111,6 +113,6 @@ def json_field_agg(events: DataFrame, path: str = "$.k") -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("_sum"),
         )
-        .withColumn("avg_value", F.round(F.col("_sum") / F.col("n_events"), 6))
+        .withColumn("avg_value", round_det(F.col("_sum") / F.col("n_events"), 6))
         .drop("_sum")
     )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
 #: Tiny per-language stopword marker lists for the n-gram/stopword
 #: language heuristic. Real corpora would use larger lists; the operator
 #: shape (vectorized membership counting + argmax) is what matters.
@@ -76,8 +78,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_tokens.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         # nullif guards: ANSI mode (Spark 4 default) errors on x/0.
-        F.round(n_punct / F.nullif(F.length(text_col), F.lit(0)), 6).alias("punct_ratio"),
-        F.round(n_stop / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+        round_det(n_punct / F.nullif(F.length(text_col), F.lit(0)), 6).alias("punct_ratio"),
+        round_det(n_stop / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
     )
 
 
@@ -90,7 +92,7 @@ def quality_score(text_col: str = "text") -> Column:
     length_ok = F.when((F.length(text_col) >= 100) & (F.length(text_col) <= 10000), 1.0).otherwise(0.5)
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     punct_penalty = F.least(n_punct / F.greatest(F.length(text_col), F.lit(1)) * 5, F.lit(0.5))
-    return F.round(length_ok * (0.5 + 0.5 * diversity) - punct_penalty, 6)
+    return round_det(length_ok * (0.5 + 0.5 * diversity) - punct_penalty, 6)
 
 
 def lang_scores(text_col: str = "text") -> dict[str, Column]:

@@ -29,6 +29,7 @@ from kickstarter_etl_pipeline_spark.operators.dedup import (
 )
 from kickstarter_etl_pipeline_spark.operators.dims import build_dim_date
 from kickstarter_etl_pipeline_spark.operators.multimodal import documents_as_media, extract_features
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
 from kickstarter_etl_pipeline_spark.operators.transform import fractional_days
 from kickstarter_etl_pipeline_spark.plans.star import (
@@ -120,7 +121,7 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("revenue").cast("decimal(18,4)")), 2)
             .cast("double")
             .alias("total_revenue"),
-            F.round(F.avg("ship_delay_days"), 4).alias("avg_ship_delay_days"),
+            round_det(F.avg("ship_delay_days"), 4).alias("avg_ship_delay_days"),
         )
         .join(F.broadcast(star.dim_state.select("state_key", "state_name")), "state_key")
         .select("state_name", "order_year", "n_items", "total_revenue", "avg_ship_delay_days")
@@ -167,9 +168,9 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # averages derived from the rounded sums → engine-independent
         # (raw double sums can differ by an ulp and flip 6-dp rounding)
-        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
-        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
-        .withColumn("avg_disc", F.round(F.col("_sum_disc") / F.col("count_order"), 6))
+        .withColumn("avg_qty", round_det(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", round_det(F.col("sum_base_price") / F.col("count_order"), 6))
+        .withColumn("avg_disc", round_det(F.col("_sum_disc") / F.col("count_order"), 6))
         .drop("_sum_disc")
     )
 
@@ -249,10 +250,15 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     avg_spend = F.round(F.sum("o_totalprice").over(w), 2) / F.count("*").over(w)
+    # floor(x·10^4 + 0.5)/10^4 instead of round(x, 4): exact rationals like
+    # sum/16 produce representational ties where Spark's string-based
+    # HALF_UP and a numeric rounding disagree; floor-of-identical-doubles
+    # is bit-deterministic across engines.
+    display = F.floor(F.col("_avg") * 10000 + 0.5) / F.lit(10000.0)
     return (
         orders.withColumn("_avg", avg_spend)
         .filter(F.col("o_totalprice") > F.col("_avg"))
-        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("_avg", 4).alias("cust_avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", display.alias("cust_avg_price"))
     )
 
 
@@ -301,7 +307,7 @@ def q_ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.avg("_delay"), 6).alias("avg_delay_days"),
+            round_det(F.avg("_delay"), 6).alias("avg_delay_days"),
             F.round(F.max("_delay"), 6).alias("max_delay_days"),
         )
     )
@@ -651,9 +657,9 @@ def q_q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
                sum_charge,
-               round(sum_qty / count_order, 6) AS avg_qty,
-               round(sum_base_price / count_order, 6) AS avg_price,
-               round(sum_disc / count_order, 6) AS avg_disc,
+               floor(sum_qty / count_order * 1e6 + 0.5) / 1e6 AS avg_qty,
+               floor(sum_base_price / count_order * 1e6 + 0.5) / 1e6 AS avg_price,
+               floor(sum_disc / count_order * 1e6 + 0.5) / 1e6 AS avg_disc,
                count_order
         FROM (
           SELECT l_returnflag, l_linestatus,
@@ -830,16 +836,16 @@ _ORACLES: dict[str, str] = {
                CAST(f.order_date_key // 10000 AS INTEGER) AS order_year,
                count(*) AS n_items,
                CAST(round(sum(CAST(f.revenue AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
-               round(avg(f.ship_delay_days), 4) AS avg_ship_delay_days
+               floor(avg(f.ship_delay_days) * 10000 + 0.5) / 10000.0 AS avg_ship_delay_days
         FROM fact f JOIN dim_state s USING (state_key)
         GROUP BY 1, 2
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
                sum_charge,
-               round(sum_qty / count_order, 6) AS avg_qty,
-               round(sum_base_price / count_order, 6) AS avg_price,
-               round(sum_disc / count_order, 6) AS avg_disc,
+               floor(sum_qty / count_order * 1000000 + 0.5) / 1000000.0 AS avg_qty,
+               floor(sum_base_price / count_order * 1000000 + 0.5) / 1000000.0 AS avg_price,
+               floor(sum_disc / count_order * 1000000 + 0.5) / 1000000.0 AS avg_disc,
                count_order
         FROM (
           SELECT l_returnflag, l_linestatus,
@@ -880,7 +886,8 @@ _ORACLES: dict[str, str] = {
         GROUP BY n_name
     """,
     "above_avg_orders": """
-        SELECT o_orderkey, o_custkey, o_totalprice, round(a, 4) AS cust_avg_price
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               floor(a * 10000 + 0.5) / 10000.0 AS cust_avg_price
         FROM (
           SELECT o_orderkey, o_custkey, o_totalprice,
                  round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
@@ -906,7 +913,7 @@ _ORACLES: dict[str, str] = {
     "ship_delay_by_priority": """
         SELECT o_orderpriority,
                count(*) AS n_items,
-               round(avg(d), 6) AS avg_delay_days,
+               floor(avg(d) * 1000000 + 0.5) / 1000000.0 AS avg_delay_days,
                round(max(d), 6) AS max_delay_days
         FROM (
           SELECT o_orderpriority,
@@ -971,7 +978,7 @@ _ORACLES: dict[str, str] = {
     """,
     "events_tumbling": """
         SELECT bucket_start, event_type, n_events, sum_value,
-               round(sum_value / n_events, 6) AS avg_value
+               floor(sum_value / n_events * 1000000 + 0.5) / 1000000.0 AS avg_value
         FROM (
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
                  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -1006,7 +1013,7 @@ _ORACLES: dict[str, str] = {
         FROM sess GROUP BY user_id, session_id
     """,
     "events_json_kv": """
-        SELECT k, n_events, round(s / n_events, 6) AS avg_value
+        SELECT k, n_events, floor(s / n_events * 1000000 + 0.5) / 1000000.0 AS avg_value
         FROM (
           SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                  count(*) AS n_events, round(sum(value), 4) AS s
@@ -1015,7 +1022,7 @@ _ORACLES: dict[str, str] = {
     """,
     "events_stream_tumbling": """
         SELECT bucket_start, event_type, n_events, sum_value,
-               round(sum_value / n_events, 6) AS avg_value
+               floor(sum_value / n_events * 1000000 + 0.5) / 1000000.0 AS avg_value
         FROM (
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
                  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -1109,8 +1116,8 @@ _ORACLES: dict[str, str] = {
                CAST(length(text) AS BIGINT) AS n_chars_calc,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
-               round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / nullif(length(text), 0), 6) AS punct_ratio,
-               round(len(list_filter(toks, t -> list_contains({_EN_STOP}, t))) / nullif(len(toks), 0), 6) AS stopword_ratio
+               floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / nullif(length(text), 0) * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
+               floor(len(list_filter(toks, t -> list_contains({_EN_STOP}, t))) / nullif(len(toks), 0) * 1000000 + 0.5) / 1000000.0 AS stopword_ratio
         FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     """,
     "lang_id": f"""
@@ -1133,12 +1140,12 @@ _ORACLES: dict[str, str] = {
     """,
     "quality_scores": f"""
         SELECT doc_id,
-               round(
+               floor((
                  (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END)
                  * (0.5 + 0.5 * (len(list_distinct(toks)) / nullif(len(toks), 0)))
                  - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                          / greatest(length(text), 1) * 5, 0.5)
-               , 6) AS quality
+               ) * 1000000 + 0.5) / 1000000.0 AS quality
         FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     """,
     "ngram_jaccard_pairs": f"""
@@ -1153,11 +1160,11 @@ _ORACLES: dict[str, str] = {
                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT id_a, id_b, n_common,
-               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+               floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 AS jaccard
         FROM pairs
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.8
+        WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.8
     """,
     "clean_corpus": f"""
         WITH scored AS (
@@ -1176,12 +1183,12 @@ _ORACLES: dict[str, str] = {
                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                       ELSE 'fr' END AS lang_pred,
-                 round(
+                 floor((
                    (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END)
                    * (0.5 + 0.5 * (len(list_distinct(toks)) / nullif(len(toks), 0)))
                    - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                            / greatest(length(text), 1) * 5, 0.5)
-                 , 6) AS quality
+                 ) * 1000000 + 0.5) / 1000000.0 AS quality
           FROM scored
         ),
         filtered AS (SELECT * FROM labeled WHERE lang_pred = 'en' AND quality >= 0.5),
@@ -1203,11 +1210,11 @@ _ORACLES: dict[str, str] = {
                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT id_a, id_b, n_common,
-               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+               floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 AS jaccard
         FROM pairs
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.8
+        WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.8
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,

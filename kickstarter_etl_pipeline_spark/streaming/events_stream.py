@@ -25,6 +25,7 @@ def _checkpoint_dir(prefix: str) -> str:
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kickstarter_etl_pipeline_spark import schemas
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
 
 
@@ -71,7 +72,7 @@ def streaming_tumbling_counts(
             "n_events",
             "sum_value",
             # derived from the rounded sum — see operators.events.tumbling_agg
-            F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+            round_det(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
         )
     )
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
