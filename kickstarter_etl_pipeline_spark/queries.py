@@ -528,14 +528,39 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_price_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: exact interpolated percentiles + stddev."""
+    """Statistical aggregates: exact interpolated percentiles + stddev.
+
+    stddev is computed from exact-decimal sufficient statistics, not
+    ``stddev_samp``: a streaming double variance is summation-order-
+    dependent, so its low bits differ run-to-run and engine-to-engine.
+    o_totalprice is a 2-dp quantity — sum(x) and sum(x^2) are exact in
+    decimal, and sqrt((n*s2 - s1^2) / (n*(n-1))) is then a single
+    deterministic IEEE expression on identical inputs in both engines.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.count("*").alias("_n"),
+            F.sum(x).alias("_s1"),
+            F.sum(x * x).alias("_s2"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .withColumn(
+            "price_stddev",
+            F.round(
+                F.sqrt(
+                    (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("double")
+                    / (F.col("_n") * (F.col("_n") - F.lit(1))).cast("double")
+                ),
+                4,
+            ),
+        )
+        .select("o_orderstatus", "p50", "p90", "price_stddev", "min_price", "max_price")
     )
 
 
@@ -1075,13 +1100,21 @@ _ORACLES: dict[str, str] = {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "price_stats_by_status": """
-        SELECT o_orderstatus,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(stddev_samp(o_totalprice), 4) AS price_stddev,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price
-        FROM orders GROUP BY o_orderstatus
+        SELECT o_orderstatus, p50, p90,
+               round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE)), 4) AS price_stddev,
+               min_price, max_price
+        FROM (
+          SELECT o_orderstatus,
+                 round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                 round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                 count(*) AS n,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+                 round(min(o_totalprice), 2) AS min_price,
+                 round(max(o_totalprice), 2) AS max_price
+          FROM orders GROUP BY o_orderstatus
+        )
     """,
     "part_string_ops": """
         SELECT p_partkey, upper(p_name) AS name_upper,
