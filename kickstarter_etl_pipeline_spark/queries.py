@@ -770,6 +770,159 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRICE_BANDS = [
+    ("A_budget", 0.0, 50_000.0),
+    ("B_mid", 50_000.0, 150_000.0),
+    ("C_high", 150_000.0, 300_000.0),
+    ("D_jumbo", 300_000.0, 1e12),
+]
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi interval) join: orders banded by a tiny broadcast
+    band table on lo <= price < hi. At scale the band side is constant-
+    size, so BroadcastNestedLoopJoin costs one pass over the fact with a
+    4-entry probe — no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            # 2-dp prices summed exactly in decimal → cast of the same
+            # rational to double is identical in both engines
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def q_grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) + grouping() flags."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_totalprice",
+    )
+    return (
+        base.groupingSets([["o_orderstatus"], ["order_year"], []], "o_orderstatus", "order_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+        )
+    )
+
+
+def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window functions: per-user previous/next event and the
+    gap to the previous one in exact integer microseconds."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("_us") - F.lag("_us").over(w)).alias("gap_from_prev_us"),
+    )
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style left-semi join with a non-equi
+    residual condition (any lineitem shipped >60 days after order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to its
+    parents. The pre-join aggregate shrinks the fact before either join
+    (map-side partial agg + AQE handles the rest at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column: per-vector
+    L2 norm via F.aggregate fold — JVM-side, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        round_det(F.sqrt(sq), 6).alias("l2_norm"),
+    )
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense hour × event_type grid (sequence +
+    explode + broadcast cross join) left-joined to hourly aggregates,
+    missing buckets zero-filled. The grid is O(hours × types) regardless
+    of event volume, so the pattern holds at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type").agg(
+        F.count("*").alias("_n"), F.round(F.sum("value"), 4).alias("_s")
+    )
+    return (
+        F.broadcast(grid)
+        .join(counts, ["bucket", "event_type"], "left")
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("_s", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -829,6 +982,13 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "approx_aggregates": q_approx_aggregates,
+    "range_join_price_bands": q_range_join_price_bands,
+    "grouping_sets_status_year": q_grouping_sets_status_year,
+    "events_lag_lead": q_events_lag_lead,
+    "q4_order_priority": q_q4_order_priority,
+    "q18_large_orders": q_q18_large_orders,
+    "embedding_norms": q_embedding_norms,
+    "events_gap_fill": q_events_gap_fill,
 }
 
 
@@ -1273,6 +1433,76 @@ _ORACLES: dict[str, str] = {
                      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
                    FROM scored)
         SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    "range_join_price_bands": """
+        SELECT band, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        JOIN (VALUES ('A_budget', 0.0, 50000.0),
+                     ('B_mid', 50000.0, 150000.0),
+                     ('C_high', 150000.0, 300000.0),
+                     ('D_jumbo', 300000.0, 1e12)) bands(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+    "grouping_sets_status_year": """
+        SELECT o_orderstatus, order_year, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(order_year) AS INTEGER) AS g_year
+        FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                     o_totalprice
+              FROM orders)
+        GROUP BY GROUPING SETS ((o_orderstatus), (order_year), ())
+    """,
+    "events_lag_lead": """
+        SELECT user_id, event_id, event_type,
+               lag(event_type) OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_from_prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+          FROM lineitem GROUP BY l_orderkey HAVING qty > 250
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_totalprice, CAST(qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "embedding_norms": """
+        SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
+               floor(sqrt(list_reduce(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) * 1000000 + 0.5) / 1000000.0 AS l2_norm
+        FROM embeddings
+    """,
+    "events_gap_fill": """
+        WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                               date_trunc('hour', max(ts)) AS h1 FROM events),
+        grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                          count(*) AS n, round(sum(value), 4) AS s
+                   FROM events GROUP BY 1, 2)
+        SELECT strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, t.event_type,
+               coalesce(n, 0) AS n_events, coalesce(s, 0.0) AS sum_value
+        FROM grid g
+        CROSS JOIN types t
+        LEFT JOIN counts c ON c.bucket = g.bucket AND c.event_type = t.event_type
     """,
 }
 
