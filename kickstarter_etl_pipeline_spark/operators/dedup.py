@@ -15,6 +15,16 @@ Scale design:
 
 All hashing uses Spark-native ``xxhash64`` (JVM-side, codegen'd) — no
 Python in the hot path.
+
+Intermediate reuse (shingle tables, banded signatures) is materialized
+with ``localCheckpoint(eager=True)`` rather than ``cache()``: cached
+DataFrames stay pinned in the session's CacheManager until an explicit
+unpersist nobody is positioned to issue (the query registry returns lazy
+frames), which accretes storage memory across a long-lived session. A
+local checkpoint is released by the ContextCleaner as soon as the frame
+goes out of scope — no bookkeeping, bounded storage. Trade-off: local
+checkpoints don't survive executor loss; for a several-minute dedup
+query that's an accepted restart cost, not a correctness risk.
 """
 
 from __future__ import annotations
@@ -135,7 +145,7 @@ def char_jaccard_pairs(
 def jaccard_pairs_from_shingle_table(sh: DataFrame, threshold: float, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard over an exploded (id, shingle) table (shared by the
     word-gram and char-gram operators)."""
-    sh = sh.cache()
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -211,9 +221,9 @@ def _candidates_from_staged(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    # Both sides of the self-join read the banded signatures; persist so
-    # the shingle+signature pipeline runs once, not twice.
-    banded = banded.persist()
+    # Both sides of the self-join read the banded signatures; checkpoint
+    # so the shingle+signature pipeline runs once, not twice.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_side = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -254,12 +264,15 @@ def minhash_dedup_pairs(
     """
     # Shingle once, share everywhere: the staged frame feeds the LSH
     # signature pipeline AND the three verification branches (a-side,
-    # b-side, sizes). Persist spills to disk rather than OOM at scale.
+    # b-side, sizes). MEMORY_AND_DISK storage spills rather than OOM at
+    # scale; ContextCleaner frees the blocks when the frame is dropped.
     staged = with_shingles(ensure_min_partitions(df), text_col, "_sh", n).select(
         id_col, "_sh"
-    ).persist()
+    ).localCheckpoint(eager=True)
     cands = _candidates_from_staged(staged, id_col, num_hashes, bands)
-    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle")).persist()
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle")).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
     # Intersection count: expand each candidate pair by A's shingles, then
     # equi-join on (id_b, shingle) — NOT a per-pair shingle cross product.
@@ -352,7 +365,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc
             )
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
-    banded = banded.persist()
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk")
     b_side = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk")
     pairs = (

@@ -54,6 +54,13 @@ def dim_with_scalable_keys(df: DataFrame, columns: list[str], key_col: str) -> D
     local = distinct.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_local_rn", F.row_number().over(part_win)
     )
+    # Pin the physical partitioning before the two actions below: the
+    # range partitioner re-samples on each execution, so without a
+    # materialization the size-collect and the final action could see
+    # DIFFERENT pid→rows assignments, breaking key density. The eager
+    # local checkpoint makes both actions read the same stored blocks
+    # (released by the ContextCleaner when the frame is dropped).
+    local = local.localCheckpoint(eager=True)
     sizes = local.groupBy("_pid").count().orderBy("_pid").collect()
     offsets, running = {}, 0
     for row in sizes:

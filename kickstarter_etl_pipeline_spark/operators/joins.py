@@ -29,8 +29,18 @@ def salted_join(
     one hot key's rows land on ``salt_buckets`` reducers instead of one.
     Use when AQE's skew-join split isn't available (e.g. it can't split a
     skewed BUILD side) or when the skew is known up front. Result is
-    row-identical to the unsalted join.
+    row-identical to the unsalted join for the supported join types.
+
+    Only inner/left/left_semi/left_anti are supported: right/full outer
+    would emit each unmatched small-side row once per salt bucket
+    (``salt_buckets``× duplication), so those raise ValueError.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — the replicated "
+            "small side would duplicate unmatched right-side rows under right/full outer"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets))
     salted_large = large.withColumn("_salt", salt.cast("int"))
     replicated_small = small.withColumn(

@@ -17,7 +17,7 @@ def ensure_min_partitions(
 ) -> DataFrame:
     """Repartition only if the plan currently has fewer partitions.
 
-    With ``barrier=True`` the repartition is followed by a (lazy)
+    With ``barrier=True`` the repartition is followed by an eager
     localCheckpoint as an optimizer barrier: without it, Catalyst pushes
     downstream expression-heavy Projects/Filters below the Exchange
     (e.g. the not-empty filter InferFiltersFromGenerate derives from an
@@ -25,6 +25,14 @@ def ensure_min_partitions(
     compute back into the single pre-shuffle partition. Measured on the
     5k-doc fixture: 27.6s single-threaded → 3.9s with the barrier on
     local[32]. The checkpoint stores only the raw repartitioned rows.
+
+    Eager (not lazy) on purpose: a lazy localCheckpoint materializes
+    mid-job inside whichever action first touches it, and its cleanup
+    races DAGScheduler accumulator updates — every bench run ended with
+    thousands of "attempted to access non-existent accumulator" ERROR
+    lines. Checkpointing in its own tiny job up front is race-free, and
+    the checkpoint blocks are released by the ContextCleaner when the
+    DataFrame goes out of scope (no unpersist bookkeeping).
 
     Use ``barrier=False`` when the expensive downstream work is a join
     or aggregation — those can't sink below the exchange, and skipping
@@ -36,5 +44,5 @@ def ensure_min_partitions(
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         out = df.repartition(target)
-        return out.localCheckpoint(eager=False) if barrier else out
+        return out.localCheckpoint(eager=True) if barrier else out
     return df

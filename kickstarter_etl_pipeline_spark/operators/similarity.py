@@ -235,6 +235,10 @@ def cosine_near_dup_pairs(
         dim,
         num_planes,
     )
+    # Both self-join sides read the bucketed vectors; checkpoint so the
+    # num_planes × dim hyperplane dots run once per row, not twice
+    # (blocks auto-released by the ContextCleaner — see operators.dedup).
+    bucketed = bucketed.localCheckpoint(eager=True)
     a = bucketed.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_vec_a"), "_bucket")
     b = bucketed.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vec_b"), "_bucket")
     return (

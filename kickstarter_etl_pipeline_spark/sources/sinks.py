@@ -11,9 +11,8 @@ The reference loads via sqlite3 ``executemany`` (S3, ``src/etl_pipeline.py:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
@@ -23,21 +22,37 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the target if it exists, via the reader itself — NOT a local
+    ``os.path.exists`` probe, which silently answers "missing" for any
+    object-store/HDFS URI and would duplicate data at deployment scale.
+    The reader resolves the path through the Hadoop FileSystem for
+    whatever scheme it carries (file:, s3a:, hdfs:, ...)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
 def append_ignore_existing(
     spark: SparkSession, df: DataFrame, path: str, keys: list[str]
 ) -> int:
-    """Idempotent append (reference ``INSERT OR IGNORE`` semantics, S4).
+    """Idempotent append (reference ``INSERT OR IGNORE`` semantics, S4,
+    ``src/etl_pipeline.py:198``).
 
-    Rows whose ``keys`` already exist at ``path`` are skipped via a
-    left-anti join; the rest are appended. Returns the number of rows
+    Reference semantics are per-row first-wins: later rows with a key
+    already seen — whether on disk OR earlier in the same batch — are
+    ignored. So the incoming batch is first deduplicated on ``keys``
+    (min-id-free ``dropDuplicates``: one arbitrary-but-single survivor
+    per key, matching what a PK would admit), then anti-joined against
+    the existing keys, then appended. Returns the number of rows
     appended. The anti join shuffles only on re-runs; first write is a
     plain parallel append.
     """
-    if os.path.exists(path):
-        existing = spark.read.parquet(path).select(*keys)
-        fresh = df.join(existing, on=keys, how="left_anti")
-    else:
-        fresh = df
+    fresh = df.dropDuplicates(keys)
+    existing = _read_existing(spark, path)
+    if existing is not None:
+        fresh = fresh.join(existing.select(*keys), on=keys, how="left_anti")
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)

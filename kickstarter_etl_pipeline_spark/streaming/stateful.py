@@ -60,8 +60,14 @@ def _session_fn(
     (user_id,) = key
     n, s, start_us, last_us = state.get if state.exists else (0, 0.0, None, None)
     rows: list[list] = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
+    # Arrow delivers the group as MULTIPLE chunks (maxRecordsPerBatch);
+    # sorting each chunk independently would fold events out of global
+    # time order for groups that span chunks. Concatenate first, sort
+    # once, with event_id as the tie-break (same total order as the SQL
+    # oracle's ORDER BY us, event_id).
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for ts, value in zip(pdf["ts"], pdf["value"]):
             us = int(ts.value // 1_000)  # pandas ns → µs
             if last_us is not None and us - last_us > GAP_US:

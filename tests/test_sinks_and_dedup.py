@@ -33,6 +33,65 @@ def test_append_ignore_existing(spark):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_append_ignore_existing_file_scheme_and_batch_dupes(spark):
+    """The existence probe must go through the Hadoop FileSystem (an
+    os.path.exists probe answers "missing" for any URI-schemed path and
+    would duplicate every re-run); and duplicate keys WITHIN a batch
+    must collapse to one surviving row (reference INSERT OR IGNORE is
+    per-row first-wins, src/etl_pipeline.py:198)."""
+    path = os.path.join(SCRATCH, "sink_idem_uri")
+    shutil.rmtree(path, ignore_errors=True)
+    uri = "file://" + path
+    # In-batch duplicates: key 1 appears twice, only one row may land.
+    df = spark.createDataFrame([(1, "a"), (1, "a2"), (2, "b")], ["k", "v"])
+    assert append_ignore_existing(spark, df, uri, ["k"]) == 2
+    # Re-run via the file: URI — must see the existing data and append 0.
+    assert append_ignore_existing(spark, df, uri, ["k"]) == 0
+    assert spark.read.parquet(uri).count() == 2
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would replicate unmatched small-side rows once
+    per salt bucket — the operator must refuse, not silently corrupt."""
+    import pytest
+
+    from kickstarter_etl_pipeline_spark.operators.joins import salted_join
+
+    large = spark.createDataFrame([(1, "x")], ["k", "v"])
+    small = spark.createDataFrame([(1, "y")], ["k", "w"])
+    for bad in ("right", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(large, small, on=["k"], how=bad)
+    assert salted_join(large, small, on=["k"], how="left").count() == 1
+
+
+def test_dedup_storage_released(spark):
+    """Storage hygiene: repeated dedup calls must not accrete pinned
+    blocks. Intermediates are localCheckpoint'd (not cache()'d), so the
+    ContextCleaner frees them once the frames are unreferenced."""
+    import gc
+
+    jsc = spark.sparkContext._jsc.sc()
+    for _ in range(3):
+        minhash_dedup_pairs(_docs(spark), threshold=0.8).collect()
+    # Nothing may sit in the session CacheManager (cache()/persist() on
+    # DataFrames would pin entries there until an explicit unpersist).
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # Checkpointed RDD blocks are GC-scoped: dropping the Python refs and
+    # collecting both heaps lets the ContextCleaner reclaim them.
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    import time
+
+    for _ in range(20):
+        if jsc.getPersistentRDDs().size() == 0:
+            break
+        time.sleep(0.25)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 def _docs(spark):
     return spark.createDataFrame(
         [
