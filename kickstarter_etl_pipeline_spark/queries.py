@@ -583,15 +583,15 @@ def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 CSV source: write orders to CSV, read back with the explicit
     schema, aggregate — proves the CSV reader end-to-end. The oracle runs
     the same aggregate on the original parquet."""
-    import os
-
     from pyspark.sql import types as T
 
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
     from kickstarter_etl_pipeline_spark.sources.readers import read_csv
 
     orders = load_table(spark, sf_dir, "orders")
-    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scratch")
-    path = os.path.join(os.path.abspath(scratch), "csv_orders")
+    # Per-run scratch: concurrent sessions can't collide on the path,
+    # and the round-trip files are cleaned at process exit.
+    path = run_scratch_dir("csv_orders_")
     orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").write.mode(
         "overwrite"
     ).option("header", True).csv(path)

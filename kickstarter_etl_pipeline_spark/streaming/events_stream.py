@@ -10,17 +10,15 @@ operators.events.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
-#: Scratch root for stream checkpoints — kept inside the repo tree.
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
 
 
 def _checkpoint_dir(prefix: str) -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH)
+    """Checkpoint dir under the per-run scratch root (auto-cleaned at
+    process exit — checkpoints are only needed while the query runs)."""
+    return run_scratch_dir(prefix)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -57,6 +55,13 @@ def streaming_tumbling_counts(
 
     Semantics match operators.events.tumbling_agg, so the batch oracle
     verifies the streaming path.
+
+    FIXTURE-VERIFICATION TIER ONLY: ``complete`` output mode + the
+    ``memory`` sink materialize the whole result on the driver — fine
+    for oracle comparison at fixture scale, never the production
+    pattern. Production = :func:`stream_tumbling_append_parquet`
+    (append mode, bounded state, exactly-once file sink) or
+    :func:`stream_events_to_parquet` for raw ingestion.
     """
     stream = read_events_stream(spark, sf_dir)
     agg = (
@@ -98,7 +103,11 @@ def streaming_sliding_counts(
 ) -> DataFrame:
     """Watermarked sliding-window aggregation (AvailableNow); semantics
     match operators.events.sliding_window_agg so the batch oracle
-    verifies the streaming path."""
+    verifies the streaming path.
+
+    FIXTURE-VERIFICATION TIER ONLY (complete+memory materializes on the
+    driver) — see :func:`stream_tumbling_append_parquet` for the
+    production append-mode pattern."""
     stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -136,7 +145,11 @@ def streaming_session_windows(
 ) -> DataFrame:
     """Native session windows (gap-merged) per user — the custom-stateful
     streaming operator the reference has no analog for. AvailableNow +
-    memory sink; approximate-by-watermark, so checked rows-only."""
+    memory sink; approximate-by-watermark, so checked rows-only.
+
+    FIXTURE-VERIFICATION TIER ONLY (complete+memory materializes on the
+    driver) — see :func:`stream_tumbling_append_parquet` for the
+    production append-mode pattern."""
     stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -188,6 +201,64 @@ def stream_events_to_parquet(
     return spark.read.parquet(out_dir)
 
 
+def stream_tumbling_append_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """PRODUCTION TIER: watermarked tumbling aggregation in APPEND mode
+    to an exactly-once parquet sink.
+
+    Append mode is the 100 TB-stream shape: a window is emitted exactly
+    once — after the watermark passes its end — then its state is
+    evicted, so state size stays bounded by open windows and nothing
+    materializes on the driver. Events arriving later than the
+    watermark allows are DROPPED (the late-data contract; assert-tested
+    in tests). ``max_files_per_trigger`` splits a file-source backlog
+    into multiple micro-batches so watermark progression between
+    batches is observable with AvailableNow.
+
+    Returns the sink contents read back as a batch frame.
+    """
+    ensure_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(schemas.EVENTS)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(src_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def streaming_dedup_events(
     spark: SparkSession,
     sf_dir: str,
@@ -195,7 +266,11 @@ def streaming_dedup_events(
 ) -> DataFrame:
     """Within-watermark dedup on (user_id, event_type) — the streaming
     dedup primitive (dropDuplicatesWithinWatermark). Returns the
-    deduplicated event count per type, materialized via AvailableNow."""
+    deduplicated event count per type, materialized via AvailableNow.
+
+    FIXTURE-VERIFICATION TIER ONLY (complete+memory) — production would
+    write the deduped stream through an append-mode file sink as in
+    :func:`stream_tumbling_append_parquet`."""
     stream = read_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", watermark)
