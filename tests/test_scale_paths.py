@@ -85,6 +85,68 @@ def test_streaming_parquet_sink_exactly_once(spark, sf_dir):
     assert second == expected
 
 
+def test_salted_join_identity_on_skew(spark, sf_dir):
+    """On a 90%-hot key distribution, the salted join must return the
+    bit-identical row multiset as the plain join — with AQE's skew
+    rescue OFF and broadcast disabled, i.e. in exactly the regime where
+    salting is the only defense."""
+    from kickstarter_etl_pipeline_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    skew_key = F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    large = li.withColumn("skew_key", skew_key.cast("long")).select(
+        "skew_key", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    small = (
+        large.select("skew_key")
+        .distinct()
+        .withColumn("key_class", F.when(F.col("skew_key") == 0, F.lit("hot")).otherwise(F.lit("cold")))
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = large.join(small, on="skew_key", how="inner")
+        salted = salted_join(large, small, on=["skew_key"], how="inner", salt_buckets=16).select(
+            *plain.columns
+        )
+        assert salted.count() == plain.count() == large.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_multiprobe_lsh_recall_uplift(spark, sf_dir):
+    """Multi-probe must lift recall vs single-probe (same corpus-side
+    layout, queries fan out to the low-margin adjacent buckets)."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(num_tables: int, n_probe: int) -> float:
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                emb, queries, dim=64, k=5, num_planes=3, num_tables=num_tables, n_probe=n_probe
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    # Multi-probe uplift at fixed table count (measured 0.41 → 0.90 on
+    # this fixture), and the production config clears 0.8.
+    r_single, r_multi = recall(2, 1), recall(2, 4)
+    assert r_multi > r_single, (r_single, r_multi)
+    assert recall(6, 2) >= 0.8
+
+
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
