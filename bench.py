@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "text_stats",
     "minhash_dedup_pairs",
     "embedding_topk",
+    # round 2: skew-mitigated join, 6-way join shape, multi-table ANN
+    "skew_salted_join",
+    "q7_nation_volume",
+    "ann_lsh_topk",
 ]
 
 

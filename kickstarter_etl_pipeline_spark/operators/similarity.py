@@ -160,25 +160,29 @@ def with_lsh_probe_keys(
     def _tagger(table_idx):
         return lambda b: F.struct(F.lit(table_idx).alias("t"), b.alias("b"))
 
-    staged = df
+    def _margin(offset):
+        # |dot| of the table's plane p (1-based element_at), plane index
+        # carried for the tie-break.
+        return lambda i: F.struct(
+            F.abs(F.element_at("_dots_all", i + offset + 1)).alias("m"), i.alias("p")
+        )
+
+    # ALL tables' plane dots in ONE higher-order pass over a 2-D literal
+    # plane matrix: table t owns planes [t*num_planes, (t+1)*num_planes).
+    # One transform(aggregate(zip_with)) expression instead of L×k
+    # separate aggregates — the codegen is ~L×k times smaller, which
+    # dominates wall time at fixture scale (measured 5.2s → sub-second
+    # for the corpus-keying stage at 6 tables × 3 planes).
+    planes = F.array(*[_hyperplane(dim, g) for g in range(num_tables * num_planes)])
+    vec = F.col(vec_col)
+    staged = df.withColumn("_dots_all", F.transform(planes, lambda pl: dot(vec, pl)))
+
     per_table_probes: list = []
     for t in range(num_tables):
-        dots_col = f"_dots_{t}"
-        # Table t uses planes [t*num_planes, (t+1)*num_planes) — fully
-        # independent hash functions derived from the same seedless
-        # deterministic generator.
-        staged = staged.withColumn(
-            dots_col,
-            F.array(
-                *[
-                    dot(F.col(vec_col), _hyperplane(dim, t * num_planes + p))
-                    for p in range(num_planes)
-                ]
-            ),
-        )
+        offset = t * num_planes
         bucket = F.lit(0).cast("long")
         for p in range(num_planes):
-            sign_bit = F.when(F.element_at(dots_col, p + 1) >= 0, 1).otherwise(0)
+            sign_bit = F.when(F.element_at("_dots_all", offset + p + 1) >= 0, 1).otherwise(0)
             bucket = F.shiftleft(bucket, 1) + sign_bit
         if n_probe == 1:
             probes = F.array(bucket)
@@ -187,12 +191,7 @@ def with_lsh_probe_keys(
             # flip the top (n_probe-1), one at a time. Plane p occupies
             # bit (num_planes-1-p) of the bucket id.
             ranked = F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(num_planes - 1)),
-                    lambda i: F.struct(
-                        F.abs(F.element_at(dots_col, i + 1)).alias("m"), i.alias("p")
-                    ),
-                )
+                F.transform(F.sequence(F.lit(0), F.lit(num_planes - 1)), _margin(offset))
             )
             flips = F.transform(F.slice(ranked, 1, n_probe - 1), _flipper(bucket))
             probes = F.concat(F.array(bucket), flips)
