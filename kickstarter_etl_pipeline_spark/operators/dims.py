@@ -100,6 +100,38 @@ def build_dim_date(df: DataFrame, ts_col: str) -> DataFrame:
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: one row per observed
+    version of a key, with half-open ``[effective_from, effective_to)``
+    validity, a dense version number, and an ``is_current`` flag
+    (effective_to is NULL on the open version).
+
+    One window per key group (lead + row_number over the same ordering,
+    single shuffle on the key) — millions of small groups spread evenly,
+    no global sort. ``id_col`` breaks timestamp ties so versions are
+    deterministic.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("effective_from", id_col)
+    return df.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("effective_from"),
+        F.col(id_col),
+    ).select(
+        "*",
+        F.lead("effective_from").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+    ).withColumn(
+        "is_current", F.when(F.col("effective_to").isNull(), 1).otherwise(0).cast("int")
+    )
+
+
 def date_key(ts_col) -> Column:
     """F9: YYYYMMDD int key, computable inline — the derived-key shortcut
     that lets the fact build skip the date-dim join entirely (SURVEY.md J3)."""

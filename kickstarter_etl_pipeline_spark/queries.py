@@ -1186,6 +1186,97 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (operators.dims.scd2_history): each
+    customer's order stream becomes versioned dimension rows with
+    [effective_from, effective_to) validity and is_current flag."""
+    from kickstarter_etl_pipeline_spark.operators.dims import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority", "o_totalprice"],
+        ts_col="o_orderdate",
+        id_col="o_orderkey",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.date_format("effective_from", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
+        "version",
+        "is_current",
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: ~1/4 of orders selected by the last
+    hex digit of md5(key) — reproducible across engines/runs/cluster
+    sizes, unlike RNG-based sample(). The 100 TB way to carve stable
+    eval/holdout splits without a shuffle (the predicate pushes to the
+    scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.md5(F.col("o_orderkey").cast("string")), 32, 1)
+    return orders.filter(digit.isin("0", "1", "2", "3")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification tier over set-similarity candidates:
+    word-3-gram Jaccard >= 0.5 prunes the pair space (never all-pairs),
+    then exact levenshtein runs only on candidates — the same
+    candidates-then-verify shape as MinHash→Jaccard, one tier stricter."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = ngram_jaccard_pairs(docs, threshold=0.5)
+    texts = docs.select("doc_id", "text")
+    paired = (
+        cands.join(texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")), "id_a")
+        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")), "id_b")
+    )
+    lev = F.levenshtein("_ta", "_tb")
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    return paired.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        lev.cast("long").alias("edit_distance"),
+        round_det(1 - lev / max_len, 6).alias("edit_similarity"),
+    )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics across the embedding corpus via
+    posexplode — the feature-distribution profile (drift/normalization
+    check) of an embedding pipeline. Sums are exact integer micro-units
+    so the averages are engine-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("_pos", "_val")).select(
+        (F.col("_pos") + 1).cast("int").alias("dim_idx"),
+        F.col("_val").cast("double").alias("_v"),
+    )
+    units = F.floor(F.col("_v") * 1_000_000 + 0.5).cast("long")
+    return (
+        exploded.groupBy("dim_idx")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum(units).alias("_sum_units"),
+            round_det(F.min("_v"), 6).alias("min_value"),
+            round_det(F.max("_v"), 6).alias("max_value"),
+        )
+        .select(
+            "dim_idx",
+            "n_values",
+            round_det(F.col("_sum_units") / 1_000_000.0 / F.col("n_values"), 6).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1264,6 +1355,10 @@ _QUERIES: dict[str, QueryFn] = {
     "histogram_price": q_histogram_price,
     "except_all_priorities": q_except_all_priorities,
     "bpe_token_counts": q_bpe_token_counts,
+    "scd2_priority_history": q_scd2_priority_history,
+    "hash_sample": q_hash_sample,
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 
@@ -1902,6 +1997,60 @@ _ORACLES: dict[str, str] = {
                CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
         FROM documents
+    """,
+    "scd2_priority_history": """
+        SELECT o_custkey, o_orderkey, o_orderpriority, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+               strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS effective_to,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "hash_sample": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0','1','2','3')
+    """,
+    "levenshtein_pairs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) - 1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+                 FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        cands AS (
+          SELECT id_a, id_b,
+                 floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.5
+        )
+        SELECT id_a, id_b, jaccard,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+               floor((1 - levenshtein(da.text, db.text)
+                          / greatest(length(da.text), length(db.text))) * 1000000 + 0.5) / 1000000.0 AS edit_similarity
+        FROM cands
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+    """,
+    "embedding_dim_stats": """
+        SELECT dim_idx, count(*) AS n_values,
+               floor(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+                     / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_value,
+               floor(min(v) * 1000000 + 0.5) / 1000000.0 AS min_value,
+               floor(max(v) * 1000000 + 0.5) / 1000000.0 AS max_value
+        FROM (
+          SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim_idx,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        )
+        GROUP BY dim_idx
     """,
 }
 

@@ -50,6 +50,24 @@ def test_append_ignore_existing_file_scheme_and_batch_dupes(spark):
     assert spark.read.parquet(uri).count() == 2
 
 
+def test_merge_upsert(spark):
+    """SCD1 MERGE semantics over plain parquet: matched keys updated,
+    new keys inserted, untouched keys carried through unchanged."""
+    from kickstarter_etl_pipeline_spark.sources.sinks import merge_upsert
+
+    path = os.path.join(SCRATCH, "merge_upsert")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    assert merge_upsert(spark, base, path, ["k"]) == {"updated": 0, "inserted": 3, "carried": 0}
+    changes = spark.createDataFrame([(2, "B2"), (4, "d")], ["k", "v"])
+    assert merge_upsert(spark, changes, path, ["k"]) == {"updated": 1, "inserted": 1, "carried": 2}
+    final = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert final == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # Idempotent: replaying the same changes rewrites the same state.
+    assert merge_upsert(spark, changes, path, ["k"]) == {"updated": 2, "inserted": 0, "carried": 2}
+    assert {r["k"]: r["v"] for r in spark.read.parquet(path).collect()} == final
+
+
 def test_salted_join_rejects_outer(spark):
     """right/full outer would replicate unmatched small-side rows once
     per salt bucket — the operator must refuse, not silently corrupt."""
@@ -74,20 +92,19 @@ def test_dedup_storage_released(spark):
 
     jsc = spark.sparkContext._jsc.sc()
 
-    def settled_count() -> int:
-        """Persistent-RDD count after GC on both heaps has settled."""
-        best = None
-        for _ in range(20):
+    def settles_to(target: int, timeout: float = 45.0) -> bool:
+        """GC both heaps until the async ContextCleaner has drained the
+        persistent-RDD registry down to ``target`` (or time out)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-            time.sleep(0.25)
-            n = jsc.getPersistentRDDs().size()
-            if best is not None and n >= best:
-                return n  # stopped shrinking
-            best = n
-        return best
+            time.sleep(0.3)
+            if jsc.getPersistentRDDs().size() <= target:
+                return True
+        return False
 
-    baseline = settled_count()
+    baseline = jsc.getPersistentRDDs().size()
     for _ in range(3):
         minhash_dedup_pairs(_docs(spark), threshold=0.8).collect()
     # Nothing may sit in the session CacheManager (cache()/persist() on
@@ -97,7 +114,9 @@ def test_dedup_storage_released(spark):
     # unreferenced the ContextCleaner reclaims them — NO net growth
     # across repeated dedup calls (each call checkpoints 3 frames, so a
     # leak would show up as +9 here).
-    assert settled_count() <= baseline
+    assert settles_to(baseline), (
+        f"persistent RDDs stuck at {jsc.getPersistentRDDs().size()} > baseline {baseline}"
+    )
 
 
 def _docs(spark):
