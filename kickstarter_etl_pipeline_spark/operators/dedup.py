@@ -296,6 +296,64 @@ def minhash_dedup_pairs(
     )
 
 
+# --- Connected components (dedup-group resolution) ---
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    dedup-group resolver: near-dup PAIRS become clusters, each labeled
+    by its minimum member id.
+
+    The loop is the standard Spark iterative-algorithm shape: each
+    round joins current labels across the (symmetrized) edge list,
+    takes the elementwise min, and localCheckpoints the result so the
+    plan doesn't grow with iterations (lineage truncation is what makes
+    driver-side iteration safe at scale). Rounds needed = component
+    diameter; near-dup clusters are shallow (2-4 hops), and the loop
+    exits as soon as a round changes nothing. Cost per round: one
+    shuffle join keyed by node id.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
+    labels = nodes.select(F.col(id_col).alias("_id")).distinct().withColumn(
+        "component_id", F.col("_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["_b"] == labels["_id"])
+            .groupBy("_a")
+            .agg(F.min("component_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["_id"] == neighbor_min["_a"], "left")
+            .select(
+                "_id",
+                F.least(F.col("component_id"), F.coalesce("_nmin", F.col("component_id"))).alias(
+                    "component_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_id").alias(id_col), "component_id")
+
+
 # --- SimHash ---
 
 

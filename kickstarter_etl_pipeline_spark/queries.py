@@ -1277,6 +1277,24 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group resolution: near-dup candidate pairs (word-3-gram
+    Jaccard ≥ 0.5) clustered into connected components by iterative
+    min-label propagation — the step that turns pairwise similarity
+    into keep/drop decisions. Singletons keep their own id."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, on="component_id").select("doc_id", "component_id", "n_members")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1359,6 +1377,7 @@ _QUERIES: dict[str, QueryFn] = {
     "hash_sample": q_hash_sample,
     "levenshtein_pairs": q_levenshtein_pairs,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "dedup_components": q_dedup_components,
 }
 
 
@@ -2038,6 +2057,36 @@ _ORACLES: dict[str, str] = {
         FROM cands
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) - 1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+                 FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        cands AS (
+          SELECT id_a, id_b
+          FROM prs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.5
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM cands
+                  UNION ALL SELECT id_b, id_a FROM cands),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+        ),
+        comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
+        szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
+        SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
     """,
     "embedding_dim_stats": """
         SELECT dim_idx, count(*) AS n_values,

@@ -92,6 +92,39 @@ def merge_upsert(spark: SparkSession, df: DataFrame, path: str, keys: list[str])
     }
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``target_files`` files (default: sized so each is ~``target_mb``).
+
+    Streaming appends and fine-grained idempotent inserts accumulate
+    small files; at object-store scale the per-file overhead (listing,
+    open, footer read) dominates scans long before data volume does.
+    The rewrite goes to a sibling temp dir first and is swapped in with
+    the Hadoop FileSystem API — works on any scheme (file:, s3a:,
+    hdfs:), never reads the files it is replacing. Returns the file
+    count written.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+    if target_files is None:
+        total_bytes = fs.getContentSummary(src).getLength()
+        target_files = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compact_tmp")
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
+    fs.delete(src, True)
+    if not fs.rename(tmp, src):
+        raise IOError(f"compact_parquet: rename {tmp} -> {src} failed")
+    return target_files
+
+
 def jdbc_options(
     url: str,
     table: str,

@@ -147,6 +147,43 @@ def test_multiprobe_lsh_recall_uplift(spark, sf_dir):
     assert recall(6, 2) >= 0.8
 
 
+def test_compact_parquet_reduces_files(spark, sf_dir):
+    """Compaction rewrites a fragmented dataset into few files with the
+    data intact (count + checksum), via temp-dir + FileSystem swap."""
+    from kickstarter_etl_pipeline_spark.sources.sinks import compact_parquet
+
+    path = os.path.join(SCRATCH, "compact_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(48).write.mode("overwrite").parquet(path)
+
+    def file_count() -> int:
+        return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    def checksum() -> int:
+        df = spark.read.parquet(path)
+        return df.count(), df.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()[0][0]
+
+    before_files, before_sum = file_count(), checksum()
+    assert before_files >= 48
+    written = compact_parquet(spark, path, target_files=4)
+    assert written == 4
+    assert file_count() == 4
+    assert checksum() == before_sum
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation must label every node with its component's
+    minimum id, singletons included, across multi-hop chains."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], ["id"])
+    # chain 1-2-3-4 (diameter 3), pair 5-6, singletons 7, 8
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (5, 6)], ["src", "dst"])
+    got = {r["id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
