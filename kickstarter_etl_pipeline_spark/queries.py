@@ -1277,6 +1277,25 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an unbounded frame: each order row
+    carries its customer's first, latest, and second order price (raw
+    column values — no float arithmetic, fully deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-group resolution: near-dup candidate pairs (word-3-gram
     Jaccard ≥ 0.5) clustered into connected components by iterative
@@ -1378,6 +1397,7 @@ _QUERIES: dict[str, QueryFn] = {
     "levenshtein_pairs": q_levenshtein_pairs,
     "embedding_dim_stats": q_embedding_dim_stats,
     "dedup_components": q_dedup_components,
+    "window_first_last": q_window_first_last,
 }
 
 
@@ -2057,6 +2077,15 @@ _ORACLES: dict[str, str] = {
         FROM cands
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
+    """,
+    "window_first_last": """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS latest_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     "dedup_components": f"""
         WITH RECURSIVE

@@ -60,6 +60,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files were written under EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions the file
+    footers so old files surface the new columns as NULL. This is the
+    append-only schema-evolution contract a long-lived 100 TB table
+    needs (mergeSchema costs a footer read per file, so it stays opt-in
+    rather than the default reader)."""
+    ensure_runtime_confs(spark)
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from an sf directory, normalizing types.
 

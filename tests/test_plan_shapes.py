@@ -57,3 +57,37 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     plan = explain_str(q_q1_pricing_summary(spark, sf_dir), mode="simple")
     assert "partial_sum" in plan
     assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    """The 6-way Q7 join must broadcast supplier and both nation roles —
+    the only shuffle joins allowed are the two fact-sized ones
+    (lineitem⋈orders⋈customer)."""
+    from kickstarter_etl_pipeline_spark.queries import q_q7_nation_volume
+
+    plan = explain_str(q_q7_nation_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # Nested-loop would mean a join lost its equi-condition.
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    """The interval join against the 4-row band table must be ONE pass
+    over the fact with a broadcast probe — BroadcastNestedLoopJoin, not
+    a shuffle (CartesianProduct would mean the broadcast was lost)."""
+    from kickstarter_etl_pipeline_spark.queries import q_range_join_price_bands
+
+    plan = explain_str(q_range_join_price_bands(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_prunes_columns(spark, sf_dir):
+    """The deterministic sample is a scan-level filter + 3-column read —
+    no shuffle, no join, nothing wide."""
+    from kickstarter_etl_pipeline_spark.queries import q_hash_sample
+
+    plan = explain_str(q_hash_sample(spark, sf_dir))
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "o_orderdate" not in read_schema and "o_orderpriority" not in read_schema
+    assert "Exchange" not in plan

@@ -19,6 +19,19 @@ from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk
 from kickstarter_etl_pipeline_spark.operators.text import rolling_hash, with_lang_id, with_text_stats
 
 
+def test_parquet_schema_evolution(spark, tmp_path):
+    """Columns added over a table's lifetime: mergeSchema surfaces the
+    union schema, old files read the new column as NULL, and writes
+    made without the column stay valid."""
+    from kickstarter_etl_pipeline_spark.sources.readers import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).write.parquet(path)
+    spark.createDataFrame([(3, "c", 30)], ["k", "v", "extra"]).write.mode("append").parquet(path)
+    got = {r["k"]: (r["v"], r["extra"]) for r in read_parquet_evolved(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+
+
 def test_zero_norm_vector_yields_null_not_error(spark):
     vecs = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])], ["vec_id", "embedding"]
