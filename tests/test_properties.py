@@ -130,3 +130,76 @@ def test_salted_join_equals_plain_join():
     plain = {tuple(r) for r in large.join(small, on=["k"]).collect()}
     salted = {tuple(r) for r in salted_join(large, small, on=["k"]).collect()}
     assert salted == plain
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 15), st.integers(1, 15)), min_size=0, max_size=25
+    )
+)
+def test_connected_components_match_union_find(edges):
+    """Min-label propagation vs a driver-side union-find reference."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components
+
+    spark = _get_spark()
+    node_ids = list(range(1, 16))
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {i: min(j for j in node_ids if find(j) == find(i)) for i in node_ids}
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    edge_df = spark.createDataFrame(edges or [(1, 1)], ["src", "dst"])
+    got = {r["id"]: r["component_id"] for r in connected_components(nodes, edge_df).collect()}
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),       # key
+            st.integers(0, 5),       # day offset (duplicates exercise tie-break)
+            st.integers(0, 1000),    # id
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[2],
+    )
+)
+def test_scd2_versions_partition_timeline(rows):
+    """SCD2 invariants: per key, versions are dense 1..N in (ts, id)
+    order, each version's effective_to equals the next version's
+    effective_from, and exactly the last version is current."""
+    import datetime
+
+    from kickstarter_etl_pipeline_spark.operators.dims import scd2_history
+
+    spark = _get_spark()
+    base = datetime.datetime(2024, 1, 1)
+    data = [(k, base + datetime.timedelta(days=d), i) for k, d, i in rows]
+    df = spark.createDataFrame(data, ["k", "ts", "id"])
+    hist = scd2_history(df, ["k"], [], "ts", "id").collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(range(1, len(versions) + 1))
+        expected_order = sorted(
+            (r for r in hist if r["k"] == k), key=lambda r: (r["effective_from"], r["id"])
+        )
+        assert [r["id"] for r in versions] == [r["id"] for r in expected_order]
+        for cur, nxt in zip(versions, versions[1:]):
+            assert cur["effective_to"] == nxt["effective_from"]
+            assert cur["is_current"] == 0
+        assert versions[-1]["effective_to"] is None
+        assert versions[-1]["is_current"] == 1
