@@ -1277,6 +1277,49 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    """Shared aggregate for the format round-trip proofs — the oracle
+    runs the same aggregate on the original parquet, so any loss or
+    corruption in the write→read cycle flips the hash."""
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines source: write orders as JSONL, read back with the
+    explicit schema (inference over 100 TB of JSON is a non-starter),
+    aggregate. Doubles survive exactly: Spark writes shortest-repr
+    decimal strings and reads them back to the identical double."""
+    from pyspark.sql import types as T
+
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = run_scratch_dir("json_orders_")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    return _roundtrip_agg(spark.read.schema(schema).json(path))
+
+
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink: the other columnar format a warehouse migration
+    encounters; write orders as ORC, read back, aggregate."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = run_scratch_dir("orc_orders_")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode("overwrite").orc(path)
+    return _roundtrip_agg(spark.read.orc(path))
+
+
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth_value over an unbounded frame: each order row
     carries its customer's first, latest, and second order price (raw
@@ -1398,6 +1441,8 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "dedup_components": q_dedup_components,
     "window_first_last": q_window_first_last,
+    "json_roundtrip_agg": q_json_roundtrip_agg,
+    "orc_roundtrip_agg": q_orc_roundtrip_agg,
 }
 
 
@@ -2135,6 +2180,9 @@ _ORACLES: dict[str, str] = {
 
 _ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
 _ORACLES["events_stream_sliding"] = _ORACLES["events_sliding"]
+# Format round-trips must reproduce the parquet-sourced aggregate exactly.
+_ORACLES["json_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
+_ORACLES["orc_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
 
 
 def oracle_sql() -> dict[str, str]:

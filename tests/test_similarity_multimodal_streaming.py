@@ -89,3 +89,28 @@ def test_streaming_dedup_matches_distinct(spark, sf_dir):
         .collect()
     }
     assert stream == batch
+
+
+def test_stateful_timeout_sessionizer(spark, sf_dir):
+    """EventTimeTimeout eviction: gap-split sessions emit inline, open
+    sessions emit (and free their state) once the watermark passes
+    last_event + gap. Invariant-checked against the NoTimeout variant:
+    the union of both closure paths can never exceed the total session
+    count, and timeout closures must actually occur."""
+    from kickstarter_etl_pipeline_spark.streaming.stateful import (
+        stateful_sessionize,
+        stateful_sessionize_with_timeout,
+    )
+
+    got = stateful_sessionize_with_timeout(spark, sf_dir)
+    rows = got.collect()
+    assert len(rows) > 0
+    n_timeout = sum(1 for r in rows if r["closed_by_timeout"])
+    assert n_timeout > 0  # the eviction path demonstrably fires
+    # Consistency with the oracle-checked NoTimeout variant: every
+    # emitted session is one of its sessions, so totals are bounded.
+    reference = stateful_sessionize(spark, sf_dir)
+    assert len(rows) <= reference.count()
+    total_events_emitted = sum(r["n_events"] for r in rows)
+    total_events_reference = sum(r["n_events"] for r in reference.collect())
+    assert total_events_emitted <= total_events_reference

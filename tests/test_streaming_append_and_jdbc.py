@@ -95,6 +95,59 @@ def test_append_mode_drops_late_events(spark, tmp_path):
     assert not any(r["bucket_start"] == "2024-01-01 15:00:00" for r in collected)
 
 
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment over the events fixture must
+    equal the identical batch join+aggregate."""
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_static_enrich
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+         ("add_to_cart", "revenue"), ("search", "intent")],
+        ["event_type", "category"],
+    )
+    got = {
+        r["category"]: (r["n_events"], r["sum_value"])
+        for r in streaming_static_enrich(spark, sf_dir, dim).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), on="event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    expected = {r["category"]: (r["n"], r["s"]) for r in batch}
+    assert got == expected and len(got) > 0
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The partitioned fact layout must actually prune: a filter on the
+    partition column shows up as PartitionFilters and drops the scan to
+    the matching directory only."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    orders.write.partitionBy("order_year").parquet(path)
+    filtered = spark.read.parquet(path).filter(F.col("order_year") == 1998)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "order_year" in part_lines[0]
+    expected = orders.filter(F.col("order_year") == 1998).count()
+    assert filtered.count() == expected > 0
+
+
 def test_jdbc_sink_surface(spark):
     """No JDBC driver jar ships in this container, so the surface is
     verified up to config + driver resolution: options are exactly what
