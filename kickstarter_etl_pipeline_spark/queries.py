@@ -1320,6 +1320,80 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(spark.read.orc(path))
 
 
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's share of regional revenue per
+    year — two-level aggregation with a conditional numerator, share
+    derived from exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = nation.select(F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_crk"))
+    n_supp = nation.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_ck"))
+        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(region), F.col("_crk") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    agg = joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", disc).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_n5"),
+        F.sum(disc).alias("_total"),
+    )
+    return agg.select(
+        "o_year",
+        round_det(F.col("_n5").cast("double") / F.col("_total").cast("double"), 6).alias("mkt_share"),
+        F.round(F.col("_total"), 2).cast("double").alias("region_revenue"),
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
+    selective fact filter, join back to the customer dim, ranked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    joined = (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("lost_revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers (left join, count over nullable key, then a
+    second aggregation over the counts)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth_value over an unbounded frame: each order row
     carries its customer's first, latest, and second order price (raw
@@ -1443,6 +1517,9 @@ _QUERIES: dict[str, QueryFn] = {
     "window_first_last": q_window_first_last,
     "json_roundtrip_agg": q_json_roundtrip_agg,
     "orc_roundtrip_agg": q_orc_roundtrip_agg,
+    "q8_market_share": q_q8_market_share,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_order_count_distribution": q_q13_order_count_distribution,
 }
 
 
@@ -2122,6 +2199,47 @@ _ORACLES: dict[str, str] = {
         FROM cands
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
+    """,
+    "q8_market_share": """
+        SELECT o_year,
+               floor(CAST(n5 AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS mkt_share,
+               CAST(round(total, 2) AS DOUBLE) AS region_revenue
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 sum(CASE WHEN n2.n_name = 'NATION_5'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS n5,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY 1
+        )
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS lost_revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+    """,
+    "q13_order_count_distribution": """
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY n_orders
     """,
     "window_first_last": """
         SELECT o_custkey, o_orderkey,

@@ -293,6 +293,61 @@ def streaming_static_enrich(
     return spark.table(name)
 
 
+def streaming_purchase_click_join(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: each purchase matched to the same
+    user's clicks within the preceding ``lookback`` — the attribution
+    join, expressed as Structured Streaming's watermarked interval
+    join. Both sides buffer only ``watermark + lookback`` of state; the
+    time-range condition is what lets Spark evict — an unconstrained
+    stream-stream join would buffer forever.
+
+    FIXTURE-VERIFICATION TIER (memory sink); equality with the batch
+    interval join is asserted in tests."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id")
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stream_ssj_")
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_events(
     spark: SparkSession,
     sf_dir: str,

@@ -114,3 +114,35 @@ def test_stateful_timeout_sessionizer(spark, sf_dir):
     total_events_emitted = sum(r["n_events"] for r in rows)
     total_events_reference = sum(r["n_events"] for r in reference.collect())
     assert total_events_emitted <= total_events_reference
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch interval join's pairs (AvailableNow, all data within
+    watermark)."""
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        streaming_purchase_click_join,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in streaming_purchase_click_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    expected = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert got == expected and len(got) > 0
