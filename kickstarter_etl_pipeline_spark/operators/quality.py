@@ -1,0 +1,45 @@
+"""Data-quality checks — the engine's analog of the reference's
+warehouse constraints.
+
+The reference relies on SQLite to enforce integrity: PK/UNIQUE on the
+dimensions, NOT NULL on the fact name, FKs from fact to dims
+(``/root/reference/sql/create_tables.sql:3-4,11,16-17,28-29,40-42``).
+Spark enforces none of these, so the engine makes them *checkable*: each
+check is one aggregate/anti-join returning a violation count, composable
+into a single-pass report. All checks are plain DataFrame ops — at
+100 TB each is one scan/shuffle, and the report runs as ONE job when the
+counts are combined into a single select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def count_nulls(df: DataFrame, cols: list[str]) -> Column:
+    """Total NULLs across ``cols`` (NOT NULL constraint check)."""
+    return sum(
+        (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) for c in cols),
+        F.lit(0),
+    ).cast("long")
+
+
+def duplicate_key_count(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows beyond the first per key (PK/UNIQUE violation count):
+    count(*) − count(distinct keys), computed without a self-join."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in keys]))
+        .cast("long")
+        .alias("n_duplicate_keys")
+    )
+
+
+def orphan_count(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
+    """Fact rows whose FK has no dim match (referential integrity):
+    left-anti join, counted. NULL FKs are not orphans (SQL FK
+    semantics: NULL passes the constraint)."""
+    orphans = (
+        fact.filter(F.col(fact_key).isNotNull())
+        .join(dim.select(F.col(dim_key).alias(fact_key)), on=fact_key, how="left_anti")
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))

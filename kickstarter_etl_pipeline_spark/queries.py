@@ -1320,6 +1320,46 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(spark.read.orc(path))
 
 
+def q_dq_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report over the star build — the checkable version of
+    the reference's SQLite-enforced PK/UNIQUE/NOT NULL/FK constraints
+    (sql/create_tables.sql): fact row count, duplicate PKs, null FKs,
+    and per-dimension orphans, as one single-row report (each count is
+    one aggregate/anti-join; the 1-row frames cross-join for free)."""
+    from kickstarter_etl_pipeline_spark.operators.quality import (
+        count_nulls,
+        duplicate_key_count,
+        orphan_count,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dim_s = tpch_dim_state(orders)
+    dim_c = tpch_dim_category(part)
+    fact = tpch_fact(lineitem, orders, part, dim_s, dim_c)
+    base = fact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        count_nulls(fact, ["state_key", "category_key"]).alias("n_null_fks"),
+    )
+    dup_fact = duplicate_key_count(fact, ["l_orderkey", "l_linenumber"]).select(
+        F.col("n_duplicate_keys").alias("n_dup_fact_keys")
+    )
+    dup_state = duplicate_key_count(dim_s, ["state_name"]).select(
+        F.col("n_duplicate_keys").alias("n_dup_state_names")
+    )
+    orph_state = orphan_count(fact, dim_s, "state_key", "state_key").select(
+        F.col("n_orphans").alias("n_orphan_state_keys")
+    )
+    orph_cat = orphan_count(fact, dim_c, "category_key", "category_key").select(
+        F.col("n_orphans").alias("n_orphan_category_keys")
+    )
+    report = base
+    for piece in (dup_fact, dup_state, orph_state, orph_cat):
+        report = report.crossJoin(F.broadcast(piece))
+    return report
+
+
 def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: a supplier nation's share of regional revenue per
     year — two-level aggregation with a conditional numerator, share
@@ -1520,6 +1560,7 @@ _QUERIES: dict[str, QueryFn] = {
     "q8_market_share": q_q8_market_share,
     "q10_returned_items": q_q10_returned_items,
     "q13_order_count_distribution": q_q13_order_count_distribution,
+    "dq_star_report": q_dq_star_report,
 }
 
 
@@ -2199,6 +2240,25 @@ _ORACLES: dict[str, str] = {
         FROM cands
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
+    """,
+    "dq_star_report": f"""
+        WITH dim_state AS ({_DIM_STATE_SQL}),
+             dim_category AS ({_DIM_CATEGORY_SQL}),
+             fact AS ({_FACT_SQL})
+        SELECT
+          (SELECT count(*) FROM fact) AS n_fact,
+          (SELECT CAST(sum(CASE WHEN state_key IS NULL THEN 1 ELSE 0 END
+                         + CASE WHEN category_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             FROM fact) AS n_null_fks,
+          (SELECT CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM fact)) AS BIGINT)
+             FROM fact) AS n_dup_fact_keys,
+          (SELECT CAST(count(*) - count(DISTINCT state_name) AS BIGINT) FROM dim_state) AS n_dup_state_names,
+          (SELECT CAST(count(*) AS BIGINT) FROM fact
+            WHERE state_key IS NOT NULL
+              AND state_key NOT IN (SELECT state_key FROM dim_state)) AS n_orphan_state_keys,
+          (SELECT CAST(count(*) AS BIGINT) FROM fact
+            WHERE category_key IS NOT NULL
+              AND category_key NOT IN (SELECT category_key FROM dim_category)) AS n_orphan_category_keys
     """,
     "q8_market_share": """
         SELECT o_year,

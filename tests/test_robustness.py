@@ -85,3 +85,57 @@ def test_asof_with_no_right_rows(spark):
         ev, ev.filter(F.lit(False)), "user_id", "ts", "ts", ["value"], "event_id", "event_id"
     ).collect()
     assert len(out) == 1 and out[0]["asof_right_id"] is None
+
+
+def test_quality_checks_catch_seeded_violations(spark):
+    """The DQ checks must COUNT violations, not just pass on clean data:
+    seed duplicates, nulls, and orphans and assert exact counts."""
+    from kickstarter_etl_pipeline_spark.operators.quality import (
+        count_nulls,
+        duplicate_key_count,
+        orphan_count,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (2, None, "c"), (3, 99, "d")],
+        ["id", "fk", "v"],
+    )
+    dim = spark.createDataFrame([(10,), (20,)], ["k"])
+    assert fact.agg(count_nulls(fact, ["fk"]).alias("n")).collect()[0]["n"] == 1
+    assert duplicate_key_count(fact, ["id"]).collect()[0]["n_duplicate_keys"] == 1
+    # id=3 -> fk 99 has no dim match; the NULL fk is not an orphan
+    assert orphan_count(fact, dim, "fk", "k").collect()[0]["n_orphans"] == 1
+
+
+def test_plan_summary_reports_scale_facts(spark, sf_dir):
+    """plan_summary must surface pushdown, broadcast, and codegen facts
+    a pipeline can assert on at runtime."""
+    from kickstarter_etl_pipeline_spark.plans.inspect import plan_summary
+    from kickstarter_etl_pipeline_spark.queries import q_project_rename_filter, q_fact_star
+
+    s = plan_summary(q_project_rename_filter(spark, sf_dir))
+    assert s["n_scans"] == 1 and s["whole_stage_codegen"]
+    assert any("c_acctbal" in f for f in s["pushed_filters"])
+    assert "c_name" in s["read_columns"] and "c_comment" not in s["read_columns"]
+    s2 = plan_summary(q_fact_star(spark, sf_dir))
+    assert s2["n_broadcast_joins"] >= 3 and not s2["has_cartesian"]
+
+
+def test_ignore_corrupt_files(spark, tmp_path):
+    """Bit rot happens at 100 TB: with ignoreCorruptFiles the scan skips
+    the damaged file and returns every readable row instead of failing
+    the whole job."""
+    path = str(tmp_path / "rotten")
+    spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"]).coalesce(
+        2
+    ).write.parquet(path)
+    import os
+
+    with open(os.path.join(path, "zz-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet file")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(path).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
