@@ -146,3 +146,21 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     )
     expected = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stateful_sessions_on_rocksdb_state_store(spark, sf_dir):
+    """The stateful sessionizer must produce identical results on the
+    RocksDB state store provider — the production backend when state
+    outgrows executor heap (large-key-cardinality streams)."""
+    from kickstarter_etl_pipeline_spark.streaming.stateful import stateful_sessionize
+
+    default_rows = {tuple(r) for r in stateful_sessionize(spark, sf_dir).collect()}
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_rows = {tuple(r) for r in stateful_sessionize(spark, sf_dir).collect()}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
