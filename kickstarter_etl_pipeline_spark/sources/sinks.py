@@ -11,7 +11,7 @@ The reference loads via sqlite3 ``executemany`` (S3, ``src/etl_pipeline.py:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.errors import AnalysisException
 
 
@@ -123,6 +123,46 @@ def compact_parquet(
     if not fs.rename(tmp, src):
         raise IOError(f"compact_parquet: rename {tmp} -> {src} failed")
     return target_files
+
+
+def incremental_rollup_update(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incrementally maintain a stored rollup: fold a new fact batch
+    into persisted per-key partials (count + sums) WITHOUT rescanning
+    history — the materialized-view maintenance pattern. At 100 TB the
+    nightly batch touches only its own rows plus the (key-cardinality-
+    sized) stored aggregate; a full recompute would rescan the fact.
+
+    Works because count/sum are commutative monoids: stored partials
+    and the batch's partials combine by key-wise addition. (avg/stddev
+    derive from these at read time; true holistic aggregates — exact
+    percentiles — can't be maintained this way and need the recompute
+    path.) Returns the updated rollup after persisting it.
+    """
+    partial = batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.sum(F.col(c).cast("decimal(28,4)")).alias(f"sum_{c}") for c in sum_cols],
+    )
+    existing = _read_existing(spark, path)
+    if existing is not None:
+        merged = (
+            existing.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                *[F.sum(f"sum_{c}").cast("decimal(28,4)").alias(f"sum_{c}") for c in sum_cols],
+            )
+        )
+    else:
+        merged = partial
+    materialized = merged.localCheckpoint(eager=True)  # never read files being overwritten
+    materialized.write.mode("overwrite").parquet(path)
+    return materialized
 
 
 def jdbc_options(

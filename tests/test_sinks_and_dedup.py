@@ -84,49 +84,32 @@ def test_salted_join_rejects_outer(spark):
 
 
 def test_dedup_storage_released(spark):
-    """Storage hygiene: repeated dedup calls must not accrete pinned
-    blocks. Intermediates are localCheckpoint'd (not cache()'d), so the
-    ContextCleaner frees them once the frames are unreferenced."""
-    import gc
-    import time
+    """Storage hygiene across repeated dedup calls.
+
+    Two guarantees, both deterministic:
+    1. the session CacheManager stays EMPTY — dedup/similarity must
+       never cache()/persist() DataFrames (those pin entries until an
+       explicit unpersist nobody is positioned to issue);
+    2. checkpoint blocks are fully reclaimable between queries via
+       free_local_checkpoints — the hard lifecycle control for batch
+       drivers (background ContextCleaner reclamation also runs, but
+       is best-effort from Python and not asserted here).
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import free_local_checkpoints
 
     jsc = spark.sparkContext._jsc.sc()
-
-    def settled_count(timeout: float = 20.0) -> int:
-        """Best-effort drain: GC both heaps until the async
-        ContextCleaner stops shrinking the persistent-RDD registry."""
-        deadline = time.time() + timeout
-        best = jsc.getPersistentRDDs().size()
-        stable_since = time.time()
-        while time.time() < deadline:
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(0.3)
-            n = jsc.getPersistentRDDs().size()
-            if n < best:
-                best, stable_since = n, time.time()
-            elif time.time() - stable_since > 3.0:
-                break
-        return best
-
-    def run_batch():
-        for _ in range(3):
-            minhash_dedup_pairs(_docs(spark), threshold=0.8).collect()
-
-    run_batch()
-    # Nothing may sit in the session CacheManager (cache()/persist() on
-    # DataFrames would pin entries there until an explicit unpersist).
+    free_local_checkpoints(spark)
+    for _ in range(3):
+        minhash_dedup_pairs(_docs(spark), threshold=0.8).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
-    # Checkpointed RDD blocks are GC-scoped, reclaimed by the async
-    # ContextCleaner once the frames are unreferenced. Exact drain
-    # timing varies with JVM load, so assert the LEAK SIGNATURE rather
-    # than full drainage: each batch of 3 calls checkpoints 9 frames,
-    # so a cache()-style leak grows the registry by +9 per batch, while
-    # GC-scoped blocks plateau (a straggler or two at most).
-    c1 = settled_count()
-    run_batch()
-    c2 = settled_count()
-    assert c2 - c1 < 9, f"persistent RDDs grew {c1} -> {c2} across one batch (leak)"
+    assert jsc.getPersistentRDDs().size() > 0  # the batch did checkpoint
+    freed = free_local_checkpoints(spark)
+    assert freed > 0
+    assert jsc.getPersistentRDDs().size() == 0  # deterministic reclamation
+    # And the engine still works after reclamation (fresh plans rebuild
+    # their own checkpoints).
+    assert minhash_dedup_pairs(_docs(spark), threshold=0.8).count() > 0
+    free_local_checkpoints(spark)
 
 
 def _docs(spark):
@@ -173,3 +156,35 @@ def test_simhash_properties(spark):
     assert ham_near < ham_far  # near-dup closer in Hamming space
     cands = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_candidates(_docs(spark)).collect()}
     assert cands.get((1, 2)) == 0
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
+    """Folding the fact in two batches through the stored rollup must
+    equal aggregating everything at once (count/sum monoid property)."""
+    import pyspark.sql.functions as F2
+
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+    from kickstarter_etl_pipeline_spark.sources.sinks import incremental_rollup_update
+
+    path = os.path.join(SCRATCH, "rollup_inc")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = orders.filter(F2.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F2.col("o_orderkey") % 2 == 1)
+    incremental_rollup_update(spark, path, b1, ["o_orderstatus"], ["o_totalprice"])
+    updated = incremental_rollup_update(spark, path, b2, ["o_orderstatus"], ["o_totalprice"])
+    got = {
+        r["o_orderstatus"]: (r["n_rows"], r["sum_o_totalprice"]) for r in updated.collect()
+    }
+    full = orders.groupBy("o_orderstatus").agg(
+        F2.count(F2.lit(1)).cast("long").alias("n"),
+        F2.sum(F2.col("o_totalprice").cast("decimal(28,4)")).alias("s"),
+    )
+    expected = {r["o_orderstatus"]: (r["n"], r["s"]) for r in full.collect()}
+    assert got == expected
+    # And the stored rollup on disk equals the returned frame.
+    stored = {
+        r["o_orderstatus"]: (r["n_rows"], r["sum_o_totalprice"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert stored == expected
