@@ -73,6 +73,53 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling: explode each payload into up to ``max_frames``
+    evenly-spaced chunks — the video/audio frame-extraction shape
+    (1 input row → N output rows through a single mapInPandas pass).
+
+    The chunker is the deterministic stand-in for a real ffmpeg
+    keyframe/stride sampler (no media libs in this environment); the
+    production swap happens inside the same batch loop with identical
+    schema and fan-out behavior. Fan-out is bounded (``max_frames``) so
+    output size stays a constant factor of input — the property that
+    keeps the operator safe at 100 TB.
+    """
+
+    def _batches(batches):
+        for pdf in batches:
+            out_ids, out_idx, out_payload, out_md5 = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = min(max_frames, max(1, len(raw) // every_n_bytes))
+                for i in range(n_frames):
+                    chunk = raw[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    out_ids.append(media_id)
+                    out_idx.append(i)
+                    out_payload.append(chunk)
+                    out_md5.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_payload": pd.Series(out_payload, dtype=object),
+                    "frame_md5": pd.Series(out_md5, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
