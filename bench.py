@@ -55,24 +55,32 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+    load_start = os.getloadavg()
     spark = get_spark("kickstarter-etl-bench")
     registry = Q.queries()
 
     # Warm the JVM + parquet footers outside the timed region.
     registry["group_count_ordered"](spark, sf_dir).collect()
 
-    from kickstarter_etl_pipeline_spark.operators.partitioning import free_local_checkpoints
-
+    # min-of-N per query: transient machine contention (other tenants of
+    # the bench host) shows up as a one-run outlier; the min is the
+    # reproducible cost of the plan. Checkpoint blocks from finished
+    # queries are reclaimed by the ContextCleaner as frames go out of
+    # scope — no explicit unpersist between queries (an unpersist of a
+    # locally-checkpointed RDD both spews WARNs and risks freeing blocks
+    # a still-referenced frame needs).
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        start = time.perf_counter()
-        force(registry[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
-        # Each query is fully materialized by force(); reclaim its
-        # checkpoint blocks deterministically so a long bench session
-        # holds at most one query's worth of storage.
-        free_local_checkpoints(spark)
+        samples = []
+        for _ in range(runs):
+            start = time.perf_counter()
+            force(registry[name](spark, sf_dir))
+            samples.append(round(time.perf_counter() - start, 3))
+        all_runs[name] = samples
+        timings[name] = min(samples)
 
     print(
         json.dumps(
@@ -82,6 +90,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "policy": f"min_of_{runs}",
+                "runs": all_runs,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

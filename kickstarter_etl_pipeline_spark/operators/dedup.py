@@ -262,17 +262,22 @@ def minhash_dedup_pairs(
     The scale-path near-dup detector: LSH prunes the pair space, exact
     verification runs only on candidates.
     """
-    # Shingle once, share everywhere: the staged frame feeds the LSH
-    # signature pipeline AND the three verification branches (a-side,
-    # b-side, sizes). MEMORY_AND_DISK storage spills rather than OOM at
-    # scale; ContextCleaner frees the blocks when the frame is dropped.
-    staged = with_shingles(ensure_min_partitions(df), text_col, "_sh", n).select(
-        id_col, "_sh"
-    ).localCheckpoint(eager=True)
+    # Shingle once, share everywhere: ONE checkpoint of (id, shingles)
+    # feeds the LSH signature pipeline AND the three verification
+    # branches (a-side, b-side, sizes). barrier=False on the repartition
+    # because this checkpoint IS the barrier — tokenize+shingle work
+    # materializes post-shuffle, spread across all partitions; the
+    # downstream explode/signature stages read the stored blocks. (An
+    # earlier revision checkpointed three times per call — staged,
+    # exploded shingles, banded — each a blocking job; two of the three
+    # re-derive in one cheap pass from this one.) MEMORY_AND_DISK
+    # storage spills rather than OOM at scale; ContextCleaner frees the
+    # blocks when the frame is dropped.
+    staged = with_shingles(
+        ensure_min_partitions(df, barrier=False), text_col, "_sh", n
+    ).select(id_col, "_sh").localCheckpoint(eager=True)
     cands = _candidates_from_staged(staged, id_col, num_hashes, bands)
-    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle")).localCheckpoint(
-        eager=True
-    )
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
     # Intersection count: expand each candidate pair by A's shingles, then
     # equi-join on (id_b, shingle) — NOT a per-pair shingle cross product.
@@ -319,6 +324,13 @@ def connected_components(
     diameter; near-dup clusters are shallow (2-4 hops), and the loop
     exits as soon as a round changes nothing. Cost per round: one
     shuffle join keyed by node id.
+
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds — returning would silently split components whose diameter
+    exceeds the budget, i.e. a WRONG answer. Raise ``max_iter`` for
+    pathological chain-shaped graphs (label propagation needs diameter
+    rounds; a large-star/small-star variant converging in O(log n)
+    rounds is the upgrade path if such graphs become the norm).
     """
     sym = edges.select(
         F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
@@ -326,6 +338,7 @@ def connected_components(
     labels = nodes.select(F.col(id_col).alias("_id")).distinct().withColumn(
         "component_id", F.col("_id")
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["_b"] == labels["_id"])
@@ -351,6 +364,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: labels still changing after max_iter={max_iter} "
+            f"rounds ({changed} nodes updated last round) — the graph has a component "
+            "with diameter > max_iter and the result would be silently split. "
+            "Increase max_iter (rounds needed = component diameter)."
+        )
     return labels.select(F.col("_id").alias(id_col), "component_id")
 
 

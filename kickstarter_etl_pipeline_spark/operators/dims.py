@@ -62,15 +62,22 @@ def dim_with_scalable_keys(df: DataFrame, columns: list[str], key_col: str) -> D
     # (released by the ContextCleaner when the frame is dropped).
     local = local.localCheckpoint(eager=True)
     sizes = local.groupBy("_pid").count().orderBy("_pid").collect()
-    offsets, running = {}, 0
+    offsets, running = [], 0
     for row in sizes:
-        offsets[row["_pid"]] = running
+        offsets.append((row["_pid"], running))
         running += row["count"]
-    offset_col = F.coalesce(
-        *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()]
-    ) if offsets else F.lit(0)
+    # Apply offsets via a broadcast equi-join on a tiny (pid, offset)
+    # frame — constant-depth plan at any partition count. (A chained
+    # when() would build a thousands-deep expression tree at thousands
+    # of partitions and blow past codegen limits.)
+    spark = df.sparkSession
+    if offsets:
+        offset_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+        keyed = local.join(F.broadcast(offset_df), on="_pid", how="inner")
+    else:
+        keyed = local.withColumn("_offset", F.lit(0))
     return (
-        local.withColumn(key_col, (F.col("_local_rn") + offset_col).cast("long"))
+        keyed.withColumn(key_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
         .select(key_col, *columns)
     )
 

@@ -13,16 +13,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def free_local_checkpoints(spark: SparkSession) -> int:
-    """Explicitly unpersist every persistent RDD in the context —
-    deterministic storage reclamation for batch drivers.
+    """Unpersist locally-checkpointed RDDs — deterministic storage
+    reclamation for batch drivers.
 
     Checkpoint blocks are normally reclaimed by the ContextCleaner once
     the owning frames are garbage-collected, but that path is
     best-effort from Python: py4j's detach of the Java-side reference
     can be silently dropped under load, leaving blocks pinned
     indefinitely. A driver that fully materializes each query before
-    moving to the next (bench loops, the grading driver, ETL schedulers)
-    can instead call this between queries for a hard guarantee.
+    moving to the next (ETL schedulers, long sessions) can call this
+    between queries for a hard guarantee.
+
+    Scope: ONLY RDDs that are locally checkpointed (the kind this
+    library creates via :func:`ensure_min_partitions`) are touched —
+    caches the host application created with ``cache()``/``persist()``
+    are left alone, so calling this cannot destroy a cache it does not
+    own. Blocking (``unpersist(True)``) so reclamation is complete when
+    the call returns, not racing the next query's job submission.
 
     SAFE ONLY between fully-materialized queries: a local checkpoint's
     blocks ARE its data (lineage is truncated), so re-executing a frame
@@ -34,8 +41,13 @@ def free_local_checkpoints(spark: SparkSession) -> int:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for rdd in list(jmap.values()):
-        rdd.unpersist(False)
-        n += 1
+        try:
+            checkpointed = rdd.rdd().isLocallyCheckpointed()
+        except Exception:
+            checkpointed = False
+        if checkpointed:
+            rdd.unpersist(True)
+            n += 1
     return n
 
 

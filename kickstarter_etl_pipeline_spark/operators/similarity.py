@@ -167,15 +167,28 @@ def with_lsh_probe_keys(
             F.abs(F.element_at("_dots_all", i + offset + 1)).alias("m"), i.alias("p")
         )
 
-    # ALL tables' plane dots in ONE higher-order pass over a 2-D literal
-    # plane matrix: table t owns planes [t*num_planes, (t+1)*num_planes).
-    # One transform(aggregate(zip_with)) expression instead of L×k
-    # separate aggregates — the codegen is ~L×k times smaller, which
-    # dominates wall time at fixture scale (measured 5.2s → sub-second
-    # for the corpus-keying stage at 6 tables × 3 planes).
-    planes = F.array(*[_hyperplane(dim, g) for g in range(num_tables * num_planes)])
+    # ALL tables' plane dots in ONE higher-order pass over the 2-D plane
+    # matrix: table t owns planes [t*num_planes, (t+1)*num_planes). One
+    # transform(aggregate(zip_with)) expression instead of L×k separate
+    # aggregates. The matrix itself rides in as a ONE-ROW broadcast
+    # frame rather than L×k×dim literals inlined into the expression
+    # tree: the per-row work is identical (same dots against the same
+    # constants), but the plan tree shrinks from thousands of literal
+    # nodes to one column reference — measured 9.6 s → ~3 s first-run
+    # wall on the 6×3×64 config, all of it analyzer/optimizer/codegen
+    # time that literals force every run (plans aren't cached across
+    # queries). Still zero driver-side RNG state and bit-identical
+    # bucketing.
+    spark = df.sparkSession
+    matrix = [
+        [_plane_component(g, j) for j in range(dim)]
+        for g in range(num_tables * num_planes)
+    ]
+    planes_df = spark.createDataFrame([(matrix,)], "_planes_mat: array<array<double>>")
     vec = F.col(vec_col)
-    staged = df.withColumn("_dots_all", F.transform(planes, lambda pl: dot(vec, pl)))
+    staged = df.join(F.broadcast(planes_df), how="cross").withColumn(
+        "_dots_all", F.transform(F.col("_planes_mat"), lambda pl: dot(vec, pl))
+    )
 
     per_table_probes: list = []
     for t in range(num_tables):

@@ -12,7 +12,6 @@ The reference loads via sqlite3 ``executemany`` (S3, ``src/etl_pipeline.py:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.errors import AnalysisException
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
@@ -22,16 +21,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``'s scheme — file:, s3a:, hdfs:, ...
+    NOT a local ``os.path`` probe, which silently answers "missing" for
+    any object-store/HDFS URI and would duplicate data at deployment
+    scale."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read the target if it exists, via the reader itself — NOT a local
-    ``os.path.exists`` probe, which silently answers "missing" for any
-    object-store/HDFS URI and would duplicate data at deployment scale.
-    The reader resolves the path through the Hadoop FileSystem for
-    whatever scheme it carries (file:, s3a:, hdfs:, ...)."""
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
+    """Read the target if it exists; None only when it genuinely does
+    not exist.
+
+    Existence is probed explicitly via the Hadoop FileSystem rather
+    than by catching AnalysisException from the reader: the reader
+    raises AnalysisException for corrupt footers and config/permission
+    failures too, and treating those as "missing" would let callers
+    like :func:`merge_upsert` take the overwrite branch and silently
+    replace a damaged-but-recoverable table with just the incoming
+    batch. A read failure on an EXISTING path propagates to the caller.
+    """
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
         return None
+    return spark.read.parquet(path)
 
 
 def append_ignore_existing(
@@ -104,24 +118,38 @@ def compact_parquet(
     Streaming appends and fine-grained idempotent inserts accumulate
     small files; at object-store scale the per-file overhead (listing,
     open, footer read) dominates scans long before data volume does.
-    The rewrite goes to a sibling temp dir first and is swapped in with
-    the Hadoop FileSystem API — works on any scheme (file:, s3a:,
-    hdfs:), never reads the files it is replacing. Returns the file
+    The rewrite goes to a sibling temp dir first, then swaps via
+    rename-to-backup → rename-into-place → delete-backup, so at every
+    instant the data exists under a recoverable name (``path``,
+    ``path_compact_backup``, or ``path_compact_tmp``) and a crash at
+    any step loses nothing. A failed swap-in is rolled back by
+    restoring the backup. Works on any Hadoop FS scheme (file:, s3a:,
+    hdfs:), never reads the files it is replacing.
+
+    NOT atomic for concurrent readers: between the two renames the
+    primary path briefly does not exist, so a reader listing files in
+    that window fails and should retry. (On a transactional table
+    format — Delta/Iceberg OPTIMIZE — compaction is a metadata swap and
+    fully concurrent; this is the format-free tier.) Returns the file
     count written.
     """
+    fs, src = _hadoop_fs(spark, path)
     jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(path)
-    fs = src.getFileSystem(hconf)
     if target_files is None:
         total_bytes = fs.getContentSummary(src).getLength()
         target_files = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compact_tmp")
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compact_backup")
     df = spark.read.parquet(path)
     df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
-    fs.delete(src, True)
+    if fs.exists(backup):  # leftover from an interrupted earlier run
+        fs.delete(backup, True)
+    if not fs.rename(src, backup):
+        raise IOError(f"compact_parquet: rename {src} -> {backup} failed")
     if not fs.rename(tmp, src):
-        raise IOError(f"compact_parquet: rename {tmp} -> {src} failed")
+        fs.rename(backup, src)  # roll back; compacted data stays in tmp
+        raise IOError(f"compact_parquet: rename {tmp} -> {src} failed (original restored)")
+    fs.delete(backup, True)
     return target_files
 
 

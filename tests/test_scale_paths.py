@@ -38,6 +38,41 @@ def test_scalable_keys_equal_window_keys(spark):
     assert scalable == window and len(scalable) == 37
 
 
+def test_scalable_keys_dense_at_256_partitions(spark):
+    """At ≥256 range partitions the offset map is applied via a
+    broadcast (pid, offset) join — constant-depth plan at any partition
+    count — and keys must still be the dense 1..N global-sort numbering
+    the window variant assigns."""
+    df = spark.createDataFrame(
+        [(f"val_{i:05d}",) for i in range(3000)], ["v"]
+    ).repartition(300)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try:
+        got = sorted(
+            (int(r["k"]), r["v"])
+            for r in dim_with_scalable_keys(df, ["v"], "k").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert got == [(i + 1, f"val_{i:05d}") for i in range(3000)]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component with diameter > max_iter must raise, not silently
+    return split components."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(nodes, chain, max_iter=3)
+    # With the budget ≥ diameter the same graph resolves to one component.
+    ok = connected_components(nodes, chain, max_iter=n)
+    assert ok.select("component_id").distinct().count() == 1
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Same-bucketed tables join with zero shuffle (the pay-once trade)."""
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
@@ -70,6 +105,79 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q7_bucketed_single_shuffle(spark, sf_dir):
+    """The q7 multi-join shape on PRE-BUCKETED lineitem/orders: the
+    li⋈orders shuffle disappears (bucketed sort-merge join), dims ride
+    broadcasts, and the ONLY shuffle exchange left in the plan is the
+    final aggregate's — the pay-once-at-ingest pattern that makes the
+    Q7/Q8 family viable at 100 TB. Results must equal the plain query."""
+    from kickstarter_etl_pipeline_spark.queries import q_q7_nation_volume
+
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for t in ("b7_lineitem", "b7_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse_dir}/{t}", ignore_errors=True)
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+        ),
+        "b7_lineitem",
+        "l_orderkey",
+        num_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "b7_orders",
+        "o_orderkey",
+        num_buckets=8,
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_cust = nation.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    n_supp = nation.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    li, orders = spark.table("b7_lineitem"), spark.table("b7_orders")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Auto-broadcast off so the li⋈orders join can't be rescued by a
+    # broadcast at fixture scale — at 100 TB both sides are huge and
+    # bucketing is the only non-shuffle plan. Dims keep explicit hints.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+            .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_ck"))
+            .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sk"))
+            .filter(F.col("cust_nation") != F.col("supp_nation"))
+        )
+        result = joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        ).agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            result.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        import re
+
+        shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert shuffles == 1, f"expected only the final-agg shuffle, plan has {shuffles}:\n{plan}"
+        expected = {tuple(r) for r in q_q7_nation_volume(spark, sf_dir).collect()}
+        got = {tuple(r) for r in result.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
 
 def test_streaming_parquet_sink_exactly_once(spark, sf_dir):

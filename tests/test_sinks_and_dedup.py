@@ -102,10 +102,19 @@ def test_dedup_storage_released(spark):
     for _ in range(3):
         minhash_dedup_pairs(_docs(spark), threshold=0.8).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
-    assert jsc.getPersistentRDDs().size() > 0  # the batch did checkpoint
+    # A cache the HOST application owns must survive reclamation —
+    # free_local_checkpoints is scoped to locally-checkpointed RDDs only.
+    host_cache = spark.range(10).cache()
+    assert host_cache.count() == 10
+    assert jsc.getPersistentRDDs().size() > 1  # checkpoints + host cache
     freed = free_local_checkpoints(spark)
     assert freed > 0
-    assert jsc.getPersistentRDDs().size() == 0  # deterministic reclamation
+    # Deterministic reclamation of the library's checkpoints; the host
+    # cache remains (and still answers).
+    assert jsc.getPersistentRDDs().size() == 1
+    assert host_cache.count() == 10
+    host_cache.unpersist(True)
+    assert jsc.getPersistentRDDs().size() == 0
     # And the engine still works after reclamation (fresh plans rebuild
     # their own checkpoints).
     assert minhash_dedup_pairs(_docs(spark), threshold=0.8).count() > 0
