@@ -301,6 +301,41 @@ def minhash_dedup_pairs(
     )
 
 
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how much
+    verbatim n-gram overlap it has with an evaluation/benchmark set —
+    the pass a training pipeline runs before release so eval questions
+    aren't memorized from the training corpus.
+
+    Shape: both sides explode to distinct (doc, n-gram) pairs and
+    equi-join on the n-gram — shuffle keyed by shingle text, O(corpus
+    shingles + benchmark shingles), never a doc×doc product. The
+    benchmark side is typically tiny (thousands of eval docs) so AQE
+    broadcasts it. Returns one row per CONTAMINATED corpus doc:
+    ``n_shared_shingles`` (distinct overlapping n-grams) and
+    ``n_bench_docs`` (how many benchmark docs it collides with);
+    clean docs are absent (left-anti against this = the clean corpus).
+    """
+    c_sh = shingle_table(corpus, text_col, id_col, n)
+    b_sh = shingle_table(benchmark, text_col, id_col, n).select(
+        F.col(id_col).alias("_bench_id"), "shingle"
+    )
+    return (
+        c_sh.join(b_sh, on="shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("_bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 # --- Connected components (dedup-group resolution) ---
 
 

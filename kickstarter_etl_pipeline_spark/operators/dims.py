@@ -31,10 +31,19 @@ def dim_from_distinct(
     insert loops (src/etl_pipeline.py:223,241) set-based.
     """
     order_cols = order_cols or columns
-    window = Window.orderBy(*order_cols)
+    # The single-partition funnel is EXPLICIT: coalesce(1) after the
+    # distinct (output is enumeration-sized — see module docstring), and
+    # the numbering window partitions on spark_partition_id(), which is
+    # constant across that one partition. Same plan shape and cost as a
+    # bare orderBy window, but with a partition defined, so WindowExec
+    # doesn't emit its move-all-data warning on every execution (a bare
+    # orderBy — or any foldable partition key like lit(0) — does).
+    # High-cardinality dims use dim_with_scalable_keys instead.
+    window = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
     return (
         df.select(*columns)
         .distinct()
+        .coalesce(1)
         .withColumn(key_col, F.row_number().over(window).cast("int"))
         .select(key_col, *columns)
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (accumulation order = array order,
@@ -338,6 +340,49 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def quantization_profile(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization profile — the storage
+    planning pass for an embedding corpus (int8 cuts an ANN index to a
+    quarter of float32; this measures what that costs per vector).
+
+    Per vector: ``scale = max|vᵢ|``, ``qᵢ = floor(vᵢ/scale·127 + 0.5)``
+    (explicit floor-of-shifted rather than round() so the halfway cases
+    are engine-deterministic — the round_det rule), and the
+    reconstruction error ``max|qᵢ·scale/127 − vᵢ|``. All higher-order
+    array expressions, JVM-side, one pass per row, no shuffle at all —
+    embarrassingly parallel at any scale. Zero vectors quantize to
+    all-zero with zero error.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    staged = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_scale", F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))))
+    )
+    q = F.transform(
+        F.col("_v"), lambda x: F.floor(x / F.col("_scale") * 127 + 0.5).cast("long")
+    )
+    zeros = F.transform(F.col("_v"), lambda x: F.lit(0).cast("long"))
+    staged = staged.withColumn("_q", F.when(F.col("_scale") == 0, zeros).otherwise(q))
+    err = F.array_max(
+        F.zip_with(F.col("_q"), F.col("_v"), lambda qq, x: F.abs(qq * F.col("_scale") / 127 - x))
+    )
+    return staged.select(
+        id_col,
+        round_det(F.col("_scale"), 6).alias("scale_q"),
+        F.aggregate(F.col("_q"), F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+        round_det(F.when(F.col("_scale") == 0, F.lit(0.0)).otherwise(err), 6).alias(
+            "max_abs_err"
+        ),
     )
 
 

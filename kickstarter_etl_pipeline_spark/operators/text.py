@@ -107,6 +107,98 @@ def lang_scores(text_col: str = "text") -> dict[str, Column]:
     return {lang: _hits(words) for lang, words in LANG_MARKERS.items()}
 
 
+def token_frequency(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide token frequency table — the vocabulary-building pass
+    of a training-data pipeline (BPE/unigram tokenizer training starts
+    from exactly this table).
+
+    One explode + one hash-aggregate keyed by token: the same
+    uniform-key single-shuffle shape as exact dedup, linear in corpus
+    size. ``n_docs`` (document frequency) rides along for IDF use.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    tok = (
+        ensure_min_partitions(df)
+        .withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode("_toks").alias("token"))
+    )
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct(id_col).alias("n_docs"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k terms by TF·IDF — the keyword/topic-surface
+    extraction pass.
+
+    IDF here is the LINEAR rarity weight N/df rather than log(N/df):
+    the ranking is identical for fixed tf (both are monotone in 1/df)
+    and tf·N/df is exact-integer arithmetic followed by one IEEE
+    division — bit-deterministic across engines, where log() can differ
+    in the last ulp and flip a rounding boundary (the determinism rules
+    in queries.py). Swap in log for human-facing scores at will.
+
+    Shape: explode → (doc, term) count → term df + corpus N (two
+    aggregates, each one shuffle) → rarity join on term (NOT hinted to
+    broadcast: a 100 TB corpus's vocabulary can be billions of rows —
+    AQE broadcasts it when it is actually small) → per-doc top-k
+    window. The per-doc window partitions by doc_id — millions of small
+    groups, evenly spread.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    from pyspark.sql import Window
+
+    tok = (
+        ensure_min_partitions(df)
+        .withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode("_toks").alias("term"))
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count_distinct(id_col).alias("n_corpus"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", round_det(F.col("tf") * F.col("n_corpus") / F.col("df"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (the Gopher-style quality rules):
+    most-frequent-token share and 1 − unique/total ratio. High values
+    flag boilerplate/spam for the cleaning filter.
+
+    Explode → per-(doc, token) count → per-doc max/sum/count — two
+    aggregates on keys that are uniform by construction.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    tok = (
+        ensure_min_partitions(df)
+        .withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode("_toks").alias("token"))
+    )
+    per_token = tok.groupBy(id_col, "token").agg(F.count("*").alias("_tc"))
+    return per_token.groupBy(id_col).agg(
+        F.sum("_tc").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_unique_tokens"),
+        F.max("_tc").cast("long").alias("top_token_count"),
+        round_det(F.max("_tc") / F.sum("_tc"), 6).alias("top_token_ratio"),
+        round_det(F.lit(1.0) - F.count("*") / F.sum("_tc"), 6).alias("repetition_ratio"),
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: CJK character presence, else stopword argmax
     (ties → alphabetical lang order; all-zero → 'und')."""

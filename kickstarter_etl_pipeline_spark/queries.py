@@ -1471,6 +1471,87 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, on="component_id").select("doc_id", "component_id", "n_members")
 
 
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by occurrence count (token
+    tie-break, so the LIMIT boundary is deterministic) with document
+    frequency riding along — the tokenizer-training input table."""
+    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_frequency(docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF·IDF (linear rarity weight N/df —
+    engine-deterministic; see operators.text.tfidf_top_terms)."""
+    from kickstarter_etl_pipeline_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    most-frequent-token share and 1 − unique/total token ratio."""
+    from kickstarter_etl_pipeline_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source rates (50% for the
+    src0-src4 strata, 25% elsewhere) carved by the last md5 hex digit of
+    the key — the reproducible way to rebalance source mix in a training
+    corpus (same rows on every engine/run/cluster size; the predicate is
+    a scan-level filter, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    hot = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    keep = (hot & digit.isin(*"01234567")) | (~hot & digit.isin(*"0123"))
+    return docs.filter(keep).select("doc_id", "source", "n_chars")
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing verbatim word
+    5-grams with the benchmark stratum (every 10th doc stands in for the
+    eval set), with shared-shingle and benchmark-doc counts. The
+    left-anti complement of this result is the decontaminated corpus."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import benchmark_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return benchmark_overlap(corpus, bench, n=5)
+
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization profile: scale, quantized checksum,
+    max reconstruction error (see operators.similarity.quantization_profile)."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import quantization_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_profile(emb)
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota: keep (up to) 5 docs per source, chosen
+    by md5-hash order with doc_id tie-break — the deterministic
+    cap-per-domain dedup-adjacent op (windows over millions of small
+    source groups spread evenly; no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 5)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1570,6 +1651,14 @@ _QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_candidates": q_simhash_candidates,
     "multimodal_features": q_multimodal_features,
+    # --- round-3 additions (next rotation's grading candidates) ---
+    "token_frequency": q_token_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "source_quota": q_source_quota,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "embedding_quantization": q_embedding_quantization,
 }
 
 
@@ -2361,6 +2450,102 @@ _ORACLES: dict[str, str] = {
           FROM embeddings
         )
         GROUP BY dim_idx
+    """,
+    "token_frequency": f"""
+        SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 100
+    """,
+    "tfidf_top_terms": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_corpus FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf AS tf, dfr.df AS df,
+                 floor(tf.tf * n.n_corpus / dfr.df * 1000000 + 0.5) / 1000000.0 AS tfidf
+          FROM tf JOIN dfr USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, term_rank
+        FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS term_rank
+          FROM scored
+        )
+        WHERE term_rank <= 3
+    """,
+    "repetition_stats": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        pt AS (SELECT doc_id, token, count(*) AS tc FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(tc) AS BIGINT) AS n_tokens,
+               count(*) AS n_unique_tokens,
+               CAST(max(tc) AS BIGINT) AS top_token_count,
+               floor(CAST(max(tc) AS BIGINT) / CAST(sum(tc) AS BIGINT) * 1000000 + 0.5)
+                 / 1000000.0 AS top_token_ratio,
+               floor((1.0 - count(*) / CAST(sum(tc) AS BIGINT)) * 1000000 + 0.5)
+                 / 1000000.0 AS repetition_ratio
+        FROM pt
+        GROUP BY doc_id
+    """,
+    "stratified_sample": """
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE (source IN ('src0','src1','src2','src3','src4')
+               AND substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                   IN ('0','1','2','3','4','5','6','7'))
+           OR (source NOT IN ('src0','src1','src2','src3','src4')
+               AND substring(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0','1','2','3'))
+    """,
+    "source_quota": """
+        SELECT doc_id, source, sample_rank
+        FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+          FROM documents
+        )
+        WHERE sample_rank <= 5
+    """,
+    "decontaminate_overlap": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) - 3),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s
+                 FROM toks))
+        SELECT c.doc_id,
+               count(DISTINCT c.s) AS n_shared_shingles,
+               count(DISTINCT b.doc_id) AS n_bench_docs
+        FROM (SELECT * FROM sh WHERE doc_id % 10 != 0) c
+        JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
+        GROUP BY c.doc_id
+    """,
+    "embedding_quantization": """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                   FROM embeddings),
+        s AS (SELECT vec_id, vec,
+                     list_max(list_transform(vec, x -> abs(x))) AS scale
+              FROM v),
+        q AS (SELECT vec_id, vec, scale,
+                     CASE WHEN scale = 0
+                          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(vec, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT))
+                     END AS qv
+              FROM s)
+        SELECT vec_id,
+               floor(scale * 1000000 + 0.5) / 1000000.0 AS scale_q,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE floor(list_max(list_transform(range(1, len(qv) + 1),
+                               i -> abs(qv[i] * scale / 127 - vec[i]))) * 1000000 + 0.5)
+                         / 1000000.0
+               END AS max_abs_err
+        FROM q
     """,
 }
 
