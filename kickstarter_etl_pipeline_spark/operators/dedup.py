@@ -409,6 +409,104 @@ def connected_components(
     return labels.select(F.col("_id").alias(id_col), "component_id")
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — converges in O(log n) rounds regardless of component
+    DIAMETER, where plain min-label propagation
+    (:func:`connected_components`) needs diameter rounds. Same output
+    contract: (id, component_id = min member id). Use this variant when
+    the similarity graph can contain long chains (transitive near-dup
+    runs); for shallow dedup clusters the simpler propagator does fewer
+    total shuffles.
+
+    Each round is two groupBy-min + join passes over the edge list —
+    shuffle keyed by node id, edge count never grows beyond the input
+    (stars only shrink paths) — and a localCheckpoint truncates lineage
+    so the plan stays round-sized. Fixpoint = the edge list's
+    (count, hash-checksum) signature stops changing; the signature is
+    engine-internal, used only for loop control.
+    """
+    u, v, m = F.col("_u"), F.col("_v"), F.col("_m")
+    # Canonical undirected edge list, self-loops dropped.
+    e = (
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
+        .filter(u != v)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(frame: DataFrame) -> tuple:
+        # bit_xor: order-independent, overflow-free (an ANSI sum of
+        # full-range xxhash64 values would overflow bigint).
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(_u, _v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(frame: DataFrame) -> DataFrame:
+        sym = frame.union(frame.select(v.alias("_u"), u.alias("_v")))
+        mins = (
+            sym.groupBy("_u")
+            .agg(F.min("_v").alias("_mv"))
+            .select("_u", F.least(u, F.col("_mv")).alias("_m"))
+        )
+        return (
+            sym.filter(v > u)
+            .join(mins, on="_u")
+            .select(v.alias("_u"), m.alias("_v"))
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+
+    def _small_star(frame: DataFrame) -> DataFrame:
+        directed = frame.select(
+            F.greatest(u, v).alias("_u"), F.least(u, v).alias("_v")
+        )
+        mins = directed.groupBy("_u").agg(F.min("_v").alias("_m"))
+        rewired = directed.join(mins, on="_u").select(F.col("_v").alias("_u"), m.alias("_v"))
+        selfed = mins.select(F.col("_u"), m.alias("_v"))
+        return (
+            rewired.union(selfed)
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+
+    sig = _signature(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after max_iter={max_iter} rounds "
+            "(expected O(log n)); raise max_iter."
+        )
+    # At fixpoint every edge points node → component root (the min id).
+    labels = e.select(u.alias(id_col), v.alias("component_id"))
+    return (
+        nodes.select(F.col(id_col))
+        .distinct()
+        .join(labels, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+        )
+    )
+
+
 # --- SimHash ---
 
 

@@ -1516,6 +1516,76 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "source", "n_chars")
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group resolution on the SAME candidate graph as
+    `dedup_components`, but via alternating large-star/small-star edge
+    rewriting — O(log n) rounds vs diameter rounds, the variant for
+    similarity graphs with long transitive chains. Must produce
+    byte-identical groups (same recursive-CTE oracle)."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components_star(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, on="component_id").select("doc_id", "component_id", "n_members")
+
+
+def q_idempotent_append_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 INSERT OR IGNORE end-to-end (reference
+    ``src/etl_pipeline.py:198``): batch A (even doc_ids) is appended,
+    then the FULL document set is appended with key-dedup — every row of
+    A is already present and must be ignored, so the stored table equals
+    each document exactly once. The oracle is the same aggregate over
+    plain ``documents``; any duplicate or lost row flips the counts."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import append_ignore_existing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = run_scratch_dir("idem_docs_") + "/t"
+    append_ignore_existing(spark, docs.filter(F.col("doc_id") % 2 == 0), path, keys=["doc_id"])
+    append_ignore_existing(spark, docs, path, keys=["doc_id"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )
+
+
+def q_scd1_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE end-to-end: a base table (even orderkeys) receives an
+    upsert batch that UPDATES the keys divisible by 4 (price + 1000) and
+    INSERTS the keys ≡ 1 (mod 4); untouched base rows carry over. The
+    stored result is aggregated; the oracle reconstructs the same merge
+    in SQL, so a dropped carry, double-applied update, or missed insert
+    breaks the hash."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = run_scratch_dir("scd1_orders_") + "/t"
+    merge_upsert(spark, orders.filter(F.col("o_orderkey") % 2 == 0), path, keys=["o_orderkey"])
+    updates = orders.filter(F.col("o_orderkey") % 4 <= 1).select(
+        "o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
+    )
+    merge_upsert(spark, updates, path, keys=["o_orderkey"])
+    return spark.read.parquet(path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing verbatim word
     5-grams with the benchmark stratum (every 10th doc stands in for the
@@ -1558,27 +1628,30 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Ordering contract: the grading driver sweeps the FIRST 50 entries of
 # this dict. Rounds 1-2 graded the original 50 (all green in
-# CORRECTNESS_r01/r02); round 3 rotates the 35 queries added in round 2
-# into the graded window alongside a 15-query representative core
-# (reference-parity star build, TPC-H shapes, streaming, dedup, ANN) so
-# every query has a driver grade on record across rounds.
+# CORRECTNESS_r01/r02); round 3 rotates the 35 round-2 queries AND the
+# 10 round-3 additions into the graded window alongside a 5-query
+# representative core (flagship star build, TPC-H q1, stateful
+# streaming, exact + MinHash dedup), so every query has a driver grade
+# on record across rounds. The 10 core queries rotated out below all
+# hold green grades from BOTH r01 and r02.
 _QUERIES: dict[str, QueryFn] = {
     # --- representative core (graded green in r01 AND r02) ---
-    "dim_date": q_dim_date,
-    "dim_state": q_dim_state,
-    "dim_category": q_dim_category,
-    "fact_star": q_fact_star,
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
-    "topk_customers": q_topk_customers,
-    "window_running_sum": q_window_running_sum,
-    "region_rollup": q_region_rollup,
-    "events_tumbling": q_events_tumbling,
     "events_stateful_sessions": q_events_stateful_sessions,
     "dedup_exact": q_dedup_exact,
-    "text_stats": q_text_stats,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
-    "embedding_topk": q_embedding_topk,
+    # --- round-3 additions, first driver grade this round ---
+    "token_frequency": q_token_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "source_quota": q_source_quota,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "embedding_quantization": q_embedding_quantization,
+    "idempotent_append_agg": q_idempotent_append_agg,
+    "scd1_merge_agg": q_scd1_merge_agg,
+    "dedup_components_star": q_dedup_components_star,
     # --- round-2 surface, never driver-graded before round 3 ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1616,6 +1689,16 @@ _QUERIES: dict[str, QueryFn] = {
     "q13_order_count_distribution": q_q13_order_count_distribution,
     "dq_star_report": q_dq_star_report,
     # --- graded green in r01/r02; rotated out of the 50-entry window ---
+    "dim_date": q_dim_date,
+    "dim_state": q_dim_state,
+    "dim_category": q_dim_category,
+    "fact_star": q_fact_star,
+    "topk_customers": q_topk_customers,
+    "window_running_sum": q_window_running_sum,
+    "region_rollup": q_region_rollup,
+    "events_tumbling": q_events_tumbling,
+    "text_stats": q_text_stats,
+    "embedding_topk": q_embedding_topk,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "above_avg_orders": q_above_avg_orders,
@@ -1651,14 +1734,6 @@ _QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_candidates": q_simhash_candidates,
     "multimodal_features": q_multimodal_features,
-    # --- round-3 additions (next rotation's grading candidates) ---
-    "token_frequency": q_token_frequency,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "repetition_stats": q_repetition_stats,
-    "stratified_sample": q_stratified_sample,
-    "source_quota": q_source_quota,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "embedding_quantization": q_embedding_quantization,
 }
 
 
@@ -2524,6 +2599,26 @@ _ORACLES: dict[str, str] = {
         JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
         GROUP BY c.doc_id
     """,
+    "idempotent_append_agg": """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        FROM documents
+        GROUP BY source
+    """,
+    "scd1_merge_agg": """
+        WITH merged AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 > 1
+          UNION ALL
+          SELECT o_orderkey, o_totalprice + 1000.0 FROM orders
+          WHERE o_orderkey % 4 <= 1
+        )
+        SELECT count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        FROM merged
+    """,
     "embedding_quantization": """
         WITH v AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -2551,6 +2646,8 @@ _ORACLES: dict[str, str] = {
 
 
 _ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
+# Star-rewriting CC must produce the exact same groups as min-label CC.
+_ORACLES["dedup_components_star"] = _ORACLES["dedup_components"]
 _ORACLES["events_stream_sliding"] = _ORACLES["events_sliding"]
 # Format round-trips must reproduce the parquet-sourced aggregate exactly.
 _ORACLES["json_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]

@@ -40,11 +40,23 @@ def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
     failures too, and treating those as "missing" would let callers
     like :func:`merge_upsert` take the overwrite branch and silently
     replace a damaged-but-recoverable table with just the incoming
-    batch. A read failure on an EXISTING path propagates to the caller.
+    batch. A read failure on an EXISTING table propagates to the caller.
+
+    An existing directory with no visible entries counts as missing —
+    that's a pre-created-but-never-written target (scratch dirs, an
+    S3 "folder" marker), not a damaged table.
     """
     fs, jpath = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
         return None
+    if fs.getFileStatus(jpath).isDirectory():
+        entries = [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if not st.getPath().getName().startswith((".", "_"))
+        ]
+        if not entries:
+            return None
     return spark.read.parquet(path)
 
 

@@ -164,6 +164,39 @@ def test_connected_components_match_union_find(edges):
 
 @SETTINGS
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 15), st.integers(1, 15)), min_size=0, max_size=25
+    )
+)
+def test_connected_components_star_match_union_find(edges):
+    """Large-star/small-star vs the same driver-side union-find reference."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components_star
+
+    spark = _get_spark()
+    node_ids = list(range(1, 16))
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {i: min(j for j in node_ids if find(j) == find(i)) for i in node_ids}
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    edge_df = spark.createDataFrame(edges or [(1, 1)], ["src", "dst"])
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(nodes, edge_df).collect()
+    }
+    assert got == expected
+
+
+@SETTINGS
+@given(
     rows=st.lists(
         st.tuples(
             st.integers(0, 2),       # key

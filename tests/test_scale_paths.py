@@ -73,6 +73,23 @@ def test_connected_components_nonconvergence_raises(spark):
     assert ok.select("component_id").distinct().count() == 1
 
 
+def test_connected_components_star_logn_on_long_chain(spark):
+    """The large-star/small-star variant must resolve a 64-hop chain —
+    which would need 64 rounds of plain min-label propagation — within
+    an O(log n) round budget, singletons included."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components_star
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n + 3)], ["id"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(nodes, chain, max_iter=10).collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == i for i in range(n, n + 3))  # singletons self-labeled
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Same-bucketed tables join with zero shuffle (the pay-once trade)."""
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
