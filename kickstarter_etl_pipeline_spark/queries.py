@@ -1061,6 +1061,296 @@ def q_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — for each small part
+    (p_size <= 10), the EUROPE supplier(s) achieving the minimum
+    observed unit cost, resolved as argmin-per-group via join-back (no
+    partsupp table in this schema; unit cost is derived from lineitem as
+    extendedprice/quantity). The per-part min is computed once and
+    broadcast-joined back; part/supplier/nation/region are all broadcast
+    dims, so the lineitem stream shuffles only for the two aggregates.
+
+    Unit cost is ONE IEEE double division evaluated identically on both
+    engines; the min lattice and the equality join-back therefore
+    compare bit-identical values (NOTES.md determinism rule 5).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    uc = li.select(
+        "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("_uc")
+    )
+    per_ps = uc.groupBy("l_partkey", "l_suppkey").agg(F.min("_uc").alias("supp_cost"))
+    per_p = per_ps.groupBy("l_partkey").agg(F.min("supp_cost").alias("_best"))
+    return (
+        per_ps.join(F.broadcast(per_p), on="l_partkey")
+        .filter(F.col("supp_cost") == F.col("_best"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            round_det(F.col("supp_cost"), 6).alias("min_unit_cost"),
+        )
+    )
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue delta — a pure scan-filter-agg
+    with range predicates on date, discount, and quantity, no joins.
+    The canary for predicate pushdown: all three filters must reach the
+    parquet scan. Revenue is an exact decimal sum of price×discount."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year
+    for parts matching a name pattern ('%widget%'). No ps_supplycost in
+    this schema, so cost is proxied as retailprice×quantity×0.1; the
+    profit expression is cast to exact decimal before summing. Part,
+    supplier, and nation broadcast; lineitem shuffles once for the
+    final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(18,6)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("sum_profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value, kept only where the
+    part's value exceeds 1.3× the average per-part share of the global
+    total (a scalar-subquery threshold). Both the per-part values and
+    the global total are exact decimal sums; the threshold comparison is
+    one IEEE expression. The scalar rides a broadcast cross join — no
+    driver collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_val")
+    )
+    scalar = per_part.agg(
+        F.sum("_val").alias("_total"), F.count("*").alias("_nparts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(scalar))
+        .filter(
+            F.col("_val").cast("double")
+            > F.col("_total").cast("double") * 1.3 / F.col("_nparts")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("_val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by status split into high/low order
+    priority for a one-year ship window (no l_shipmode in this schema;
+    l_linestatus plays the grouping role). The li⋈orders join is
+    shuffle-on-key (both large — correct at scale; the bucketed path in
+    sources/bucketing.py removes it when pre-bucketed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    ).join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier revenue for a half-year window, then
+    the supplier(s) matching the MAX revenue via a broadcast scalar —
+    the classic view + scalar-subquery pattern. Revenue is an exact
+    decimal sum, so the max-equality join-back compares exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("_rev")
+        )
+    )
+    top = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for non-excluded parts, with bad suppliers (negative balance — the
+    schema's stand-in for complaint comments) removed via the NOT-IN
+    shape as a broadcast anti join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15") & (F.col("p_type") != "PROMO")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad_supp, on="l_suppkey", how="left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — lineitems of one
+    brand below 20% of their part's average quantity, total price / 7.
+    The per-part average threshold is the correlated-aggregate join-back;
+    it derives from an exact decimal quantity sum so the `<` comparison
+    is one IEEE expression on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    th = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("_qty_threshold")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(th), on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_threshold"))
+        .agg(
+            round_det(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 4
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped an above-threshold volume
+    of PROMO parts in 1998 (threshold = half the average per-supplier
+    PROMO volume, a broadcast scalar — no availqty in this schema), with
+    their nations. Semi-join chain: part filter → per-supplier decimal
+    quantity sum → scalar threshold → broadcast supplier/nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    promo_qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+    )
+    scalar = promo_qty.agg(F.sum("_qty").alias("_total"), F.count("*").alias("_nsupp"))
+    return (
+        promo_qty.crossJoin(F.broadcast(scalar))
+        .filter(
+            F.col("_qty").cast("double")
+            > F.col("_total").cast("double") * 0.5 / F.col("_nsupp")
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.round(F.col("_qty"), 2).cast("double").alias("promo_qty"),
+        )
+    )
+
+
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who single-handedly held up
+    multi-supplier finalized orders — the EXISTS + NOT-EXISTS self-join
+    pair, expressed as per-order aggregates (no receiptdate in this
+    schema; a returned line, l_returnflag = 'R', marks the hold-up).
+    A supplier is counted for an order when it has a returned line, the
+    order involves ≥2 suppliers, and NO other supplier has one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_has_ret"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"), F.sum("_has_ret").alias("_n_ret")
+    )
+    waiting = (
+        per_os.join(per_o, on="l_orderkey")
+        .filter((F.col("_has_ret") == 1) & (F.col("_n_supp") >= 2) & (F.col("_n_ret") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding ROWS frame: 3-order moving average of spend per customer.
     The frame sum is exact decimal so the average is engine-independent
@@ -1734,6 +2024,17 @@ _QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_candidates": q_simhash_candidates,
     "multimodal_features": q_multimodal_features,
+    # --- round-3b additions: TPC-H 22/22 complete (next rotation) ---
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q9_product_profit": q_q9_product_profit,
+    "q11_important_values": q_q11_important_values,
+    "q12_priority_class": q_q12_priority_class,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q20_promo_part_suppliers": q_q20_promo_part_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
 }
 
 
@@ -2276,6 +2577,126 @@ _ORACLES: dict[str, str] = {
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
         WHERE n1.n_name <> n2.n_name
         GROUP BY 1, 2, 3
+    """,
+    "q2_min_cost_supplier": """
+        WITH uc AS (SELECT l_partkey, l_suppkey,
+                           l_extendedprice / l_quantity AS _uc
+                    FROM lineitem),
+        ps AS (SELECT l_partkey, l_suppkey, min(_uc) AS supp_cost
+               FROM uc GROUP BY 1, 2),
+        pm AS (SELECT l_partkey, min(supp_cost) AS best FROM ps GROUP BY 1),
+        es AS (SELECT s_suppkey, s_name, n_name
+               FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'EUROPE')
+        SELECT p_partkey, p_name, s_name, n_name AS supp_nation,
+               floor(supp_cost * 1000000 + 0.5) / 1000000.0 AS min_unit_cost
+        FROM ps
+        JOIN pm USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+        JOIN es ON l_suppkey = s_suppkey
+        WHERE supp_cost = best AND p_size <= 10
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 24
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_values": """
+        WITH pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+                    FROM lineitem GROUP BY 1),
+        s AS (SELECT sum(val) AS total, count(*) AS nparts FROM pp)
+        SELECT l_partkey AS p_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+        FROM pp CROSS JOIN s
+        WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 1.3 / nparts
+    """,
+    "q12_priority_class": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (SELECT l_suppkey,
+                            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+                     FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+                     GROUP BY 1),
+        m AS (SELECT max(r) AS mr FROM rev)
+        SELECT s_suppkey, s_name, CAST(round(r, 2) AS DOUBLE) AS total_revenue
+        FROM rev CROSS JOIN m
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = mr
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q17_small_qty_revenue": """
+        WITH th AS (SELECT l_partkey,
+                           0.2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS t
+                    FROM lineitem GROUP BY 1)
+        SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 * 10000 + 0.5) / 10000.0 AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN th USING (l_partkey)
+        WHERE p_brand = 'Brand#3' AND l_quantity < t
+    """,
+    "q20_promo_part_suppliers": """
+        WITH pq AS (SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_type = 'PROMO'
+                      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+                    GROUP BY 1),
+        s AS (SELECT sum(q) AS total, count(*) AS nsupp FROM pq)
+        SELECT s_suppkey, s_name, n_name AS supp_nation,
+               CAST(round(q, 2) AS DOUBLE) AS promo_qty
+        FROM pq CROSS JOIN s
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE CAST(q AS DOUBLE) > CAST(total AS DOUBLE) * 0.5 / nsupp
+    """,
+    "q21_waiting_suppliers": """
+        WITH po AS (SELECT l_orderkey, l_suppkey,
+                           max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE o_orderstatus = 'F'
+                    GROUP BY 1, 2),
+        oo AS (SELECT l_orderkey, count(*) AS n_supp, sum(has_ret) AS n_ret
+               FROM po GROUP BY 1)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM po
+        JOIN oo USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE has_ret = 1 AND n_supp >= 2 AND n_ret = 1
+        GROUP BY 1, 2
     """,
     "q14_promo_revenue": """
         SELECT floor(CAST(promo AS DOUBLE) * 100.0 / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS promo_revenue_pct,
