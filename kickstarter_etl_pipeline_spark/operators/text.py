@@ -211,3 +211,108 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in sorted(scores):
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return df.withColumn("lang_pred", pred)
+
+
+#: PII redaction patterns (applied in list order — URL before email so a
+#: mailto-style URL can't leave a dangling address; kept to syntax both
+#: Java regex (Spark) and RE2 (DuckDB, for the oracle twin) accept: no
+#: backreferences, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"555-[0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact URL / email / phone patterns from a text column — the
+    PII-scrubbing pass every training corpus runs before tokenization.
+
+    Pure ``regexp_count`` + chained ``regexp_replace`` expressions:
+    whole-stage codegen, one pass per pattern per document, no Python.
+    Returns per-doc match counts, the scrubbed text's md5 fingerprint,
+    and its length — enough to verify the redaction without shipping
+    the (scrubbed) text downstream.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    staged = ensure_min_partitions(df)
+    scrubbed = F.col(text_col)
+    counts = {}
+    for name, pattern, repl in PII_PATTERNS:
+        counts[name] = F.regexp_count(scrubbed, F.lit(pattern))
+        scrubbed = F.regexp_replace(scrubbed, pattern, repl)
+    return staged.select(
+        id_col,
+        *[counts[name].cast("long").alias(f"n_{name}s") for name, _, _ in PII_PATTERNS],
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary frame
+    (one ``token`` column) — the tokenizer-fit metric: how much of each
+    document a fixed vocab fails to cover.
+
+    Explode → broadcast left join against the (small) vocab → one
+    aggregate. The OOV ratio derives from exact integer counts, one IEEE
+    division (engine-deterministic).
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    tok = (
+        ensure_min_partitions(df)
+        .withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode("_toks").alias("token"))
+    )
+    marked = tok.join(
+        F.broadcast(vocab.select("token").withColumn("_in_vocab", F.lit(1))),
+        on="token",
+        how="left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        round_det(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("oov_ratio"),
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram surprisal (−ln p(token) under the
+    corpus's own unigram LM) and its exp — the CCNet-style
+    perplexity-proxy quality filter: word-soup scores low, rare-token
+    noise scores high.
+
+    Two uniform-key shuffles (token counts, per-doc mean); the LM table
+    rides a broadcast. Uses ``ln`` — NOT engine-deterministic in the
+    last ulp (NOTES.md determinism rule 7), so the registry entry is
+    rows-only by design.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    tok = (
+        ensure_min_partitions(df)
+        .withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode("_toks").alias("token"))
+    )
+    lm = tok.groupBy("token").agg(F.count("*").alias("_tf"))
+    total = lm.agg(F.sum("_tf").cast("double").alias("_total"))
+    probs = lm.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("_tf") / F.col("_total")).alias("_p")
+    )
+    scored = tok.join(F.broadcast(probs), on="token")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("_p"))), 4).alias("mean_surprisal_nats"),
+        F.round(F.exp(F.avg(-F.log(F.col("_p")))), 2).alias("ppl_proxy"),
+    )

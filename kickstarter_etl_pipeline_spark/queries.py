@@ -1876,6 +1876,124 @@ def q_scd1_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_pii_text() -> F.Column:
+    """Deterministic synthetic PII appended to each document (the corpus
+    is word-soup with no natural PII, so the scrub patterns would match
+    nothing): an email and a URL derived from (doc_id, source), plus a
+    phone number on even doc_ids so the counts vary per document. The
+    oracle performs the identical injection in SQL."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did,
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".com or https://"),
+        F.col("source"),
+        F.lit(".example.org/d/"),
+        did,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents corpus (URL → email → phone,
+    staged counts) — verified down to the md5 of every scrubbed
+    document, so a single missed or extra redaction anywhere flips the
+    hash. See operators.text.pii_scrub."""
+    from kickstarter_etl_pipeline_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", _salted_pii_text().alias("text"))
+    return pii_scrub(salted)
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit metric: per-document out-of-vocabulary rate against
+    the corpus's own top-100 vocabulary (count-then-token tie-break, the
+    same deterministic boundary as token_frequency)."""
+    from kickstarter_etl_pipeline_spark.operators.text import oov_rate, token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        token_frequency(docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+        .select("token")
+    )
+    return oov_rate(docs, vocab)
+
+
+def q_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: mean unigram surprisal + perplexity
+    proxy per document under the corpus's own unigram LM. Uses ln/exp,
+    which are NOT bit-deterministic across engines (NOTES.md rule 7) —
+    registered rows-only by design."""
+    from kickstarter_etl_pipeline_spark.operators.text import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+def q_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per (source, lang) document counts,
+    char volume, and share of the corpus — the table you read before
+    choosing sampling weights. The grand total rides a broadcast scalar;
+    the share is one IEEE expression from exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+    total = docs.agg(F.count("*").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "chars_sum",
+        round_det(F.col("n_docs") * 100.0 / F.col("_total"), 6).alias("doc_share_pct"),
+    )
+
+
+def q_length_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report: documents (and char volume) surviving each
+    stage of a progressively stricter quality gate — the standard
+    what-did-each-filter-cost accounting for a corpus-cleaning pipeline.
+    Four aggregates over one cached scan, unioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    stages = [
+        ("all_documents", F.lit(True)),
+        ("min_100_chars", F.col("n_chars") >= 100),
+        ("latin_lang", (F.col("n_chars") >= 100) & F.col("lang").isin("en", "de", "es", "fr")),
+        (
+            "max_500_chars",
+            (F.col("n_chars") >= 100)
+            & F.col("lang").isin("en", "de", "es", "fr")
+            & (F.col("n_chars") <= 500),
+        ),
+    ]
+    parts = [
+        docs.filter(cond).agg(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_sum"),
+        )
+        for i, (name, cond) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing verbatim word
     5-grams with the benchmark stratum (every 10th doc stands in for the
@@ -2035,6 +2153,12 @@ _QUERIES: dict[str, QueryFn] = {
     "q17_small_qty_revenue": q_q17_small_qty_revenue,
     "q20_promo_part_suppliers": q_q20_promo_part_suppliers,
     "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    # --- round-3b additions: corpus-curation surface (next rotation) ---
+    "pii_scrub": q_pii_scrub,
+    "oov_rate": q_oov_rate,
+    "perplexity_proxy": q_perplexity_proxy,
+    "domain_mix_report": q_domain_mix_report,
+    "length_filter_funnel": q_length_filter_funnel,
 }
 
 
@@ -2577,6 +2701,66 @@ _ORACLES: dict[str, str] = {
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
         WHERE n1.n_name <> n2.n_name
         GROUP BY 1, 2, 3
+    """,
+    "pii_scrub": """
+        WITH salted AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source || '.com or https://'
+                      || source || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+                      || CASE WHEN doc_id % 2 = 0
+                              THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              ELSE '' END AS t0
+          FROM documents),
+        staged AS (
+          SELECT doc_id, t0,
+                 regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+          FROM salted),
+        staged2 AS (
+          SELECT doc_id, t0, t1,
+                 regexp_replace(t1, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g') AS t2
+          FROM staged)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(t1, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t2, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(t2, '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5,
+               CAST(length(regexp_replace(t2, '555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+        FROM staged2
+    """,
+    "oov_rate": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        vocab AS (SELECT token FROM (
+            SELECT token, count(*) AS c FROM tok GROUP BY 1
+            ORDER BY c DESC, token LIMIT 100)),
+        m AS (SELECT t.doc_id,
+                     CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+              FROM tok t LEFT JOIN vocab v USING (token))
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               floor(CAST(sum(oov) AS BIGINT) / count(*) * 1000000 + 0.5) / 1000000.0 AS oov_ratio
+        FROM m GROUP BY 1
+    """,
+    "domain_mix_report": """
+        WITH t AS (SELECT count(*) AS total FROM documents)
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+               floor(count(*) * 100.0 / (SELECT total FROM t) * 1000000 + 0.5) / 1000000.0 AS doc_share_pct
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "length_filter_funnel": """
+        SELECT 0 AS stage_idx, 'all_documents' AS stage_name, count(*) AS n_docs,
+               CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
+        FROM documents
+        UNION ALL
+        SELECT 1, 'min_100_chars', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        FROM documents WHERE n_chars >= 100
+        UNION ALL
+        SELECT 2, 'latin_lang', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        FROM documents WHERE n_chars >= 100 AND lang IN ('en', 'de', 'es', 'fr')
+        UNION ALL
+        SELECT 3, 'max_500_chars', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        FROM documents WHERE n_chars >= 100 AND lang IN ('en', 'de', 'es', 'fr') AND n_chars <= 500
     """,
     "q2_min_cost_supplier": """
         WITH uc AS (SELECT l_partkey, l_suppkey,

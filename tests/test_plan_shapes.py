@@ -91,3 +91,61 @@ def test_hash_sample_prunes_columns(spark, sf_dir):
     read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
     assert "o_orderdate" not in read_schema and "o_orderpriority" not in read_schema
     assert "Exchange" not in plan
+
+
+def test_q6_pushes_all_three_predicates(spark, sf_dir):
+    """Q6 is the pushdown canary: date range, discount range, and
+    quantity bound must ALL reach the parquet scan, and the read schema
+    must carry only the columns the query touches."""
+    from kickstarter_etl_pipeline_spark.queries import q_q6_forecast_revenue
+
+    plan = explain_str(q_q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.02)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in plan, f"predicate not pushed: {frag}"
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """Q9's part/supplier/nation joins must all broadcast; lineitem
+    shuffles exactly once — for the final (nation, year) aggregate —
+    with map-side partial aggregation below it."""
+    from kickstarter_etl_pipeline_spark.queries import q_q9_product_profit
+
+    plan = explain_str(q_q9_product_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    simple = explain_str(q_q9_product_profit(spark, sf_dir), mode="simple")
+    assert "partial_sum" in simple
+    assert simple.index("partial_sum") > simple.index("Exchange")
+
+
+def test_q2_argmin_joinback_broadcasts_the_min_side(spark, sf_dir):
+    """The per-part min frame and all dims ride broadcasts; the only
+    shuffles are the two aggregates over the (part, supplier) lattice.
+    Nested-loop would mean the equality join-back lost its key."""
+    from kickstarter_etl_pipeline_spark.queries import q_q2_min_cost_supplier
+
+    plan = explain_str(q_q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_stays_distributed(spark, sf_dir):
+    """The MAX-revenue scalar must reach the filter as a broadcast
+    (nested-loop over ONE row), never via a driver collect — the plan
+    still ends in a join, and the revenue view aggregates partially."""
+    from kickstarter_etl_pipeline_spark.queries import q_q15_top_supplier
+
+    plan = explain_str(q_q15_top_supplier(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    simple = explain_str(q_q15_top_supplier(spark, sf_dir), mode="simple")
+    assert "partial_sum" in simple
