@@ -236,3 +236,66 @@ def test_scd2_versions_partition_timeline(rows):
             assert cur["is_current"] == 0
         assert versions[-1]["effective_to"] is None
         assert versions[-1]["is_current"] == 1
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 999),
+            st.text(
+                alphabet=st.sampled_from(list("abc xyz.09-_%+")), min_size=0, max_size=40
+            ),
+            st.booleans(),  # append a synthetic email?
+            st.booleans(),  # append a synthetic URL?
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pii_scrub_idempotent_and_counts(docs):
+    """Scrubbing is idempotent (the replacement tokens never re-match any
+    pattern), and every injected email/URL is counted and removed."""
+    from kickstarter_etl_pipeline_spark.operators.text import pii_scrub
+
+    spark = _get_spark()
+    rows = []
+    for i, base, add_email, add_url in docs:
+        t = base
+        if add_email:
+            t += f" u{i}@host{i}.org"
+        if add_url:
+            t += f" https://h{i}.example.com/p"
+        rows.append((i, t, add_email, add_url))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], ["doc_id", "text"]
+    )
+    once = pii_scrub(df).collect()
+    by_id = {r["doc_id"]: r for r in once}
+    for i, t, add_email, add_url in rows:
+        r = by_id[i]
+        assert r["n_emails"] >= int(add_email)
+        assert r["n_urls"] >= int(add_url)
+    # Idempotence: scrub(scrub(x)) == scrub(x). Rebuild a frame whose text
+    # is the scrubbed text; counts must all be zero and md5s unchanged.
+    # We can't read the scrubbed text back (only its md5), so scrub a
+    # pre-scrubbed corpus built the same way driver-side.
+    import re
+
+    pats = [
+        (r"https?://[^\s]+", "<URL>"),
+        (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+        (r"555-[0-9]{4}", "<PHONE>"),
+    ]
+    scrubbed_py = []
+    for i, t, _, _ in rows:
+        s = t
+        for pat, repl in pats:
+            s = re.sub(pat, repl, s)
+        scrubbed_py.append((i, s))
+    df2 = spark.createDataFrame(scrubbed_py, ["doc_id", "text"])
+    twice = {r["doc_id"]: r for r in pii_scrub(df2).collect()}
+    for i, _ in scrubbed_py:
+        assert twice[i]["n_urls"] == 0 and twice[i]["n_emails"] == 0 and twice[i]["n_phones"] == 0
+        assert twice[i]["scrubbed_md5"] == by_id[i]["scrubbed_md5"]
