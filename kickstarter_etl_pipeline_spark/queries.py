@@ -442,6 +442,34 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(spark, sf_dir)
 
 
+def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance: the update-mode tumbling
+    aggregation MERGEd into a warehouse table per micro-batch
+    (foreachBatch + merge_upsert) — the rollup always holds the current
+    value of every window. Over the finite fixture the final table must
+    equal the batch tumbling aggregate, so it shares q_events_tumbling's
+    oracle; the multi-batch refine/late-drop contract is covered in
+    tests/test_streaming_append_and_jdbc.py."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import stream_upsert_rollup
+
+    root = run_scratch_dir("stream_upsert_")
+    rollup = stream_upsert_rollup(
+        spark,
+        sf_dir,
+        root + "/rollup",
+        root + "/ckpt",
+        path_glob="events.parquet",
+    )
+    return rollup.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+        round_det(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.sliding_window_agg(load_table(spark, sf_dir, "events"))
 
@@ -2159,6 +2187,7 @@ _QUERIES: dict[str, QueryFn] = {
     "perplexity_proxy": q_perplexity_proxy,
     "domain_mix_report": q_domain_mix_report,
     "length_filter_funnel": q_length_filter_funnel,
+    "events_stream_upsert": q_events_stream_upsert,
 }
 
 
@@ -3254,6 +3283,8 @@ _ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
 # Star-rewriting CC must produce the exact same groups as min-label CC.
 _ORACLES["dedup_components_star"] = _ORACLES["dedup_components"]
 _ORACLES["events_stream_sliding"] = _ORACLES["events_sliding"]
+# The finite-fixture upsert rollup must equal the batch tumbling agg.
+_ORACLES["events_stream_upsert"] = _ORACLES["events_tumbling"]
 # Format round-trips must reproduce the parquet-sourced aggregate exactly.
 _ORACLES["json_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
 _ORACLES["orc_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]

@@ -379,3 +379,74 @@ def streaming_dedup_events(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_upsert_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 0,
+    path_glob: str = "*.parquet",
+) -> DataFrame:
+    """PRODUCTION TIER: streaming materialized-view maintenance — an
+    update-mode windowed aggregation whose changed rows are MERGEd into
+    a queryable warehouse table every micro-batch via ``foreachBatch``
+    + :func:`~kickstarter_etl_pipeline_spark.sources.sinks.merge_upsert`.
+
+    This is the third point in the streaming-sink design space, next to
+    the complete-mode memory sink (fixture verification) and the
+    append-mode parquet sink (emit-once-after-watermark): the rollup
+    table always holds the CURRENT value of every window — open windows
+    are visible and refined in place as events arrive, late events
+    within the watermark update their window's row, and events later
+    than the watermark are dropped exactly as in append mode. On a
+    transactional format the inner merge is one native MERGE; state
+    stays bounded by open windows, and the merge touches only changed
+    rows per batch.
+
+    Returns the final rollup table read back as a batch frame.
+    """
+    from kickstarter_etl_pipeline_spark.sources.sinks import merge_upsert
+
+    ensure_runtime_confs(spark)
+    reader = (
+        spark.readStream.schema(schemas.EVENTS)
+        .format("parquet")
+        .option("pathGlobFilter", path_glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(src_dir)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession, batch_df, table_path, keys=["bucket_start", "event_type"]
+        )
+
+    query = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(table_path)

@@ -176,3 +176,63 @@ def test_scratch_dirs_are_run_scoped():
     d2 = scratch.run_scratch_dir("b_")
     assert os.path.dirname(d1) == os.path.dirname(d2)
     assert os.path.dirname(os.path.dirname(d1)) == scratch.SCRATCH_ROOT
+
+
+def test_upsert_rollup_refines_open_windows_and_drops_late(spark, tmp_path):
+    """The foreachBatch-MERGE rollup contract, vs append mode: open
+    windows are VISIBLE and refined in place across batches; late
+    events within the watermark update their window's row; events later
+    than the watermark are dropped; the final table equals the batch
+    aggregate over the non-late rows."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import stream_upsert_rollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # Batch 1: two 10:xx clicks; a 13:30 click advances the watermark
+    # to 12:30 at the NEXT batch boundary.
+    _write_events(
+        str(src / "batch1.parquet"),
+        [
+            (1, _ns(10, 0), 1, "click", 1.0, "{}"),
+            (2, _ns(10, 15), 1, "click", 1.0, "{}"),
+            (3, _ns(13, 30), 9, "click", 1.0, "{}"),
+        ],
+    )
+    # Batch 2: refines the still-open [13:00,14:00) window in place.
+    _write_events(
+        str(src / "batch2.parquet"),
+        [(4, _ns(13, 45), 9, "click", 2.0, "{}")],
+    )
+    # Batch 3: a LATE 10:30 click (watermark is 12:30/12:45 — dropped)
+    # plus a fresh 15:00 click (open window, must be visible).
+    _write_events(
+        str(src / "batch3.parquet"),
+        [
+            (5, _ns(10, 30), 1, "click", 100.0, "{}"),
+            (6, _ns(15, 0), 2, "click", 1.0, "{}"),
+        ],
+    )
+    t0 = os.path.getmtime(str(src / "batch3.parquet"))
+    for i, name in enumerate(["batch1.parquet", "batch2.parquet", "batch3.parquet"]):
+        os.utime(str(src / name), (t0 - 300 + i * 120, t0 - 300 + i * 120))
+
+    result = stream_upsert_rollup(
+        spark,
+        str(src),
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+        window_duration="1 hour",
+        watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    rows = {r["bucket_start"]: r for r in result.collect()}
+    # One row per window — upsert, never duplicate emissions.
+    assert result.count() == len(rows)
+    # Late event dropped: the 10:00 window keeps its pre-late value.
+    assert rows["2024-01-01 10:00:00"]["n_events"] == 2
+    assert rows["2024-01-01 10:00:00"]["sum_value"] == 2.0
+    # The 13:00 window was refined IN PLACE across two batches.
+    assert rows["2024-01-01 13:00:00"]["n_events"] == 2
+    assert rows["2024-01-01 13:00:00"]["sum_value"] == 3.0
+    # Open windows are visible (the append sink would withhold 15:00).
+    assert rows["2024-01-01 15:00:00"]["n_events"] == 1
