@@ -139,3 +139,42 @@ def test_ignore_corrupt_files(spark, tmp_path):
         assert spark.read.parquet(path).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_curation_ops_on_degenerate_docs(spark):
+    """pii_scrub / oov_rate / unigram_surprisal must survive empty,
+    whitespace-only, null, and unicode text without errors, and null
+    text must map to null outputs (not crashes, not fabricated rows)."""
+    from kickstarter_etl_pipeline_spark.operators.text import (
+        oov_rate,
+        pii_scrub,
+        unigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld 🌍 mail me x@y.io"),
+            (2, ""),
+            (3, "   "),
+            (4, None),
+            (5, "plain words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    scrubbed = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert len(scrubbed) == 5
+    assert scrubbed[1]["n_emails"] == 1
+    assert scrubbed[4]["scrubbed_md5"] is None and scrubbed[4]["scrubbed_len"] is None
+    assert scrubbed[2]["n_urls"] == 0 and scrubbed[2]["scrubbed_len"] == 0
+
+    vocab = spark.createDataFrame([("plain",), ("words",)], ["token"])
+    rates = {r["doc_id"]: r for r in oov_rate(docs.filter("text IS NOT NULL"), vocab).collect()}
+    # doc 5: 3 tokens, 1 OOV ("only").
+    assert rates[5]["n_tokens"] == 3 and rates[5]["n_oov"] == 1
+    # empty/whitespace docs tokenize to a single empty-string token — OOV
+    # but never a division error.
+    assert rates[2]["n_tokens"] >= 1 and rates[3]["n_tokens"] >= 1
+
+    surp = unigram_surprisal(docs.filter("text IS NOT NULL"))
+    assert surp.count() == 4
+    assert all(r["mean_surprisal_nats"] >= 0 for r in surp.collect())
