@@ -2022,6 +2022,60 @@ def q_length_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_compaction_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: documents written as 16 small
+    files, compacted to 2 via the crash-safe rename swap
+    (sources.sinks.compact_parquet), then aggregated — a lost or
+    duplicated row during the rewrite/swap flips the counts against the
+    plain-documents oracle. The file-count reduction itself is asserted
+    in tests/test_scale_paths.py; the graded result proves data
+    fidelity."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = run_scratch_dir("compact_docs_") + "/t"
+    docs.repartition(16).write.parquet(path)
+    compact_parquet(spark, path, target_files=2)
+    return (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )
+
+
+def q_partitioned_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned fact layout end-to-end: orders written partitioned by
+    order year (the reference's date-keyed warehouse layout re-expressed
+    as hive partitioning), read back with a year predicate — which scans
+    ONLY that year's directory (partition pruning, plan-asserted in
+    tests/test_streaming_append_and_jdbc.py) — and aggregated by
+    priority against a plain-orders oracle."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    path = run_scratch_dir("part_orders_") + "/t"
+    write_parquet(orders, path, partition_by=["order_year"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("order_year") == 1998)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing verbatim word
     5-grams with the benchmark stratum (every 10th doc stands in for the
@@ -2188,6 +2242,8 @@ _QUERIES: dict[str, QueryFn] = {
     "domain_mix_report": q_domain_mix_report,
     "length_filter_funnel": q_length_filter_funnel,
     "events_stream_upsert": q_events_stream_upsert,
+    "compaction_roundtrip_agg": q_compaction_roundtrip_agg,
+    "partitioned_prune_agg": q_partitioned_prune_agg,
 }
 
 
@@ -3233,6 +3289,13 @@ _ORACLES: dict[str, str] = {
         JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
         GROUP BY c.doc_id
     """,
+    "partitioned_prune_agg": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE year(o_orderdate) = 1998
+        GROUP BY 1
+    """,
     "idempotent_append_agg": """
         SELECT source, count(*) AS n_docs,
                CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -3285,6 +3348,9 @@ _ORACLES["dedup_components_star"] = _ORACLES["dedup_components"]
 _ORACLES["events_stream_sliding"] = _ORACLES["events_sliding"]
 # The finite-fixture upsert rollup must equal the batch tumbling agg.
 _ORACLES["events_stream_upsert"] = _ORACLES["events_tumbling"]
+# Compaction must preserve the data exactly — same oracle as the
+# idempotent-append round-trip (a plain aggregate over documents).
+_ORACLES["compaction_roundtrip_agg"] = _ORACLES["idempotent_append_agg"]
 # Format round-trips must reproduce the parquet-sourced aggregate exactly.
 _ORACLES["json_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
 _ORACLES["orc_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
