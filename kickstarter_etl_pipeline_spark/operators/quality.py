@@ -43,3 +43,27 @@ def orphan_count(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -
         .join(dim.select(F.col(dim_key).alias(fact_key)), on=fact_key, how="left_anti")
     )
     return orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+
+
+def quarantine_split(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
+    """Expectations-style row quarantine: split ``df`` into (clean,
+    quarantined) by a dict of named PASS-conditions, tagging each
+    quarantined row with the array of rule names it violated — the
+    operator behind every "route bad rows to a side table, load the
+    rest" pipeline stage.
+
+    One pass, pure codegen: the violation array is built with
+    ``when``/``array_compact``, then a size filter splits the stream —
+    no join, no shuffle, each side keeps the scan's partitioning.
+
+    Rules must be null-safe (wrap nullable comparisons in
+    ``coalesce(cond, lit(False))``): a rule evaluating to NULL would
+    silently pass the row, which is never what a quality gate means.
+    """
+    viol = F.array_compact(
+        F.array(*[F.when(~cond, F.lit(name)) for name, cond in rules.items()])
+    )
+    tagged = df.withColumn("violated_rules", viol)
+    clean = tagged.filter(F.size("violated_rules") == 0).drop("violated_rules")
+    quarantined = tagged.filter(F.size("violated_rules") > 0)
+    return clean, quarantined

@@ -2076,6 +2076,87 @@ def q_partitioned_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style quarantine end-to-end: orders are
+    deterministically corrupted (negated price on keys ≡0 mod 7, bogus
+    status on ≡0 mod 11, nulled priority on ≡0 mod 13 — the clean
+    fixture has no violations of its own), split by three null-safe
+    rules via operators.quality.quarantine_split, and summarized as a
+    one-row report: input/clean/quarantined totals, per-rule violation
+    counts (a row can violate several), and the clean-side price sum.
+    The oracle reconstructs the identical corruption and gate in SQL."""
+    from kickstarter_etl_pipeline_spark.operators.quality import quarantine_split
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(k % 7 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(k % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(k % 13 == 0, F.lit(None).cast("string")).otherwise(F.col("o_orderpriority")).alias("prio"),
+    )
+    rules = {
+        "price_positive": F.coalesce(F.col("price") > 0, F.lit(False)),
+        "status_valid": F.coalesce(F.col("status").isin("F", "P", "O"), F.lit(False)),
+        "priority_not_null": F.col("prio").isNotNull(),
+    }
+    clean, quarantined = quarantine_split(corrupted, rules)
+    clean_agg = clean.agg(
+        F.count("*").alias("n_clean"),
+        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("clean_price_sum"),
+    )
+    quar_agg = quarantined.agg(
+        F.count("*").alias("n_quarantined"),
+        *[
+            F.sum(F.when(F.array_contains("violated_rules", name), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_viol_{name}")
+            for name in rules
+        ],
+    )
+    return clean_agg.crossJoin(quar_agg).select(
+        (F.col("n_clean") + F.col("n_quarantined")).alias("n_input"),
+        "n_clean",
+        "n_quarantined",
+        "n_viol_price_positive",
+        "n_viol_status_valid",
+        "n_viol_priority_not_null",
+        "clean_price_sum",
+    )
+
+
+def q_incremental_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance end-to-end: orders fold into a
+    stored per-priority rollup in three batches (keys mod 3) via
+    sources.sinks.incremental_rollup_update — each fold touches only
+    its batch plus the key-cardinality-sized stored partials, never
+    rescanning history. The final table must equal a direct group-by
+    over all orders (monoid partials), including the derived average."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import incremental_rollup_update
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    path = run_scratch_dir("rollup_orders_") + "/t"
+    for i in range(3):
+        incremental_rollup_update(
+            spark,
+            path,
+            orders.filter(F.col("o_orderkey") % 3 == i),
+            keys=["o_orderpriority"],
+            sum_cols=["o_totalprice"],
+        )
+    stored = spark.read.parquet(path)
+    total = F.col("sum_o_totalprice")
+    return stored.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("long").alias("n_orders"),
+        F.round(total, 2).cast("double").alias("total_price"),
+        round_det(F.round(total, 2).cast("double") / F.col("n_rows"), 6).alias("avg_price"),
+    )
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing verbatim word
     5-grams with the benchmark stratum (every 10th doc stands in for the
@@ -2244,6 +2325,8 @@ _QUERIES: dict[str, QueryFn] = {
     "events_stream_upsert": q_events_stream_upsert,
     "compaction_roundtrip_agg": q_compaction_roundtrip_agg,
     "partitioned_prune_agg": q_partitioned_prune_agg,
+    "dq_quarantine_report": q_dq_quarantine_report,
+    "incremental_rollup_agg": q_incremental_rollup_agg,
 }
 
 
@@ -3288,6 +3371,37 @@ _ORACLES: dict[str, str] = {
         FROM (SELECT * FROM sh WHERE doc_id % 10 != 0) c
         JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
         GROUP BY c.doc_id
+    """,
+    "dq_quarantine_report": """
+        WITH corrupted AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice ELSE o_totalprice END AS price,
+                 CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+                 CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderpriority END AS prio
+          FROM orders),
+        gated AS (
+          SELECT *,
+                 CASE WHEN coalesce(price > 0, FALSE) THEN 0 ELSE 1 END AS v_price,
+                 CASE WHEN coalesce(status IN ('F','P','O'), FALSE) THEN 0 ELSE 1 END AS v_status,
+                 CASE WHEN prio IS NOT NULL THEN 0 ELSE 1 END AS v_prio
+          FROM corrupted)
+        SELECT count(*) AS n_input,
+               CAST(sum(CASE WHEN v_price + v_status + v_prio = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+               CAST(sum(CASE WHEN v_price + v_status + v_prio > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+               CAST(sum(v_price) AS BIGINT) AS n_viol_price_positive,
+               CAST(sum(v_status) AS BIGINT) AS n_viol_status_valid,
+               CAST(sum(v_prio) AS BIGINT) AS n_viol_priority_not_null,
+               CAST(round(sum(CASE WHEN v_price + v_status + v_prio = 0
+                                   THEN CAST(price AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS clean_price_sum
+        FROM gated
+    """,
+    "incremental_rollup_agg": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2) AS DOUBLE) AS total_price,
+               floor(CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2) AS DOUBLE) / count(*)
+                     * 1000000 + 0.5) / 1000000.0 AS avg_price
+        FROM orders
+        GROUP BY 1
     """,
     "partitioned_prune_agg": """
         SELECT o_orderpriority, count(*) AS n_orders,
