@@ -2157,6 +2157,32 @@ def q_incremental_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct-user counts per event type:
+    three batch folds of mergeable HLL sketch partials
+    (sources.sinks.incremental_distinct_rollup) read off as estimates.
+    ROWS-ONLY by design: the estimate is DataSketches-specific (DuckDB's
+    HLL differs); exact merge-order invariance and a 2% accuracy bound
+    are asserted in tests/test_sinks_and_dedup.py."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import (
+        distinct_rollup_estimates,
+        incremental_distinct_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    path = run_scratch_dir("hll_rollup_") + "/t"
+    for i in range(3):
+        rollup = incremental_distinct_rollup(
+            spark,
+            path,
+            events.filter(F.col("event_id") % 3 == i),
+            keys=["event_type"],
+            distinct_col="user_id",
+        )
+    return distinct_rollup_estimates(rollup)
+
+
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing verbatim word
     5-grams with the benchmark stratum (every 10th doc stands in for the
@@ -2327,6 +2353,7 @@ _QUERIES: dict[str, QueryFn] = {
     "partitioned_prune_agg": q_partitioned_prune_agg,
     "dq_quarantine_report": q_dq_quarantine_report,
     "incremental_rollup_agg": q_incremental_rollup_agg,
+    "distinct_users_rollup": q_distinct_users_rollup,
 }
 
 

@@ -257,3 +257,53 @@ def write_jdbc(
     for k, v in jdbc_options(url, table, batchsize, isolation_level, num_partitions, driver).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def incremental_distinct_rollup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Incrementally maintain a stored COUNT(DISTINCT) rollup with
+    mergeable HyperLogLog sketch partials (Apache DataSketches via
+    ``hll_sketch_agg`` / ``hll_union_agg``).
+
+    Exact distinct counts are NOT monoids — they can't be maintained by
+    :func:`incremental_rollup_update`'s count/sum folding without
+    keeping every member. Sketches restore the monoid property: each
+    batch contributes a fixed-size (2^lg_k registers) binary partial
+    per key, stored partials and batch partials merge associatively,
+    and the estimate is read off the merged sketch. This is the 100 TB
+    pattern for "distinct users per day, updated nightly": the nightly
+    job touches its own rows plus key-cardinality × KB of state,
+    never the member history. Merge-order invariance (batched folds ==
+    one-shot sketch, exactly) is asserted in tests.
+
+    Returns the updated rollup (keys + ``hll_sketch`` binary).
+    """
+    partial = batch.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(distinct_col).cast("string"), lg_k).alias("hll_sketch")
+    )
+    existing = _read_existing(spark, path)
+    if existing is not None:
+        merged = (
+            existing.unionByName(partial)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg("hll_sketch", True).alias("hll_sketch"))
+        )
+    else:
+        merged = partial
+    materialized = merged.localCheckpoint(eager=True)
+    materialized.write.mode("overwrite").parquet(path)
+    return materialized
+
+
+def distinct_rollup_estimates(rollup: DataFrame) -> DataFrame:
+    """Read estimates off a sketch rollup: keys + ``n_distinct_est``."""
+    return rollup.select(
+        *[c for c in rollup.columns if c != "hll_sketch"],
+        F.hll_sketch_estimate("hll_sketch").cast("long").alias("n_distinct_est"),
+    )

@@ -197,3 +197,49 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
         for r in spark.read.parquet(path).collect()
     }
     assert stored == expected
+
+
+def test_incremental_distinct_rollup_merge_invariant(spark, sf_dir, tmp_path):
+    """Sketch folding is a monoid: three batched folds must produce the
+    EXACT same estimates as one single-pass sketch (merge-order
+    invariance — not just 'close'), and land within 2% of the exact
+    distinct count at fixture cardinalities."""
+    from pyspark.sql import functions as F
+
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+    from kickstarter_etl_pipeline_spark.sources.sinks import (
+        distinct_rollup_estimates,
+        incremental_distinct_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup")
+    for i in range(3):
+        rollup = incremental_distinct_rollup(
+            spark,
+            path,
+            events.filter(F.col("event_id") % 3 == i),
+            keys=["event_type"],
+            distinct_col="user_id",
+        )
+    folded = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in distinct_rollup_estimates(rollup).collect()
+    }
+    one_shot = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in distinct_rollup_estimates(
+            events.groupBy("event_type").agg(
+                F.hll_sketch_agg(F.col("user_id").cast("string"), 12).alias("hll_sketch")
+            )
+        ).collect()
+    }
+    assert folded == one_shot  # exact merge-order invariance
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(folded[et] - n) <= max(1, 0.02 * n), (et, folded[et], n)
