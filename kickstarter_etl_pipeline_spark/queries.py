@@ -2157,6 +2157,54 @@ def q_incremental_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, time-bounded funnel analysis (view → click within 1 h →
+    purchase within 1 h): per-stage surviving user counts plus
+    conversion from the top of the funnel — the product-analytics
+    sequential-pattern query. Each stage is one filtered min-aggregate
+    joined to the prior stage's frame; time stays in integer
+    microseconds (rule 4) so the window bounds are exact, and
+    conversion derives from exact counts in one IEEE division."""
+    hour_us = 3_600_000_000
+    events = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
+    e = events.select("user_id", "event_type", "us")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("t1"))
+    c = (
+        e.join(v, on="user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("us") >= F.col("t1"))
+            & (F.col("us") <= F.col("t1") + hour_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        e.join(c, on="user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") >= F.col("t2"))
+            & (F.col("us") <= F.col("t2") + hour_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = (
+        e.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(F.broadcast(v.agg(F.count("*").alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchased"))))
+    )
+    return counts.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        round_det(F.col("n_clicked") / F.col("n_viewed"), 6).alias("view_to_click"),
+        round_det(F.col("n_purchased") / F.col("n_viewed"), 6).alias("view_to_purchase"),
+    )
+
+
 def q_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained distinct-user counts per event type:
     three batch folds of mergeable HLL sketch partials
@@ -2354,6 +2402,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dq_quarantine_report": q_dq_quarantine_report,
     "incremental_rollup_agg": q_incremental_rollup_agg,
     "distinct_users_rollup": q_distinct_users_rollup,
+    "events_funnel": q_events_funnel,
 }
 
 
@@ -3398,6 +3447,22 @@ _ORACLES: dict[str, str] = {
         FROM (SELECT * FROM sh WHERE doc_id % 10 != 0) c
         JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
         GROUP BY c.doc_id
+    """,
+    "events_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND us >= t1 AND us <= t1 + 3600000000 GROUP BY 1),
+        p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND us >= t2 AND us <= t2 + 3600000000 GROUP BY 1)
+        SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+               (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked,
+               (SELECT count(*) FROM p) AS n_purchased,
+               floor(CAST((SELECT count(*) FROM c) AS BIGINT) / (SELECT count(*) FROM v)
+                     * 1000000 + 0.5) / 1000000.0 AS view_to_click,
+               floor(CAST((SELECT count(*) FROM p) AS BIGINT) / (SELECT count(*) FROM v)
+                     * 1000000 + 0.5) / 1000000.0 AS view_to_purchase
     """,
     "dq_quarantine_report": """
         WITH corrupted AS (
