@@ -2205,6 +2205,43 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first
+    'signup' event; for each (cohort_week, weeks_since) cell, how many
+    cohort members were active that week and the retention rate vs the
+    cohort size. Weeks are integer microsecond arithmetic from a fixed
+    epoch (rule 4 — no date-truncation timezone traps); rates derive
+    from exact counts in one IEEE division. Two uniform-key shuffles
+    (first-signup per user, cell distinct) — linear at any scale."""
+    wk_us = 7 * 24 * 3_600_000_000
+    events = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
+    e = events.select("user_id", "event_type", (F.col("us") / wk_us).cast("long").alias("wk"))
+    cohorts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    sizes = cohorts.groupBy("cohort_wk").agg(F.count("*").alias("cohort_size"))
+    active = (
+        e.join(cohorts, on="user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .distinct()
+        .groupBy("cohort_wk", "weeks_since")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), on="cohort_wk")
+        .select(
+            "cohort_wk",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            round_det(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
 def q_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained distinct-user counts per event type:
     three batch folds of mergeable HLL sketch partials
@@ -2403,6 +2440,7 @@ _QUERIES: dict[str, QueryFn] = {
     "incremental_rollup_agg": q_incremental_rollup_agg,
     "distinct_users_rollup": q_distinct_users_rollup,
     "events_funnel": q_events_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 
@@ -3447,6 +3485,23 @@ _ORACLES: dict[str, str] = {
         FROM (SELECT * FROM sh WHERE doc_id % 10 != 0) c
         JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
         GROUP BY c.doc_id
+    """,
+    "cohort_retention": """
+        WITH e AS (SELECT user_id, event_type,
+                          CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+                   FROM events),
+        cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+                    WHERE event_type = 'signup' GROUP BY 1),
+        sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM cohorts GROUP BY 1),
+        active AS (
+          SELECT cohort_wk, weeks_since, count(*) AS n_active FROM (
+            SELECT DISTINCT e.user_id, cohort_wk, wk - cohort_wk AS weeks_since
+            FROM e JOIN cohorts USING (user_id)
+            WHERE wk >= cohort_wk)
+          GROUP BY 1, 2)
+        SELECT cohort_wk, weeks_since, n_active, cohort_size,
+               floor(CAST(n_active AS BIGINT) / cohort_size * 1000000 + 0.5) / 1000000.0 AS retention
+        FROM active JOIN sizes USING (cohort_wk)
     """,
     "events_funnel": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
