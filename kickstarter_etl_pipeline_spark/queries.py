@@ -2205,6 +2205,28 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent order priority per status) with a
+    deterministic tie-break (count desc, then priority asc) — the
+    argmax-of-count aggregation shape, resolved with one count
+    aggregate plus a row_number window over the (small) group×value
+    lattice, never a collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by the week of their first
     'signup' event; for each (cohort_week, weeks_since) cell, how many
@@ -2441,6 +2463,7 @@ _QUERIES: dict[str, QueryFn] = {
     "distinct_users_rollup": q_distinct_users_rollup,
     "events_funnel": q_events_funnel,
     "cohort_retention": q_cohort_retention,
+    "priority_mode_by_status": q_priority_mode_by_status,
 }
 
 
@@ -3485,6 +3508,15 @@ _ORACLES: dict[str, str] = {
         FROM (SELECT * FROM sh WHERE doc_id % 10 != 0) c
         JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
         GROUP BY c.doc_id
+    """,
+    "priority_mode_by_status": """
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+        FROM (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY count(*) DESC, o_orderpriority) AS rn
+          FROM orders GROUP BY 1, 2)
+        WHERE rn = 1
     """,
     "cohort_retention": """
         WITH e AS (SELECT user_id, event_type,

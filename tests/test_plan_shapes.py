@@ -149,3 +149,21 @@ def test_q15_scalar_max_stays_distributed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     simple = explain_str(q_q15_top_supplier(spark, sf_dir), mode="simple")
     assert "partial_sum" in simple
+
+
+def test_shuffle_hash_hint_honored(spark, sf_dir):
+    """Join-strategy hints must reach the planner: a SHUFFLE_HASH hint
+    on the orders side turns the li⋈orders join into ShuffledHashJoin
+    (no sort phase) instead of SortMergeJoin — the knob for fact-fact
+    joins where one side's per-partition hash table fits memory and
+    the sort would dominate."""
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey
+    ).groupBy("o_orderstatus").count()
+    plan = explain_str(joined)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
