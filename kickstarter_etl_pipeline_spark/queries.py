@@ -2205,6 +2205,46 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply end-to-end: a base table (even orderkeys) receives one
+    change batch containing, per affected key, an UPDATE at seq 1
+    (price + 500 for keys ≡0 mod 4), a DELETE at seq 2 (keys ≡0 mod 8 —
+    which also matched the update, so last-writer-wins must let the
+    delete prevail), and INSERTs (keys ≡1 mod 4). The stored result is
+    aggregated; the oracle reconstructs the same final state, so a
+    resurrected delete, double-applied update, lost carry, or missed
+    insert flips the hash."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import apply_cdc_batch, merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = run_scratch_dir("cdc_orders_") + "/t"
+    merge_upsert(spark, orders.filter(F.col("o_orderkey") % 2 == 0), path, keys=["o_orderkey"])
+    k = F.col("o_orderkey")
+    updates = orders.filter(k % 4 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(500.0)).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(k % 8 == 0).select(
+        "o_orderkey", F.col("o_totalprice"), F.lit(2).alias("seq"), F.lit("D").alias("op")
+    )
+    inserts = orders.filter(k % 4 == 1).select(
+        "o_orderkey", F.col("o_totalprice"), F.lit(1).alias("seq"), F.lit("I").alias("op")
+    )
+    apply_cdc_batch(
+        spark, path, updates.unionByName(deletes).unionByName(inserts), keys=["o_orderkey"]
+    )
+    return spark.read.parquet(path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_priority_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group mode (most frequent order priority per status) with a
     deterministic tie-break (count desc, then priority asc) — the
@@ -2464,6 +2504,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_funnel": q_events_funnel,
     "cohort_retention": q_cohort_retention,
     "priority_mode_by_status": q_priority_mode_by_status,
+    "cdc_apply_agg": q_cdc_apply_agg,
 }
 
 
@@ -3508,6 +3549,24 @@ _ORACLES: dict[str, str] = {
         FROM (SELECT * FROM sh WHERE doc_id % 10 != 0) c
         JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) b ON c.s = b.s
         GROUP BY c.doc_id
+    """,
+    "cdc_apply_agg": """
+        WITH final AS (
+          -- carries: even, not updated (mod 4), not deleted (mod 8)
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+          UNION ALL
+          -- updates that survived (mod 4 but the mod-8 delete wins)
+          SELECT o_orderkey, o_totalprice + 500.0 FROM orders
+          WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+          UNION ALL
+          -- inserts
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+        )
+        SELECT count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+        FROM final
     """,
     "priority_mode_by_status": """
         SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count

@@ -307,3 +307,48 @@ def distinct_rollup_estimates(rollup: DataFrame) -> DataFrame:
         *[c for c in rollup.columns if c != "hll_sketch"],
         F.hll_sketch_estimate("hll_sketch").cast("long").alias("n_distinct_est"),
     )
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change batch (Debezium-style rows tagged I/U/D with a
+    monotonically increasing sequence) to a stored table: per key, the
+    HIGHEST-sequence change wins — an upsert for I/U, removal for D —
+    and untouched keys carry over unchanged.
+
+    Last-writer-wins is resolved with one row_number window over the
+    (small relative to the table) change batch, then the survivors
+    split into an upsert frame and a delete key set: one anti join for
+    carries+deletes, one union for upserts. On a transactional format
+    this is MERGE ... WHEN MATCHED [AND op='D'] THEN DELETE; this is
+    the format-free twin with identical semantics. The result is
+    materialized before the overwrite (never reads files being
+    replaced). Returns the updated table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    data_cols = [c for c in latest.columns if c not in (seq_col, op_col)]
+    upserts = latest.filter(F.col(op_col).isin("I", "U")).select(*data_cols)
+    removed_or_replaced = latest.select(*keys)  # D keys vanish; I/U keys are replaced
+    existing = _read_existing(spark, path)
+    if existing is None:
+        merged = upserts
+    else:
+        merged = existing.join(removed_or_replaced, on=keys, how="left_anti").unionByName(
+            upserts
+        )
+    materialized = merged.localCheckpoint(eager=True)
+    materialized.write.mode("overwrite").parquet(path)
+    return materialized

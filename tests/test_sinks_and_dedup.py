@@ -243,3 +243,27 @@ def test_incremental_distinct_rollup_merge_invariant(spark, sf_dir, tmp_path):
     }
     for et, n in exact.items():
         assert abs(folded[et] - n) <= max(1, 0.02 * n), (et, folded[et], n)
+
+
+def test_apply_cdc_batch_last_writer_wins(spark, tmp_path):
+    """Per-key resolution takes the HIGHEST sequence: U-after-D
+    resurrects the row with the new values, D-after-U removes it, and
+    in-batch inserts for unseen keys land — all in one apply."""
+    from kickstarter_etl_pipeline_spark.sources.sinks import apply_cdc_batch, merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    merge_upsert(spark, base, path, keys=["k"])
+    changes = spark.createDataFrame(
+        [
+            (1, 99.0, 1, "D"),  # delete at seq 1 ...
+            (1, 11.0, 2, "U"),  # ... resurrected by the later update
+            (2, 21.0, 1, "U"),  # update at seq 1 ...
+            (2, 0.0, 2, "D"),   # ... then deleted — delete wins
+            (4, 40.0, 1, "I"),  # fresh insert
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    apply_cdc_batch(spark, path, changes, keys=["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 11.0, 3: 30.0, 4: 40.0}
