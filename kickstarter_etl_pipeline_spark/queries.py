@@ -2205,6 +2205,37 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT artifact: per near-dup component (same candidate
+    graph as `dedup_components`), the canonical survivor — longest
+    document, doc_id ascending on ties — with how many near-dups it
+    absorbs. The left-anti of the corpus against these survivors is the
+    drop list; `clean_corpus` composes the equivalent filter inline."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    sized = comp.join(docs.select("doc_id", "n_chars"), on="doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        sized.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component_id")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").cast("long").alias("canonical_n_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") - 1).cast("long").alias("n_absorbed"),
+        )
+    )
+
+
 def q_cdc_apply_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply end-to-end: a base table (even orderkeys) receives one
     change batch containing, per affected key, an UPDATE at seq 1
@@ -2505,6 +2536,7 @@ _QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "priority_mode_by_status": q_priority_mode_by_status,
     "cdc_apply_agg": q_cdc_apply_agg,
+    "dedup_canonical_docs": q_dedup_canonical_docs,
 }
 
 
@@ -3463,6 +3495,45 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "dedup_canonical_docs": f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) - 1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+                 FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        cands AS (
+          SELECT id_a, id_b
+          FROM prs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.5
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM cands
+                  UNION ALL SELECT id_b, id_a FROM cands),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+        ),
+        comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
+        ranked AS (
+          SELECT component_id, c.doc_id, n_chars,
+                 row_number() OVER (PARTITION BY component_id
+                                    ORDER BY n_chars DESC, c.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY component_id) AS n_members
+          FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+        SELECT component_id, doc_id AS canonical_doc_id,
+               CAST(n_chars AS BIGINT) AS canonical_n_chars,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_members - 1 AS BIGINT) AS n_absorbed
+        FROM ranked WHERE rn = 1
     """,
     "embedding_dim_stats": """
         SELECT dim_idx, count(*) AS n_values,
