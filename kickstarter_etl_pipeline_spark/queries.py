@@ -2205,6 +2205,43 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own hourly distribution, flagged at |z| > 2.
+    The mean/stddev come from exact integer sufficient statistics
+    (counts of counts — rule 5), so the z-score is one IEEE expression;
+    sqrt of an exact ratio is bit-identical across engines. Output is
+    only the anomalous buckets — the alerting shape, not a full dump."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum("n_events").alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_s2"),
+    )
+    # (x − mean) and stddev_samp from exact integers; z is then a fixed
+    # tree of correctly-rounded IEEE ops mirrored verbatim in the oracle.
+    num = (F.col("n_events") * F.col("_n") - F.col("_s1")).cast("double") / F.col("_n")
+    den = F.sqrt(
+        (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("double")
+        / (F.col("_n") * (F.col("_n") - 1)).cast("double")
+    )
+    z = num / den
+    return (
+        hourly.join(F.broadcast(stats), on="event_type")
+        .filter(F.col("_n") > 1)
+        .withColumn("zscore", round_det(z, 4))
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .select("event_type", "bucket_start", "n_events", "zscore")
+    )
+
+
 def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup OUTPUT artifact: per near-dup component (same candidate
     graph as `dedup_components`), the canonical survivor — longest
@@ -2537,6 +2574,7 @@ _QUERIES: dict[str, QueryFn] = {
     "priority_mode_by_status": q_priority_mode_by_status,
     "cdc_apply_agg": q_cdc_apply_agg,
     "dedup_canonical_docs": q_dedup_canonical_docs,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
 }
 
 
@@ -3495,6 +3533,25 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "events_anomaly_zscore": """
+        WITH hourly AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                 event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT event_type, count(*) AS n, sum(n_events) AS s1,
+                 sum(n_events * n_events) AS s2
+          FROM hourly GROUP BY 1)
+        SELECT event_type, bucket_start, n_events,
+               floor((CAST(n_events * n - s1 AS DOUBLE) / n)
+                     / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+                     * 10000 + 0.5) / 10000.0 AS zscore
+        FROM hourly JOIN stats USING (event_type)
+        WHERE n > 1
+          AND abs(floor((CAST(n_events * n - s1 AS DOUBLE) / n)
+                        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+                        * 10000 + 0.5) / 10000.0) > 2.0
     """,
     "dedup_canonical_docs": f"""
         WITH RECURSIVE
