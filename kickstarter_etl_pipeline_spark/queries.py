@@ -2205,6 +2205,44 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the last-order date
+    (recency), order count (frequency), and exact-decimal spend
+    (monetary), each quartiled with ntile(4) over a fully deterministic
+    order (metric, then custkey — unique tie-break, so bucket
+    boundaries can't flip between engines), plus the concatenated
+    segment code. One shuffle for the per-customer aggregate; the
+    ntiles partition nothing (global) but run on the key-cardinality
+    aggregate, not the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order_date"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order_date"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "last_order_date",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("int").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("int").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("int").alias("m_quartile"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
+
+
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection: hourly event counts per type, z-scored
     against that type's own hourly distribution, flagged at |z| > 2.
@@ -2575,6 +2613,7 @@ _QUERIES: dict[str, QueryFn] = {
     "cdc_apply_agg": q_cdc_apply_agg,
     "dedup_canonical_docs": q_dedup_canonical_docs,
     "events_anomaly_zscore": q_events_anomaly_zscore,
+    "rfm_segments": q_rfm_segments,
 }
 
 
@@ -3533,6 +3572,24 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "rfm_segments": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order_date,
+                 count(*) AS frequency,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS monetary
+          FROM orders GROUP BY 1),
+        q AS (
+          SELECT *,
+                 CAST(ntile(4) OVER (ORDER BY last_order_date DESC, o_custkey) AS INTEGER) AS r_quartile,
+                 CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_quartile,
+                 CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_quartile
+          FROM per_cust)
+        SELECT o_custkey, last_order_date, frequency, monetary,
+               r_quartile, f_quartile, m_quartile,
+               CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR) || CAST(m_quartile AS VARCHAR) AS segment
+        FROM q
     """,
     "events_anomaly_zscore": """
         WITH hourly AS (
