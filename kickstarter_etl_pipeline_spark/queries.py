@@ -2205,6 +2205,49 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way corpus split (~80/10/10 by the last two md5
+    hex digits of doc_id, compared lexicographically — 'cc' = 204/256,
+    'e6' = 230/256) — the reproducible train/val/test assignment: same
+    rows per split on every engine, run, and cluster size, no RNG.
+    Emitted per-doc so the driver hash proves both the assignment AND
+    the disjoint-cover property (every doc appears exactly once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tail2 = F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2)
+    split = (
+        F.when(tail2 < "cc", F.lit("train"))
+        .when(tail2 < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model input: counts of consecutive
+    (prev_type → next_type) transitions within each user's event
+    sequence (lag over the per-user microsecond order), with the
+    per-prev-type transition probability from exact counts — the
+    Markov-chain estimation query. One window shuffle on user_id, one
+    count aggregate."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "us", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n_transitions").alias("_row_total"))
+    return counts.join(F.broadcast(totals), on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        round_det(F.col("n_transitions") / F.col("_row_total"), 6).alias("p_next"),
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per customer the last-order date
     (recency), order count (frequency), and exact-decimal spend
@@ -2614,6 +2657,8 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_canonical_docs": q_dedup_canonical_docs,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "rfm_segments": q_rfm_segments,
+    "train_val_test_split": q_train_val_test_split,
+    "event_transition_matrix": q_event_transition_matrix,
 }
 
 
@@ -3572,6 +3617,28 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "train_val_test_split": """
+        SELECT doc_id, source,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 31, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 31, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "event_transition_matrix": """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events),
+        counts AS (
+          SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2),
+        totals AS (SELECT prev_type, sum(n_transitions) AS row_total FROM counts GROUP BY 1)
+        SELECT prev_type, next_type, n_transitions,
+               floor(CAST(n_transitions AS BIGINT) / row_total * 1000000 + 0.5) / 1000000.0 AS p_next
+        FROM counts JOIN totals USING (prev_type)
     """,
     "rfm_segments": """
         WITH per_cust AS (
