@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "q7_nation_volume",
     "ann_lsh_topk",
+    # round 3: pushdown canary, broadcast-heavy profit rollup, regex
+    # scrub throughput (the new-surface representatives)
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "pii_scrub",
 ]
 
 
