@@ -2205,6 +2205,40 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_safe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): customer
+    nation keys are deterministically nulled (custkey ≡0 mod 9) and a
+    matching NULL-keyed row is added to the dim side, so NULL keys MATCH
+    each other — the semantic a plain equi join silently drops. Grouped
+    counts + balance sums prove both the null-bucket join and the
+    non-null passthrough."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 9 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    dim = nation.select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation_name")
+    ).unionByName(
+        nation.sparkSession.createDataFrame(
+            [(None, "UNKNOWN")], "nk bigint, nation_name string"
+        )
+    )
+    joined = cust.join(F.broadcast(dim), cust.nk.eqNullSafe(dim.nk), "left").select(
+        "c_custkey", "c_acctbal", "nation_name"
+    )
+    return joined.groupBy("nation_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("balance_sum"),
+    )
+
+
 def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-way corpus split (~80/10/10 by the last two md5
     hex digits of doc_id, compared lexicographically — 'cc' = 204/256,
@@ -2659,6 +2693,7 @@ _QUERIES: dict[str, QueryFn] = {
     "rfm_segments": q_rfm_segments,
     "train_val_test_split": q_train_val_test_split,
     "event_transition_matrix": q_event_transition_matrix,
+    "null_safe_join_agg": q_null_safe_join_agg,
 }
 
 
@@ -3617,6 +3652,19 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "null_safe_join_agg": """
+        WITH cust AS (
+          SELECT c_custkey, c_acctbal,
+                 CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_nationkey END AS nk
+          FROM customer),
+        dim AS (
+          SELECT n_nationkey AS nk, n_name AS nation_name FROM nation
+          UNION ALL SELECT NULL, 'UNKNOWN')
+        SELECT nation_name, count(*) AS n_customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS balance_sum
+        FROM cust LEFT JOIN dim ON cust.nk IS NOT DISTINCT FROM dim.nk
+        GROUP BY 1
     """,
     "train_val_test_split": """
         SELECT doc_id, source,
