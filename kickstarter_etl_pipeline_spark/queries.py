@@ -2205,6 +2205,32 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each nation's customer-balance total as
+    a share of its region's total — the two-level BI ratio shape, done
+    as one aggregate plus a window SUM over the (tiny) nation-level
+    result; the share is one IEEE division over exact decimal sums cast
+    down at the same 2-dp boundary on both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_bal"))
+    )
+    region_total = F.sum("_bal").over(Window.partitionBy("r_name"))
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_bal"), 2).cast("double").alias("nation_balance"),
+        round_det(
+            F.col("_bal").cast("double") * 100.0 / region_total.cast("double"), 6
+        ).alias("pct_of_region"),
+    )
+
+
 def q_null_safe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): customer
     nation keys are deterministically nulled (custkey ≡0 mod 9) and a
@@ -2694,6 +2720,7 @@ _QUERIES: dict[str, QueryFn] = {
     "train_val_test_split": q_train_val_test_split,
     "event_transition_matrix": q_event_transition_matrix,
     "null_safe_join_agg": q_null_safe_join_agg,
+    "nation_share_of_region": q_nation_share_of_region,
 }
 
 
@@ -3652,6 +3679,20 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "nation_share_of_region": """
+        WITH per_nation AS (
+          SELECT r_name, n_name, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name,
+               CAST(round(bal, 2) AS DOUBLE) AS nation_balance,
+               floor(CAST(bal AS DOUBLE) * 100.0
+                     / CAST(sum(bal) OVER (PARTITION BY r_name) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000.0 AS pct_of_region
+        FROM per_nation
     """,
     "null_safe_join_agg": """
         WITH cust AS (
