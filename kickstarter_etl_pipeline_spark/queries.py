@@ -2205,6 +2205,50 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join at scale: for every error event, how many of
+    the SAME user's events fall within ±5 minutes. The naive form is a
+    quadratic per-user theta join; the scalable shape banding-buckets
+    time into 5-minute cells and equi-joins on (user, cell) with each
+    error probing its own and both neighbor cells (exploded) — shuffle
+    volume O(events × 3), never user² — then applies the exact ±5 min
+    predicate as a residual filter. Same trick as LSH banding, applied
+    to time. Counts are exact integers."""
+    win_us = 300_000_000
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us").select(
+        "event_id", "user_id", "event_type", "us"
+    )
+    others = ev.select(
+        "user_id",
+        F.col("event_id").alias("other_id"),
+        F.col("us").alias("other_us"),
+        (F.col("us") / win_us).cast("long").alias("cell"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(
+            F.array(
+                (F.col("us") / win_us).cast("long") - 1,
+                (F.col("us") / win_us).cast("long"),
+                (F.col("us") / win_us).cast("long") + 1,
+            )
+        ).alias("cell"),
+    )
+    near = errors.join(others, on=["user_id", "cell"]).filter(
+        (F.col("other_id") != F.col("event_id"))
+        & (F.abs(F.col("other_us") - F.col("us")) <= win_us)
+    )
+    # distinct: an other-event in an overlapping neighbor cell can match twice
+    return (
+        near.select("event_id", "user_id", "other_id")
+        .distinct()
+        .groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
 def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent rollup: each nation's customer-balance total as
     a share of its region's total — the two-level BI ratio shape, done
@@ -2721,6 +2765,7 @@ _QUERIES: dict[str, QueryFn] = {
     "event_transition_matrix": q_event_transition_matrix,
     "null_safe_join_agg": q_null_safe_join_agg,
     "nation_share_of_region": q_nation_share_of_region,
+    "error_blast_radius": q_error_blast_radius,
 }
 
 
@@ -3679,6 +3724,16 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "error_blast_radius": """
+        WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        SELECT a.event_id, a.user_id, count(*) AS n_nearby
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND b.event_id <> a.event_id
+         AND abs(b.us - a.us) <= 300000000
+        WHERE a.event_type = 'error'
+        GROUP BY 1, 2
     """,
     "nation_share_of_region": """
         WITH per_nation AS (
