@@ -2205,6 +2205,41 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation analytics: per-label embedding centroids and
+    the pairwise L2 distance matrix between them — the check you run on
+    labeled embeddings before trusting them for retrieval.
+
+    Two order-dependence traps are closed with the quantized-integer
+    trick (NOTES.md rule 5 family): per-dimension centroid sums run
+    over exact 1e-6-quantized integers (a raw double sum would vary
+    with aggregation order), and the across-dimension sum of squared
+    centroid deltas is 1e-12-quantized the same way — so both engines
+    sqrt the identical exact ratio. Shuffles: one posexplode aggregate
+    keyed by (label, dim); the 10×10 centroid matrix is driver-scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim_idx", "v")
+    )
+    cent = dims.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(F.floor(F.col("v") * 1_000_000 + 0.5).cast("long")) / 1_000_000.0
+            / F.count("*")
+        ).alias("c")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim_idx", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim_idx", F.col("c").alias("cb"))
+    sq = F.floor(
+        (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * 1e12 + 0.5
+    ).cast("long")
+    return (
+        a.join(b, on="dim_idx")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(round_det(F.sqrt(F.sum(sq).cast("double") / 1e12), 6).alias("l2_dist"))
+    )
+
+
 def q_error_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval self-join at scale: for every error event, how many of
     the SAME user's events fall within ±5 minutes. The naive form is a
@@ -2766,6 +2801,7 @@ _QUERIES: dict[str, QueryFn] = {
     "null_safe_join_agg": q_null_safe_join_agg,
     "nation_share_of_region": q_nation_share_of_region,
     "error_blast_radius": q_error_blast_radius,
+    "label_centroid_distances": q_label_centroid_distances,
 }
 
 
@@ -3724,6 +3760,22 @@ _ORACLES: dict[str, str] = {
         comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
         szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
         SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+    """,
+    "label_centroid_distances": """
+        WITH dims AS (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim_idx,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT label, dim_idx,
+                 sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*) AS c
+          FROM dims GROUP BY 1, 2)
+        SELECT a.label AS label_a, b.label AS label_b,
+               floor(sqrt(CAST(sum(CAST(floor((a.c - b.c) * (a.c - b.c) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)
+                     * 1000000 + 0.5) / 1000000.0 AS l2_dist
+        FROM cent a JOIN cent b ON a.dim_idx = b.dim_idx AND a.label < b.label
+        GROUP BY 1, 2
     """,
     "error_blast_radius": """
         WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
