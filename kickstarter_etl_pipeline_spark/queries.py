@@ -2659,32 +2659,58 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the grading driver sweeps the FIRST 50 entries of
-# this dict. Rounds 1-2 graded the original 50 (all green in
-# CORRECTNESS_r01/r02); round 3 rotates the 35 round-2 queries AND the
-# 10 round-3 additions into the graded window alongside a 5-query
-# representative core (flagship star build, TPC-H q1, stateful
-# streaming, exact + MinHash dedup), so every query has a driver grade
-# on record across rounds. The 10 core queries rotated out below all
-# hold green grades from BOTH r01 and r02.
+# this dict. Rounds 1-2 graded the original 50; round 3 graded the 35
+# round-2 queries + 10 round-3a additions (CORRECTNESS_r03: all oracle'd
+# entries green). Round 4 rotates the 34 round-3b additions (TPC-H
+# completion + corpus curation + warehouse maintenance + product
+# analytics) into the window alongside the same 5-query representative
+# core; remaining slots hold round-4 additions. Everything rotated out
+# below holds a green driver grade from r01, r02, or r03.
 _QUERIES: dict[str, QueryFn] = {
-    # --- representative core (graded green in r01 AND r02) ---
+    # --- representative core (graded green in r01, r02 AND r03) ---
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
     "events_stateful_sessions": q_events_stateful_sessions,
     "dedup_exact": q_dedup_exact,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
-    # --- round-3 additions, first driver grade this round ---
-    "token_frequency": q_token_frequency,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "repetition_stats": q_repetition_stats,
-    "stratified_sample": q_stratified_sample,
-    "source_quota": q_source_quota,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "embedding_quantization": q_embedding_quantization,
-    "idempotent_append_agg": q_idempotent_append_agg,
-    "scd1_merge_agg": q_scd1_merge_agg,
-    "dedup_components_star": q_dedup_components_star,
-    # --- round-2 surface, never driver-graded before round 3 ---
+    # --- round-3b: TPC-H 22/22 completion, first driver grade this round ---
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q9_product_profit": q_q9_product_profit,
+    "q11_important_values": q_q11_important_values,
+    "q12_priority_class": q_q12_priority_class,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q20_promo_part_suppliers": q_q20_promo_part_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    # --- round-3b: corpus curation / warehouse / analytics, first grade ---
+    "pii_scrub": q_pii_scrub,
+    "oov_rate": q_oov_rate,
+    "perplexity_proxy": q_perplexity_proxy,
+    "domain_mix_report": q_domain_mix_report,
+    "length_filter_funnel": q_length_filter_funnel,
+    "events_stream_upsert": q_events_stream_upsert,
+    "compaction_roundtrip_agg": q_compaction_roundtrip_agg,
+    "partitioned_prune_agg": q_partitioned_prune_agg,
+    "dq_quarantine_report": q_dq_quarantine_report,
+    "incremental_rollup_agg": q_incremental_rollup_agg,
+    "distinct_users_rollup": q_distinct_users_rollup,
+    "events_funnel": q_events_funnel,
+    "cohort_retention": q_cohort_retention,
+    "priority_mode_by_status": q_priority_mode_by_status,
+    "cdc_apply_agg": q_cdc_apply_agg,
+    "dedup_canonical_docs": q_dedup_canonical_docs,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
+    "rfm_segments": q_rfm_segments,
+    "train_val_test_split": q_train_val_test_split,
+    "event_transition_matrix": q_event_transition_matrix,
+    "null_safe_join_agg": q_null_safe_join_agg,
+    "nation_share_of_region": q_nation_share_of_region,
+    "error_blast_radius": q_error_blast_radius,
+    "label_centroid_distances": q_label_centroid_distances,
+    # --- round-4 additions land here (inside the graded window) ---
+    # --- graded green in r01/r02/r03; rotated out of the 50-entry window ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -2720,7 +2746,16 @@ _QUERIES: dict[str, QueryFn] = {
     "q10_returned_items": q_q10_returned_items,
     "q13_order_count_distribution": q_q13_order_count_distribution,
     "dq_star_report": q_dq_star_report,
-    # --- graded green in r01/r02; rotated out of the 50-entry window ---
+    "token_frequency": q_token_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "source_quota": q_source_quota,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "embedding_quantization": q_embedding_quantization,
+    "idempotent_append_agg": q_idempotent_append_agg,
+    "scd1_merge_agg": q_scd1_merge_agg,
+    "dedup_components_star": q_dedup_components_star,
     "dim_date": q_dim_date,
     "dim_state": q_dim_state,
     "dim_category": q_dim_category,
@@ -2766,42 +2801,6 @@ _QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_candidates": q_simhash_candidates,
     "multimodal_features": q_multimodal_features,
-    # --- round-3b additions: TPC-H 22/22 complete (next rotation) ---
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,
-    "q6_forecast_revenue": q_q6_forecast_revenue,
-    "q9_product_profit": q_q9_product_profit,
-    "q11_important_values": q_q11_important_values,
-    "q12_priority_class": q_q12_priority_class,
-    "q15_top_supplier": q_q15_top_supplier,
-    "q16_supplier_part_counts": q_q16_supplier_part_counts,
-    "q17_small_qty_revenue": q_q17_small_qty_revenue,
-    "q20_promo_part_suppliers": q_q20_promo_part_suppliers,
-    "q21_waiting_suppliers": q_q21_waiting_suppliers,
-    # --- round-3b additions: corpus-curation surface (next rotation) ---
-    "pii_scrub": q_pii_scrub,
-    "oov_rate": q_oov_rate,
-    "perplexity_proxy": q_perplexity_proxy,
-    "domain_mix_report": q_domain_mix_report,
-    "length_filter_funnel": q_length_filter_funnel,
-    "events_stream_upsert": q_events_stream_upsert,
-    "compaction_roundtrip_agg": q_compaction_roundtrip_agg,
-    "partitioned_prune_agg": q_partitioned_prune_agg,
-    "dq_quarantine_report": q_dq_quarantine_report,
-    "incremental_rollup_agg": q_incremental_rollup_agg,
-    "distinct_users_rollup": q_distinct_users_rollup,
-    "events_funnel": q_events_funnel,
-    "cohort_retention": q_cohort_retention,
-    "priority_mode_by_status": q_priority_mode_by_status,
-    "cdc_apply_agg": q_cdc_apply_agg,
-    "dedup_canonical_docs": q_dedup_canonical_docs,
-    "events_anomaly_zscore": q_events_anomaly_zscore,
-    "rfm_segments": q_rfm_segments,
-    "train_val_test_split": q_train_val_test_split,
-    "event_transition_matrix": q_event_transition_matrix,
-    "null_safe_join_agg": q_null_safe_join_agg,
-    "nation_share_of_region": q_nation_share_of_region,
-    "error_blast_radius": q_error_blast_radius,
-    "label_centroid_distances": q_label_centroid_distances,
 }
 
 
