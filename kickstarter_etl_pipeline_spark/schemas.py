@@ -83,18 +83,41 @@ FACT_CAMPAIGNS = T.StructType(
 )
 
 # --- Driver fixture tables (/root/testdata/sf*/; FIXTURES.md §B) ---
-# events.ts is TIMESTAMP(NANOS) on disk; with the nanosAsLong conf it
-# reads as LongType and load_table converts it to TimestampNTZ (µs).
-EVENTS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw int64 nanoseconds on disk
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The physical layout of events.ts has varied across fixture generations
+# (int64 nanoseconds in early rounds; parquet TIMESTAMP(µs) currently), so
+# the schema is a builder parameterized on the ts type. Readers probe the
+# parquet footer and pick the matching variant — declaring a schema that
+# disagrees with the footer silently reinterprets the bytes (the r4
+# streaming ts-unit bug).
+
+_EVENTS_TS_TYPES: dict[str, T.DataType] = {
+    "bigint": T.LongType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+}
+
+
+def events_schema(ts_dtype: str = "timestamp_ntz") -> T.StructType:
+    """EVENTS StructType with ``ts`` as the given Spark simple-dtype
+    string (one of ``bigint`` / ``timestamp`` / ``timestamp_ntz``)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", _EVENTS_TS_TYPES[ts_dtype]),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: Legacy fixture layout (int64 nanoseconds) — kept for old-layout inputs.
+EVENTS = events_schema("bigint")
+
+#: Kafka wire payload schema: JSON with ``ts`` as int64 MICROseconds
+#: since epoch (matches the current fixture precision).
+EVENTS_WIRE = events_schema("bigint")
 
 DOCUMENTS = T.StructType(
     [

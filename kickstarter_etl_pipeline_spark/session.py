@@ -7,10 +7,12 @@ at the top of every public operator entry point:
 
 - ``spark.sql.session.timeZone=UTC`` — date/time extraction must be
   timezone-stable so results match a timezone-naive oracle.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events``
-  fixture stores TIMESTAMP(NANOS), which Spark's Parquet reader
-  otherwise rejects; we read the raw int64 and convert explicitly
-  (see sources.readers.load_table).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — legacy-layout guard:
+  early fixture generations stored ``events.ts`` as TIMESTAMP(NANOS),
+  which Spark's Parquet reader otherwise rejects; with the conf it
+  surfaces as int64 and the readers convert explicitly. Current
+  fixtures store TIMESTAMP(µs), which this conf does not affect
+  (see sources.readers.load_table / streaming read_events_raw_stream).
 
 Performance confs (AQE, shuffle partitions, broadcast threshold) are
 also runtime-settable and applied here; they are safe no-ops when the

@@ -6,9 +6,9 @@ pandas inference and returns ``None`` + a CRITICAL log on a missing file.
 schema (inference at 100 TB means a second full scan).
 
 :func:`load_table` is the canonical way to read driver fixture tables; it
-normalizes the nanosecond ``events.ts`` column to ``TimestampNTZ`` so all
-downstream time logic is µs-precision wall-clock, matching DuckDB's
-reading of the same file.
+normalizes ``events.ts`` to µs-precision wall-clock ``TimestampNTZ``
+whatever the on-disk layout (TIMESTAMP(µs) currently; int64 ns in legacy
+fixtures), matching DuckDB's reading of the same file.
 """
 
 from __future__ import annotations
@@ -74,18 +74,32 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from an sf directory, normalizing types.
 
-    ``events.ts`` is stored as Parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong=true``
-    (set by ensure_runtime_confs). The raw int64 nanoseconds are
-    converted here to µs-precision TimestampNTZ (truncation, matching
-    DuckDB's ns→µs cast of the same column).
+    The physical layout of ``events.ts`` has varied across fixture
+    generations, so normalization is footer-type-aware; every layout
+    lands on µs-precision wall-clock TimestampNTZ, matching DuckDB's
+    reading of the same file:
+
+    - Parquet TIMESTAMP(µs), isAdjustedToUTC=false (current fixtures):
+      Spark reads TimestampNTZ natively — no conversion.
+    - int64 nanoseconds (legacy layout; surfaces as bigint under
+      ``spark.sql.legacy.parquet.nanosAsLong=true``, set by
+      ensure_runtime_confs): ns→µs truncation, matching DuckDB.
+    - TIMESTAMP with UTC adjustment: cast to NTZ (identical wall clock
+      under the UTC session timezone).
+
+    The streaming twin of this guard is
+    streaming.events_stream.read_events_raw_stream.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif ts_dtype == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -27,21 +27,57 @@ from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (ns→µs ts conversion,
-    same normalization as the batch reader)."""
+def _probe_events_ts_dtype(spark: SparkSession, src_dir: str, glob: str) -> str:
+    """One driver-side footer read: the dtype Spark's batch reader infers
+    for ``ts`` (``bigint`` for the legacy int64-ns layout, ``timestamp`` /
+    ``timestamp_ntz`` for the current TIMESTAMP(µs) layout)."""
+    batch = spark.read.option("pathGlobFilter", glob).parquet(src_dir)
+    return dict(batch.dtypes).get("ts", "timestamp_ntz")
+
+
+def read_events_raw_stream(
+    spark: SparkSession,
+    src_dir: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int = 0,
+) -> DataFrame:
+    """Layout-aware file-source stream over an events directory.
+
+    A streaming source requires a declared schema, and a schema that
+    disagrees with the parquet footer silently reinterprets the bytes —
+    so probe the footer once (driver-side batch read, no data scan) and
+    declare the matching schema, then normalize ``ts`` to a µs-precision
+    TimestampType (watermarks require an instant, not NTZ; with the UTC
+    session timezone the wall clock is identical):
+
+    - TIMESTAMP(µs) on disk (current fixtures): read natively, cast.
+    - int64 nanoseconds (legacy layout, surfaced via nanosAsLong):
+      ``ts div 1000`` → ``timestamp_micros``.
+
+    Same contract as the batch reader's guard (sources/readers.py
+    load_table), shared by every streaming entry point.
+    """
     ensure_runtime_confs(spark)
+    ts_dtype = _probe_events_ts_dtype(spark, src_dir, glob)
+    reader = (
+        spark.readStream.schema(schemas.events_schema(ts_dtype))
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(src_dir)
+    if ts_dtype == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (ts normalized to µs
+    TimestampType, same layout guard as the batch reader)."""
     # The file stream source requires a directory; glob-filter down to the
     # events table within the sf dir.
-    raw = (
-        spark.readStream.schema(schemas.EVENTS)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ; with
-    # the UTC session timezone the wall clock is identical either way.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events_raw_stream(spark, sf_dir, glob="events.parquet")
 
 
 def streaming_tumbling_counts(
@@ -224,15 +260,9 @@ def stream_tumbling_append_parquet(
 
     Returns the sink contents read back as a batch frame.
     """
-    ensure_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(schemas.EVENTS)
-        .format("parquet")
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(src_dir)
+    events = read_events_raw_stream(
+        spark, src_dir, glob="*.parquet", max_files_per_trigger=max_files_per_trigger
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
@@ -411,16 +441,9 @@ def stream_upsert_rollup(
     """
     from kickstarter_etl_pipeline_spark.sources.sinks import merge_upsert
 
-    ensure_runtime_confs(spark)
-    reader = (
-        spark.readStream.schema(schemas.EVENTS)
-        .format("parquet")
-        .option("pathGlobFilter", path_glob)
+    events = read_events_raw_stream(
+        spark, src_dir, glob=path_glob, max_files_per_trigger=max_files_per_trigger
     )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.load(src_dir)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")

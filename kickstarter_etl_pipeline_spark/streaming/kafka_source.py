@@ -64,9 +64,9 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
     """Kafka wire frame → the normalized events frame.
 
     Input carries Kafka's fixed columns (``value: binary`` holds the
-    event as JSON with ``ts`` in int64 nanoseconds — the same epoch
-    representation the parquet fixture uses). Output schema and ns→µs
-    timestamp normalization are identical to
+    event as JSON with ``ts`` in int64 MICROseconds since epoch — the
+    same µs precision as the parquet fixture's TIMESTAMP(µs) column).
+    Output schema and timestamp normalization are identical to
     :func:`..streaming.events_stream.read_events_stream`, so every
     downstream operator works unchanged. Malformed payloads yield NULL
     columns (from_json PERMISSIVE default) rather than killing the
@@ -74,9 +74,9 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
     ``filter(col("event_id").isNull())`` if the topic is untrusted.
     """
     parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), schemas.EVENTS).alias("_e")
+        F.from_json(F.col("value").cast("string"), schemas.EVENTS_WIRE).alias("_e")
     ).select("_e.*")
-    return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return parsed.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def read_events_kafka(
@@ -98,11 +98,19 @@ def read_events_kafka(
 
 
 def events_as_kafka_wire(events: DataFrame) -> DataFrame:
-    """Re-encode a batch events frame as Kafka wire rows (test helper:
-    proves parse_kafka_events ∘ events_as_kafka_wire = identity on the
-    fixture without a broker). ``ts`` must still be raw int64 ns."""
+    """Re-encode a NORMALIZED events frame (``ts`` as a timestamp) as
+    Kafka wire rows (test helper: proves parse_kafka_events ∘
+    events_as_kafka_wire = identity on the fixture without a broker).
+    The wire payload carries ``ts`` as int64 µs per EVENTS_WIRE."""
     payload = F.to_json(
-        F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        F.struct(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
     )
     return events.select(
         F.col("event_id").cast("string").cast("binary").alias("key"),

@@ -42,9 +42,18 @@ def test_kafka_parse_roundtrip_matches_stream_reader(spark, sf_dir):
     """parse_kafka_events ∘ events_as_kafka_wire == the file-stream
     reader's normalization, row for row — proves the source swap changes
     nothing downstream."""
-    raw = spark.read.schema(schemas.EVENTS).parquet(f"{sf_dir}/events.parquet")
-    expected = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    parsed = parse_kafka_events(events_as_kafka_wire(raw))
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    expected = batch.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    parsed = parse_kafka_events(events_as_kafka_wire(expected))
     assert parsed.schema == expected.schema
     assert parsed.count() == expected.count()
     assert parsed.exceptAll(expected).count() == 0
