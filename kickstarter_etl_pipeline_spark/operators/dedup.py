@@ -182,12 +182,16 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column
     n-gram work ``num_hashes`` times over.
     """
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def _min_hash(seed: int) -> Column:
+        # MUST stay a one-argument lambda: F.transform passes the array
+        # INDEX to a two-argument lambda, so the `lambda s, i=i:` idiom
+        # silently hashes with the element position instead of the seed
+        # — every signature slot collapses to the same position-keyed
+        # hash and LSH degrades to near-exact array equality.
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    return F.array(*[_min_hash(i) for i in range(num_hashes)])
 
 
 def _candidates_from_staged(

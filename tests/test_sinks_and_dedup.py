@@ -157,6 +157,21 @@ def test_minhash_agrees_with_exact_on_high_threshold(spark):
     assert (1, 2) in lsh and (1, 5) in lsh
 
 
+def test_minhash_equals_exact_on_fixture(spark, sf_dir):
+    """The oracle contract for the graded minhash_dedup_pairs query:
+    exact-verified LSH must equal the exact ≥0.8 pair set on the
+    documents fixture (banding recall 1 at this threshold — the r5 seed
+    regression collapsed every signature slot to one position-keyed
+    hash, and this equality is the guard that catches any repeat)."""
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b", "jaccard").collect()}
+    lsh = {tuple(r) for r in minhash_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b", "jaccard").collect()}
+    assert lsh == exact
+    assert len(exact) > 0
+
+
 def test_simhash_properties(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in with_simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[2]  # identical text → identical sketch
