@@ -514,6 +514,24 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_sessionize(spark, sf_dir)
 
 
+def q_events_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventTimeTimeout sessionizer (production eviction path) under a
+    FULL SQL oracle. With the finite AvailableNow replay the emitted
+    rows are exactly: every gap-split session (closed_by_timeout=False)
+    plus each user's final session iff the end-of-replay watermark
+    (max event-time ms − the 1-minute delay) strictly passed its
+    last_event_ms + 30-min gap timer (closed_by_timeout=True); final
+    sessions still inside the gap window stay in state, unemitted —
+    the bounded-state contract an unbounded 100 TB stream relies on.
+    The oracle replays that timer arithmetic in SQL (ms truncation and
+    strict <, matching Spark's watermark bookkeeping)."""
+    from kickstarter_etl_pipeline_spark.streaming.stateful import (
+        stateful_sessionize_with_timeout,
+    )
+
+    return stateful_sessionize_with_timeout(spark, sf_dir)
+
+
 def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window streaming aggregation (rows-only: stateful
     gap-merge has no ANSI-SQL twin)."""
@@ -675,8 +693,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection (scale path; Spark-native hashing,
-    not SQL-portable → rows-only check)."""
+    """MinHash-LSH candidates verified with exact Jaccard (scale path).
+
+    Graded against the FULL exact oracle (same SQL as
+    ngram_jaccard_pairs, minus n_common): because every candidate is
+    exact-verified, the output equals the exact ≥0.8 pair set whenever
+    banding recall is 1 — and with b=16 bands of r=4 rows the S-curve
+    puts P(miss) ≤ (1-0.8^4)^16 ≈ 2.4e-4 per pair even at the 0.8
+    threshold boundary (far lower for the higher-Jaccard pairs the
+    fixture contains). Verified equal to the exact tier at sf0.001,
+    0.01 and 0.1; the equality invariant is also pinned in pytest."""
     return minhash_dedup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
@@ -750,7 +776,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Production recall config: 6 independent 3-plane tables with 2-probe
     multi-probe — measured recall 0.98 vs brute force on the fixture
-    (tests/test_scale_paths.py asserts ≥ 0.8)."""
+    (tests/test_scale_paths.py asserts ≥ 0.8). Partial DuckDB oracle in
+    tests/test_ann_partial_oracle.py: emitted pairs ⊆ exact top-2k,
+    exact-rescored bit-equal, recall ≥ 0.8 vs exact top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 20), dim=64, k=5,
@@ -759,7 +787,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means cells + n_probe) approximate top-k (rows-only)."""
+    """IVF (k-means cells + n_probe) approximate top-k (rows-only).
+    Partial DuckDB oracle in tests/test_ann_partial_oracle.py: emitted
+    pairs ⊆ exact top-2k, exact-rescored bit-equal, recall ≥ 0.5."""
     from kickstarter_etl_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2660,20 +2690,82 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Ordering contract: the grading driver sweeps the FIRST 50 entries of
 # this dict. Rounds 1-2 graded the original 50; round 3 graded the 35
-# round-2 queries + 10 round-3a additions (CORRECTNESS_r03: all oracle'd
-# entries green). Round 4 rotates the 34 round-3b additions (TPC-H
-# completion + corpus curation + warehouse maintenance + product
-# analytics) into the window alongside the same 5-query representative
-# core; remaining slots hold round-4 additions. Everything rotated out
-# below holds a green driver grade from r01, r02, or r03.
+# round-2 queries + 10 round-3a additions; round 4 graded the 34
+# round-3b additions (all green except the two streaming ts-unit
+# casualties). Round 5 rotates: (a) the pinned 5-query representative
+# core, (b) the repaired streaming surface (upsert/sliding/tumbling —
+# red or unre-graded since the r4 fixture change) plus the NEW
+# timeout-sessionizer query, (c) the round-3a batch back for re-grade,
+# and (d) the r01/r02 entries that have never been re-graded since.
+# Everything below the fold holds a green driver grade from r03 or r04.
 _QUERIES: dict[str, QueryFn] = {
-    # --- representative core (graded green in r01, r02 AND r03) ---
+    # --- representative core (pinned; green r01-r03, minhash now oracle'd) ---
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
     "events_stateful_sessions": q_events_stateful_sessions,
     "dedup_exact": q_dedup_exact,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
-    # --- round-3b: TPC-H 22/22 completion, first driver grade this round ---
+    # --- streaming surface repaired after the r4 ts-unit bug + r5 addition ---
+    "events_stateful_timeout_sessions": q_events_stateful_timeout_sessions,
+    "events_stream_upsert": q_events_stream_upsert,
+    "events_stream_sliding": q_events_stream_sliding,
+    "events_stream_tumbling": q_events_stream_tumbling,
+    # --- round-3a batch, re-grade (last graded r03) ---
+    "token_frequency": q_token_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "source_quota": q_source_quota,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "embedding_quantization": q_embedding_quantization,
+    "idempotent_append_agg": q_idempotent_append_agg,
+    "scd1_merge_agg": q_scd1_merge_agg,
+    "dedup_components_star": q_dedup_components_star,
+    # --- r01/r02 entries never re-graded since, cycled back through ---
+    "dim_date": q_dim_date,
+    "dim_state": q_dim_state,
+    "dim_category": q_dim_category,
+    "fact_star": q_fact_star,
+    "topk_customers": q_topk_customers,
+    "window_running_sum": q_window_running_sum,
+    "region_rollup": q_region_rollup,
+    "events_tumbling": q_events_tumbling,
+    "text_stats": q_text_stats,
+    "embedding_topk": q_embedding_topk,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "above_avg_orders": q_above_avg_orders,
+    "group_count_ordered": q_group_count_ordered,
+    "project_rename_filter": q_project_rename_filter,
+    "conditional_flag_agg": q_conditional_flag_agg,
+    "ship_delay_by_priority": q_ship_delay_by_priority,
+    "window_rank_topn": q_window_rank_topn,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders_count": q_customers_with_orders_count,
+    "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
+    "custkeys_both_years": q_custkeys_both_years,
+    "pivot_status_priority": q_pivot_status_priority,
+    "events_sessionize": q_events_sessionize,
+    "events_json_kv": q_events_json_kv,
+    "events_sliding": q_events_sliding,
+    "events_distinct_pairs": q_events_distinct_pairs,
+    "events_asof_purchase_click": q_events_asof_purchase_click,
+    "char_jaccard_pairs": q_char_jaccard_pairs,
+    "distinct_counts": q_distinct_counts,
+    # ---------------- below the fold (green in r03/r04) ----------------
+    "cube_status_priority": q_cube_status_priority,
+    "price_stats_by_status": q_price_stats_by_status,
+    "part_string_ops": q_part_string_ops,
+    "csv_roundtrip_agg": q_csv_roundtrip_agg,
+    "clean_corpus": q_clean_corpus,
+    "q1_pricing_summary_sql": q_q1_pricing_summary_sql,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_candidates": q_simhash_candidates,
+    "multimodal_features": q_multimodal_features,
+    "events_stream_sessions": q_events_stream_sessions,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q9_product_profit": q_q9_product_profit,
@@ -2684,13 +2776,11 @@ _QUERIES: dict[str, QueryFn] = {
     "q17_small_qty_revenue": q_q17_small_qty_revenue,
     "q20_promo_part_suppliers": q_q20_promo_part_suppliers,
     "q21_waiting_suppliers": q_q21_waiting_suppliers,
-    # --- round-3b: corpus curation / warehouse / analytics, first grade ---
     "pii_scrub": q_pii_scrub,
     "oov_rate": q_oov_rate,
     "perplexity_proxy": q_perplexity_proxy,
     "domain_mix_report": q_domain_mix_report,
     "length_filter_funnel": q_length_filter_funnel,
-    "events_stream_upsert": q_events_stream_upsert,
     "compaction_roundtrip_agg": q_compaction_roundtrip_agg,
     "partitioned_prune_agg": q_partitioned_prune_agg,
     "dq_quarantine_report": q_dq_quarantine_report,
@@ -2709,8 +2799,6 @@ _QUERIES: dict[str, QueryFn] = {
     "nation_share_of_region": q_nation_share_of_region,
     "error_blast_radius": q_error_blast_radius,
     "label_centroid_distances": q_label_centroid_distances,
-    # --- round-4 additions land here (inside the graded window) ---
-    # --- graded green in r01/r02/r03; rotated out of the 50-entry window ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -2746,61 +2834,6 @@ _QUERIES: dict[str, QueryFn] = {
     "q10_returned_items": q_q10_returned_items,
     "q13_order_count_distribution": q_q13_order_count_distribution,
     "dq_star_report": q_dq_star_report,
-    "token_frequency": q_token_frequency,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "repetition_stats": q_repetition_stats,
-    "stratified_sample": q_stratified_sample,
-    "source_quota": q_source_quota,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "embedding_quantization": q_embedding_quantization,
-    "idempotent_append_agg": q_idempotent_append_agg,
-    "scd1_merge_agg": q_scd1_merge_agg,
-    "dedup_components_star": q_dedup_components_star,
-    "dim_date": q_dim_date,
-    "dim_state": q_dim_state,
-    "dim_category": q_dim_category,
-    "fact_star": q_fact_star,
-    "topk_customers": q_topk_customers,
-    "window_running_sum": q_window_running_sum,
-    "region_rollup": q_region_rollup,
-    "events_tumbling": q_events_tumbling,
-    "text_stats": q_text_stats,
-    "embedding_topk": q_embedding_topk,
-    "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "above_avg_orders": q_above_avg_orders,
-    "group_count_ordered": q_group_count_ordered,
-    "project_rename_filter": q_project_rename_filter,
-    "conditional_flag_agg": q_conditional_flag_agg,
-    "ship_delay_by_priority": q_ship_delay_by_priority,
-    "window_rank_topn": q_window_rank_topn,
-    "customers_without_orders": q_customers_without_orders,
-    "customers_with_orders_count": q_customers_with_orders_count,
-    "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
-    "custkeys_both_years": q_custkeys_both_years,
-    "pivot_status_priority": q_pivot_status_priority,
-    "events_sessionize": q_events_sessionize,
-    "events_json_kv": q_events_json_kv,
-    "events_stream_tumbling": q_events_stream_tumbling,
-    "events_sliding": q_events_sliding,
-    "events_distinct_pairs": q_events_distinct_pairs,
-    "events_asof_purchase_click": q_events_asof_purchase_click,
-    "events_stream_sessions": q_events_stream_sessions,
-    "events_stream_sliding": q_events_stream_sliding,
-    "char_jaccard_pairs": q_char_jaccard_pairs,
-    "distinct_counts": q_distinct_counts,
-    "cube_status_priority": q_cube_status_priority,
-    "price_stats_by_status": q_price_stats_by_status,
-    "part_string_ops": q_part_string_ops,
-    "csv_roundtrip_agg": q_csv_roundtrip_agg,
-    "clean_corpus": q_clean_corpus,
-    "q1_pricing_summary_sql": q_q1_pricing_summary_sql,
-    "doc_fingerprints": q_doc_fingerprints,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash_candidates": q_simhash_candidates,
-    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -2997,6 +3030,26 @@ _ORACLES: dict[str, str] = {
                session_id <> max(session_id) OVER (PARTITION BY user_id) AS closed
         FROM agg
     """,
+    # Timer arithmetic mirrors Spark: watermark tracks max event time in
+    # TRUNCATED ms minus the 1-min delay; a timer fires iff its
+    # last_event_ms + gap_ms is STRICTLY below that watermark.
+    "events_stateful_timeout_sessions": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        wm AS (SELECT CAST(floor(max(us) / 1000) AS BIGINT) - 60000 AS wm_ms FROM e),
+        lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lagd),
+        sess AS (SELECT *, CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged),
+        agg AS (SELECT user_id, session_id, count(*) AS n_events,
+                       round(sum(value), 4) AS sum_value, max(us) AS last_us
+                FROM sess GROUP BY user_id, session_id),
+        marked AS (SELECT *, session_id = max(session_id) OVER (PARTITION BY user_id) AS is_last FROM agg)
+        SELECT user_id, n_events, sum_value, FALSE AS closed_by_timeout FROM marked WHERE NOT is_last
+        UNION ALL
+        SELECT user_id, n_events, sum_value, TRUE AS closed_by_timeout
+        FROM marked, wm WHERE is_last AND CAST(floor(last_us / 1000) AS BIGINT) + 1800000 < wm_ms
+    """,
     "events_sessionize": """
         WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
@@ -3165,6 +3218,27 @@ _ORACLES: dict[str, str] = {
                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT id_a, id_b, n_common,
+               floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.8
+    """,
+    # Exact-verified LSH == the exact pair set when banding recall is 1
+    # (see q_minhash_dedup_pairs docstring for the S-curve bound), so the
+    # oracle is the exact-tier SQL projected to the minhash output columns.
+    "minhash_dedup_pairs": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) - 1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+                 FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
                floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 AS jaccard
         FROM pairs
         JOIN sizes sa ON sa.doc_id = id_a
