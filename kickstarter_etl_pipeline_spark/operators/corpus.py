@@ -1,0 +1,131 @@
+"""Corpus-assembly operators: the step between a cleaned document set
+and an actual training run — sequence packing into fixed context
+windows, temperature-based source mixing, and sliding-window chunking.
+
+All pure Column expressions / window functions (no Python UDFs): every
+operator is one shuffle on its shard key and scales linearly with
+executors. Tokenization matches operators.text.tokens (whitespace over
+lowercased trimmed text) so token counts agree with the rest of the
+text stack and with the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.operators.text import tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_tokens: int = 128,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-split sequence packing: assign each document its
+    position in the shard's fixed-size context-window stream.
+
+    Documents are concatenated per shard in deterministic ``id_col``
+    order; window ``bin_id`` is where the document STARTS, at offset
+    ``bin_offset``; ``spans_boundary`` marks documents split across a
+    window edge (the concat-and-split regime — no padding, bounded
+    waste). 100 TB posture: one shuffle on the shard key and a
+    sequential in-shard scan — shards are the parallelism unit, so a
+    real pipeline shards by (source, file-bucket) to keep each window
+    partition bounded; semantics are unchanged because packing never
+    crosses a shard.
+    """
+    n_tok = F.size(tokens(text_col))
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum(n_tok.cast("long")).over(w)
+    start = (cum - n_tok).cast("long")
+    bin_id = F.floor(start / context_tokens)
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n_tok.cast("long").alias("n_tokens"),
+        bin_id.alias("bin_id"),
+        (start % context_tokens).alias("bin_offset"),
+        (F.floor((cum - 1) / context_tokens) > bin_id).alias("spans_boundary"),
+    )
+
+
+def source_mixing_weights(
+    df: DataFrame,
+    token_budget: int = 1_000_000,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5, i.e. sqrt scaling):
+    per-source sampling probabilities and the epoch count each source
+    sustains under a token budget.
+
+    ``p_uniform`` is the share proportional to raw token counts;
+    ``p_sample`` the sqrt-damped share (rare sources up-weighted, the
+    standard mitigation against a dominant crawl source); and
+    ``expected_epochs`` = p_sample x budget / tokens — how many passes
+    over the source the budget implies (>1 means repetition). One
+    aggregate plus a broadcast one-row total — scales to any source
+    count.
+    """
+    per_source = df.groupBy(shard_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col)).cast("long")).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("_tot_weight"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            shard_col,
+            "n_docs",
+            "n_tokens",
+            round_det(F.col("n_tokens") / F.col("_tot_tokens"), 6).alias("p_uniform"),
+            round_det(F.sqrt(F.col("n_tokens")) / F.col("_tot_weight"), 6).alias("p_sample"),
+            round_det(
+                F.sqrt(F.col("n_tokens")) / F.col("_tot_weight") * token_budget / F.col("n_tokens"),
+                6,
+            ).alias("expected_epochs"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking (chunk_tokens window, stride overlap) —
+    the RAG/embedding preprocessing shape.
+
+    Chunk count is integer arithmetic (no float ceil, so the DuckDB
+    oracle agrees exactly): 1 window when the document fits, else
+    1 + ceil_div(n - chunk, stride). Emits per chunk the token span
+    plus first/last token as a content witness. explode() fans out
+    rows JVM-side; the shingle array is materialized once per doc.
+    """
+    with_toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).withColumn("_n", F.size("_t").cast("long"))
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1).cast("long")).otherwise(
+        1 + F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride)
+    )
+    exploded = with_toks.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    start = (F.col("chunk_id") * stride).cast("long")
+    chunk_len = F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - start)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        start.alias("start_tok"),
+        chunk_len.alias("chunk_len"),
+        F.element_at("_t", (start + 1).cast("int")).alias("first_token"),
+        F.element_at("_t", (start + chunk_len).cast("int")).alias("last_token"),
+    )

@@ -532,6 +532,23 @@ def q_events_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> Data
     return stateful_sessionize_with_timeout(spark, sf_dir)
 
 
+def q_events_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join (attribution
+    with unattributed conversions) under a FULL SQL oracle. Matched
+    pairs equal the batch interval join; a purchase with no in-window
+    click emits once with NULL click_id after the global watermark
+    passes its event time. The oracle replays Spark's watermark
+    bookkeeping: per watermarked column, max event-time ms (truncated)
+    minus the 2h delay; GLOBAL watermark = min over both columns (the
+    default multipleWatermarkPolicy) — purchases newer than that stay
+    buffered at end-of-replay, unemitted."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        streaming_purchase_click_join,
+    )
+
+    return streaming_purchase_click_join(spark, sf_dir, how="left_outer")
+
+
 def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window streaming aggregation (rows-only: stateful
     gap-merge has no ANSI-SQL twin)."""
@@ -709,6 +726,30 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding candidates (rows-only check)."""
     return simhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing into 128-token context windows,
+    sharded by source (operators.corpus.pack_sequences)."""
+    from kickstarter_etl_pipeline_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), context_tokens=128)
+
+
+def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (sqrt) source-mixing probabilities + expected
+    epochs under a 1M-token budget (operators.corpus.source_mixing_weights)."""
+    from kickstarter_etl_pipeline_spark.operators.corpus import source_mixing_weights
+
+    return source_mixing_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 48) with
+    first/last-token witnesses (operators.corpus.chunk_documents)."""
+    from kickstarter_etl_pipeline_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2710,6 +2751,11 @@ _QUERIES: dict[str, QueryFn] = {
     "events_stream_upsert": q_events_stream_upsert,
     "events_stream_sliding": q_events_stream_sliding,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "events_stream_left_join": q_events_stream_left_join,
+    # --- round-5 corpus-assembly additions (first grade) ---
+    "pack_sequences": q_pack_sequences,
+    "source_mixing_weights": q_source_mixing_weights,
+    "chunk_documents": q_chunk_documents,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3030,6 +3076,25 @@ _ORACLES: dict[str, str] = {
                session_id <> max(session_id) OVER (PARTITION BY user_id) AS closed
         FROM agg
     """,
+    # Watermark bookkeeping mirrors Spark: per watermarked column the
+    # tracked max event time is ms-TRUNCATED minus the delay; the global
+    # watermark is the MIN over both columns; an unmatched left row
+    # emits iff its event ms is strictly below that global watermark.
+    "events_stream_left_join": """
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        wm AS (SELECT least(
+                 (SELECT CAST(floor(max(us) / 1000) AS BIGINT) FROM e WHERE event_type = 'purchase'),
+                 (SELECT CAST(floor(max(us) / 1000) AS BIGINT) FROM e WHERE event_type = 'click')
+               ) - 7200000 AS wm_ms),
+        p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user_id, event_id AS click_id, us AS c_us FROM e WHERE event_type = 'click'),
+        m AS (SELECT p.user_id, p.purchase_id, c.click_id, p.p_us
+              FROM p LEFT JOIN c ON c.c_user_id = p.user_id
+                AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 3600000000)
+        SELECT user_id, purchase_id, click_id FROM m
+        WHERE click_id IS NOT NULL
+           OR CAST(floor(p_us / 1000) AS BIGINT) < (SELECT wm_ms FROM wm)
+    """,
     # Timer arithmetic mirrors Spark: watermark tracks max event time in
     # TRUNCATED ms minus the 1-min delay; a timer fires iff its
     # last_event_ms + gap_ms is STRICTLY below that watermark.
@@ -3223,6 +3288,40 @@ _ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.8
+    """,
+    "pack_sequences": f"""
+        WITH t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((cum - n_tokens) / 128) AS BIGINT) AS bin_id,
+               CAST((cum - n_tokens) % 128 AS BIGINT) AS bin_offset,
+               floor((cum - 1) / 128) > floor((cum - n_tokens) / 128) AS spans_boundary
+        FROM c
+    """,
+    "source_mixing_weights": f"""
+        WITH s AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        t AS (SELECT sum(n_tokens) AS tot_tokens, sum(sqrt(n_tokens)) AS tot_weight FROM s)
+        SELECT source, n_docs, n_tokens,
+               floor(n_tokens / tot_tokens * 1000000 + 0.5) / 1000000.0 AS p_uniform,
+               floor(sqrt(n_tokens) / tot_weight * 1000000 + 0.5) / 1000000.0 AS p_sample,
+               floor(sqrt(n_tokens) / tot_weight * 1000000 / n_tokens * 1000000 + 0.5) / 1000000.0 AS expected_epochs
+        FROM s, t
+    """,
+    "chunk_documents": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        x AS (SELECT doc_id, toks, n,
+                     CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks FROM n),
+        e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM x)
+        SELECT doc_id, chunk_id,
+               chunk_id * 48 AS start_tok,
+               least(CAST(64 AS BIGINT), n - chunk_id * 48) AS chunk_len,
+               toks[chunk_id * 48 + 1] AS first_token,
+               toks[chunk_id * 48 + least(CAST(64 AS BIGINT), n - chunk_id * 48)] AS last_token
+        FROM e
     """,
     # Exact-verified LSH == the exact pair set when banding recall is 1
     # (see q_minhash_dedup_pairs docstring for the S-curve bound), so the

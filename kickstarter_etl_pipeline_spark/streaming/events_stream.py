@@ -328,6 +328,7 @@ def streaming_purchase_click_join(
     sf_dir: str,
     watermark: str = "2 hours",
     lookback: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream self-join: each purchase matched to the same
     user's clicks within the preceding ``lookback`` — the attribution
@@ -335,6 +336,13 @@ def streaming_purchase_click_join(
     join. Both sides buffer only ``watermark + lookback`` of state; the
     time-range condition is what lets Spark evict — an unconstrained
     stream-stream join would buffer forever.
+
+    ``how="left_outer"`` is the unattributed-conversion variant: a
+    purchase with no in-window click emits once with a NULL click_id —
+    but only after the watermark passes its event time (before that a
+    matching click could still arrive); purchases inside the final
+    watermark window at end-of-replay stay buffered, unemitted. That
+    eviction arithmetic is replayed in the SQL oracle.
 
     FIXTURE-VERIFICATION TIER (memory sink); equality with the batch
     interval join is asserted in tests."""
@@ -362,7 +370,7 @@ def streaming_purchase_click_join(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
-        "inner",
+        how,
     ).select("user_id", "purchase_id", "click_id")
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
     checkpoint = _checkpoint_dir("ks_stream_ssj_")

@@ -1,0 +1,95 @@
+"""Unit tests for corpus-assembly operators (packing, mixing, chunking)
+and the left-outer stream-stream join."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kickstarter_etl_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    pack_sequences,
+    source_mixing_weights,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b c d", "s1"),            # 4 tokens
+        (2, "e f g h i j", "s1"),        # 6 tokens
+        (3, "k l m", "s1"),              # 3 tokens
+        (4, "one two three four five", "s2"),  # 5 tokens
+        (5, "x", "s2"),                  # 1 token
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    out = {r["doc_id"]: r for r in pack_sequences(_docs(spark), context_tokens=8).collect()}
+    # s1 stream: doc1 tokens [0,4), doc2 [4,10), doc3 [10,13) with ctx=8.
+    assert (out[1]["bin_id"], out[1]["bin_offset"], out[1]["spans_boundary"]) == (0, 0, False)
+    assert (out[2]["bin_id"], out[2]["bin_offset"], out[2]["spans_boundary"]) == (0, 4, True)
+    assert (out[3]["bin_id"], out[3]["bin_offset"], out[3]["spans_boundary"]) == (1, 2, False)
+    # s2 shard starts its own stream at offset 0.
+    assert (out[4]["bin_id"], out[4]["bin_offset"]) == (0, 0)
+    assert (out[5]["bin_id"], out[5]["bin_offset"]) == (0, 5)
+    assert out[4]["n_tokens"] == 5
+
+
+def test_source_mixing_sqrt_damping(spark):
+    out = {r["source"]: r for r in source_mixing_weights(_docs(spark), token_budget=100).collect()}
+    # s1: 13 tokens, s2: 6 tokens.
+    assert out["s1"]["n_tokens"] == 13 and out["s2"]["n_tokens"] == 6
+    assert math.isclose(out["s1"]["p_uniform"] + out["s2"]["p_uniform"], 1.0, abs_tol=2e-6)
+    assert math.isclose(out["s1"]["p_sample"] + out["s2"]["p_sample"], 1.0, abs_tol=2e-6)
+    # sqrt damping: the small source gains share vs its uniform share.
+    assert out["s2"]["p_sample"] > out["s2"]["p_uniform"]
+    assert out["s1"]["p_sample"] < out["s1"]["p_uniform"]
+    # epochs = p_sample * budget / tokens.
+    # p_sample is rounded to 6 decimals and epochs scales it by budget /
+    # tokens, so compare at the amplified tolerance.
+    assert math.isclose(
+        out["s2"]["expected_epochs"], out["s2"]["p_sample"] * 100 / 6, abs_tol=1e-4
+    )
+
+
+def test_chunk_documents_short_and_strided(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc2 fits in one window: a single full-coverage chunk.
+    assert len(by_doc[2]) == 1
+    c = by_doc[2][0]
+    assert (c["start_tok"], c["chunk_len"], c["first_token"], c["last_token"]) == (0, 2, "a", "b")
+    # doc1: n=10, chunk=4, stride=3 → 1 + ceil(6/3) = 3 chunks.
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(c["start_tok"], c["chunk_len"]) for c in chunks] == [(0, 4), (3, 4), (6, 4)]
+    assert chunks[-1]["last_token"] == "t9"
+    # Overlap contract: consecutive chunks share chunk-stride tokens.
+    assert chunks[0]["last_token"] == "t3" and chunks[1]["first_token"] == "t3"
+
+
+def test_stream_left_outer_join_null_extension(spark, sf_dir):
+    """Left-outer = inner part identical to the inner join, plus
+    null-extended purchases strictly older than the global watermark."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        streaming_purchase_click_join,
+    )
+
+    outer = streaming_purchase_click_join(spark, sf_dir, how="left_outer").collect()
+    inner = streaming_purchase_click_join(spark, sf_dir, how="inner").collect()
+    outer_matched = {(r["user_id"], r["purchase_id"], r["click_id"])
+                     for r in outer if r["click_id"] is not None}
+    inner_set = {(r["user_id"], r["purchase_id"], r["click_id"]) for r in inner}
+    assert outer_matched == inner_set
+    nulls = [r for r in outer if r["click_id"] is None]
+    assert nulls, "no null-extended purchases emitted"
+    # A null-extended purchase never also appears matched.
+    null_pids = {r["purchase_id"] for r in nulls}
+    assert not null_pids & {p for _, p, _ in inner_set}
