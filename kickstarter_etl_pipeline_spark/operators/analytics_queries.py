@@ -1,0 +1,710 @@
+"""Product-analytics / join-shape query wrappers (funnels, cohorts, anomaly scoring, skew and null-safe join shapes). Moved verbatim from queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators import text as TX
+from kickstarter_etl_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from kickstarter_etl_pipeline_spark.operators.dims import build_dim_date
+from kickstarter_etl_pipeline_spark.operators.multimodal import documents_as_media, extract_features
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+from kickstarter_etl_pipeline_spark.operators.transform import fractional_days
+from kickstarter_etl_pipeline_spark.plans.star import (
+    tpch_dim_category,
+    tpch_dim_state,
+    tpch_fact,
+    tpch_star,
+)
+from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_tumbling_counts
+
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, time-bounded funnel analysis (view → click within 1 h →
+    purchase within 1 h): per-stage surviving user counts plus
+    conversion from the top of the funnel — the product-analytics
+    sequential-pattern query. Each stage is one filtered min-aggregate
+    joined to the prior stage's frame; time stays in integer
+    microseconds (rule 4) so the window bounds are exact, and
+    conversion derives from exact counts in one IEEE division."""
+    hour_us = 3_600_000_000
+    events = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
+    e = events.select("user_id", "event_type", "us")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("t1"))
+    c = (
+        e.join(v, on="user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("us") >= F.col("t1"))
+            & (F.col("us") <= F.col("t1") + hour_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        e.join(c, on="user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") >= F.col("t2"))
+            & (F.col("us") <= F.col("t2") + hour_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = (
+        e.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(F.broadcast(v.agg(F.count("*").alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchased"))))
+    )
+    return counts.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        round_det(F.col("n_clicked") / F.col("n_viewed"), 6).alias("view_to_click"),
+        round_det(F.col("n_purchased") / F.col("n_viewed"), 6).alias("view_to_purchase"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first
+    'signup' event; for each (cohort_week, weeks_since) cell, how many
+    cohort members were active that week and the retention rate vs the
+    cohort size. Weeks are integer microsecond arithmetic from a fixed
+    epoch (rule 4 — no date-truncation timezone traps); rates derive
+    from exact counts in one IEEE division. Two uniform-key shuffles
+    (first-signup per user, cell distinct) — linear at any scale."""
+    wk_us = 7 * 24 * 3_600_000_000
+    events = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
+    e = events.select("user_id", "event_type", (F.col("us") / wk_us).cast("long").alias("wk"))
+    cohorts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    sizes = cohorts.groupBy("cohort_wk").agg(F.count("*").alias("cohort_size"))
+    active = (
+        e.join(cohorts, on="user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .distinct()
+        .groupBy("cohort_wk", "weeks_since")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), on="cohort_wk")
+        .select(
+            "cohort_wk",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            round_det(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own hourly distribution, flagged at |z| > 2.
+    The mean/stddev come from exact integer sufficient statistics
+    (counts of counts — rule 5), so the z-score is one IEEE expression;
+    sqrt of an exact ratio is bit-identical across engines. Output is
+    only the anomalous buckets — the alerting shape, not a full dump."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum("n_events").alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_s2"),
+    )
+    # (x − mean) and stddev_samp from exact integers; z is then a fixed
+    # tree of correctly-rounded IEEE ops mirrored verbatim in the oracle.
+    num = (F.col("n_events") * F.col("_n") - F.col("_s1")).cast("double") / F.col("_n")
+    den = F.sqrt(
+        (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("double")
+        / (F.col("_n") * (F.col("_n") - 1)).cast("double")
+    )
+    z = num / den
+    return (
+        hourly.join(F.broadcast(stats), on="event_type")
+        .filter(F.col("_n") > 1)
+        .withColumn("zscore", round_det(z, 4))
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .select("event_type", "bucket_start", "n_events", "zscore")
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the last-order date
+    (recency), order count (frequency), and exact-decimal spend
+    (monetary), each quartiled with ntile(4) over a fully deterministic
+    order (metric, then custkey — unique tie-break, so bucket
+    boundaries can't flip between engines), plus the concatenated
+    segment code. One shuffle for the per-customer aggregate; the
+    ntiles partition nothing (global) but run on the key-cardinality
+    aggregate, not the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order_date"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order_date"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "last_order_date",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("int").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("int").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("int").alias("m_quartile"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model input: counts of consecutive
+    (prev_type → next_type) transitions within each user's event
+    sequence (lag over the per-user microsecond order), with the
+    per-prev-type transition probability from exact counts — the
+    Markov-chain estimation query. One window shuffle on user_id, one
+    count aggregate."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "us", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n_transitions").alias("_row_total"))
+    return counts.join(F.broadcast(totals), on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        round_det(F.col("n_transitions") / F.col("_row_total"), 6).alias("p_next"),
+    )
+
+
+def q_error_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join at scale: for every error event, how many of
+    the SAME user's events fall within ±5 minutes. The naive form is a
+    quadratic per-user theta join; the scalable shape banding-buckets
+    time into 5-minute cells and equi-joins on (user, cell) with each
+    error probing its own and both neighbor cells (exploded) — shuffle
+    volume O(events × 3), never user² — then applies the exact ±5 min
+    predicate as a residual filter. Same trick as LSH banding, applied
+    to time. Counts are exact integers."""
+    win_us = 300_000_000
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us").select(
+        "event_id", "user_id", "event_type", "us"
+    )
+    others = ev.select(
+        "user_id",
+        F.col("event_id").alias("other_id"),
+        F.col("us").alias("other_us"),
+        (F.col("us") / win_us).cast("long").alias("cell"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(
+            F.array(
+                (F.col("us") / win_us).cast("long") - 1,
+                (F.col("us") / win_us).cast("long"),
+                (F.col("us") / win_us).cast("long") + 1,
+            )
+        ).alias("cell"),
+    )
+    near = errors.join(others, on=["user_id", "cell"]).filter(
+        (F.col("other_id") != F.col("event_id"))
+        & (F.abs(F.col("other_us") - F.col("us")) <= win_us)
+    )
+    # distinct: an other-event in an overlapping neighbor cell can match twice
+    return (
+        near.select("event_id", "user_id", "other_id")
+        .distinct()
+        .groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
+def q_priority_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent order priority per status) with a
+    deterministic tie-break (count desc, then priority asc) — the
+    argmax-of-count aggregation shape, resolved with one count
+    aggregate plus a row_number window over the (small) group×value
+    lattice, never a collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each nation's customer-balance total as
+    a share of its region's total — the two-level BI ratio shape, done
+    as one aggregate plus a window SUM over the (tiny) nation-level
+    result; the share is one IEEE division over exact decimal sums cast
+    down at the same 2-dp boundary on both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_bal"))
+    )
+    region_total = F.sum("_bal").over(Window.partitionBy("r_name"))
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_bal"), 2).cast("double").alias("nation_balance"),
+        round_det(
+            F.col("_bal").cast("double") * 100.0 / region_total.cast("double"), 6
+        ).alias("pct_of_region"),
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, date predicates, grouped revenue top-k."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp_ntz")
+    joined = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the region hierarchy; revenue
+    from lineitems where supplier and customer share a nation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: orders above their customer's average.
+
+    Expressed as a window (the decorrelated form Catalyst produces for
+    the equivalent correlated subquery). The per-customer average is
+    derived from the ROUNDED sum so row membership at the comparison
+    boundary is engine-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_spend = F.round(F.sum("o_totalprice").over(w), 2) / F.count("*").over(w)
+    # floor(x·10^4 + 0.5)/10^4 instead of round(x, 4): exact rationals like
+    # sum/16 produce representational ties where Spark's string-based
+    # HALF_UP and a numeric rounding disagree; floor-of-identical-doubles
+    # is bit-deterministic across engines.
+    display = F.floor(F.col("_avg") * 10000 + 0.5) / F.lit(10000.0)
+    return (
+        orders.withColumn("_avg", avg_spend)
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", display.alias("cust_avg_price"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the S4 idempotent-insert primitive)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_customers_with_orders_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join + count."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_semi")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_custkeys_1998_not_1999(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return y98.subtract(y99)
+
+
+def q_custkeys_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT (distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return y98.intersect(y99)
+
+
+def q_price_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: exact interpolated percentiles + stddev.
+
+    stddev is computed from exact-decimal sufficient statistics, not
+    ``stddev_samp``: a streaming double variance is summation-order-
+    dependent, so its low bits differ run-to-run and engine-to-engine.
+    o_totalprice is a 2-dp quantity — sum(x) and sum(x^2) are exact in
+    decimal, and sqrt((n*s2 - s1^2) / (n*(n-1))) is then a single
+    deterministic IEEE expression on identical inputs in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.count("*").alias("_n"),
+            F.sum(x).alias("_s1"),
+            F.sum(x * x).alias("_s2"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .withColumn(
+            "price_stddev",
+            F.round(
+                F.sqrt(
+                    (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("double")
+                    / (F.col("_n") * (F.col("_n") - F.lit(1))).cast("double")
+                ),
+                4,
+            ),
+        )
+        .select("o_orderstatus", "p50", "p90", "price_stddev", "min_price", "max_price")
+    )
+
+
+_PRICE_BANDS = [
+    ("A_budget", 0.0, 50_000.0),
+    ("B_mid", 50_000.0, 150_000.0),
+    ("C_high", 150_000.0, 300_000.0),
+    ("D_jumbo", 300_000.0, 1e12),
+]
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi interval) join: orders banded by a tiny broadcast
+    band table on lo <= price < hi. At scale the band side is constant-
+    size, so BroadcastNestedLoopJoin costs one pass over the fact with a
+    4-entry probe — no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            # 2-dp prices summed exactly in decimal → cast of the same
+            # rational to double is identical in both engines
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join, demonstrated on a deliberately skewed
+    key: 90% of lineitem rows collapse onto skew_key=0. Unsalted, that
+    key's entire volume lands on ONE reducer — the classic 100 TB
+    stall; salting spreads it across 16 buckets while staying
+    row-identical to the plain join (asserted in tests/test_scale_paths)."""
+    from kickstarter_etl_pipeline_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    skew_key = F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    large = li.withColumn("skew_key", skew_key.cast("long"))
+    small = (
+        large.select("skew_key")
+        .distinct()
+        .withColumn("key_class", F.when(F.col("skew_key") == 0, F.lit("hot")).otherwise(F.lit("cold")))
+    )
+    joined = salted_join(large, small, on=["skew_key"], how="inner", salt_buckets=16)
+    return joined.groupBy("key_class").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+def q_null_safe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): customer
+    nation keys are deterministically nulled (custkey ≡0 mod 9) and a
+    matching NULL-keyed row is added to the dim side, so NULL keys MATCH
+    each other — the semantic a plain equi join silently drops. Grouped
+    counts + balance sums prove both the null-bucket join and the
+    non-null passthrough."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 9 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    dim = nation.select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation_name")
+    ).unionByName(
+        nation.sparkSession.createDataFrame(
+            [(None, "UNKNOWN")], "nk bigint, nation_name string"
+        )
+    )
+    joined = cust.join(F.broadcast(dim), cust.nk.eqNullSafe(dim.nk), "left").select(
+        "c_custkey", "c_acctbal", "nation_name"
+    )
+    return joined.groupBy("nation_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("balance_sum"),
+    )
+
+
+def q_grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) + grouping() flags."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_totalprice",
+    )
+    return (
+        base.groupingSets([["o_orderstatus"], ["order_year"], []], "o_orderstatus", "order_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+        )
+    )
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windows, sessions, JSON
+# ---------------------------------------------------------------------------
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) + per-metric aggregate — the inverse of
+    the pivot operator, exact decimal totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+    long = wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n_values"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact-decimal sufficient statistics (the
+    same engine-independence technique as price_stats_by_status: a
+    streaming double corr is summation-order-dependent; exact decimal
+    sums cast to double feed ONE deterministic IEEE expression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(15,2)")
+    y = F.col("l_extendedprice").cast("decimal(15,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+        F.col("_sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select("l_returnflag", "n", round_det(corr, 6).alias("corr_qty_price"))
+
+
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via bucket arithmetic (no window, one
+    shuffle): 25k-wide price buckets with per-bucket count and range."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25_000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set op: EXCEPT ALL keeps multiplicity (1998 priorities
+    minus 1999 priorities, bag semantics) — complements the distinct
+    EXCEPT/INTERSECT pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    b = orders.filter(F.year("o_orderdate") == 1999).select("o_orderpriority")
+    return a.exceptAll(b)
+
+
+def q_part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, substring, length, LIKE, concat."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%widget%"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 3).alias("name_prefix"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        )
+    )
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: top-k by aggregate, deterministic tie-break, + broadcast join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count("*").alias("n_orders"))
+    )
+    return (
+        spend.join(F.broadcast(customer.select("c_custkey", "c_name")), spend.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )

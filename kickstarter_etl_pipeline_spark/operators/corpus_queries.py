@@ -1,0 +1,334 @@
+"""Corpus-curation query wrappers (quota/sampling/splits, text quality, dedup-adjacent text ops). Moved verbatim from queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators import text as TX
+from kickstarter_etl_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from kickstarter_etl_pipeline_spark.operators.dims import build_dim_date
+from kickstarter_etl_pipeline_spark.operators.multimodal import documents_as_media, extract_features
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+from kickstarter_etl_pipeline_spark.operators.transform import fractional_days
+from kickstarter_etl_pipeline_spark.plans.star import (
+    tpch_dim_category,
+    tpch_dim_state,
+    tpch_fact,
+    tpch_star,
+)
+from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_tumbling_counts
+
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota: keep (up to) 5 docs per source, chosen
+    by md5-hash order with doc_id tie-break — the deterministic
+    cap-per-domain dedup-adjacent op (windows over millions of small
+    source groups spread evenly; no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 5)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+def q_length_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report: documents (and char volume) surviving each
+    stage of a progressively stricter quality gate — the standard
+    what-did-each-filter-cost accounting for a corpus-cleaning pipeline.
+    Four aggregates over one cached scan, unioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    stages = [
+        ("all_documents", F.lit(True)),
+        ("min_100_chars", F.col("n_chars") >= 100),
+        ("latin_lang", (F.col("n_chars") >= 100) & F.col("lang").isin("en", "de", "es", "fr")),
+        (
+            "max_500_chars",
+            (F.col("n_chars") >= 100)
+            & F.col("lang").isin("en", "de", "es", "fr")
+            & (F.col("n_chars") <= 500),
+        ),
+    ]
+    parts = [
+        docs.filter(cond).agg(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_sum"),
+        )
+        for i, (name, cond) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def q_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per (source, lang) document counts,
+    char volume, and share of the corpus — the table you read before
+    choosing sampling weights. The grand total rides a broadcast scalar;
+    the share is one IEEE expression from exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+    total = docs.agg(F.count("*").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "chars_sum",
+        round_det(F.col("n_docs") * 100.0 / F.col("_total"), 6).alias("doc_share_pct"),
+    )
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way corpus split (~80/10/10 by the last two md5
+    hex digits of doc_id, compared lexicographically — 'cc' = 204/256,
+    'e6' = 230/256) — the reproducible train/val/test assignment: same
+    rows per split on every engine, run, and cluster size, no RNG.
+    Emitted per-doc so the driver hash proves both the assignment AND
+    the disjoint-cover property (every doc appears exactly once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tail2 = F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2)
+    split = (
+        F.when(tail2 < "cc", F.lit("train"))
+        .when(tail2 < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source rates (50% for the
+    src0-src4 strata, 25% elsewhere) carved by the last md5 hex digit of
+    the key — the reproducible way to rebalance source mix in a training
+    corpus (same rows on every engine/run/cluster size; the predicate is
+    a scan-level filter, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    hot = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    keep = (hot & digit.isin(*"01234567")) | (~hot & digit.isin(*"0123"))
+    return docs.filter(keep).select("doc_id", "source", "n_chars")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: ~1/4 of orders selected by the last
+    hex digit of md5(key) — reproducible across engines/runs/cluster
+    sizes, unlike RNG-based sample(). The 100 TB way to carve stable
+    eval/holdout splits without a shuffle (the predicate pushes to the
+    scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.md5(F.col("o_orderkey").cast("string")), 32, 1)
+    return orders.filter(digit.isin("0", "1", "2", "3")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing verbatim word
+    5-grams with the benchmark stratum (every 10th doc stands in for the
+    eval set), with shared-shingle and benchmark-doc counts. The
+    left-anti complement of this result is the decontaminated corpus."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import benchmark_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return benchmark_overlap(corpus, bench, n=5)
+
+
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by occurrence count (token
+    tie-break, so the LIMIT boundary is deterministic) with document
+    frequency riding along — the tokenizer-training input table."""
+    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        token_frequency(docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF·IDF (linear rarity weight N/df —
+    engine-deterministic; see operators.text.tfidf_top_terms)."""
+    from kickstarter_etl_pipeline_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    most-frequent-token share and 1 − unique/total token ratio."""
+    from kickstarter_etl_pipeline_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: language filter → quality filter →
+    exact dedup → clean corpus manifest. The end-to-end shape a 100 TB
+    pretraining-data job runs; each stage is one of the engine's
+    operators chained lazily into a single plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_lang = TX.with_lang_id(docs)
+    quality = TX.quality_score("text")
+    filtered = with_lang.filter(F.col("lang_pred") == "en").withColumn(
+        "quality", quality
+    ).filter(F.col("quality") >= 0.5)
+    from kickstarter_etl_pipeline_spark.operators.dedup import drop_exact_dupes
+
+    clean = drop_exact_dupes(filtered, "text", "doc_id")
+    return clean.select("doc_id", "lang", "quality", F.col("n_chars").alias("n_chars"))
+
+
+def _salted_pii_text() -> F.Column:
+    """Deterministic synthetic PII appended to each document (the corpus
+    is word-soup with no natural PII, so the scrub patterns would match
+    nothing): an email and a URL derived from (doc_id, source), plus a
+    phone number on even doc_ids so the counts vary per document. The
+    oracle performs the identical injection in SQL."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did,
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".com or https://"),
+        F.col("source"),
+        F.lit(".example.org/d/"),
+        did,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents corpus (URL → email → phone,
+    staged counts) — verified down to the md5 of every scrubbed
+    document, so a single missed or extra redaction anywhere flips the
+    hash. See operators.text.pii_scrub."""
+    from kickstarter_etl_pipeline_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", _salted_pii_text().alias("text"))
+    return pii_scrub(salted)
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit metric: per-document out-of-vocabulary rate against
+    the corpus's own top-100 vocabulary (count-then-token tie-break, the
+    same deterministic boundary as token_frequency)."""
+    from kickstarter_etl_pipeline_spark.operators.text import oov_rate, token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        token_frequency(docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+        .select("token")
+    )
+    return oov_rate(docs, vocab)
+
+
+def q_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: mean unigram surprisal + perplexity
+    proxy per document under the corpus's own unigram LM. Uses ln/exp,
+    which are NOT bit-deterministic across engines (NOTES.md rule 7) —
+    registered rows-only by design."""
+    from kickstarter_etl_pipeline_spark.operators.text import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation) next to whitespace tokens — the pretraining
+    token-budget estimator, pure JVM regex, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    return docs.select(
+        "doc_id",
+        F.size(TX.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).cast("long").alias(
+            "n_bpeish_tokens"
+        ),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fingerprint"),
+        TX.rolling_hash("text").alias("rolling_hash"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.with_text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification tier over set-similarity candidates:
+    word-3-gram Jaccard >= 0.5 prunes the pair space (never all-pairs),
+    then exact levenshtein runs only on candidates — the same
+    candidates-then-verify shape as MinHash→Jaccard, one tier stricter."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = ngram_jaccard_pairs(docs, threshold=0.5)
+    texts = docs.select("doc_id", "text")
+    paired = (
+        cands.join(texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")), "id_a")
+        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")), "id_b")
+    )
+    lev = F.levenshtein("_ta", "_tb")
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    return paired.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        lev.cast("long").alias("edit_distance"),
+        round_det(1 - lev / max_len, 6).alias("edit_similarity"),
+    )
+
+
+def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup pairs (tokenization-free)."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import char_jaccard_pairs
+
+    return char_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)

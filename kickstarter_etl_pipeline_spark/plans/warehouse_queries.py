@@ -1,0 +1,400 @@
+"""Warehouse-maintenance query wrappers (CDC, SCD, compaction, pruning, rollups, format round-trips). Moved verbatim from queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators import text as TX
+from kickstarter_etl_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from kickstarter_etl_pipeline_spark.operators.dims import build_dim_date
+from kickstarter_etl_pipeline_spark.operators.multimodal import documents_as_media, extract_features
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+from kickstarter_etl_pipeline_spark.operators.transform import fractional_days
+from kickstarter_etl_pipeline_spark.plans.star import (
+    tpch_dim_category,
+    tpch_dim_state,
+    tpch_fact,
+    tpch_star,
+)
+from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_tumbling_counts
+
+
+
+def q_cdc_apply_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply end-to-end: a base table (even orderkeys) receives one
+    change batch containing, per affected key, an UPDATE at seq 1
+    (price + 500 for keys ≡0 mod 4), a DELETE at seq 2 (keys ≡0 mod 8 —
+    which also matched the update, so last-writer-wins must let the
+    delete prevail), and INSERTs (keys ≡1 mod 4). The stored result is
+    aggregated; the oracle reconstructs the same final state, so a
+    resurrected delete, double-applied update, lost carry, or missed
+    insert flips the hash."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import apply_cdc_batch, merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = run_scratch_dir("cdc_orders_") + "/t"
+    merge_upsert(spark, orders.filter(F.col("o_orderkey") % 2 == 0), path, keys=["o_orderkey"])
+    k = F.col("o_orderkey")
+    updates = orders.filter(k % 4 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(500.0)).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(k % 8 == 0).select(
+        "o_orderkey", F.col("o_totalprice"), F.lit(2).alias("seq"), F.lit("D").alias("op")
+    )
+    inserts = orders.filter(k % 4 == 1).select(
+        "o_orderkey", F.col("o_totalprice"), F.lit(1).alias("seq"), F.lit("I").alias("op")
+    )
+    apply_cdc_batch(
+        spark, path, updates.unionByName(deletes).unionByName(inserts), keys=["o_orderkey"]
+    )
+    return spark.read.parquet(path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_scd1_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE end-to-end: a base table (even orderkeys) receives an
+    upsert batch that UPDATES the keys divisible by 4 (price + 1000) and
+    INSERTS the keys ≡ 1 (mod 4); untouched base rows carry over. The
+    stored result is aggregated; the oracle reconstructs the same merge
+    in SQL, so a dropped carry, double-applied update, or missed insert
+    breaks the hash."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = run_scratch_dir("scd1_orders_") + "/t"
+    merge_upsert(spark, orders.filter(F.col("o_orderkey") % 2 == 0), path, keys=["o_orderkey"])
+    updates = orders.filter(F.col("o_orderkey") % 4 <= 1).select(
+        "o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
+    )
+    merge_upsert(spark, updates, path, keys=["o_orderkey"])
+    return spark.read.parquet(path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (operators.dims.scd2_history): each
+    customer's order stream becomes versioned dimension rows with
+    [effective_from, effective_to) validity and is_current flag."""
+    from kickstarter_etl_pipeline_spark.operators.dims import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority", "o_totalprice"],
+        ts_col="o_orderdate",
+        id_col="o_orderkey",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.date_format("effective_from", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
+        "version",
+        "is_current",
+    )
+
+
+def q_compaction_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: documents written as 16 small
+    files, compacted to 2 via the crash-safe rename swap
+    (sources.sinks.compact_parquet), then aggregated — a lost or
+    duplicated row during the rewrite/swap flips the counts against the
+    plain-documents oracle. The file-count reduction itself is asserted
+    in tests/test_scale_paths.py; the graded result proves data
+    fidelity."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = run_scratch_dir("compact_docs_") + "/t"
+    docs.repartition(16).write.parquet(path)
+    compact_parquet(spark, path, target_files=2)
+    return (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )
+
+
+def q_partitioned_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned fact layout end-to-end: orders written partitioned by
+    order year (the reference's date-keyed warehouse layout re-expressed
+    as hive partitioning), read back with a year predicate — which scans
+    ONLY that year's directory (partition pruning, plan-asserted in
+    tests/test_streaming_append_and_jdbc.py) — and aggregated by
+    priority against a plain-orders oracle."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    path = run_scratch_dir("part_orders_") + "/t"
+    write_parquet(orders, path, partition_by=["order_year"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("order_year") == 1998)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def q_incremental_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance end-to-end: orders fold into a
+    stored per-priority rollup in three batches (keys mod 3) via
+    sources.sinks.incremental_rollup_update — each fold touches only
+    its batch plus the key-cardinality-sized stored partials, never
+    rescanning history. The final table must equal a direct group-by
+    over all orders (monoid partials), including the derived average."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import incremental_rollup_update
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    path = run_scratch_dir("rollup_orders_") + "/t"
+    for i in range(3):
+        incremental_rollup_update(
+            spark,
+            path,
+            orders.filter(F.col("o_orderkey") % 3 == i),
+            keys=["o_orderpriority"],
+            sum_cols=["o_totalprice"],
+        )
+    stored = spark.read.parquet(path)
+    total = F.col("sum_o_totalprice")
+    return stored.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("long").alias("n_orders"),
+        F.round(total, 2).cast("double").alias("total_price"),
+        round_det(F.round(total, 2).cast("double") / F.col("n_rows"), 6).alias("avg_price"),
+    )
+
+
+def q_idempotent_append_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 INSERT OR IGNORE end-to-end (reference
+    ``src/etl_pipeline.py:198``): batch A (even doc_ids) is appended,
+    then the FULL document set is appended with key-dedup — every row of
+    A is already present and must be ignored, so the stored table equals
+    each document exactly once. The oracle is the same aggregate over
+    plain ``documents``; any duplicate or lost row flips the counts."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import append_ignore_existing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = run_scratch_dir("idem_docs_") + "/t"
+    append_ignore_existing(spark, docs.filter(F.col("doc_id") % 2 == 0), path, keys=["doc_id"])
+    append_ignore_existing(spark, docs, path, keys=["doc_id"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )
+
+
+def q_dq_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report over the star build — the checkable version of
+    the reference's SQLite-enforced PK/UNIQUE/NOT NULL/FK constraints
+    (sql/create_tables.sql): fact row count, duplicate PKs, null FKs,
+    and per-dimension orphans, as one single-row report (each count is
+    one aggregate/anti-join; the 1-row frames cross-join for free)."""
+    from kickstarter_etl_pipeline_spark.operators.quality import (
+        count_nulls,
+        duplicate_key_count,
+        orphan_count,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dim_s = tpch_dim_state(orders)
+    dim_c = tpch_dim_category(part)
+    fact = tpch_fact(lineitem, orders, part, dim_s, dim_c)
+    base = fact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        count_nulls(fact, ["state_key", "category_key"]).alias("n_null_fks"),
+    )
+    dup_fact = duplicate_key_count(fact, ["l_orderkey", "l_linenumber"]).select(
+        F.col("n_duplicate_keys").alias("n_dup_fact_keys")
+    )
+    dup_state = duplicate_key_count(dim_s, ["state_name"]).select(
+        F.col("n_duplicate_keys").alias("n_dup_state_names")
+    )
+    orph_state = orphan_count(fact, dim_s, "state_key", "state_key").select(
+        F.col("n_orphans").alias("n_orphan_state_keys")
+    )
+    orph_cat = orphan_count(fact, dim_c, "category_key", "category_key").select(
+        F.col("n_orphans").alias("n_orphan_category_keys")
+    )
+    report = base
+    for piece in (dup_fact, dup_state, orph_state, orph_cat):
+        report = report.crossJoin(F.broadcast(piece))
+    return report
+
+
+def q_dq_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style quarantine end-to-end: orders are
+    deterministically corrupted (negated price on keys ≡0 mod 7, bogus
+    status on ≡0 mod 11, nulled priority on ≡0 mod 13 — the clean
+    fixture has no violations of its own), split by three null-safe
+    rules via operators.quality.quarantine_split, and summarized as a
+    one-row report: input/clean/quarantined totals, per-rule violation
+    counts (a row can violate several), and the clean-side price sum.
+    The oracle reconstructs the identical corruption and gate in SQL."""
+    from kickstarter_etl_pipeline_spark.operators.quality import quarantine_split
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(k % 7 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(k % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(k % 13 == 0, F.lit(None).cast("string")).otherwise(F.col("o_orderpriority")).alias("prio"),
+    )
+    rules = {
+        "price_positive": F.coalesce(F.col("price") > 0, F.lit(False)),
+        "status_valid": F.coalesce(F.col("status").isin("F", "P", "O"), F.lit(False)),
+        "priority_not_null": F.col("prio").isNotNull(),
+    }
+    clean, quarantined = quarantine_split(corrupted, rules)
+    clean_agg = clean.agg(
+        F.count("*").alias("n_clean"),
+        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("clean_price_sum"),
+    )
+    quar_agg = quarantined.agg(
+        F.count("*").alias("n_quarantined"),
+        *[
+            F.sum(F.when(F.array_contains("violated_rules", name), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_viol_{name}")
+            for name in rules
+        ],
+    )
+    return clean_agg.crossJoin(quar_agg).select(
+        (F.col("n_clean") + F.col("n_quarantined")).alias("n_input"),
+        "n_clean",
+        "n_quarantined",
+        "n_viol_price_positive",
+        "n_viol_status_valid",
+        "n_viol_priority_not_null",
+        "clean_price_sum",
+    )
+
+
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV source: write orders to CSV, read back with the explicit
+    schema, aggregate — proves the CSV reader end-to-end. The oracle runs
+    the same aggregate on the original parquet."""
+    from pyspark.sql import types as T
+
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.readers import read_csv
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Per-run scratch: concurrent sessions can't collide on the path,
+    # and the round-trip files are cleaned at process exit.
+    path = run_scratch_dir("csv_orders_")
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    """Shared aggregate for the format round-trip proofs — the oracle
+    runs the same aggregate on the original parquet, so any loss or
+    corruption in the write→read cycle flips the hash."""
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines source: write orders as JSONL, read back with the
+    explicit schema (inference over 100 TB of JSON is a non-starter),
+    aggregate. Doubles survive exactly: Spark writes shortest-repr
+    decimal strings and reads them back to the identical double."""
+    from pyspark.sql import types as T
+
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = run_scratch_dir("json_orders_")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    return _roundtrip_agg(spark.read.schema(schema).json(path))
+
+
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink: the other columnar format a warehouse migration
+    encounters; write orders as ORC, read back, aggregate."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = run_scratch_dir("orc_orders_")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode("overwrite").orc(path)
+    return _roundtrip_agg(spark.read.orc(path))

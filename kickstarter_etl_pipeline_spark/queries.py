@@ -42,6 +42,100 @@ from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
 from kickstarter_etl_pipeline_spark.sources.readers import load_table
 from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_tumbling_counts
 
+from kickstarter_etl_pipeline_spark.plans.tpch_queries import (  # noqa: F401 — registry surface
+    q_q1_pricing_summary,
+    q_q1_pricing_summary_sql,
+    q_q4_order_priority,
+    q_q18_large_orders,
+    q_q7_nation_volume,
+    q_q14_promo_revenue,
+    q_q19_or_predicates,
+    q_q22_idle_balances,
+    q_q2_min_cost_supplier,
+    q_q6_forecast_revenue,
+    q_q9_product_profit,
+    q_q11_important_values,
+    q_q12_priority_class,
+    q_q15_top_supplier,
+    q_q16_supplier_part_counts,
+    q_q17_small_qty_revenue,
+    q_q20_promo_part_suppliers,
+    q_q21_waiting_suppliers,
+    q_q8_market_share,
+    q_q10_returned_items,
+    q_q13_order_count_distribution,
+)
+
+from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa: F401 — registry surface
+    q_events_funnel,
+    q_cohort_retention,
+    q_events_anomaly_zscore,
+    q_rfm_segments,
+    q_event_transition_matrix,
+    q_error_blast_radius,
+    q_priority_mode_by_status,
+    q_nation_share_of_region,
+    q_shipping_priority,
+    q_local_supplier_volume,
+    q_above_avg_orders,
+    q_customers_without_orders,
+    q_customers_with_orders_count,
+    q_custkeys_1998_not_1999,
+    q_custkeys_both_years,
+    q_price_stats_by_status,
+    q_range_join_price_bands,
+    q_skew_salted_join,
+    q_null_safe_join_agg,
+    q_grouping_sets_status_year,
+    q_cube_status_priority,
+    q_pivot_status_priority,
+    q_unpivot_metrics,
+    q_corr_price_quantity,
+    q_histogram_price,
+    q_except_all_priorities,
+    q_part_string_ops,
+    q_topk_customers,
+)
+
+from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
+    q_cdc_apply_agg,
+    q_scd1_merge_agg,
+    q_scd2_priority_history,
+    q_compaction_roundtrip_agg,
+    q_partitioned_prune_agg,
+    q_incremental_rollup_agg,
+    q_idempotent_append_agg,
+    q_dq_star_report,
+    q_dq_quarantine_report,
+    q_csv_roundtrip_agg,
+    q_json_roundtrip_agg,
+    q_orc_roundtrip_agg,
+)
+
+from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F401 — registry surface
+    q_source_quota,
+    q_length_filter_funnel,
+    q_domain_mix_report,
+    q_train_val_test_split,
+    q_stratified_sample,
+    q_hash_sample,
+    q_decontaminate_overlap,
+    q_token_frequency,
+    q_tfidf_top_terms,
+    q_repetition_stats,
+    q_clean_corpus,
+    q_pii_scrub,
+    q_oov_rate,
+    q_perplexity_proxy,
+    q_bpe_token_counts,
+    q_doc_fingerprints,
+    q_lang_id,
+    q_quality_scores,
+    q_text_stats,
+    q_levenshtein_pairs,
+    q_char_jaccard_pairs,
+)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # ---------------------------------------------------------------------------
@@ -133,135 +227,6 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-filter + wide aggregate (A1/A4/A5 analogs)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-06-30 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # sums of PRODUCTS live on a finer grid than the 2-dp rounding,
-            # so a true sum can sit exactly on a .005 boundary where double
-            # accumulation order decides the hash. Per-row round (identical
-            # doubles in, identical out; casts are tie-free since no double
-            # sits exactly on a 5e-7 boundary) → exact sum → deterministic.
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-                2,
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-                    ).cast("decimal(18,6)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            F.round(F.sum("l_discount"), 4).alias("_sum_disc"),
-            F.count("*").alias("count_order"),
-        )
-        # averages derived from the rounded sums → engine-independent
-        # (raw double sums can differ by an ulp and flip 6-dp rounding)
-        .withColumn("avg_qty", round_det(F.col("sum_qty") / F.col("count_order"), 6))
-        .withColumn("avg_price", round_det(F.col("sum_base_price") / F.col("count_order"), 6))
-        .withColumn("avg_disc", round_det(F.col("_sum_disc") / F.col("count_order"), 6))
-        .drop("_sum_disc")
-    )
-
-
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join, date predicates, grouped revenue top-k."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp_ntz")
-    joined = (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders, customer.c_custkey == orders.o_custkey)
-        .filter(F.col("o_orderdate") < cutoff)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .filter(F.col("l_shipdate") > cutoff)
-    )
-    return (
-        joined.groupBy(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            "o_orderpriority",
-        )
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "o_orderkey")
-        .limit(10)
-    )
-
-
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join through the region hierarchy; revenue
-    from lineitems where supplier and customer share a nation."""
-    region = load_table(spark, sf_dir, "region")
-    nation = load_table(spark, sf_dir, "nation")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    joined = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
-        .filter(customer.c_nationkey == supplier.s_nationkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
-    )
-    return (
-        joined.groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-subquery shape: orders above their customer's average.
-
-    Expressed as a window (the decorrelated form Catalyst produces for
-    the equivalent correlated subquery). The per-customer average is
-    derived from the ROUNDED sum so row membership at the comparison
-    boundary is engine-independent.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    avg_spend = F.round(F.sum("o_totalprice").over(w), 2) / F.count("*").over(w)
-    # floor(x·10^4 + 0.5)/10^4 instead of round(x, 4): exact rationals like
-    # sum/16 produce representational ties where Spark's string-based
-    # HALF_UP and a numeric rounding disagree; floor-of-identical-doubles
-    # is bit-deterministic across engines.
-    display = F.floor(F.col("_avg") * 10000 + 0.5) / F.lit(10000.0)
-    return (
-        orders.withColumn("_avg", avg_spend)
-        .filter(F.col("o_totalprice") > F.col("_avg"))
-        .select("o_orderkey", "o_custkey", "o_totalprice", display.alias("cust_avg_price"))
-    )
-
-
 def q_group_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: value_counts() — group-count, descending (reference :78)."""
     return (
@@ -313,22 +278,6 @@ def q_ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4: top-k by aggregate, deterministic tie-break, + broadcast join."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    spend = (
-        orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count("*").alias("n_orders"))
-    )
-    return (
-        spend.join(F.broadcast(customer.select("c_custkey", "c_name")), spend.o_custkey == F.col("c_custkey"))
-        .select("c_custkey", "c_name", "total_spend", "n_orders")
-        .orderBy(F.desc("total_spend"), "c_custkey")
-        .limit(10)
-    )
-
-
 def q_window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window row_number: top-3 orders per customer by price."""
     orders = load_table(spark, sf_dir, "orders")
@@ -355,41 +304,6 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (the S4 idempotent-insert primitive)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
-    ).select("c_custkey", "c_name")
-
-
-def q_customers_with_orders_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join + count."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        customer.join(orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_semi")
-        .agg(F.count("*").alias("n_customers"))
-    )
-
-
-def q_custkeys_1998_not_1999(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: EXCEPT (distinct)."""
-    orders = load_table(spark, sf_dir, "orders")
-    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
-    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
-    return y98.subtract(y99)
-
-
-def q_custkeys_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: INTERSECT (distinct)."""
-    orders = load_table(spark, sf_dir, "orders")
-    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
-    y99 = orders.filter(F.year("o_orderdate") == 1999).select("o_custkey")
-    return y98.intersect(y99)
-
-
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way broadcast join + ROLLUP grouping sets."""
     customer = load_table(spark, sf_dir, "customer")
@@ -402,27 +316,6 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
     )
-
-
-def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order counts per priority × status."""
-    orders = load_table(spark, sf_dir, "orders")
-    pivoted = (
-        orders.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)))
-    )
-    return pivoted.select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
-        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
-        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Events: windows, sessions, JSON
-# ---------------------------------------------------------------------------
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,13 +457,6 @@ def q_events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sliding_counts(spark, sf_dir)
 
 
-def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character 5-gram Jaccard near-dup pairs (tokenization-free)."""
-    from kickstarter_etl_pipeline_spark.operators.dedup import char_jaccard_pairs
-
-    return char_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
-
-
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregates (single + multi column)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -581,128 +467,8 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets over orders."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-def q_price_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: exact interpolated percentiles + stddev.
-
-    stddev is computed from exact-decimal sufficient statistics, not
-    ``stddev_samp``: a streaming double variance is summation-order-
-    dependent, so its low bits differ run-to-run and engine-to-engine.
-    o_totalprice is a 2-dp quantity — sum(x) and sum(x^2) are exact in
-    decimal, and sqrt((n*s2 - s1^2) / (n*(n-1))) is then a single
-    deterministic IEEE expression on identical inputs in both engines.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    x = F.col("o_totalprice").cast("decimal(18,2)")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-            F.count("*").alias("_n"),
-            F.sum(x).alias("_s1"),
-            F.sum(x * x).alias("_s2"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        )
-        .withColumn(
-            "price_stddev",
-            F.round(
-                F.sqrt(
-                    (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("double")
-                    / (F.col("_n") * (F.col("_n") - F.lit(1))).cast("double")
-                ),
-                4,
-            ),
-        )
-        .select("o_orderstatus", "p50", "p90", "price_stddev", "min_price", "max_price")
-    )
-
-
-def q_part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function surface: case, substring, length, LIKE, concat."""
-    part = load_table(spark, sf_dir, "part")
-    return (
-        part.filter(F.col("p_name").like("%widget%"))
-        .select(
-            "p_partkey",
-            F.upper("p_name").alias("name_upper"),
-            F.substring("p_name", 1, 3).alias("name_prefix"),
-            F.length("p_name").cast("int").alias("name_len"),
-            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        )
-    )
-
-
-def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 CSV source: write orders to CSV, read back with the explicit
-    schema, aggregate — proves the CSV reader end-to-end. The oracle runs
-    the same aggregate on the original parquet."""
-    from pyspark.sql import types as T
-
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-    from kickstarter_etl_pipeline_spark.sources.readers import read_csv
-
-    orders = load_table(spark, sf_dir, "orders")
-    # Per-run scratch: concurrent sessions can't collide on the path,
-    # and the round-trip files are cleaned at process exit.
-    path = run_scratch_dir("csv_orders_")
-    orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").write.mode(
-        "overwrite"
-    ).option("header", True).csv(path)
-    schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType()),
-            T.StructField("o_custkey", T.LongType()),
-            T.StructField("o_orderstatus", T.StringType()),
-            T.StructField("o_totalprice", T.DoubleType()),
-        ]
-    )
-    back = read_csv(spark, path, schema=schema)
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Documents: dedup + text analysis
-# ---------------------------------------------------------------------------
-
-
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
-
-
-def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.fingerprint_md5("text").alias("fingerprint"),
-        TX.rolling_hash("text").alias("rolling_hash"),
-    )
-
-
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.with_text_stats(load_table(spark, sf_dir, "documents"))
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.with_lang_id(docs).select("doc_id", "lang", "lang_pred")
-
-
-def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,51 +516,6 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kickstarter_etl_pipeline_spark.operators.corpus import chunk_documents
 
     return chunk_documents(load_table(spark, sf_dir, "documents"))
-
-
-def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed training-data pipeline: language filter → quality filter →
-    exact dedup → clean corpus manifest. The end-to-end shape a 100 TB
-    pretraining-data job runs; each stage is one of the engine's
-    operators chained lazily into a single plan."""
-    docs = load_table(spark, sf_dir, "documents")
-    with_lang = TX.with_lang_id(docs)
-    quality = TX.quality_score("text")
-    filtered = with_lang.filter(F.col("lang_pred") == "en").withColumn(
-        "quality", quality
-    ).filter(F.col("quality") >= 0.5)
-    from kickstarter_etl_pipeline_spark.operators.dedup import drop_exact_dupes
-
-    clean = drop_exact_dupes(filtered, "text", "doc_id")
-    return clean.select("doc_id", "lang", "quality", F.col("n_chars").alias("n_chars"))
-
-
-def q_q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same Q1 via the SQL API (temp view + spark.sql) — Catalyst
-    produces the identical plan; proves the engine's SQL surface."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
-               sum_charge,
-               floor(sum_qty / count_order * 1e6 + 0.5) / 1e6 AS avg_qty,
-               floor(sum_base_price / count_order * 1e6 + 0.5) / 1e6 AS avg_price,
-               floor(sum_disc / count_order * 1e6 + 0.5) / 1e6 AS avg_disc,
-               count_order
-        FROM (
-          SELECT l_returnflag, l_linestatus,
-                 round(sum(l_quantity), 4) AS sum_qty,
-                 round(sum(l_extendedprice), 2) AS sum_base_price,
-                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-                 round(sum(l_discount), 4) AS sum_disc,
-                 count(*) AS count_order
-          FROM lineitem_v
-          WHERE l_shipdate <= TIMESTAMP_NTZ '2000-06-30 00:00:00'
-          GROUP BY l_returnflag, l_linestatus
-        )
-        """
-    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,57 +597,6 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PRICE_BANDS = [
-    ("A_budget", 0.0, 50_000.0),
-    ("B_mid", 50_000.0, 150_000.0),
-    ("C_high", 150_000.0, 300_000.0),
-    ("D_jumbo", 300_000.0, 1e12),
-]
-
-
-def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (non-equi interval) join: orders banded by a tiny broadcast
-    band table on lo <= price < hi. At scale the band side is constant-
-    size, so BroadcastNestedLoopJoin costs one pass over the fact with a
-    4-entry probe — no shuffle."""
-    orders = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
-    return (
-        orders.join(
-            F.broadcast(bands),
-            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
-        )
-        .groupBy("band")
-        .agg(
-            F.count("*").alias("n_orders"),
-            # 2-dp prices summed exactly in decimal → cast of the same
-            # rational to double is identical in both engines
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_price"),
-        )
-    )
-
-
-def q_grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (beyond rollup/cube) + grouping() flags."""
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderstatus",
-        F.year("o_orderdate").cast("int").alias("order_year"),
-        "o_totalprice",
-    )
-    return (
-        base.groupingSets([["o_orderstatus"], ["order_year"], []], "o_orderstatus", "order_year")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-            F.grouping("o_orderstatus").cast("int").alias("g_status"),
-            F.grouping("order_year").cast("int").alias("g_year"),
-        )
-    )
-
-
 def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead window functions: per-user previous/next event and the
     gap to the previous one in exact integer microseconds."""
@@ -939,46 +609,6 @@ def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         (F.col("_us") - F.lag("_us").over(w)).alias("gap_from_prev_us"),
-    )
-
-
-def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS-style left-semi join with a non-equi
-    residual condition (any lineitem shipped >60 days after order)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
-
-
-def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to its
-    parents. The pre-join aggregate shrinks the fact before either join
-    (map-side partial agg + AQE handles the rest at scale)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
-        .filter(F.col("_qty") > 250)
-    )
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            "o_totalprice",
-            F.col("_qty").cast("double").alias("sum_qty"),
-        )
     )
 
 
@@ -1029,427 +659,6 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-mitigating salted join, demonstrated on a deliberately skewed
-    key: 90% of lineitem rows collapse onto skew_key=0. Unsalted, that
-    key's entire volume lands on ONE reducer — the classic 100 TB
-    stall; salting spreads it across 16 buckets while staying
-    row-identical to the plain join (asserted in tests/test_scale_paths)."""
-    from kickstarter_etl_pipeline_spark.operators.joins import salted_join
-
-    li = load_table(spark, sf_dir, "lineitem")
-    skew_key = F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(F.col("l_orderkey"))
-    large = li.withColumn("skew_key", skew_key.cast("long"))
-    small = (
-        large.select("skew_key")
-        .distinct()
-        .withColumn("key_class", F.when(F.col("skew_key") == 0, F.lit("hot")).otherwise(F.lit("cold")))
-    )
-    joined = salted_join(large, small, on=["skew_key"], how="inner", salt_buckets=16)
-    return joined.groupBy("key_class").agg(
-        F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-    )
-
-
-def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bilateral trade volume between customer and
-    supplier nations per ship year. Nation is broadcast twice under two
-    roles; the fact stream shuffles only for the final aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    n_cust = nation.select(
-        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
-    )
-    n_supp = nation.select(
-        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
-    )
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_ck"))
-        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sk"))
-        .filter(F.col("cust_nation") != F.col("supp_nation"))
-    )
-    return (
-        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue share — conditional aggregation
-    over a broadcast part join, one output row. The share is derived
-    from exact decimal sums so the percentage is engine-independent."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
-    )
-    agg = joined.agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_promo"),
-        F.sum(disc).alias("_total"),
-        F.count("*").alias("n_items"),
-    )
-    return agg.select(
-        round_det(F.col("_promo").cast("double") * 100.0 / F.col("_total").cast("double"), 6).alias(
-            "promo_revenue_pct"
-        ),
-        F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
-        "n_items",
-    )
-
-
-def q_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: disjunction of conjunctive brand/quantity/size
-    ranges — the OR-of-ANDs predicate exercises boolean pushdown through
-    a broadcast join, one output row."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    cond = (
-        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
-        | ((F.col("p_brand") == "Brand#15") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
-        | ((F.col("p_brand") == "Brand#17") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
-    )
-    return joined.filter(cond).agg(
-        F.round(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-            2,
-        )
-        .cast("double")
-        .alias("revenue"),
-        F.count("*").alias("n_items"),
-    )
-
-
-def q_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: scalar subquery (global average balance) + anti
-    join (customers with no 1999 orders), grouped by segment. The
-    scalar stays distributed via a broadcast cross join — no collect."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    avg_row = customer.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("_avg_bal")
-    )
-    custs_1999 = orders.filter(F.year("o_orderdate") == 1999).select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    rich_idle = (
-        customer.crossJoin(F.broadcast(avg_row))
-        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(custs_1999, on="c_custkey", how="left_anti")
-    )
-    return rich_idle.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_customers"),
-        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").alias("total_balance"),
-    )
-
-
-def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: correlated-min subquery — for each small part
-    (p_size <= 10), the EUROPE supplier(s) achieving the minimum
-    observed unit cost, resolved as argmin-per-group via join-back (no
-    partsupp table in this schema; unit cost is derived from lineitem as
-    extendedprice/quantity). The per-part min is computed once and
-    broadcast-joined back; part/supplier/nation/region are all broadcast
-    dims, so the lineitem stream shuffles only for the two aggregates.
-
-    Unit cost is ONE IEEE double division evaluated identically on both
-    engines; the min lattice and the equality join-back therefore
-    compare bit-identical values (NOTES.md determinism rule 5).
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    euro_supp = (
-        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("s_suppkey", "s_name", "n_name")
-    )
-    uc = li.select(
-        "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("_uc")
-    )
-    per_ps = uc.groupBy("l_partkey", "l_suppkey").agg(F.min("_uc").alias("supp_cost"))
-    per_p = per_ps.groupBy("l_partkey").agg(F.min("supp_cost").alias("_best"))
-    return (
-        per_ps.join(F.broadcast(per_p), on="l_partkey")
-        .filter(F.col("supp_cost") == F.col("_best"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            "p_partkey",
-            "p_name",
-            "s_name",
-            F.col("n_name").alias("supp_nation"),
-            round_det(F.col("supp_cost"), 6).alias("min_unit_cost"),
-        )
-    )
-
-
-def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: forecast-revenue delta — a pure scan-filter-agg
-    with range predicates on date, discount, and quantity, no joins.
-    The canary for predicate pushdown: all three filters must reach the
-    parquet scan. Revenue is an exact decimal sum of price×discount."""
-    li = load_table(spark, sf_dir, "lineitem")
-    filtered = li.filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_discount") >= 0.02)
-        & (F.col("l_discount") <= 0.06)
-        & (F.col("l_quantity") < 24)
-    )
-    return filtered.agg(
-        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("revenue"),
-        F.count("*").alias("n_items"),
-    )
-
-
-def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: product-type profit by supplier nation and year
-    for parts matching a name pattern ('%widget%'). No ps_supplycost in
-    this schema, so cost is proxied as retailprice×quantity×0.1; the
-    profit expression is cast to exact decimal before summing. Part,
-    supplier, and nation broadcast; lineitem shuffles once for the
-    final aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
-    ).cast("decimal(18,6)")
-    joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-    )
-    return (
-        joined.groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("int").alias("o_year"))
-        .agg(
-            F.round(F.sum(profit), 2).cast("double").alias("sum_profit"),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-def q_q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: per-part shipped value, kept only where the
-    part's value exceeds 1.3× the average per-part share of the global
-    total (a scalar-subquery threshold). Both the per-part values and
-    the global total are exact decimal sums; the threshold comparison is
-    one IEEE expression. The scalar rides a broadcast cross join — no
-    driver collect."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_val")
-    )
-    scalar = per_part.agg(
-        F.sum("_val").alias("_total"), F.count("*").alias("_nparts")
-    )
-    return (
-        per_part.crossJoin(F.broadcast(scalar))
-        .filter(
-            F.col("_val").cast("double")
-            > F.col("_total").cast("double") * 1.3 / F.col("_nparts")
-        )
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.round(F.col("_val"), 2).cast("double").alias("part_value"),
-        )
-    )
-
-
-def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: line counts by status split into high/low order
-    priority for a one-year ship window (no l_shipmode in this schema;
-    l_linestatus plays the grouping role). The li⋈orders join is
-    shuffle-on-key (both large — correct at scale; the bucketed path in
-    sources/bucketing.py removes it when pre-bucketed)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    joined = li.filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
-    ).join(orders, li.l_orderkey == orders.o_orderkey)
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return joined.groupBy("l_linestatus").agg(
-        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
-        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
-    )
-
-
-def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier revenue for a half-year window, then
-    the supplier(s) matching the MAX revenue via a broadcast scalar —
-    the classic view + scalar-subquery pattern. Revenue is an exact
-    decimal sum, so the max-equality join-back compares exact values."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supplier = load_table(spark, sf_dir, "supplier")
-    rev = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias("_rev")
-        )
-    )
-    top = rev.agg(F.max("_rev").alias("_max_rev"))
-    return (
-        rev.crossJoin(F.broadcast(top))
-        .filter(F.col("_rev") == F.col("_max_rev"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
-        )
-    )
-
-
-def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
-    for non-excluded parts, with bad suppliers (negative balance — the
-    schema's stand-in for complaint comments) removed via the NOT-IN
-    shape as a broadcast anti join."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#15") & (F.col("p_type") != "PROMO")
-    )
-    bad_supp = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select(F.col("s_suppkey").alias("l_suppkey"))
-    )
-    return (
-        li.join(bad_supp, on="l_suppkey", how="left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: small-quantity-order revenue — lineitems of one
-    brand below 20% of their part's average quantity, total price / 7.
-    The per-part average threshold is the correlated-aggregate join-back;
-    it derives from an exact decimal quantity sum so the `<` comparison
-    is one IEEE expression on both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    th = (
-        li.groupBy("l_partkey")
-        .agg(
-            (
-                F.lit(0.2)
-                * F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-                / F.count("*")
-            ).alias("_qty_threshold")
-        )
-    )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(th), on="l_partkey")
-        .filter(F.col("l_quantity") < F.col("_qty_threshold"))
-        .agg(
-            round_det(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 4
-            ).alias("avg_yearly"),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-def q_q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: suppliers who shipped an above-threshold volume
-    of PROMO parts in 1998 (threshold = half the average per-supplier
-    PROMO volume, a broadcast scalar — no availqty in this schema), with
-    their nations. Semi-join chain: part filter → per-supplier decimal
-    quantity sum → scalar threshold → broadcast supplier/nation."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    promo_qty = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
-        )
-        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
-        .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
-    )
-    scalar = promo_qty.agg(F.sum("_qty").alias("_total"), F.count("*").alias("_nsupp"))
-    return (
-        promo_qty.crossJoin(F.broadcast(scalar))
-        .filter(
-            F.col("_qty").cast("double")
-            > F.col("_total").cast("double") * 0.5 / F.col("_nsupp")
-        )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.col("n_name").alias("supp_nation"),
-            F.round(F.col("_qty"), 2).cast("double").alias("promo_qty"),
-        )
-    )
-
-
-def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: suppliers who single-handedly held up
-    multi-supplier finalized orders — the EXISTS + NOT-EXISTS self-join
-    pair, expressed as per-order aggregates (no receiptdate in this
-    schema; a returned line, l_returnflag = 'R', marks the hold-up).
-    A supplier is counted for an order when it has a returned line, the
-    order involves ≥2 suppliers, and NO other supplier has one."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    supplier = load_table(spark, sf_dir, "supplier")
-    per_os = (
-        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_has_ret"))
-    )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count("*").alias("_n_supp"), F.sum("_has_ret").alias("_n_ret")
-    )
-    waiting = (
-        per_os.join(per_o, on="l_orderkey")
-        .filter((F.col("_has_ret") == 1) & (F.col("_n_supp") >= 2) & (F.col("_n_ret") == 1))
-    )
-    return (
-        waiting.groupBy("l_suppkey")
-        .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
-        .select("s_suppkey", "s_name", "numwait")
-    )
-
-
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding ROWS frame: 3-order moving average of spend per customer.
     The frame sum is exact decimal so the average is engine-independent
@@ -1485,158 +694,6 @@ def q_window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT (wide→long melt) + per-metric aggregate — the inverse of
-    the pivot operator, exact decimal totals."""
-    li = load_table(spark, sf_dir, "lineitem")
-    wide = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").alias("quantity"),
-        F.col("l_extendedprice").alias("extendedprice"),
-        F.col("l_discount").alias("discount"),
-    )
-    long = wide.unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["quantity", "extendedprice", "discount"],
-        "metric",
-        "value",
-    )
-    return long.groupBy("metric").agg(
-        F.count("*").alias("n_values"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
-    )
-
-
-def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact-decimal sufficient statistics (the
-    same engine-independence technique as price_stats_by_status: a
-    streaming double corr is summation-order-dependent; exact decimal
-    sums cast to double feed ONE deterministic IEEE expression)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(15,2)")
-    y = F.col("l_extendedprice").cast("decimal(15,2)")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(x).alias("_sx"),
-        F.sum(y).alias("_sy"),
-        F.sum(x * x).alias("_sxx"),
-        F.sum(y * y).alias("_syy"),
-        F.sum(x * y).alias("_sxy"),
-    )
-    n = F.col("n").cast("double")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxx, syy, sxy = (
-        F.col("_sxx").cast("double"),
-        F.col("_syy").cast("double"),
-        F.col("_sxy").cast("double"),
-    )
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return agg.select("l_returnflag", "n", round_det(corr, 6).alias("corr_qty_price"))
-
-
-def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram via bucket arithmetic (no window, one
-    shuffle): 25k-wide price buckets with per-bucket count and range."""
-    orders = load_table(spark, sf_dir, "orders")
-    bucket = F.floor(F.col("o_totalprice") / 25_000).cast("long")
-    return (
-        orders.groupBy(bucket.alias("price_bucket"))
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        )
-    )
-
-
-def q_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiset set op: EXCEPT ALL keeps multiplicity (1998 priorities
-    minus 1999 priorities, bag semantics) — complements the distinct
-    EXCEPT/INTERSECT pair."""
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
-    b = orders.filter(F.year("o_orderdate") == 1999).select("o_orderpriority")
-    return a.exceptAll(b)
-
-
-def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting with a BPE-ish regex (letter runs / digit runs /
-    single punctuation) next to whitespace tokens — the pretraining
-    token-budget estimator, pure JVM regex, no UDF."""
-    docs = load_table(spark, sf_dir, "documents")
-    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-    return docs.select(
-        "doc_id",
-        F.size(TX.tokens("text")).cast("long").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0))).cast("long").alias(
-            "n_bpeish_tokens"
-        ),
-    )
-
-
-def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 SCD history build (operators.dims.scd2_history): each
-    customer's order stream becomes versioned dimension rows with
-    [effective_from, effective_to) validity and is_current flag."""
-    from kickstarter_etl_pipeline_spark.operators.dims import scd2_history
-
-    orders = load_table(spark, sf_dir, "orders")
-    hist = scd2_history(
-        orders,
-        key_cols=["o_custkey"],
-        attr_cols=["o_orderpriority", "o_totalprice"],
-        ts_col="o_orderdate",
-        id_col="o_orderkey",
-    )
-    return hist.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        F.date_format("effective_from", "yyyy-MM-dd").alias("effective_from"),
-        F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
-        "version",
-        "is_current",
-    )
-
-
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash sampling: ~1/4 of orders selected by the last
-    hex digit of md5(key) — reproducible across engines/runs/cluster
-    sizes, unlike RNG-based sample(). The 100 TB way to carve stable
-    eval/holdout splits without a shuffle (the predicate pushes to the
-    scan)."""
-    orders = load_table(spark, sf_dir, "orders")
-    digit = F.substring(F.md5(F.col("o_orderkey").cast("string")), 32, 1)
-    return orders.filter(digit.isin("0", "1", "2", "3")).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-
-
-def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance verification tier over set-similarity candidates:
-    word-3-gram Jaccard >= 0.5 prunes the pair space (never all-pairs),
-    then exact levenshtein runs only on candidates — the same
-    candidates-then-verify shape as MinHash→Jaccard, one tier stricter."""
-    docs = load_table(spark, sf_dir, "documents")
-    cands = ngram_jaccard_pairs(docs, threshold=0.5)
-    texts = docs.select("doc_id", "text")
-    paired = (
-        cands.join(texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")), "id_a")
-        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")), "id_b")
-    )
-    lev = F.levenshtein("_ta", "_tb")
-    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
-    return paired.select(
-        "id_a",
-        "id_b",
-        "jaccard",
-        lev.cast("long").alias("edit_distance"),
-        round_det(1 - lev / max_len, 6).alias("edit_similarity"),
-    )
-
-
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension statistics across the embedding corpus via
     posexplode — the feature-distribution profile (drift/normalization
@@ -1664,163 +721,6 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
-
-
-def _roundtrip_agg(back: DataFrame) -> DataFrame:
-    """Shared aggregate for the format round-trip proofs — the oracle
-    runs the same aggregate on the original parquet, so any loss or
-    corruption in the write→read cycle flips the hash."""
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON lines source: write orders as JSONL, read back with the
-    explicit schema (inference over 100 TB of JSON is a non-starter),
-    aggregate. Doubles survive exactly: Spark writes shortest-repr
-    decimal strings and reads them back to the identical double."""
-    from pyspark.sql import types as T
-
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-
-    orders = load_table(spark, sf_dir, "orders")
-    path = run_scratch_dir("json_orders_")
-    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode("overwrite").json(path)
-    schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType()),
-            T.StructField("o_orderstatus", T.StringType()),
-            T.StructField("o_totalprice", T.DoubleType()),
-        ]
-    )
-    return _roundtrip_agg(spark.read.schema(schema).json(path))
-
-
-def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC source/sink: the other columnar format a warehouse migration
-    encounters; write orders as ORC, read back, aggregate."""
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-
-    orders = load_table(spark, sf_dir, "orders")
-    path = run_scratch_dir("orc_orders_")
-    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode("overwrite").orc(path)
-    return _roundtrip_agg(spark.read.orc(path))
-
-
-def q_dq_star_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Constraint report over the star build — the checkable version of
-    the reference's SQLite-enforced PK/UNIQUE/NOT NULL/FK constraints
-    (sql/create_tables.sql): fact row count, duplicate PKs, null FKs,
-    and per-dimension orphans, as one single-row report (each count is
-    one aggregate/anti-join; the 1-row frames cross-join for free)."""
-    from kickstarter_etl_pipeline_spark.operators.quality import (
-        count_nulls,
-        duplicate_key_count,
-        orphan_count,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    dim_s = tpch_dim_state(orders)
-    dim_c = tpch_dim_category(part)
-    fact = tpch_fact(lineitem, orders, part, dim_s, dim_c)
-    base = fact.agg(
-        F.count(F.lit(1)).cast("long").alias("n_fact"),
-        count_nulls(fact, ["state_key", "category_key"]).alias("n_null_fks"),
-    )
-    dup_fact = duplicate_key_count(fact, ["l_orderkey", "l_linenumber"]).select(
-        F.col("n_duplicate_keys").alias("n_dup_fact_keys")
-    )
-    dup_state = duplicate_key_count(dim_s, ["state_name"]).select(
-        F.col("n_duplicate_keys").alias("n_dup_state_names")
-    )
-    orph_state = orphan_count(fact, dim_s, "state_key", "state_key").select(
-        F.col("n_orphans").alias("n_orphan_state_keys")
-    )
-    orph_cat = orphan_count(fact, dim_c, "category_key", "category_key").select(
-        F.col("n_orphans").alias("n_orphan_category_keys")
-    )
-    report = base
-    for piece in (dup_fact, dup_state, orph_state, orph_cat):
-        report = report.crossJoin(F.broadcast(piece))
-    return report
-
-
-def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: a supplier nation's share of regional revenue per
-    year — two-level aggregation with a conditional numerator, share
-    derived from exact decimal sums."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    n_cust = nation.select(F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_crk"))
-    n_supp = nation.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_ck"))
-        .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sk"))
-        .join(F.broadcast(region), F.col("_crk") == region.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
-    )
-    agg = joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
-        F.sum(F.when(F.col("supp_nation") == "NATION_5", disc).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_n5"),
-        F.sum(disc).alias("_total"),
-    )
-    return agg.select(
-        "o_year",
-        round_det(F.col("_n5").cast("double") / F.col("_total").cast("double"), 6).alias("mkt_share"),
-        F.round(F.col("_total"), 2).cast("double").alias("region_revenue"),
-    )
-
-
-def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
-    selective fact filter, join back to the customer dim, ranked."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    returned = li.filter(F.col("l_returnflag") == "R")
-    joined = (
-        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-    )
-    return (
-        joined.groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-                2,
-            )
-            .cast("double")
-            .alias("lost_revenue"),
-            F.count("*").alias("n_items"),
-        )
-        .orderBy(F.desc("lost_revenue"), "c_custkey")
-        .limit(20)
-    )
-
-
-def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
-    zero-order customers (left join, count over nullable key, then a
-    second aggregation over the counts)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
 
 
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,51 +760,6 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, on="component_id").select("doc_id", "component_id", "n_members")
 
 
-def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary: top-100 tokens by occurrence count (token
-    tie-break, so the LIMIT boundary is deterministic) with document
-    frequency riding along — the tokenizer-training input table."""
-    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        token_frequency(docs)
-        .orderBy(F.desc("n_occurrences"), F.asc("token"))
-        .limit(100)
-    )
-
-
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 terms by TF·IDF (linear rarity weight N/df —
-    engine-deterministic; see operators.text.tfidf_top_terms)."""
-    from kickstarter_etl_pipeline_spark.operators.text import tfidf_top_terms
-
-    docs = load_table(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs, k=3)
-
-
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals per document:
-    most-frequent-token share and 1 − unique/total token ratio."""
-    from kickstarter_etl_pipeline_spark.operators.text import repetition_stats
-
-    docs = load_table(spark, sf_dir, "documents")
-    return repetition_stats(docs)
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: per-source rates (50% for the
-    src0-src4 strata, 25% elsewhere) carved by the last md5 hex digit of
-    the key — the reproducible way to rebalance source mix in a training
-    corpus (same rows on every engine/run/cluster size; the predicate is
-    a scan-level filter, no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
-    hot = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
-    keep = (hot & digit.isin(*"01234567")) | (~hot & digit.isin(*"0123"))
-    return docs.filter(keep).select("doc_id", "source", "n_chars")
-
-
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-group resolution on the SAME candidate graph as
     `dedup_components`, but via alternating large-star/small-star edge
@@ -1922,358 +777,6 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
     return comp.join(sizes, on="component_id").select("doc_id", "component_id", "n_members")
-
-
-def q_idempotent_append_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 INSERT OR IGNORE end-to-end (reference
-    ``src/etl_pipeline.py:198``): batch A (even doc_ids) is appended,
-    then the FULL document set is appended with key-dedup — every row of
-    A is already present and must be ignored, so the stored table equals
-    each document exactly once. The oracle is the same aggregate over
-    plain ``documents``; any duplicate or lost row flips the counts."""
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-    from kickstarter_etl_pipeline_spark.sources.sinks import append_ignore_existing
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    path = run_scratch_dir("idem_docs_") + "/t"
-    append_ignore_existing(spark, docs.filter(F.col("doc_id") % 2 == 0), path, keys=["doc_id"])
-    append_ignore_existing(spark, docs, path, keys=["doc_id"])
-    return (
-        spark.read.parquet(path)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum("n_chars").cast("long").alias("chars_sum"),
-        )
-    )
-
-
-def q_scd1_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD1 MERGE end-to-end: a base table (even orderkeys) receives an
-    upsert batch that UPDATES the keys divisible by 4 (price + 1000) and
-    INSERTS the keys ≡ 1 (mod 4); untouched base rows carry over. The
-    stored result is aggregated; the oracle reconstructs the same merge
-    in SQL, so a dropped carry, double-applied update, or missed insert
-    breaks the hash."""
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-    from kickstarter_etl_pipeline_spark.sources.sinks import merge_upsert
-
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = run_scratch_dir("scd1_orders_") + "/t"
-    merge_upsert(spark, orders.filter(F.col("o_orderkey") % 2 == 0), path, keys=["o_orderkey"])
-    updates = orders.filter(F.col("o_orderkey") % 4 <= 1).select(
-        "o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
-    )
-    merge_upsert(spark, updates, path, keys=["o_orderkey"])
-    return spark.read.parquet(path).agg(
-        F.count("*").alias("n_rows"),
-        F.sum("o_orderkey").cast("long").alias("key_sum"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("total_price"),
-    )
-
-
-def _salted_pii_text() -> F.Column:
-    """Deterministic synthetic PII appended to each document (the corpus
-    is word-soup with no natural PII, so the scrub patterns would match
-    nothing): an email and a URL derived from (doc_id, source), plus a
-    phone number on even doc_ids so the counts vary per document. The
-    oracle performs the identical injection in SQL."""
-    did = F.col("doc_id").cast("string")
-    return F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        did,
-        F.lit("@mail-"),
-        F.col("source"),
-        F.lit(".com or https://"),
-        F.col("source"),
-        F.lit(".example.org/d/"),
-        did,
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(
-                F.lit(" tel 555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-
-
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction over the documents corpus (URL → email → phone,
-    staged counts) — verified down to the md5 of every scrubbed
-    document, so a single missed or extra redaction anywhere flips the
-    hash. See operators.text.pii_scrub."""
-    from kickstarter_etl_pipeline_spark.operators.text import pii_scrub
-
-    docs = load_table(spark, sf_dir, "documents")
-    salted = docs.select("doc_id", _salted_pii_text().alias("text"))
-    return pii_scrub(salted)
-
-
-def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-fit metric: per-document out-of-vocabulary rate against
-    the corpus's own top-100 vocabulary (count-then-token tie-break, the
-    same deterministic boundary as token_frequency)."""
-    from kickstarter_etl_pipeline_spark.operators.text import oov_rate, token_frequency
-
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        token_frequency(docs)
-        .orderBy(F.desc("n_occurrences"), F.asc("token"))
-        .limit(100)
-        .select("token")
-    )
-    return oov_rate(docs, vocab)
-
-
-def q_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style quality filter: mean unigram surprisal + perplexity
-    proxy per document under the corpus's own unigram LM. Uses ln/exp,
-    which are NOT bit-deterministic across engines (NOTES.md rule 7) —
-    registered rows-only by design."""
-    from kickstarter_etl_pipeline_spark.operators.text import unigram_surprisal
-
-    docs = load_table(spark, sf_dir, "documents")
-    return unigram_surprisal(docs)
-
-
-def q_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-composition report: per (source, lang) document counts,
-    char volume, and share of the corpus — the table you read before
-    choosing sampling weights. The grand total rides a broadcast scalar;
-    the share is one IEEE expression from exact integer counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    agg = docs.groupBy("source", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("chars_sum"),
-    )
-    total = docs.agg(F.count("*").alias("_total"))
-    return agg.crossJoin(F.broadcast(total)).select(
-        "source",
-        "lang",
-        "n_docs",
-        "chars_sum",
-        round_det(F.col("n_docs") * 100.0 / F.col("_total"), 6).alias("doc_share_pct"),
-    )
-
-
-def q_length_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter-funnel report: documents (and char volume) surviving each
-    stage of a progressively stricter quality gate — the standard
-    what-did-each-filter-cost accounting for a corpus-cleaning pipeline.
-    Four aggregates over one cached scan, unioned."""
-    docs = load_table(spark, sf_dir, "documents")
-    stages = [
-        ("all_documents", F.lit(True)),
-        ("min_100_chars", F.col("n_chars") >= 100),
-        ("latin_lang", (F.col("n_chars") >= 100) & F.col("lang").isin("en", "de", "es", "fr")),
-        (
-            "max_500_chars",
-            (F.col("n_chars") >= 100)
-            & F.col("lang").isin("en", "de", "es", "fr")
-            & (F.col("n_chars") <= 500),
-        ),
-    ]
-    parts = [
-        docs.filter(cond).agg(
-            F.lit(i).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage_name"),
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_sum"),
-        )
-        for i, (name, cond) in enumerate(stages)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
-
-
-def q_compaction_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction end-to-end: documents written as 16 small
-    files, compacted to 2 via the crash-safe rename swap
-    (sources.sinks.compact_parquet), then aggregated — a lost or
-    duplicated row during the rewrite/swap flips the counts against the
-    plain-documents oracle. The file-count reduction itself is asserted
-    in tests/test_scale_paths.py; the graded result proves data
-    fidelity."""
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-    from kickstarter_etl_pipeline_spark.sources.sinks import compact_parquet
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    path = run_scratch_dir("compact_docs_") + "/t"
-    docs.repartition(16).write.parquet(path)
-    compact_parquet(spark, path, target_files=2)
-    return (
-        spark.read.parquet(path)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doc_id").cast("long").alias("id_sum"),
-            F.sum("n_chars").cast("long").alias("chars_sum"),
-        )
-    )
-
-
-def q_partitioned_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partitioned fact layout end-to-end: orders written partitioned by
-    order year (the reference's date-keyed warehouse layout re-expressed
-    as hive partitioning), read back with a year predicate — which scans
-    ONLY that year's directory (partition pruning, plan-asserted in
-    tests/test_streaming_append_and_jdbc.py) — and aggregated by
-    priority against a plain-orders oracle."""
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-    from kickstarter_etl_pipeline_spark.sources.sinks import write_parquet
-
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "order_year", F.year("o_orderdate").cast("int")
-    )
-    path = run_scratch_dir("part_orders_") + "/t"
-    write_parquet(orders, path, partition_by=["order_year"])
-    return (
-        spark.read.parquet(path)
-        .filter(F.col("order_year") == 1998)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total_price"),
-        )
-    )
-
-
-def q_dq_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expectations-style quarantine end-to-end: orders are
-    deterministically corrupted (negated price on keys ≡0 mod 7, bogus
-    status on ≡0 mod 11, nulled priority on ≡0 mod 13 — the clean
-    fixture has no violations of its own), split by three null-safe
-    rules via operators.quality.quarantine_split, and summarized as a
-    one-row report: input/clean/quarantined totals, per-rule violation
-    counts (a row can violate several), and the clean-side price sum.
-    The oracle reconstructs the identical corruption and gate in SQL."""
-    from kickstarter_etl_pipeline_spark.operators.quality import quarantine_split
-
-    orders = load_table(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    corrupted = orders.select(
-        "o_orderkey",
-        F.when(k % 7 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("price"),
-        F.when(k % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("status"),
-        F.when(k % 13 == 0, F.lit(None).cast("string")).otherwise(F.col("o_orderpriority")).alias("prio"),
-    )
-    rules = {
-        "price_positive": F.coalesce(F.col("price") > 0, F.lit(False)),
-        "status_valid": F.coalesce(F.col("status").isin("F", "P", "O"), F.lit(False)),
-        "priority_not_null": F.col("prio").isNotNull(),
-    }
-    clean, quarantined = quarantine_split(corrupted, rules)
-    clean_agg = clean.agg(
-        F.count("*").alias("n_clean"),
-        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("clean_price_sum"),
-    )
-    quar_agg = quarantined.agg(
-        F.count("*").alias("n_quarantined"),
-        *[
-            F.sum(F.when(F.array_contains("violated_rules", name), 1).otherwise(0))
-            .cast("long")
-            .alias(f"n_viol_{name}")
-            for name in rules
-        ],
-    )
-    return clean_agg.crossJoin(quar_agg).select(
-        (F.col("n_clean") + F.col("n_quarantined")).alias("n_input"),
-        "n_clean",
-        "n_quarantined",
-        "n_viol_price_positive",
-        "n_viol_status_valid",
-        "n_viol_priority_not_null",
-        "clean_price_sum",
-    )
-
-
-def q_incremental_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized-view maintenance end-to-end: orders fold into a
-    stored per-priority rollup in three batches (keys mod 3) via
-    sources.sinks.incremental_rollup_update — each fold touches only
-    its batch plus the key-cardinality-sized stored partials, never
-    rescanning history. The final table must equal a direct group-by
-    over all orders (monoid partials), including the derived average."""
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-    from kickstarter_etl_pipeline_spark.sources.sinks import incremental_rollup_update
-
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
-    path = run_scratch_dir("rollup_orders_") + "/t"
-    for i in range(3):
-        incremental_rollup_update(
-            spark,
-            path,
-            orders.filter(F.col("o_orderkey") % 3 == i),
-            keys=["o_orderpriority"],
-            sum_cols=["o_totalprice"],
-        )
-    stored = spark.read.parquet(path)
-    total = F.col("sum_o_totalprice")
-    return stored.select(
-        "o_orderpriority",
-        F.col("n_rows").cast("long").alias("n_orders"),
-        F.round(total, 2).cast("double").alias("total_price"),
-        round_det(F.round(total, 2).cast("double") / F.col("n_rows"), 6).alias("avg_price"),
-    )
-
-
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered, time-bounded funnel analysis (view → click within 1 h →
-    purchase within 1 h): per-stage surviving user counts plus
-    conversion from the top of the funnel — the product-analytics
-    sequential-pattern query. Each stage is one filtered min-aggregate
-    joined to the prior stage's frame; time stays in integer
-    microseconds (rule 4) so the window bounds are exact, and
-    conversion derives from exact counts in one IEEE division."""
-    hour_us = 3_600_000_000
-    events = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
-    e = events.select("user_id", "event_type", "us")
-    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("t1"))
-    c = (
-        e.join(v, on="user_id")
-        .filter(
-            (F.col("event_type") == "click")
-            & (F.col("us") >= F.col("t1"))
-            & (F.col("us") <= F.col("t1") + hour_us)
-        )
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
-    )
-    p = (
-        e.join(c, on="user_id")
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("us") >= F.col("t2"))
-            & (F.col("us") <= F.col("t2") + hour_us)
-        )
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
-    )
-    counts = (
-        e.agg(F.count_distinct("user_id").alias("n_users"))
-        .crossJoin(F.broadcast(v.agg(F.count("*").alias("n_viewed"))))
-        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_clicked"))))
-        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchased"))))
-    )
-    return counts.select(
-        "n_users",
-        "n_viewed",
-        "n_clicked",
-        "n_purchased",
-        round_det(F.col("n_clicked") / F.col("n_viewed"), 6).alias("view_to_click"),
-        round_det(F.col("n_purchased") / F.col("n_viewed"), 6).alias("view_to_purchase"),
-    )
 
 
 def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2311,228 +814,6 @@ def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_error_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval self-join at scale: for every error event, how many of
-    the SAME user's events fall within ±5 minutes. The naive form is a
-    quadratic per-user theta join; the scalable shape banding-buckets
-    time into 5-minute cells and equi-joins on (user, cell) with each
-    error probing its own and both neighbor cells (exploded) — shuffle
-    volume O(events × 3), never user² — then applies the exact ±5 min
-    predicate as a residual filter. Same trick as LSH banding, applied
-    to time. Counts are exact integers."""
-    win_us = 300_000_000
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us").select(
-        "event_id", "user_id", "event_type", "us"
-    )
-    others = ev.select(
-        "user_id",
-        F.col("event_id").alias("other_id"),
-        F.col("us").alias("other_us"),
-        (F.col("us") / win_us).cast("long").alias("cell"),
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id",
-        "user_id",
-        "us",
-        F.explode(
-            F.array(
-                (F.col("us") / win_us).cast("long") - 1,
-                (F.col("us") / win_us).cast("long"),
-                (F.col("us") / win_us).cast("long") + 1,
-            )
-        ).alias("cell"),
-    )
-    near = errors.join(others, on=["user_id", "cell"]).filter(
-        (F.col("other_id") != F.col("event_id"))
-        & (F.abs(F.col("other_us") - F.col("us")) <= win_us)
-    )
-    # distinct: an other-event in an overlapping neighbor cell can match twice
-    return (
-        near.select("event_id", "user_id", "other_id")
-        .distinct()
-        .groupBy("event_id", "user_id")
-        .agg(F.count("*").alias("n_nearby"))
-    )
-
-
-def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percent-of-parent rollup: each nation's customer-balance total as
-    a share of its region's total — the two-level BI ratio shape, done
-    as one aggregate plus a window SUM over the (tiny) nation-level
-    result; the share is one IEEE division over exact decimal sums cast
-    down at the same 2-dp boundary on both engines."""
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    per_nation = (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_bal"))
-    )
-    region_total = F.sum("_bal").over(Window.partitionBy("r_name"))
-    return per_nation.select(
-        "r_name",
-        "n_name",
-        F.round(F.col("_bal"), 2).cast("double").alias("nation_balance"),
-        round_det(
-            F.col("_bal").cast("double") * 100.0 / region_total.cast("double"), 6
-        ).alias("pct_of_region"),
-    )
-
-
-def q_null_safe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): customer
-    nation keys are deterministically nulled (custkey ≡0 mod 9) and a
-    matching NULL-keyed row is added to the dim side, so NULL keys MATCH
-    each other — the semantic a plain equi join silently drops. Grouped
-    counts + balance sums prove both the null-bucket join and the
-    non-null passthrough."""
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    cust = customer.select(
-        "c_custkey",
-        "c_acctbal",
-        F.when(F.col("c_custkey") % 9 == 0, F.lit(None).cast("bigint"))
-        .otherwise(F.col("c_nationkey"))
-        .alias("nk"),
-    )
-    dim = nation.select(
-        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation_name")
-    ).unionByName(
-        nation.sparkSession.createDataFrame(
-            [(None, "UNKNOWN")], "nk bigint, nation_name string"
-        )
-    )
-    joined = cust.join(F.broadcast(dim), cust.nk.eqNullSafe(dim.nk), "left").select(
-        "c_custkey", "c_acctbal", "nation_name"
-    )
-    return joined.groupBy("nation_name").agg(
-        F.count("*").alias("n_customers"),
-        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("balance_sum"),
-    )
-
-
-def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 3-way corpus split (~80/10/10 by the last two md5
-    hex digits of doc_id, compared lexicographically — 'cc' = 204/256,
-    'e6' = 230/256) — the reproducible train/val/test assignment: same
-    rows per split on every engine, run, and cluster size, no RNG.
-    Emitted per-doc so the driver hash proves both the assignment AND
-    the disjoint-cover property (every doc appears exactly once)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tail2 = F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2)
-    split = (
-        F.when(tail2 < "cc", F.lit("train"))
-        .when(tail2 < "e6", F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return docs.select("doc_id", "source", split.alias("split"))
-
-
-def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order behavior model input: counts of consecutive
-    (prev_type → next_type) transitions within each user's event
-    sequence (lag over the per-user microsecond order), with the
-    per-prev-type transition probability from exact counts — the
-    Markov-chain estimation query. One window shuffle on user_id, one
-    count aggregate."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    pairs = (
-        ev.select("user_id", "event_id", "us", "event_type")
-        .withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-    )
-    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
-        F.count("*").alias("n_transitions")
-    )
-    totals = counts.groupBy("prev_type").agg(F.sum("n_transitions").alias("_row_total"))
-    return counts.join(F.broadcast(totals), on="prev_type").select(
-        "prev_type",
-        "next_type",
-        "n_transitions",
-        round_det(F.col("n_transitions") / F.col("_row_total"), 6).alias("p_next"),
-    )
-
-
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation: per customer the last-order date
-    (recency), order count (frequency), and exact-decimal spend
-    (monetary), each quartiled with ntile(4) over a fully deterministic
-    order (metric, then custkey — unique tie-break, so bucket
-    boundaries can't flip between engines), plus the concatenated
-    segment code. One shuffle for the per-customer aggregate; the
-    ntiles partition nothing (global) but run on the key-cardinality
-    aggregate, not the fact."""
-    orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order_date"),
-        F.count("*").alias("frequency"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("monetary"),
-    )
-    r_w = Window.orderBy(F.desc("last_order_date"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return per_cust.select(
-        "o_custkey",
-        "last_order_date",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).cast("int").alias("r_quartile"),
-        F.ntile(4).over(f_w).cast("int").alias("f_quartile"),
-        F.ntile(4).over(m_w).cast("int").alias("m_quartile"),
-    ).withColumn(
-        "segment",
-        F.concat(
-            F.col("r_quartile").cast("string"),
-            F.col("f_quartile").cast("string"),
-            F.col("m_quartile").cast("string"),
-        ),
-    )
-
-
-def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-anomaly detection: hourly event counts per type, z-scored
-    against that type's own hourly distribution, flagged at |z| > 2.
-    The mean/stddev come from exact integer sufficient statistics
-    (counts of counts — rule 5), so the z-score is one IEEE expression;
-    sqrt of an exact ratio is bit-identical across engines. Output is
-    only the anomalous buckets — the alerting shape, not a full dump."""
-    events = load_table(spark, sf_dir, "events")
-    hourly = (
-        events.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
-            "event_type",
-        )
-        .agg(F.count("*").alias("n_events"))
-    )
-    stats = hourly.groupBy("event_type").agg(
-        F.count("*").alias("_n"),
-        F.sum("n_events").alias("_s1"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("_s2"),
-    )
-    # (x − mean) and stddev_samp from exact integers; z is then a fixed
-    # tree of correctly-rounded IEEE ops mirrored verbatim in the oracle.
-    num = (F.col("n_events") * F.col("_n") - F.col("_s1")).cast("double") / F.col("_n")
-    den = F.sqrt(
-        (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("double")
-        / (F.col("_n") * (F.col("_n") - 1)).cast("double")
-    )
-    z = num / den
-    return (
-        hourly.join(F.broadcast(stats), on="event_type")
-        .filter(F.col("_n") > 1)
-        .withColumn("zscore", round_det(z, 4))
-        .filter(F.abs(F.col("zscore")) > 2.0)
-        .select("event_type", "bucket_start", "n_events", "zscore")
-    )
-
-
 def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup OUTPUT artifact: per near-dup component (same candidate
     graph as `dedup_components`), the canonical survivor — longest
@@ -2564,105 +845,6 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_apply_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC apply end-to-end: a base table (even orderkeys) receives one
-    change batch containing, per affected key, an UPDATE at seq 1
-    (price + 500 for keys ≡0 mod 4), a DELETE at seq 2 (keys ≡0 mod 8 —
-    which also matched the update, so last-writer-wins must let the
-    delete prevail), and INSERTs (keys ≡1 mod 4). The stored result is
-    aggregated; the oracle reconstructs the same final state, so a
-    resurrected delete, double-applied update, lost carry, or missed
-    insert flips the hash."""
-    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
-    from kickstarter_etl_pipeline_spark.sources.sinks import apply_cdc_batch, merge_upsert
-
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = run_scratch_dir("cdc_orders_") + "/t"
-    merge_upsert(spark, orders.filter(F.col("o_orderkey") % 2 == 0), path, keys=["o_orderkey"])
-    k = F.col("o_orderkey")
-    updates = orders.filter(k % 4 == 0).select(
-        "o_orderkey",
-        (F.col("o_totalprice") + F.lit(500.0)).alias("o_totalprice"),
-        F.lit(1).alias("seq"),
-        F.lit("U").alias("op"),
-    )
-    deletes = orders.filter(k % 8 == 0).select(
-        "o_orderkey", F.col("o_totalprice"), F.lit(2).alias("seq"), F.lit("D").alias("op")
-    )
-    inserts = orders.filter(k % 4 == 1).select(
-        "o_orderkey", F.col("o_totalprice"), F.lit(1).alias("seq"), F.lit("I").alias("op")
-    )
-    apply_cdc_batch(
-        spark, path, updates.unionByName(deletes).unionByName(inserts), keys=["o_orderkey"]
-    )
-    return spark.read.parquet(path).agg(
-        F.count("*").alias("n_rows"),
-        F.sum("o_orderkey").cast("long").alias("key_sum"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("total_price"),
-    )
-
-
-def q_priority_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group mode (most frequent order priority per status) with a
-    deterministic tie-break (count desc, then priority asc) — the
-    argmax-of-count aggregation shape, resolved with one count
-    aggregate plus a row_number window over the (small) group×value
-    lattice, never a collect."""
-    orders = load_table(spark, sf_dir, "orders")
-    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n")
-    )
-    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
-    return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "o_orderstatus",
-            F.col("o_orderpriority").alias("mode_priority"),
-            F.col("n").alias("mode_count"),
-        )
-    )
-
-
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: users grouped by the week of their first
-    'signup' event; for each (cohort_week, weeks_since) cell, how many
-    cohort members were active that week and the retention rate vs the
-    cohort size. Weeks are integer microsecond arithmetic from a fixed
-    epoch (rule 4 — no date-truncation timezone traps); rates derive
-    from exact counts in one IEEE division. Two uniform-key shuffles
-    (first-signup per user, cell distinct) — linear at any scale."""
-    wk_us = 7 * 24 * 3_600_000_000
-    events = EV.with_unix_micros(load_table(spark, sf_dir, "events"), out="us")
-    e = events.select("user_id", "event_type", (F.col("us") / wk_us).cast("long").alias("wk"))
-    cohorts = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("wk").alias("cohort_wk"))
-    )
-    sizes = cohorts.groupBy("cohort_wk").agg(F.count("*").alias("cohort_size"))
-    active = (
-        e.join(cohorts, on="user_id")
-        .filter(F.col("wk") >= F.col("cohort_wk"))
-        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
-        .distinct()
-        .groupBy("cohort_wk", "weeks_since")
-        .agg(F.count("*").alias("n_active"))
-    )
-    return (
-        active.join(F.broadcast(sizes), on="cohort_wk")
-        .select(
-            "cohort_wk",
-            "weeks_since",
-            "n_active",
-            "cohort_size",
-            round_det(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
-        )
-    )
-
-
 def q_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained distinct-user counts per event type:
     three batch folds of mergeable HLL sketch partials
@@ -2689,19 +871,6 @@ def q_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_rollup_estimates(rollup)
 
 
-def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus docs sharing verbatim word
-    5-grams with the benchmark stratum (every 10th doc stands in for the
-    eval set), with shared-shingle and benchmark-doc counts. The
-    left-anti complement of this result is the decontaminated corpus."""
-    from kickstarter_etl_pipeline_spark.operators.dedup import benchmark_overlap
-
-    docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return benchmark_overlap(corpus, bench, n=5)
-
-
 def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization profile: scale, quantized checksum,
     max reconstruction error (see operators.similarity.quantization_profile)."""
@@ -2709,20 +878,6 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantization_profile(emb)
-
-
-def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source document quota: keep (up to) 5 docs per source, chosen
-    by md5-hash order with doc_id tie-break — the deterministic
-    cap-per-domain dedup-adjacent op (windows over millions of small
-    source groups spread evenly; no global sort)."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return (
-        docs.withColumn("sample_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("sample_rank") <= 5)
-        .select("doc_id", "source", "sample_rank")
-    )
 
 
 # ---------------------------------------------------------------------------
