@@ -167,3 +167,36 @@ def test_shuffle_hash_hint_honored(spark, sf_dir):
     plan = explain_str(joined)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing is one shuffle on the shard key: a single Exchange
+    (hashpartitioning on source for the window), no joins."""
+    from kickstarter_etl_pipeline_spark.queries import q_pack_sequences
+
+    plan = explain_str(q_pack_sequences(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_source_mixing_broadcasts_totals(spark, sf_dir):
+    """The one-row totals frame must reach the per-source rows as a
+    broadcast (nested-loop over ONE row), never via a driver collect,
+    and the per-source aggregate must combine map-side."""
+    from kickstarter_etl_pipeline_spark.queries import q_source_mixing_weights
+
+    plan = explain_str(q_source_mixing_weights(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    simple = explain_str(q_source_mixing_weights(spark, sf_dir), mode="simple")
+    assert "partial_count" in simple or "partial_sum" in simple
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is embarrassingly parallel: explode fan-out with zero
+    Exchange in the plan (AQE read repartition aside, there is no
+    aggregation or join to shuffle for)."""
+    from kickstarter_etl_pipeline_spark.queries import q_chunk_documents
+
+    plan = explain_str(q_chunk_documents(spark, sf_dir), mode="simple")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
