@@ -238,8 +238,14 @@ def lsh_topk(
     keys per vector); ``n_probe`` additionally probes the buckets
     across the lowest-margin hyperplanes of each table (multi-probe)
     without touching the corpus-side layout."""
+    # Norms are staged per ROW before the bucket join (an 8-byte column
+    # riding the explode), so the per-CANDIDATE-PAIR work is the dot
+    # product alone — cosine() inline would redo two dim-length norm
+    # aggregates for every pair a bucket produces.
     c = with_lsh_probe_keys(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        ).withColumn("_cnorm", norm(F.col("_cvec"))),
         "_cvec",
         dim,
         num_planes,
@@ -247,7 +253,9 @@ def lsh_topk(
         n_probe=1,
     )
     q = with_lsh_probe_keys(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        ).withColumn("_qnorm", norm(F.col("_qvec"))),
         "_qvec",
         dim,
         num_planes,
@@ -260,7 +268,13 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qvec"), F.col("_cvec")),
+                    F.col("_qnorm") * F.col("_cnorm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     # The same (query, neighbor) pair can collide in several tables or
@@ -301,7 +315,12 @@ def ivf_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_mlvec"),
     )
     model = KMeans(k=n_clusters, seed=42, featuresCol="_mlvec", predictionCol="_cell").fit(corpus_ml)
-    assigned = model.transform(corpus_ml).select("neighbor_id", "_cvec", "_cell")
+    # Norm staged per row, not per candidate pair (same reasoning as
+    # lsh_topk: a probed cell holds ~corpus/K rows per query, and
+    # cosine() inline would redo both norms for every pair).
+    assigned = model.transform(corpus_ml).select(
+        "neighbor_id", "_cvec", "_cell"
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     # Query-side: distance to every centroid from literals, take n_probe cells.
@@ -325,14 +344,20 @@ def ivf_topk(
     )
     probed = q.withColumn(
         "_cell", F.explode(F.slice(F.array_sort(dists), 1, n_probe).getField("cell"))
-    )
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
     scored = (
         assigned.join(F.broadcast(probed), on=assigned["_cell"] == probed["_cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine_sim"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qvec"), F.col("_cvec")),
+                    F.col("_qnorm") * F.col("_cnorm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
