@@ -94,6 +94,53 @@ def source_mixing_weights(
     )
 
 
+def boilerplate_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_doc_freq: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection: an n-gram appearing in at
+    least ``min_doc_freq`` distinct documents is boilerplate (headers,
+    footers, license blurbs, templated spans); each document reports
+    how much of it is made of such spans.
+
+    The C4/RefinedWeb-style line-dedup signal, at shingle granularity:
+    one explode + uniform-key groupBy for document frequencies, one
+    shuffle join back on the shingle, one per-doc aggregate — every
+    shuffle keyed by shingle or doc id, no skewed driver state, scales
+    linearly. Documents shorter than ``n`` tokens emit zero shingles
+    and a NULL ratio.
+    """
+    from kickstarter_etl_pipeline_spark.operators.dedup import shingles_from_tokens
+
+    staged = (
+        df.select(F.col(id_col), tokens(text_col).alias("_t"))
+        .withColumn("_sh", shingles_from_tokens("_t", n))
+        .localCheckpoint(eager=False)
+    )
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    doc_freq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+    boiler = (
+        sh.join(doc_freq.filter(F.col("_df") >= min_doc_freq), "_s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_boiler"))
+    )
+    totals = staged.select(F.col(id_col), F.size("_sh").cast("long").alias("n_shingles"))
+    return (
+        totals.join(boiler, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("_n_boiler"), F.lit(0)).cast("long").alias("n_boilerplate"),
+            round_det(
+                F.try_divide(F.coalesce(F.col("_n_boiler"), F.lit(0)), F.col("n_shingles")), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

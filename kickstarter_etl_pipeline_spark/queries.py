@@ -518,6 +518,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate share per doc: trigrams appearing in
+    ≥5 distinct documents count as boilerplate
+    (operators.corpus.boilerplate_stats)."""
+    from kickstarter_etl_pipeline_spark.operators.corpus import boilerplate_stats
+
+    return boilerplate_stats(
+        load_table(spark, sf_dir, "documents"), n=3, min_doc_freq=5
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: mapInPandas feature extraction."""
     return extract_features(documents_as_media(load_table(spark, sf_dir, "documents")))
@@ -911,6 +922,7 @@ _QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "source_mixing_weights": q_source_mixing_weights,
     "chunk_documents": q_chunk_documents,
+    "boilerplate_stats": q_boilerplate_stats,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1443,6 +1455,20 @@ _ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.8
+    """,
+    "boilerplate_stats": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sl FROM toks),
+        sh AS (SELECT doc_id, unnest(sl) AS s FROM shl),
+        dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        boiler AS (SELECT doc_id, count(*) AS nb
+                   FROM sh JOIN dfreq USING (s) WHERE df >= 5 GROUP BY doc_id)
+        SELECT shl.doc_id, CAST(len(sl) AS BIGINT) AS n_shingles,
+               CAST(coalesce(nb, 0) AS BIGINT) AS n_boilerplate,
+               floor(coalesce(nb, 0) / nullif(len(sl), 0) * 1000000 + 0.5) / 1000000.0
+                 AS boilerplate_ratio
+        FROM shl LEFT JOIN boiler USING (doc_id)
     """,
     "pack_sequences": f"""
         WITH t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),

@@ -93,3 +93,22 @@ def test_stream_left_outer_join_null_extension(spark, sf_dir):
     # A null-extended purchase never also appears matched.
     null_pids = {r["purchase_id"] for r in nulls}
     assert not null_pids & {p for _, p, _ in inner_set}
+
+
+def test_boilerplate_stats_shared_vs_unique(spark):
+    """Trigrams shared by >= min_doc_freq docs count as boilerplate;
+    short docs (no trigrams) report NULL ratio, unique docs 0.0."""
+    from kickstarter_etl_pipeline_spark.operators.corpus import boilerplate_stats
+
+    shared = "the quick brown fox jumps"
+    rows = [(i, f"{shared} suffix{i} word{i} tail{i}") for i in range(1, 4)]
+    rows += [(4, "completely different unrelated text here now"), (5, "tiny doc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_stats(docs, n=3, min_doc_freq=3).collect()}
+    # The 3 shared-prefix docs each contain the 3 boilerplate trigrams
+    # of "the quick brown fox jumps".
+    for i in (1, 2, 3):
+        assert out[i]["n_boilerplate"] == 3, out[i]
+        assert 0 < out[i]["boilerplate_ratio"] < 1
+    assert out[4]["n_boilerplate"] == 0 and out[4]["boilerplate_ratio"] == 0.0
+    assert out[5]["n_shingles"] == 0 and out[5]["boilerplate_ratio"] is None

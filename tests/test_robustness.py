@@ -122,23 +122,25 @@ def test_plan_summary_reports_scale_facts(spark, sf_dir):
 
 
 def test_ignore_corrupt_files(spark, tmp_path):
-    """Bit rot happens at 100 TB: with ignoreCorruptFiles the scan skips
-    the damaged file and returns every readable row instead of failing
-    the whole job."""
+    """Bit rot happens at 100 TB: the resilient reader skips the damaged
+    file (per-read option, no session-conf mutation) and returns every
+    readable row, while the strict default reader still fails loudly —
+    both contracts matter."""
+    import os
+
+    import pytest
+
+    from kickstarter_etl_pipeline_spark.sources.readers import read_parquet_resilient
+
     path = str(tmp_path / "rotten")
     spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"]).coalesce(
         2
     ).write.parquet(path)
-    import os
-
     with open(os.path.join(path, "zz-corrupt.parquet"), "wb") as fh:
         fh.write(b"PAR1 this is not a real parquet file")
-    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-    try:
-        assert spark.read.parquet(path).count() == 100
-    finally:
-        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    assert read_parquet_resilient(spark, path).count() == 100
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        spark.read.parquet(path).count()
 
 
 def test_curation_ops_on_degenerate_docs(spark):
