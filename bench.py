@@ -60,7 +60,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 default: this host carries unrelated tenant load (loadavg
+    # is recorded below), and with 2 runs a single contended run per
+    # query leaks straight into the reported min — observed r4→r5 swings
+    # of 2× on identical code. Three samples make the min the
+    # reproducible plan cost; the policy is recorded in the output.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     load_start = os.getloadavg()
     spark = get_spark("kickstarter-etl-bench")

@@ -180,18 +180,31 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 64) -> Column
     must be a MATERIALIZED column (withColumn the shingle array first):
     passing the raw shingles() expression would inline the tokenize +
     n-gram work ``num_hashes`` times over.
+
+    Built as ONE SQL expression string, not ``num_hashes`` Column
+    objects: each py4j Column call is a driver round trip, and the
+    per-seed formulation cost 2-9 s of driver time per query under load
+    (measured) before a single task ran. The seed rides as the OUTER
+    transform's lambda variable — an INT, matching the old
+    ``F.lit(seed)`` literal type, so xxhash64 output is bit-identical.
     """
-    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    if not isinstance(shingle_col, str):
+        # Column input: keep the (slower-to-build) Column formulation —
+        # the expression can't be spliced into a SQL string safely.
+        sh = shingle_col
 
-    def _min_hash(seed: int) -> Column:
-        # MUST stay a one-argument lambda: F.transform passes the array
-        # INDEX to a two-argument lambda, so the `lambda s, i=i:` idiom
-        # silently hashes with the element position instead of the seed
-        # — every signature slot collapses to the same position-keyed
-        # hash and LSH degrades to near-exact array equality.
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+        def _min_hash(seed: int) -> Column:
+            # MUST stay a one-argument lambda: F.transform passes the
+            # array INDEX to a two-argument lambda, so the
+            # `lambda s, i=i:` idiom silently hashes with the element
+            # position instead of the seed.
+            return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
 
-    return F.array(*[_min_hash(i) for i in range(num_hashes)])
+        return F.array(*[_min_hash(i) for i in range(num_hashes)])
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"seed -> array_min(transform(`{shingle_col}`, s -> xxhash64(s, seed))))"
+    )
 
 
 def _candidates_from_staged(
@@ -209,19 +222,19 @@ def _candidates_from_staged(
     """
     rows_per_band = num_hashes // bands
     sig = staged.withColumn("sig", minhash_signature("_sh", num_hashes)).select(id_col, "sig")
+    # One SQL expression for all bands (same driver-round-trip argument
+    # as minhash_signature): band index rides as the transform lambda
+    # variable — an INT like the old F.lit(b) — and element_at(sig,
+    # b*r+i+1) picks the identical slots, so buckets are bit-identical.
+    band_args = ", ".join(
+        f"element_at(sig, b * {rows_per_band} + {r + 1})" for r in range(rows_per_band)
+    )
     banded = sig.select(
         id_col,
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'bucket', xxhash64({band_args})))"
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")

@@ -150,25 +150,6 @@ def with_lsh_probe_keys(
     if n_probe > num_planes + 1:
         raise ValueError(f"n_probe can flip at most num_planes bits ({num_planes + 1} probes)")
 
-    # NB: capture loop state via factory functions, NOT default-arg
-    # lambdas — PySpark interprets a two-parameter HOF lambda as
-    # (element, index) and silently binds the array INDEX over the
-    # default value.
-    def _flipper(bucket_expr):
-        return lambda s: bucket_expr.bitwiseXOR(
-            F.pow(F.lit(2.0), (F.lit(num_planes - 1) - s["p"]).cast("double")).cast("long")
-        )
-
-    def _tagger(table_idx):
-        return lambda b: F.struct(F.lit(table_idx).alias("t"), b.alias("b"))
-
-    def _margin(offset):
-        # |dot| of the table's plane p (1-based element_at), plane index
-        # carried for the tie-break.
-        return lambda i: F.struct(
-            F.abs(F.element_at("_dots_all", i + offset + 1)).alias("m"), i.alias("p")
-        )
-
     # ALL tables' plane dots in ONE higher-order pass over the 2-D plane
     # matrix: table t owns planes [t*num_planes, (t+1)*num_planes). One
     # transform(aggregate(zip_with)) expression instead of L×k separate
@@ -187,31 +168,52 @@ def with_lsh_probe_keys(
         for g in range(num_tables * num_planes)
     ]
     planes_df = spark.createDataFrame([(matrix,)], "_planes_mat: array<array<double>>")
-    vec = F.col(vec_col)
     staged = df.join(F.broadcast(planes_df), how="cross").withColumn(
-        "_dots_all", F.transform(F.col("_planes_mat"), lambda pl: dot(vec, pl))
+        "_dots_all",
+        F.expr(
+            "transform(_planes_mat, pl -> aggregate("
+            f"zip_with(`{vec_col}`, pl, (x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x))"
+        ),
     )
 
-    per_table_probes: list = []
-    for t in range(num_tables):
-        offset = t * num_planes
-        bucket = F.lit(0).cast("long")
-        for p in range(num_planes):
-            sign_bit = F.when(F.element_at("_dots_all", offset + p + 1) >= 0, 1).otherwise(0)
-            bucket = F.shiftleft(bucket, 1) + sign_bit
-        if n_probe == 1:
-            probes = F.array(bucket)
-        else:
-            # Rank planes by |margin| ascending (plane index tie-break);
-            # flip the top (n_probe-1), one at a time. Plane p occupies
-            # bit (num_planes-1-p) of the bucket id.
-            ranked = F.array_sort(
-                F.transform(F.sequence(F.lit(0), F.lit(num_planes - 1)), _margin(offset))
-            )
-            flips = F.transform(F.slice(ranked, 1, n_probe - 1), _flipper(bucket))
-            probes = F.concat(F.array(bucket), flips)
-        per_table_probes.append(F.transform(probes, _tagger(t)))
-    keys = F.explode(F.concat(*per_table_probes)).alias("_tb")
+    # The whole (table, probe-bucket) key list as ONE SQL expression
+    # (same driver-round-trip argument as dedup.minhash_signature: the
+    # per-table/per-plane Column-object loops cost ~2 s of py4j traffic
+    # per call before any task ran). Semantics are unchanged and
+    # bit-identical:
+    # - bucket id: acc*2 + sign-bit == the old shiftleft chain, 0L seed
+    #   keeps it BIGINT;
+    # - multi-probe: rank planes by |margin| ascending (named_struct
+    #   field order m, p gives the same array_sort tie-break on the
+    #   plane index), flip one bit per extra probe — plane p occupies
+    #   bit (num_planes-1-p), and cast(pow(2.0, ..)) matches the old
+    #   double→long bit mask;
+    # - tags: named_struct('t', INT table idx, 'b', BIGINT bucket).
+    k = num_planes
+    bucket_sql = (
+        f"aggregate(sequence(0, {k - 1}), 0L, "
+        f"(acc, p) -> acc * 2L + if(element_at(_dots_all, t * {k} + p + 1) >= 0, 1L, 0L))"
+    )
+    if n_probe == 1:
+        probes_sql = f"array({bucket_sql})"
+    else:
+        ranked_sql = (
+            f"array_sort(transform(sequence(0, {k - 1}), "
+            f"i -> named_struct('m', abs(element_at(_dots_all, t * {k} + i + 1)), 'p', i)))"
+        )
+        flips_sql = (
+            f"transform(slice({ranked_sql}, 1, {n_probe - 1}), "
+            f"s -> {bucket_sql} ^ cast(pow(cast(2.0 as double), "
+            f"cast({k - 1} - s.p as double)) as bigint))"
+        )
+        probes_sql = f"concat(array({bucket_sql}), {flips_sql})"
+    keys = F.explode(
+        F.expr(
+            f"flatten(transform(sequence(0, {num_tables - 1}), "
+            f"t -> transform({probes_sql}, pb -> named_struct('t', t, 'b', pb))))"
+        )
+    ).alias("_tb")
     out = staged.select("*", keys).select(
         *[c for c in df.columns],
         F.col("_tb.t").alias("_table"),
@@ -238,13 +240,25 @@ def lsh_topk(
     keys per vector); ``n_probe`` additionally probes the buckets
     across the lowest-margin hyperplanes of each table (multi-probe)
     without touching the corpus-side layout."""
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
     # Norms are staged per ROW before the bucket join (an 8-byte column
     # riding the explode), so the per-CANDIDATE-PAIR work is the dot
     # product alone — cosine() inline would redo two dim-length norm
     # aggregates for every pair a bucket produces.
+    #
+    # ensure_min_partitions on the corpus side: the fixture table is one
+    # parquet file → one input partition, and the L×k plane-dot pass +
+    # explode would otherwise run on a single core (measured 1.1 s of a
+    # 2.4 s warm run). barrier=False — the expensive transform sits
+    # above the round-robin exchange and joins can't sink below it. At
+    # real scale the corpus already has many partitions and this no-ops.
     c = with_lsh_probe_keys(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        ensure_min_partitions(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+            ),
+            barrier=False,
         ).withColumn("_cnorm", norm(F.col("_cvec"))),
         "_cvec",
         dim,
