@@ -398,3 +398,34 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = run_scratch_dir("orc_orders_")
     orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode("overwrite").orc(path)
     return _roundtrip_agg(spark.read.orc(path))
+
+
+def q_jsonl_pyds_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector end-to-end: documents → JSONL files → read back
+    through the Python Data Source API (sources/python_datasource.py) →
+    aggregate. Repartitioned to 4 files so the custom source actually
+    plans 4 InputPartitions (per-file parallelism, not a driver funnel);
+    the oracle runs the same aggregate on the original parquet, so any
+    row or value the connector drops or mangles flips the hash."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.python_datasource import register
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = run_scratch_dir("pyds_docs_")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").repartition(4).write.mode(
+        "overwrite"
+    ).json(path)
+    register(spark)
+    back = (
+        spark.read.format("pyjsonl")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .load(path)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

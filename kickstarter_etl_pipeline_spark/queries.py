@@ -109,6 +109,7 @@ from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F4
     q_dq_quarantine_report,
     q_csv_roundtrip_agg,
     q_json_roundtrip_agg,
+    q_jsonl_pyds_roundtrip_agg,
     q_orc_roundtrip_agg,
 )
 
@@ -330,6 +331,31 @@ def q_events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.json_field_agg(load_table(spark, sf_dir, "events"))
 
 
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via VariantType (Spark 4): parse_json keeps
+    the open-schema payload in the binary variant encoding (no
+    schema-on-write like from_json) and variant_get does typed path
+    extraction at query time. At 100 TB this is the shredding-free
+    ingestion path for heterogeneous event payloads — parse once,
+    extract lazily, columnar the whole way. try_variant_get covers the
+    absent-path case (NULL, not error)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("_v", F.parse_json("props"))
+    return (
+        v.select(
+            F.variant_get("_v", "$.k", "int").alias("k"),
+            F.try_variant_get("_v", "$.missing", "int").alias("missing"),
+            "value",
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count("missing").alias("n_missing_path"),
+        )
+    )
+
+
 def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of q_events_tumbling (AvailableNow)."""
     return streaming_tumbling_counts(spark, sf_dir)
@@ -443,8 +469,13 @@ def q_events_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window streaming aggregation (rows-only: stateful
-    gap-merge has no ANSI-SQL twin)."""
+    """Native session_window streaming aggregation.
+
+    Oracled: complete mode + AvailableNow means the one batch sees every
+    event (nothing is ever late against the epoch-initialized watermark
+    and complete mode never evicts state), so the final table equals
+    batch gaps-and-islands sessionization — the DuckDB twin replays the
+    strictly-greater-than-gap split rule Spark's session merge uses."""
     from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_session_windows
 
     return streaming_session_windows(spark, sf_dir)
@@ -918,11 +949,14 @@ _QUERIES: dict[str, QueryFn] = {
     "events_stream_sliding": q_events_stream_sliding,
     "events_stream_tumbling": q_events_stream_tumbling,
     "events_stream_left_join": q_events_stream_left_join,
+    "events_stream_sessions": q_events_stream_sessions,
     # --- round-5 corpus-assembly additions (first grade) ---
     "pack_sequences": q_pack_sequences,
     "source_mixing_weights": q_source_mixing_weights,
     "chunk_documents": q_chunk_documents,
     "boilerplate_stats": q_boilerplate_stats,
+    "events_variant_stats": q_events_variant_stats,
+    "jsonl_pyds_roundtrip_agg": q_jsonl_pyds_roundtrip_agg,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -978,7 +1012,6 @@ _QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_candidates": q_simhash_candidates,
     "multimodal_features": q_multimodal_features,
-    "events_stream_sessions": q_events_stream_sessions,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q9_product_profit": q_q9_product_profit,
@@ -1310,6 +1343,34 @@ _ORACLES: dict[str, str] = {
                  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
           FROM events GROUP BY 1, 2
         )
+    """,
+    "events_variant_stats": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               count(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL THEN 1 END) AS n_missing_path
+        FROM events GROUP BY 1
+    """,
+    # Native session_window, complete mode, AvailableNow: the single
+    # batch sees every event (watermark starts at epoch, nothing is
+    # late; complete mode never evicts), so the final table equals full
+    # batch gaps-and-islands sessionization. Merge rule verified against
+    # Spark: events exactly `gap` apart MERGE — a new session starts
+    # only when the gap is STRICTLY exceeded (hence `> 1800000000`).
+    # window.start = first event ts, window.end = last event ts + gap.
+    "events_stream_sessions": """
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lagd),
+        sess AS (SELECT *, CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged)
+        SELECT user_id,
+               strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(make_timestamp(max(us) + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, session_id
     """,
     "events_sliding": """
         SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -2507,14 +2568,28 @@ _ORACLES["compaction_roundtrip_agg"] = _ORACLES["idempotent_append_agg"]
 # Format round-trips must reproduce the parquet-sourced aggregate exactly.
 _ORACLES["json_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
 _ORACLES["orc_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
+# Custom Python Data Source connector round-trip: same contract, over
+# the documents table.
+_ORACLES["jsonl_pyds_roundtrip_agg"] = """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+           count(DISTINCT lang) AS n_langs,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY source
+"""
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query.
 
-    Omitted (rows-only check, by design): minhash_dedup_pairs,
-    simhash_candidates, ann_lsh_topk — they depend on Spark-native
-    xxhash64 / approximate bucketing that ANSI SQL can't reproduce.
+    Omitted (rows-only check, by design): simhash_candidates,
+    ann_lsh_topk, ann_ivf_topk (Spark-native xxhash64 / approximate
+    bucketing ANSI SQL can't reproduce — each carries a partial DuckDB
+    oracle in tests/), perplexity_proxy (ln/exp not engine-bit-stable;
+    partial oracle in tests/), approx_aggregates and
+    distinct_users_rollup (sketch-specific estimates).
     """
     return dict(_ORACLES)
 
