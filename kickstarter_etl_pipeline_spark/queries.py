@@ -361,6 +361,45 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(spark, sf_dir)
 
 
+def q_pystream_replay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector end-to-end (Python Data Source
+    streaming API, sources/python_datasource.py): the events log
+    replays through `pyeventlog` in 5 offset-tracked micro-batches
+    (initialOffset → latestOffset admission control → row-range
+    partitions read executor-side), aggregated in complete mode. Over
+    the finite fixture the final table must equal the batch aggregate,
+    so any dropped/duplicated micro-batch or mis-sliced partition
+    flips the oracle hash."""
+    import uuid as _uuid
+
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.python_datasource import register
+
+    ensure_runtime_confs(spark)
+    register(spark)
+    stream = (
+        spark.readStream.format("pyeventlog")
+        .schema("event_id bigint, user_id bigint, event_type string, value double")
+        .option("batches", "5")
+        .load(f"{sf_dir}/events.parquet")
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"pystream_{_uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", run_scratch_dir("pyds_stream_ckpt_"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(name)
+
+
 def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming materialized-view maintenance: the update-mode tumbling
     aggregation MERGEd into a warehouse table per micro-batch
@@ -957,6 +996,7 @@ _QUERIES: dict[str, QueryFn] = {
     "boilerplate_stats": q_boilerplate_stats,
     "events_variant_stats": q_events_variant_stats,
     "jsonl_pyds_roundtrip_agg": q_jsonl_pyds_roundtrip_agg,
+    "pystream_replay_agg": q_pystream_replay_agg,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1343,6 +1383,11 @@ _ORACLES: dict[str, str] = {
                  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
           FROM events GROUP BY 1, 2
         )
+    """,
+    "pystream_replay_agg": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY event_type
     """,
     "events_variant_stats": """
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,

@@ -33,7 +33,14 @@ query against the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _FilePartition(InputPartition):
@@ -108,6 +115,60 @@ class JsonLinesReader(DataSourceReader):
         yield from pa.table(columns, schema=target).to_batches()
 
 
+class _Committed(WriterCommitMessage):
+    def __init__(self, final_path: str, tmp_path: str):
+        self.final_path = final_path
+        self.tmp_path = tmp_path
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Write side of the connector, with the two-phase commit protocol
+    every distributed sink needs: each task writes to a hidden temp
+    file and reports it in its :class:`WriterCommitMessage`; only the
+    driver's ``commit`` renames temps to visible names and drops the
+    ``_SUCCESS`` marker. A reader that filters uncommitted files (ours
+    skips ``_``/``.`` prefixes) therefore never observes output of a
+    failed or speculative task — the same contract as Hadoop
+    FileOutputCommitter v1, expressed in ~40 lines of Python."""
+
+    def __init__(self, options: dict, schema_fields: list[str]):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl requires a path (…save(path))")
+        self.columns = schema_fields
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(self.path, f"._tmp_{name}")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.columns, row)), ensure_ascii=False))
+                f.write("\n")
+        return _Committed(os.path.join(self.path, name), tmp)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            os.rename(m.tmp_path, m.final_path)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
 class JsonLinesDataSource(DataSource):
     """``spark.read.format("pyjsonl").schema(ddl).load(dir)`` — JSONL via
     the Python Data Source API with per-file partitions and Arrow-batch
@@ -129,7 +190,108 @@ class JsonLinesDataSource(DataSource):
         fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         return JsonLinesReader(self.options, fields)
 
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        if overwrite:
+            # Clear previously-committed output; temps of a concurrent
+            # failed write are already invisible to the reader.
+            import glob
+            import os
+
+            path = self.options.get("path", "")
+            for f in glob.glob(os.path.join(path, "*")) + glob.glob(
+                os.path.join(path, "_SUCCESS")
+            ):
+                if os.path.isfile(f):
+                    os.remove(f)
+        return JsonLinesWriter(self.options, [f.name for f in schema.fields])
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path = path
+        self.lo = lo
+        self.hi = hi
+
+
+class EventLogStreamReader(DataSourceStreamReader):
+    """Offset-tracked replay of a parquet event log in ``n_batches``
+    micro-batches — the streaming half of the connector API.
+
+    Offset model: a single monotonically-increasing batch counter
+    (``{"batch": k}`` = rows [0, k·rows_per_batch) consumed). The
+    driver-side reader owns offset arithmetic only; ``partitions``
+    maps an offset RANGE to row-range InputPartitions and executors
+    read their slice — the same planner/worker split as the batch
+    reader, which is what makes the source scale out. A production
+    source would map offsets to file sets or log positions instead of
+    row numbers; the protocol (initialOffset / latestOffset /
+    partitions / read / commit) is identical.
+
+    ``latestOffset`` advances one batch per micro-batch, giving the
+    engine a bounded-admission stream (the maxOffsetsPerTrigger
+    pattern) rather than one giant batch.
+    """
+
+    def __init__(self, options: dict, fields: list[tuple[str, str]]):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyeventlog requires a path option")
+        self.fields = fields
+        self.n_batches = int(options.get("batches", "5"))
+        import pyarrow.parquet as pq
+
+        self.n_rows = pq.ParquetFile(self.path).metadata.num_rows
+        self.rows_per_batch = max(1, -(-self.n_rows // self.n_batches))
+        self._emitted = 0
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def latestOffset(self) -> dict:
+        if self._emitted < self.n_batches:
+            self._emitted += 1
+        return {"batch": self._emitted}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for b in range(start["batch"], end["batch"]):
+            lo = b * self.rows_per_batch
+            hi = min((b + 1) * self.rows_per_batch, self.n_rows)
+            if lo < hi:
+                out.append(_RangePartition(self.path, lo, hi))
+        return out
+
+    def read(self, partition: _RangePartition):
+        import pyarrow.parquet as pq
+
+        names = [n for n, _ in self.fields]
+        table = pq.read_table(partition.path, columns=names).select(names)
+        yield from table.slice(partition.lo, partition.hi - partition.lo).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # Nothing to clean up: the log is immutable. A consuming source
+        # (queue, CDC feed) would acknowledge/trim up to `end` here.
+        pass
+
+
+class EventLogStreamDataSource(DataSource):
+    """``spark.readStream.format("pyeventlog").schema(ddl)
+    .option("batches", n).load(path)`` — replayable micro-batch stream
+    over a parquet event log via the Python Data Source streaming API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyeventlog"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def streamReader(self, schema) -> EventLogStreamReader:
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        return EventLogStreamReader(self.options, fields)
+
 
 def register(spark) -> None:
     """Idempotent registration of all Python data sources in this module."""
     spark.dataSource.register(JsonLinesDataSource)
+    spark.dataSource.register(EventLogStreamDataSource)

@@ -62,3 +62,66 @@ def test_default_schema_matches_documents_layout(spark, jsonl_dir):
 
 def test_source_name():
     assert JsonLinesDataSource.name() == "pyjsonl"
+
+
+def test_stream_reader_replays_in_micro_batches(spark):
+    """pyeventlog must admit exactly `batches` micro-batches (offset
+    counter, not one giant batch) and reproduce the batch aggregate."""
+    from tests.conftest import SF_SMOKE
+    from kickstarter_etl_pipeline_spark.queries import q_pystream_replay_agg
+    from kickstarter_etl_pipeline_spark.sources.python_datasource import (
+        EventLogStreamReader,
+    )
+
+    reader = EventLogStreamReader(
+        {"path": f"{SF_SMOKE}/events.parquet", "batches": "4"},
+        [("event_id", "bigint"), ("value", "double")],
+    )
+    assert reader.initialOffset() == {"batch": 0}
+    seen = [reader.latestOffset()["batch"] for _ in range(6)]
+    assert seen == [1, 2, 3, 4, 4, 4]  # advances once per call, then saturates
+    parts = reader.partitions({"batch": 0}, {"batch": 4})
+    assert len(parts) == 4
+    assert sum(p.hi - p.lo for p in parts) == reader.n_rows
+
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    streamed = {
+        r.event_type: r.n_events for r in q_pystream_replay_agg(spark, SF_SMOKE).collect()
+    }
+    assert streamed == {r.event_type: r["count"] for r in batch}
+
+
+def test_writer_roundtrip_and_commit_protocol(spark):
+    """Custom writer → custom reader round trip, plus the two-phase
+    commit contract: committed output has final names + _SUCCESS, no
+    temp files left behind."""
+    from tests.conftest import SF_SMOKE
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    register(spark)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "n_chars")
+    out = run_scratch_dir("pyds_write_")
+    docs.repartition(3).write.format("pyjsonl").mode("overwrite").save(out)
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("._tmp_") for n in names)
+    assert sum(n.startswith("part-") for n in names) == 3
+
+    back = (
+        spark.read.format("pyjsonl")
+        .schema("doc_id bigint, text string, n_chars bigint")
+        .load(out)
+    )
+    orig = docs.selectExpr(
+        "count(*) AS n", "sum(n_chars) AS c", "sum(length(text)) AS t", "min(doc_id) AS lo"
+    ).collect()[0]
+    echo = back.selectExpr(
+        "count(*) AS n", "sum(n_chars) AS c", "sum(length(text)) AS t", "min(doc_id) AS lo"
+    ).collect()[0]
+    assert orig == echo
