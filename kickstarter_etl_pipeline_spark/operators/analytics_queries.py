@@ -394,6 +394,42 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_yoy_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the registry lacked):
+    year-over-year customer activity with retained/churned/new
+    classification. Both sides aggregate BEFORE joining (two shuffles
+    on o_custkey over pre-shrunk per-customer rows, then one full-outer
+    merge — never a fact×fact join), so the shape scales as two
+    groupBys, and at 100 TB AQE plans the outer merge on the already
+    co-partitioned aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(year: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    j = year_counts(1996, "n_1996").join(
+        year_counts(1997, "n_1997"), on="o_custkey", how="full_outer"
+    )
+    status = (
+        F.when(F.col("n_1996").isNotNull() & F.col("n_1997").isNotNull(), "retained")
+        .when(F.col("n_1996").isNotNull(), "churned")
+        .otherwise("new")
+    )
+    return (
+        j.select(status.alias("status"), "n_1996", "n_1997")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.coalesce("n_1996", F.lit(0))).alias("orders_1996"),
+            F.sum(F.coalesce("n_1997", F.lit(0))).alias("orders_1997"),
+        )
+    )
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (the S4 idempotent-insert primitive)."""
     customer = load_table(spark, sf_dir, "customer")

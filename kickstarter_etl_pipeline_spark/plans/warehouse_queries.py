@@ -400,6 +400,34 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(spark.read.orc(path))
 
 
+def q_range_clustered_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout end-to-end: orders written range-clustered
+    on o_orderdate (disjoint per-file ranges + in-file sort → tight
+    footer min/max), then a one-year predicate aggregates the
+    read-back. The oracle runs the same filter+aggregate on the
+    original parquet, so a row misplaced across range boundaries or
+    lost in the rewrite flips the hash; per-file range disjointness is
+    asserted from the real footers in tests/test_range_clustering.py."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.bucketing import write_range_clustered
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = run_scratch_dir("range_orders_")
+    write_range_clustered(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"),
+        path,
+        "o_orderdate",
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_jsonl_pyds_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom connector end-to-end: documents → JSONL files → read back
     through the Python Data Source API (sources/python_datasource.py) →

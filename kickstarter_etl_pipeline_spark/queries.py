@@ -79,6 +79,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_local_supplier_volume,
     q_above_avg_orders,
     q_customers_without_orders,
+    q_yoy_customer_activity,
     q_customers_with_orders_count,
     q_custkeys_1998_not_1999,
     q_custkeys_both_years,
@@ -110,6 +111,7 @@ from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F4
     q_csv_roundtrip_agg,
     q_json_roundtrip_agg,
     q_jsonl_pyds_roundtrip_agg,
+    q_range_clustered_prune_agg,
     q_orc_roundtrip_agg,
 )
 
@@ -997,6 +999,8 @@ _QUERIES: dict[str, QueryFn] = {
     "events_variant_stats": q_events_variant_stats,
     "jsonl_pyds_roundtrip_agg": q_jsonl_pyds_roundtrip_agg,
     "pystream_replay_agg": q_pystream_replay_agg,
+    "range_clustered_prune_agg": q_range_clustered_prune_agg,
+    "yoy_customer_activity": q_yoy_customer_activity,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1383,6 +1387,35 @@ _ORACLES: dict[str, str] = {
                  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
           FROM events GROUP BY 1, 2
         )
+    """,
+    "yoy_customer_activity": """
+        WITH y96 AS (
+          SELECT o_custkey, count(*) AS n_1996 FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY o_custkey
+        ),
+        y97 AS (
+          SELECT o_custkey, count(*) AS n_1997 FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY o_custkey
+        ),
+        j AS (
+          SELECT CASE WHEN n_1996 IS NOT NULL AND n_1997 IS NOT NULL THEN 'retained'
+                      WHEN n_1996 IS NOT NULL THEN 'churned'
+                      ELSE 'new' END AS status,
+                 n_1996, n_1997
+          FROM y96 FULL OUTER JOIN y97 USING (o_custkey)
+        )
+        SELECT status, count(*) AS n_customers,
+               CAST(sum(coalesce(n_1996, 0)) AS BIGINT) AS orders_1996,
+               CAST(sum(coalesce(n_1997, 0)) AS BIGINT) AS orders_1997
+        FROM j GROUP BY status
+    """,
+    "range_clustered_prune_agg": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o_orderstatus
     """,
     "pystream_replay_agg": """
         SELECT event_type, count(*) AS n_events,

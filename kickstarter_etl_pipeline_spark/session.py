@@ -38,6 +38,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # shuffle partitions — wasteful at local scale, and streaming aggs
     # can't AQE-coalesce them. Matched to local cores instead.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # The custom connector (sources/python_datasource.py) implements
+    # pushFilters; Spark 4.1 gates Python-data-source pushdown behind
+    # this flag and errors on a pushFilters implementation without it.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -69,6 +69,47 @@ class JsonLinesReader(DataSourceReader):
         #: [(name, spark simple type string), …] — plain data so the
         #: reader pickles cleanly to executors.
         self.fields = fields
+        #: [(column, op, value), …] accepted by pushFilters; applied
+        #: inside read() so filtered rows never cross the Arrow channel.
+        self.pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """Accept the comparison filters we can evaluate source-side
+        (conjunctive list per the API contract). Rows failing a pushed
+        filter are dropped inside the connector — before Arrow
+        serialization and the Python→JVM hop — which at 100 TB is the
+        difference between shipping a table and shipping a slice. Spark
+        keeps the filter in the plan for correctness (a source may
+        under-filter), so acceptance only has to be sound, not exact.
+        Unsupported shapes (OR trees never arrive; IsNull, string ops,
+        nested paths are declined here) are yielded back for Spark to
+        evaluate post-scan."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "==",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+            IsNotNull: "notnull",
+        }
+        declared = {n for n, _ in self.fields}
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1 and f.attribute[0] in declared:
+                self.pushed.append(
+                    (f.attribute[0], op, getattr(f, "value", None))
+                )
+            else:
+                yield f
 
     def _target_schema(self):
         import pyarrow as pa
@@ -112,7 +153,29 @@ class JsonLinesReader(DataSourceReader):
                 columns.append(table.column(field.name).cast(field.type))
             else:
                 columns.append(pa.nulls(len(table), field.type))
-        yield from pa.table(columns, schema=target).to_batches()
+        out = pa.table(columns, schema=target)
+        if self.pushed:
+            import pyarrow.compute as pc
+
+            mask = None
+            for name, op, value in self.pushed:
+                col = out.column(name)
+                if op == "notnull":
+                    cond = pc.is_valid(col)
+                else:
+                    cond = {
+                        "==": pc.equal,
+                        ">": pc.greater,
+                        ">=": pc.greater_equal,
+                        "<": pc.less,
+                        "<=": pc.less_equal,
+                    }[op](col, pa.scalar(value))
+                    # Comparisons propagate NULL; a filter must DROP
+                    # null rows like SQL does.
+                    cond = pc.and_kleene(cond, pc.is_valid(col))
+                mask = cond if mask is None else pc.and_(mask, cond)
+            out = out.filter(mask)
+        yield from out.to_batches()
 
 
 class _Committed(WriterCommitMessage):
@@ -293,5 +356,9 @@ class EventLogStreamDataSource(DataSource):
 
 def register(spark) -> None:
     """Idempotent registration of all Python data sources in this module."""
+    from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
+
+    # pushFilters hard-errors unless spark.sql.python.filterPushdown.enabled.
+    ensure_runtime_confs(spark)
     spark.dataSource.register(JsonLinesDataSource)
     spark.dataSource.register(EventLogStreamDataSource)

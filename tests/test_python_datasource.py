@@ -64,6 +64,35 @@ def test_source_name():
     assert JsonLinesDataSource.name() == "pyjsonl"
 
 
+def test_filter_pushdown_matches_post_scan_filtering(spark, jsonl_dir):
+    """Pushed comparisons must produce the same rows Spark would get by
+    filtering post-scan (soundness), and unsupported filter shapes must
+    be handed back to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
+
+    register(spark)
+    df = spark.read.format("pyjsonl").schema("doc_id bigint, text string").load(jsonl_dir)
+    assert [r.doc_id for r in df.filter("doc_id > 1").collect()] == [2, 3]
+    assert [r.doc_id for r in df.filter("doc_id >= 1 AND text = 'c'").collect()] == [2]
+    # NULL text rows must be dropped by a pushed comparison, like SQL.
+    assert [r.doc_id for r in df.filter("text <= 'c'").collect()] == [1, 2]
+
+    reader = JsonLinesDataSource(
+        {"path": jsonl_dir}
+    ).reader(spark.read.format("pyjsonl").load(jsonl_dir).schema)
+    unsupported = list(
+        reader.pushFilters(
+            [
+                GreaterThan(("doc_id",), 1),
+                StringContains(("text",), "a"),       # shape we decline
+                EqualTo(("nope",), 1),                # undeclared column
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in unsupported] == ["StringContains", "EqualTo"]
+    assert reader.pushed == [("doc_id", ">", 1)]
+
+
 def test_stream_reader_replays_in_micro_batches(spark):
     """pyeventlog must admit exactly `batches` micro-batches (offset
     counter, not one giant batch) and reproduce the batch aggregate."""
