@@ -1,0 +1,58 @@
+"""Streaming state observability via the State Data Source (Spark 4).
+
+A production streaming job's state store is where incidents hide:
+watermark stuck, state leaking, a window that never emits. Spark 4's
+``state-metadata`` / ``statestore`` batch sources read a checkpoint's
+state directly — no stopping the query, no log spelunking. This module
+wraps them for the engine's streaming operators.
+
+The invariant the readers make checkable (asserted in
+tests/test_state_inspect.py): for an append-mode windowed aggregation,
+
+    emitted windows  ∪  windows still in state  ==  all windows,
+
+disjointly — append mode emits a window exactly once when the watermark
+passes its end and evicts it, so the sink and the store partition the
+window set between them. At 100 TB this is the cheap liveness probe:
+state row count ≈ open windows (bounded), not ever-growing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Operator-level view of a checkpoint: operator ids/names, store
+    names, partition counts, min/max batch ids."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def state_rows(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    batch_id: int | None = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    """Raw key/value state rows of one operator at one batch (latest
+    committed batch when ``batch_id`` is None)."""
+    reader = spark.read.format("statestore").option("operatorId", str(operator_id))
+    if batch_id is not None:
+        reader = reader.option("batchId", str(batch_id))
+    return reader.load(checkpoint_dir)
+
+
+def open_window_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Diagnostic for windowed aggregations: the windows still HELD in
+    state (i.e. not yet past the watermark / not yet emitted in append
+    mode), flattened to (window_start, window_end, group columns...,
+    aggregate columns...)."""
+    st = state_rows(spark, checkpoint_dir)
+    key_cols = [c for c in st.schema["key"].dataType.names if c != "window"]
+    val_cols = st.schema["value"].dataType.names
+    return st.select(
+        st["key.window.start"].alias("window_start"),
+        st["key.window.end"].alias("window_end"),
+        *[st[f"key.{c}"].alias(c) for c in key_cols],
+        *[st[f"value.{c}"].alias(c) for c in val_cols],
+    )
