@@ -458,3 +458,112 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .distinct()
     )
+
+
+def ivf_anchor_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC anchor centroids — the fully-oracle'd
+    sibling of :func:`ivf_topk`.
+
+    Instead of a k-means training pass, the cell "centroids" are the
+    ``n_cells`` corpus vectors with the lexically-smallest
+    ``md5(cast(id as string))`` — a deterministic uniform sample of the
+    corpus (md5 is an unbiased order scrambler), so the whole index
+    build is replayable by any engine with md5: no RNG, no iterative
+    fit, no driver-side model state. Every corpus vector joins the cell
+    of its nearest anchor (squared-L2, anchor-rank tie-break); each
+    query probes its ``n_probe`` nearest cells and exact rounded-cosine
+    re-ranks the candidates.
+
+    Scale posture (100 TB): anchor selection is a top-``n_cells``
+    aggregate (tiny result, one pass); the anchor matrix rides as a
+    ONE-ROW broadcast frame (same plan-size reasoning as
+    with_lsh_probe_keys' plane matrix); assignment is per-row mul-adds
+    with no shuffle; the probe join is an equi-join on the cell id, so
+    shuffle volume is O(corpus) — never a scan per query. Trade-off vs
+    trained k-means: cells are Voronoi around random corpus points, so
+    occupancy is less balanced (mitigate with a larger ``n_cells``),
+    in exchange for a reproducible, SQL-checkable index.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    spark = corpus.sparkSession
+    # Anchor selection: a driver-side top-K of (md5(id), id) — K vectors
+    # of control data, same posture as ivf_topk's centroid literals.
+    anchor_rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_aid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_av"),
+        )
+        .orderBy("_h", "_aid")
+        .limit(n_cells)
+        .collect()
+    )
+    anchor_mat = [list(r["_av"]) for r in anchor_rows]
+
+    anchors_df = spark.createDataFrame([(anchor_mat,)], "_anchor_mat: array<array<double>>")
+
+    def _with_cells(df: DataFrame, vcol: str, probes: int) -> DataFrame:
+        """Rank cells by (squared-L2 distance, cell idx) ascending and
+        explode the first ``probes`` cell ids onto each row. The
+        distance uses the same sequential Σ(a-b)² accumulation as
+        everything else in this module."""
+        staged = df.join(F.broadcast(anchors_df), how="cross").withColumn(
+            "_cell_dists",
+            F.expr(
+                "transform(_anchor_mat, (av, ci) -> named_struct("
+                f"'d', aggregate(zip_with(`{vcol}`, av, (x, y) -> "
+                "(cast(x as double) - y) * (cast(x as double) - y)), "
+                "cast(0.0 as double), (acc, x) -> acc + x), 'c', ci))"
+            ),
+        )
+        return staged.withColumn(
+            "_cell",
+            F.explode(F.slice(F.array_sort("_cell_dists"), 1, probes).getField("c")),
+        ).drop("_anchor_mat", "_cell_dists")
+
+    c = _with_cells(
+        ensure_min_partitions(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+            barrier=False,
+        ).withColumn("_cnorm", norm(F.col("_cvec"))),
+        "_cvec",
+        probes=1,
+    )
+    q = _with_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+        .withColumn("_qnorm", norm(F.col("_qvec"))),
+        "_qvec",
+        probes=n_probe,
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qvec"), F.col("_cvec")),
+                    F.col("_qnorm") * F.col("_cnorm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    # A corpus row lives in exactly one cell, so (query, neighbor) pairs
+    # are already unique — no distinct() needed (unlike multi-table LSH).
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

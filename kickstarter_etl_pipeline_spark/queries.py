@@ -617,11 +617,14 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: approximate by design).
+    """LSH-bucketed approximate top-k — FULLY oracle'd: every stage
+    (md5-constant hyperplanes, sign bucketing, lowest-|margin|
+    multi-probe, exact rounded-cosine re-rank) is deterministic, so
+    _ann_lsh_oracle_sql replays the identical pipeline in DuckDB.
 
     Production recall config: 6 independent 3-plane tables with 2-probe
     multi-probe — measured recall 0.98 vs brute force on the fixture
-    (tests/test_scale_paths.py asserts ≥ 0.8). Partial DuckDB oracle in
+    (tests/test_scale_paths.py asserts ≥ 0.8). Additional invariants in
     tests/test_ann_partial_oracle.py: emitted pairs ⊆ exact top-2k,
     exact-rescored bit-equal, recall ≥ 0.8 vs exact top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -639,6 +642,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_clusters=8, n_probe=4)
+
+
+def q_ann_ivf_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic anchor-IVF approximate top-k — FULLY oracle'd: the
+    index build (anchors = n_cells corpus vectors with smallest
+    md5(id)), the nearest-cell assignment, the n_probe cell fan-out and
+    the exact rounded-cosine re-rank are all deterministic, so
+    _ann_ivf_anchor_oracle_sql replays the identical pipeline in
+    DuckDB. The trained (k-means) variant is q_ann_ivf_topk."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import ivf_anchor_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_anchor_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, n_probe=4
+    )
 
 
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,8 +1049,9 @@ _QUERIES: dict[str, QueryFn] = {
     "conditional_flag_agg": q_conditional_flag_agg,
     "ship_delay_by_priority": q_ship_delay_by_priority,
     "window_rank_topn": q_window_rank_topn,
-    "customers_without_orders": q_customers_without_orders,
-    "customers_with_orders_count": q_customers_with_orders_count,
+    # --- newly FULL-oracle'd ANN tier (was rows-only through r04) ---
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
     "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
     "custkeys_both_years": q_custkeys_both_years,
     "pivot_status_priority": q_pivot_status_priority,
@@ -1089,7 +1108,8 @@ _QUERIES: dict[str, QueryFn] = {
     "nation_share_of_region": q_nation_share_of_region,
     "error_blast_radius": q_error_blast_radius,
     "label_centroid_distances": q_label_centroid_distances,
-    "ann_lsh_topk": q_ann_lsh_topk,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders_count": q_customers_with_orders_count,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "approx_aggregates": q_approx_aggregates,
@@ -2659,15 +2679,132 @@ _ORACLES["jsonl_pyds_roundtrip_agg"] = """
 """
 
 
+def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, num_planes: int = 3, num_tables: int = 6) -> str:
+    """FULL DuckDB twin of q_ann_lsh_topk — possible because every stage
+    of the LSH pipeline is deterministic: the hyperplanes are md5-derived
+    constants (similarity._plane_component), bucketing is pure sign
+    arithmetic, multi-probe flips the single lowest-|margin| plane with a
+    plane-index tie-break, and the re-scoring is exact rounded cosine.
+    The plane matrix is inlined as DOUBLE[] literals (Python float repr
+    round-trips exactly), so DuckDB replays the identical bucket → probe
+    → candidate → score → rank computation. n_probe is fixed at 2 (one
+    bit-flip probe), matching the query wrapper."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import _plane_component
+
+    rows = []
+    for g in range(num_tables * num_planes):
+        comps = ", ".join(repr(_plane_component(g, j)) for j in range(dim))
+        rows.append(f"({g // num_planes}, {g % num_planes}, [{comps}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    kp = num_planes
+    return f"""
+        WITH planes(tbl, p, pl) AS (VALUES {values}),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+        cdots AS (SELECT neighbor_id, tbl, p, list_dot_product(cv, pl) AS d
+                  FROM c CROSS JOIN planes),
+        cbuck AS (SELECT neighbor_id, tbl,
+                         CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END
+                                  * (1 << ({kp - 1} - p))) AS BIGINT) AS bucket
+                  FROM cdots GROUP BY 1, 2),
+        qdots AS (SELECT query_id, tbl, p, list_dot_product(qv, pl) AS d
+                  FROM q CROSS JOIN planes),
+        qmain AS (SELECT query_id, tbl,
+                         CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END
+                                  * (1 << ({kp - 1} - p))) AS BIGINT) AS bucket
+                  FROM qdots GROUP BY 1, 2),
+        qflip AS (SELECT query_id, tbl, p AS flip_p,
+                         row_number() OVER (PARTITION BY query_id, tbl
+                                            ORDER BY abs(d), p) AS rn
+                  FROM qdots),
+        qprobes AS (
+            SELECT query_id, tbl, bucket FROM qmain
+            UNION ALL
+            SELECT m.query_id, m.tbl,
+                   CAST(xor(m.bucket, CAST(1 << ({kp - 1} - f.flip_p) AS BIGINT)) AS BIGINT)
+            FROM qmain m JOIN qflip f
+              ON m.query_id = f.query_id AND m.tbl = f.tbl AND f.rn = 1),
+        cand AS (SELECT DISTINCT pr.query_id, cb.neighbor_id
+                 FROM qprobes pr JOIN cbuck cb
+                   ON pr.tbl = cb.tbl AND pr.bucket = cb.bucket
+                 WHERE cb.neighbor_id <> pr.query_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+                          round(list_cosine_similarity(q.qv, c.cv), 6) AS cosine_sim
+                   FROM cand JOIN q ON cand.query_id = q.query_id
+                             JOIN c ON cand.neighbor_id = c.neighbor_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+_ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+
+
+def _ann_ivf_anchor_oracle_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4) -> str:
+    """FULL DuckDB twin of q_ann_ivf_anchor_topk (see
+    similarity.ivf_anchor_topk): anchors are the n_cells corpus vectors
+    with the lexically-smallest md5(cast(id as string)) (id tie-break),
+    cell index = that ordering's rank; corpus rows join their nearest
+    cell, queries probe the n_probe nearest (distance then cell-index
+    tie-break — list_distance is sqrt of Spark's squared-L2, monotonic,
+    so the ordering is identical); candidates re-ranked by exact
+    rounded cosine."""
+    return f"""
+        WITH anchors AS (
+          SELECT av, rn - 1 AS ci FROM (
+            SELECT CAST(embedding AS DOUBLE[]) AS av,
+                   row_number() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings)
+          WHERE rn <= {n_cells}),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+        cass AS (
+          SELECT neighbor_id, cv, ci AS cell FROM (
+            SELECT c.neighbor_id, c.cv, a.ci,
+                   row_number() OVER (PARTITION BY c.neighbor_id
+                                      ORDER BY list_distance(c.cv, a.av), a.ci) AS rn
+            FROM c CROSS JOIN anchors a)
+          WHERE rn = 1),
+        qprobe AS (
+          SELECT query_id, qv, ci AS cell FROM (
+            SELECT q.query_id, q.qv, a.ci,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_distance(q.qv, a.av), a.ci) AS rn
+            FROM q CROSS JOIN anchors a)
+          WHERE rn <= {n_probe}),
+        scored AS (
+          SELECT qp.query_id, ca.neighbor_id,
+                 round(list_cosine_similarity(qp.qv, ca.cv), 6) AS cosine_sim
+          FROM qprobe qp JOIN cass ca ON qp.cell = ca.cell
+          WHERE ca.neighbor_id <> qp.query_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+_ORACLES["ann_ivf_anchor_topk"] = _ann_ivf_anchor_oracle_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query.
 
-    Omitted (rows-only check, by design): simhash_candidates,
-    ann_lsh_topk, ann_ivf_topk (Spark-native xxhash64 / approximate
-    bucketing ANSI SQL can't reproduce — each carries a partial DuckDB
-    oracle in tests/), perplexity_proxy (ln/exp not engine-bit-stable;
-    partial oracle in tests/), approx_aggregates and
-    distinct_users_rollup (sketch-specific estimates).
+    Omitted (rows-only check, by design): simhash_candidates
+    (Spark-native xxhash64 DuckDB can't reproduce; partial oracle in
+    tests/), ann_ivf_topk (seeded pyspark.ml k-means index build —
+    iterative training SQL can't replay; partial oracle in tests/),
+    perplexity_proxy (ln/exp not engine-bit-stable; partial oracle in
+    tests/), approx_aggregates and distinct_users_rollup
+    (sketch-specific estimates). ann_lsh_topk is FULLY oracle'd — see
+    _ann_lsh_oracle_sql.
     """
     return dict(_ORACLES)
 

@@ -39,27 +39,45 @@ TOPK_SQL = """
 def duck_exact(sf_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    top20 = {
+        (int(q), int(n)): s for q, n, s in con.sql(TOPK_SQL.format(k=20)).fetchall()
+    }
     top10 = {
         (int(q), int(n)): s for q, n, s in con.sql(TOPK_SQL.format(k=10)).fetchall()
     }
     top5 = {(int(q), int(n)) for q, n, _ in con.sql(TOPK_SQL.format(k=5)).fetchall()}
-    return top10, top5
+    return top20, top10, top5
 
 
-@pytest.mark.parametrize("name,recall_floor", [("ann_lsh_topk", 0.8), ("ann_ivf_topk", 0.5)])
-def test_ann_partial_oracle(spark, sf_dir, duck_exact, name, recall_floor):
-    top2k, topk = duck_exact
+@pytest.mark.parametrize(
+    "name,recall_floor,sound_window",
+    [
+        ("ann_lsh_topk", 0.8, 2),
+        ("ann_ivf_topk", 0.5, 2),
+        # ann_ivf_anchor_topk also carries a FULL hash-match oracle
+        # (_ann_ivf_anchor_oracle_sql); the invariants here pin it
+        # against EXACT brute force besides. Its soundness window is 4k
+        # (top-20), not 2k: an UNTRAINED 16-cell index probing 4 cells
+        # scans ~1/4 of the corpus, so a rank-5 emission can sit deeper
+        # in the exact ranking than k-means cells allow — the price of
+        # a replayable, training-free index build.
+        ("ann_ivf_anchor_topk", 0.5, 4),
+    ],
+)
+def test_ann_partial_oracle(spark, sf_dir, duck_exact, name, recall_floor, sound_window):
+    top20, top10, topk = duck_exact
+    sound = top20 if sound_window == 4 else top10
     rows = ENTRY.queries()[name](spark, sf_dir).collect()
     emitted = {(int(r["query_id"]), int(r["neighbor_id"])): r["cosine_sim"] for r in rows}
     assert emitted, f"{name} returned nothing"
 
-    # 1. Soundness: emitted ⊆ exact top-2k.
-    outside = [p for p in emitted if p not in top2k]
+    # 1. Soundness: emitted ⊆ exact top-(sound_window · k).
+    outside = [p for p in emitted if p not in sound]
     assert not outside, f"{name} emitted non-near neighbors: {outside}"
 
     # 2. Exact scoring on emitted pairs (bit-equal post-rounding, the
     #    same contract the fully-oracle'd queries carry).
-    wrong = {p: (emitted[p], top2k[p]) for p in emitted if emitted[p] != top2k[p]}
+    wrong = {p: (emitted[p], sound[p]) for p in emitted if emitted[p] != sound[p]}
     assert not wrong, f"{name} mis-scored pairs: {wrong}"
 
     # 3. Recall floor vs exact top-k.
