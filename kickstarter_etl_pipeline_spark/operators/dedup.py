@@ -29,6 +29,8 @@ query that's an accepted restart cost, not a correctness risk.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
@@ -527,41 +529,64 @@ def connected_components_star(
 # --- SimHash ---
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    """64-bit SimHash over whitespace tokens.
+def md5_token_hash(t: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — the
+    engine-portable alternative to xxhash64: any SQL engine with md5
+    and a hex cast reproduces it bit-for-bit (DuckDB:
+    ``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``), which is what makes
+    the md5 SimHash tier fully oracle-able. 15 hex chars keep the value
+    under 2^60, inside BIGINT range in every engine."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    hash_fn: Callable[[Column], Column] | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """``bits``-bit SimHash over whitespace tokens.
 
     Classic construction: for each bit position, sum +1/−1 weighted by the
     token-hash bit, then take the sign. One pass over the token array via
     higher-order functions — no explode, no shuffle. Two withColumn steps
-    so the 64-element bit-sum array is computed once (a single expression
-    would be duplicated 64× in the sign-packing step).
+    so the bit-sum array is computed once (a single expression would be
+    duplicated ``bits``× in the sign-packing step).
+
+    ``hash_fn`` defaults to xxhash64 (fastest, JVM-native, 64 bits);
+    pass :func:`md5_token_hash` with ``bits=60`` for the
+    engine-portable, fully oracle-able tier.
 
     Shift amounts must be Python ints (PySpark shiftright doesn't take a
-    Column), hence the unrolled range(64) loops.
+    Column), hence the unrolled range(bits) loops.
     """
+    if hash_fn is None:
+        # wrapped: F.transform rejects xxhash64's *cols signature
+        hash_fn = lambda t: F.xxhash64(t)  # noqa: E731
     hash_bits = lambda h: F.array(  # noqa: E731
         *[
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
             .cast("long")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     bit_sums = F.aggregate(
         F.col("_hashes"),
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, bit: a + bit),
     )
-    # Hash each token exactly once (staged column); the 64 bit probes then
-    # reference the computed hash value, not 64 fresh xxhash64 calls.
+    # Hash each token exactly once (staged column); the bit probes then
+    # reference the computed hash value, not `bits` fresh hash calls.
     staged = (
         df.withColumn("_toks", tokens(text_col))
-        .withColumn("_hashes", F.transform("_toks", lambda t: F.xxhash64(t)))
+        .withColumn("_hashes", F.transform("_toks", hash_fn))
         .withColumn("_bit_sums", bit_sums)
         .drop("_toks", "_hashes")
     )
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         bit_value = -(1 << 63) if i == 63 else (1 << i)
         packed = packed.bitwiseOR(
             F.when(F.element_at("_bit_sums", i + 1) > 0, F.lit(bit_value).cast("long")).otherwise(
@@ -571,11 +596,20 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") ->
     return staged.withColumn(out, packed).drop("_bit_sums")
 
 
-def simhash_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    hash_fn: Callable[[Column], Column] | None = None,
+    bits: int = 64,
+) -> DataFrame:
     """Near-dup candidates: docs whose SimHash matches on ≥1 of ``bands``
-    16-bit bands (Hamming-distance blocking)."""
-    sig = with_simhash(ensure_min_partitions(df), text_col).select(F.col(id_col), "simhash")
-    width = 64 // bands
+    (bits/bands)-bit bands (Hamming-distance blocking)."""
+    sig = with_simhash(
+        ensure_min_partitions(df), text_col, hash_fn=hash_fn, bits=bits
+    ).select(F.col(id_col), "simhash")
+    width = bits // bands
     banded = sig.select(
         id_col,
         "simhash",

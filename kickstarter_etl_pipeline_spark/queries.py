@@ -562,8 +562,25 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding candidates (rows-only check)."""
+    """SimHash banding candidates over xxhash64 token hashes (rows-only:
+    xxhash64 has no DuckDB twin). The fully-oracle'd sibling is
+    q_simhash_md5_candidates."""
     return simhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding candidates over engine-portable 60-bit md5 token
+    hashes — FULLY oracle'd: the whole pipeline (tokenize → md5 hash →
+    per-bit ±1 sums → sign pack → 4×15-bit band blocking → Hamming
+    distance) is deterministic integer arithmetic any engine replays
+    bit-for-bit; see _ORACLES['simhash_md5_candidates']. xxhash64
+    (q_simhash_candidates) stays the production tier — JVM-native and
+    4 more bits — this twin proves the construction itself right."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import md5_token_hash
+
+    return simhash_candidates(
+        load_table(spark, sf_dir, "documents"), hash_fn=md5_token_hash, bits=60
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,15 +1062,14 @@ _QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "above_avg_orders": q_above_avg_orders,
     "group_count_ordered": q_group_count_ordered,
-    "project_rename_filter": q_project_rename_filter,
     "conditional_flag_agg": q_conditional_flag_agg,
     "ship_delay_by_priority": q_ship_delay_by_priority,
     "window_rank_topn": q_window_rank_topn,
-    # --- newly FULL-oracle'd ANN tier (was rows-only through r04) ---
+    # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
+    "simhash_md5_candidates": q_simhash_md5_candidates,
     "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
-    "custkeys_both_years": q_custkeys_both_years,
     "pivot_status_priority": q_pivot_status_priority,
     "events_sessionize": q_events_sessionize,
     "events_json_kv": q_events_json_kv,
@@ -1110,6 +1126,8 @@ _QUERIES: dict[str, QueryFn] = {
     "label_centroid_distances": q_label_centroid_distances,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders_count": q_customers_with_orders_count,
+    "custkeys_both_years": q_custkeys_both_years,
+    "project_rename_filter": q_project_rename_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "approx_aggregates": q_approx_aggregates,
@@ -2792,6 +2810,38 @@ def _ann_ivf_anchor_oracle_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4) 
 
 
 _ORACLES["ann_ivf_anchor_topk"] = _ann_ivf_anchor_oracle_sql()
+
+# FULL twin of q_simhash_md5_candidates (dedup.with_simhash with
+# md5_token_hash/60 bits): token hash = first 15 md5 hex chars as a
+# 60-bit integer, per-bit ±1 sums over every token occurrence, sign
+# pack, 4×15-bit band blocking, exact Hamming on colliding pairs.
+_ORACLES["simhash_md5_candidates"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    th AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+    bitsum AS (
+      SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM pairs
+"""
 
 
 def oracle_sql() -> dict[str, str]:
