@@ -332,3 +332,57 @@ def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kickstarter_etl_pipeline_spark.operators.dedup import char_jaccard_pairs
 
     return char_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment pairs (|A∩B| / min|A|,|B| ≥ 0.6) —
+    catches quote/excerpt subset duplication that Jaccard under-scores."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: md5-anchor cells, drop any
+    vector within 0.9 rounded-cosine of a lower-id cell-mate."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.9, n_cells=16)
+
+
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations with engine-deterministic lift."""
+    from kickstarter_etl_pipeline_spark.operators.text import bigram_collocations
+
+    return bigram_collocations(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram for packing planning: docs bucketed by
+    token count (width 32), with each bucket's token share and the
+    cumulative share in bucket order — the "how much padding would
+    max_len=N waste" planning table that pairs with pack_sequences.
+
+    Integer bucket math (n − n % 32); shares are round_det divisions of
+    exact longs. The cumulative window runs over the BUCKET table
+    (≤ a few hundred rows at any corpus size), not the corpus — fine on
+    a single reducer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.size(TX.tokens("text")).cast("long").alias("_n"))
+    buckets = (
+        t.withColumn("bucket_start", (F.col("_n") - F.col("_n") % 32))
+        .groupBy("bucket_start")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sum("_n").cast("long").alias("n_tokens"))
+    )
+    total = F.broadcast(buckets.agg(F.sum("n_tokens").alias("_tot")))
+    w = Window.orderBy("bucket_start").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        buckets.crossJoin(total)
+        .withColumn("token_share", round_det(F.col("n_tokens") / F.col("_tot"), 6))
+        .withColumn(
+            "cum_token_share",
+            round_det(F.sum("n_tokens").over(w) / F.col("_tot"), 6),
+        )
+        .select("bucket_start", "n_docs", "n_tokens", "token_share", "cum_token_share")
+    )

@@ -144,6 +144,46 @@ def char_jaccard_pairs(
     return jaccard_pairs_from_shingle_table(sh, threshold, id_col)
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold.
+
+    Jaccard under-scores subset duplication (a short doc quoted inside a
+    long one has high containment but low Jaccard because the union is
+    dominated by the long doc); containment is the standard complement
+    for catching quote/excerpt duplication in pretraining corpora
+    (Broder's resemblance-vs-containment distinction). Same
+    explode-join-count shape as :func:`ngram_jaccard_pairs` — exact,
+    worst-case quadratic, so this is the correctness/verification tier;
+    at 100 TB run it only on MinHash-LSH candidate pairs.
+    """
+    sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("size_b")), "id_b")
+        .withColumn(
+            "containment",
+            round_det(F.col("n_common") / F.least("size_a", "size_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
 def jaccard_pairs_from_shingle_table(sh: DataFrame, threshold: float, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard over an exploded (id, shingle) table (shared by the
     word-gram and char-gram operators)."""

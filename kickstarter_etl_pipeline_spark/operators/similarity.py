@@ -567,3 +567,94 @@ def ivf_anchor_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: embedding-space semantic deduplication (Abbas et al.
+    2023, arXiv:2303.09540) — cluster the corpus, then inside each
+    cluster drop every vector that sits within ``threshold`` cosine of a
+    kept cluster-mate.
+
+    Fully deterministic and therefore fully oracle-able: cells are the
+    md5-anchor Voronoi cells of :func:`ivf_anchor_topk` (no RNG, no
+    k-means training), the keep rule is "a vector is dropped iff a
+    LOWER-id cell-mate has rounded-cosine ≥ threshold" (SemDeDup keeps
+    one representative per near-dup clique; lowest id is the
+    deterministic choice), and the cosine boundary applies to the
+    6-dp-rounded value so both engines agree on boundary cases.
+
+    Returns one row per corpus vector: (id, cell, n_near_dups, is_kept).
+
+    Scale posture (100 TB): anchor selection is a driver-side
+    top-``n_cells`` of control data; assignment is per-row mul-adds
+    against a one-row broadcast anchor matrix (no shuffle); the
+    pair scan is per-cell, so work is Σ|cell|² — at real scale raise
+    ``n_cells`` so cells stay bounded (SemDeDup's own regime is k ≈
+    corpus/1000), keeping the self-join far from all-pairs.
+    """
+    spark = corpus.sparkSession
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    anchor_rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_aid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_av"),
+        )
+        .orderBy("_h", "_aid")
+        .limit(n_cells)
+        .collect()
+    )
+    anchor_mat = [list(r["_av"]) for r in anchor_rows]
+    anchors_df = spark.createDataFrame([(anchor_mat,)], "_anchor_mat: array<array<double>>")
+
+    assigned = (
+        ensure_min_partitions(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+            barrier=False,
+        )
+        .join(F.broadcast(anchors_df), how="cross")
+        .withColumn(
+            "_cell_dists",
+            F.expr(
+                "transform(_anchor_mat, (av, ci) -> named_struct("
+                "'d', aggregate(zip_with(_vec, av, (x, y) -> "
+                "(cast(x as double) - y) * (cast(x as double) - y)), "
+                "cast(0.0 as double), (acc, x) -> acc + x), 'c', ci))"
+            ),
+        )
+        .withColumn(
+            "cell",
+            F.element_at(F.array_sort("_cell_dists"), 1).getField("c").cast("int"),
+        )
+        .drop("_anchor_mat", "_cell_dists")
+    )
+    # Both pair-scan sides read the assignment; checkpoint so the
+    # n_cells × dim distance work runs once per row (released by the
+    # ContextCleaner — see operators.dedup module docstring).
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), "cell")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), "cell")
+    dup_counts = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("_sim") >= threshold)
+        .groupBy("id_b")
+        .agg(F.count("*").alias("_n_near"))
+    )
+    return (
+        assigned.join(dup_counts, assigned._id == dup_counts.id_b, "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("_n_near"), F.lit(0)).cast("long").alias("n_near_dups"),
+            F.when(F.col("_n_near").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
+        )
+    )

@@ -316,3 +316,72 @@ def unigram_surprisal(
         F.round(F.avg(-F.log(F.col("_p"))), 4).alias("mean_surprisal_nats"),
         F.round(F.exp(F.avg(-F.log(F.col("_p")))), 2).alias("ppl_proxy"),
     )
+
+
+def bigram_collocations(
+    df: DataFrame, top_k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k adjacent-token bigram collocations with lift.
+
+    The classic collocation-extraction pass over a corpus: count every
+    adjacent token pair, then score association as
+    ``lift = p(ab) / (p(a)·p(b))`` — the exp of PMI, computed WITHOUT
+    ln/exp so the value is engine-deterministic (counts are exact
+    integers; the division/multiplication tree is fixed and mirrored
+    verbatim in the oracle SQL; NOTES.md determinism rule 7 is why PMI
+    itself isn't emitted). Top-k is a TakeOrdered (distributed heap, no
+    single-reducer global sort) with the unique (count, tok_a, tok_b)
+    total order.
+
+    Two uniform-key shuffles (bigram counts, unigram counts); the
+    unigram table broadcasts into the bigram side.
+    """
+    staged = df.withColumn("_toks", tokens(text_col))
+    bigrams = (
+        staged.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1), i -> "
+                    "named_struct('tok_a', element_at(_toks, i), "
+                    "'tok_b', element_at(_toks, i + 1)))"
+                )
+            ).alias("_bg")
+        )
+        .select("_bg.tok_a", "_bg.tok_b")
+    )
+    pair_counts = bigrams.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_pair"))
+    uni = (
+        staged.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_n_tok"))
+    )
+    totals = F.broadcast(
+        pair_counts.agg(F.sum("n_pair").alias("_m"))
+        .crossJoin(uni.agg(F.sum("_n_tok").alias("_n")))
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("_tok").alias("tok_a"), F.col("_n_tok").alias("n_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("_tok").alias("tok_b"), F.col("_n_tok").alias("n_b"))),
+            "tok_b",
+        )
+        .crossJoin(totals)
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            round_det(
+                (F.col("n_pair") / F.col("_m"))
+                / ((F.col("n_a") / F.col("_n")) * (F.col("n_b") / F.col("_n"))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(top_k)
+    )

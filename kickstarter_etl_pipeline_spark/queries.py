@@ -137,6 +137,10 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_text_stats,
     q_levenshtein_pairs,
     q_char_jaccard_pairs,
+    q_containment_pairs,
+    q_semantic_dedup,
+    q_bigram_collocations,
+    q_seq_length_histogram,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1036,6 +1040,11 @@ _QUERIES: dict[str, QueryFn] = {
     "pystream_replay_agg": q_pystream_replay_agg,
     "range_clustered_prune_agg": q_range_clustered_prune_agg,
     "yoy_customer_activity": q_yoy_customer_activity,
+    # --- round-5 curation additions, second batch (first grade) ---
+    "containment_pairs": q_containment_pairs,
+    "semantic_dedup": q_semantic_dedup,
+    "bigram_collocations": q_bigram_collocations,
+    "seq_length_histogram": q_seq_length_histogram,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1061,10 +1070,6 @@ _QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "above_avg_orders": q_above_avg_orders,
-    "group_count_ordered": q_group_count_ordered,
-    "conditional_flag_agg": q_conditional_flag_agg,
-    "ship_delay_by_priority": q_ship_delay_by_priority,
-    "window_rank_topn": q_window_rank_topn,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
@@ -1078,7 +1083,13 @@ _QUERIES: dict[str, QueryFn] = {
     "events_asof_purchase_click": q_events_asof_purchase_click,
     "char_jaccard_pairs": q_char_jaccard_pairs,
     "distinct_counts": q_distinct_counts,
-    # ---------------- below the fold (green in r03/r04) ----------------
+    # ---------------- below the fold (green in r03/r04; the four
+    # r01/r02 entries displaced by the round-5 second batch rotate
+    # back through the window next round) ----------------
+    "group_count_ordered": q_group_count_ordered,
+    "conditional_flag_agg": q_conditional_flag_agg,
+    "ship_delay_by_priority": q_ship_delay_by_priority,
+    "window_rank_topn": q_window_rank_topn,
     "cube_status_priority": q_cube_status_priority,
     "price_stats_by_status": q_price_stats_by_status,
     "part_string_ops": q_part_string_ops,
@@ -2841,6 +2852,100 @@ _ORACLES["simhash_md5_candidates"] = r"""
         ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
     FROM pairs
+"""
+
+
+# FULL twin of q_containment_pairs: same word-3-gram shingles as the
+# Jaccard oracle, scored as |∩| / min(|A|, |B|) (asymmetric containment).
+_ORACLES["containment_pairs"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+             FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           floor(n_common / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000.0 AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(n_common / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000.0 >= 0.6
+"""
+
+# FULL twin of q_semantic_dedup (similarity.semantic_dedup): md5-anchor
+# Voronoi cells exactly as in the anchor-IVF oracle, then a vector is
+# dropped iff a LOWER-id cell-mate has 6-dp-rounded cosine >= 0.9.
+_ORACLES["semantic_dedup"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    anchors AS (
+      SELECT av, rn - 1 AS ci FROM (
+        SELECT CAST(embedding AS DOUBLE[]) AS av,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= 16),
+    cass AS (
+      SELECT vec_id, e, ci AS cell FROM (
+        SELECT v.vec_id, v.e, a.ci,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_distance(v.e, a.av), a.ci) AS rn
+        FROM v CROSS JOIN anchors a)
+      WHERE rn = 1),
+    dups AS (
+      SELECT b.vec_id, count(*) AS n_near
+      FROM cass a JOIN cass b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
+      GROUP BY b.vec_id)
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           CAST(coalesce(d.n_near, 0) AS BIGINT) AS n_near_dups,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM cass c LEFT JOIN dups d ON c.vec_id = d.vec_id
+"""
+
+# FULL twin of q_bigram_collocations: identical count tables and the
+# identical division/multiplication tree for lift (no ln/exp — see
+# text.bigram_collocations).
+_ORACLES["bigram_collocations"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {{'a': t[i], 'b': t[i+1]}})) AS p
+           FROM toks WHERE len(t) >= 2),
+    pairs AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*) AS n_pair
+              FROM bg GROUP BY 1, 2),
+    uni AS (SELECT tok, count(*) AS n_tok
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    tot AS (SELECT (SELECT sum(n_pair) FROM pairs) AS m,
+                   (SELECT sum(n_tok) FROM uni) AS n)
+    SELECT tok_a, tok_b, n_pair, ua.n_tok AS n_a, ub.n_tok AS n_b,
+           floor((n_pair / m) / ((ua.n_tok / n) * (ub.n_tok / n))
+                 * 1000000 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN uni ua ON ua.tok = tok_a
+    JOIN uni ub ON ub.tok = tok_b
+    CROSS JOIN tot
+    ORDER BY n_pair DESC, tok_a, tok_b
+    LIMIT 50
+"""
+
+# FULL twin of q_seq_length_histogram: integer width-32 buckets of the
+# per-doc whitespace token count, token share + cumulative share.
+_ORACLES["seq_length_histogram"] = f"""
+    WITH t AS (SELECT CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+    b AS (SELECT n - n % 32 AS bucket_start,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM t GROUP BY 1),
+    tot AS (SELECT sum(n_tokens) AS tt FROM b)
+    SELECT bucket_start, n_docs, n_tokens,
+           floor(n_tokens / tt * 1000000 + 0.5) / 1000000.0 AS token_share,
+           floor(sum(n_tokens) OVER (ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / tt * 1000000 + 0.5) / 1000000.0 AS cum_token_share
+    FROM b CROSS JOIN tot
 """
 
 

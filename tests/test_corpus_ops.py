@@ -112,3 +112,50 @@ def test_boilerplate_stats_shared_vs_unique(spark):
         assert 0 < out[i]["boilerplate_ratio"] < 1
     assert out[4]["n_boilerplate"] == 0 and out[4]["boilerplate_ratio"] == 0.0
     assert out[5]["n_shingles"] == 0 and out[5]["boilerplate_ratio"] is None
+
+
+def test_containment_vs_jaccard_subset_doc(spark):
+    """A short doc fully contained in a long one: containment = 1.0 even
+    though Jaccard is low — the operator's reason to exist."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
+    cont = containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    assert not ngram_jaccard_pairs(docs, threshold=0.9).collect()
+
+
+def test_semantic_dedup_keeps_one_per_clique(spark):
+    """Identical vectors land in one cell; exactly the lowest id is kept."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.5, -0.25]
+    far = [-1.0, 0.5, -0.5, 1.0]
+    rows = [(i, base) for i in range(5)] + [(10 + i, far) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.95, n_cells=2).collect()}
+    assert len(out) == 8
+    kept = sorted(v for v, r in out.items() if r["is_kept"] == 1)
+    assert kept == [0, 10], kept
+    # Drop counts grow along the id order within each clique.
+    assert out[4]["n_near_dups"] == 4 and out[12]["n_near_dups"] == 2
+
+
+def test_bigram_collocation_lift_is_exact(spark):
+    """Counts and lift on a corpus computed by hand: "a b" occurs twice,
+    tokens a and b occur 3 times each over 12 tokens / 10 bigrams."""
+    from kickstarter_etl_pipeline_spark.operators.text import bigram_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a x y z b x")], "doc_id long, text string"
+    )
+    out = {(r["tok_a"], r["tok_b"]): r for r in bigram_collocations(docs, top_k=50).collect()}
+    r = out[("a", "b")]
+    assert r["n_pair"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    # lift = (2/10) / ((3/12)*(3/12)) = 0.2 / 0.0625 = 3.2
+    assert r["lift"] == 3.2
