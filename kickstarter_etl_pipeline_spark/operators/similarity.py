@@ -637,14 +637,26 @@ def semantic_dedup(
     )
     # Both pair-scan sides read the assignment; checkpoint so the
     # n_cells × dim distance work runs once per row (released by the
-    # ContextCleaner — see operators.dedup module docstring).
-    assigned = assigned.localCheckpoint(eager=True)
-    a = assigned.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), "cell")
-    b = assigned.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), "cell")
+    # ContextCleaner — see operators.dedup module docstring). The norm
+    # is staged per ROW here so the per-candidate-pair work inside the
+    # join is the dot product alone (the ann_lsh_topk lesson: cosine()
+    # inline redoes two dim-length norm aggregates per pair).
+    assigned = assigned.withColumn("_nrm", norm(F.col("_vec"))).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), F.col("_nrm").alias("_na"), "cell"
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), F.col("_nrm").alias("_nb"), "cell"
+    )
     dup_counts = (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "_sim",
+            F.round(
+                F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .filter(F.col("_sim") >= threshold)
         .groupBy("id_b")
         .agg(F.count("*").alias("_n_near"))
