@@ -200,3 +200,30 @@ def test_chunk_documents_no_shuffle(spark, sf_dir):
     plan = explain_str(q_chunk_documents(spark, sf_dir), mode="simple")
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_dedup_join_condition_is_dot_only(spark, sf_dir):
+    """The pair-scan join condition must reference the STAGED norm
+    columns, not recompute norms per pair: exactly one dim-length
+    zip_with aggregate (the dot product) may appear in the join
+    condition line."""
+    from kickstarter_etl_pipeline_spark.queries import q_semantic_dedup
+
+    plan = explain_str(q_semantic_dedup(spark, sf_dir))
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join condition" in ln and "zip_with" in ln
+    ]
+    assert join_lines, "pair-scan join condition not found in plan"
+    for ln in join_lines:
+        assert ln.count("zip_with") == 1, f"norms recomputed per pair: {ln[:200]}"
+
+
+def test_bigram_collocations_topk_is_take_ordered(spark, sf_dir):
+    """Global top-k must be TakeOrderedAndProject (distributed heaps),
+    never a global Sort + Limit single reducer, and the unigram table
+    must broadcast into the pair table."""
+    from kickstarter_etl_pipeline_spark.queries import q_bigram_collocations
+
+    plan = explain_str(q_bigram_collocations(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
