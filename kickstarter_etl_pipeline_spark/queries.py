@@ -367,6 +367,20 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(spark, sf_dir)
 
 
+def q_events_stream_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming: hourly windowed agg feeding a daily
+    windowed agg in ONE query (multiple-stateful-operator support,
+    window_time hand-off, append mode). The oracle replays the
+    append-mode emission rule: a day row exists iff the day's window
+    end is at or below the global watermark (ms-truncated max event
+    time − 2 h), so the final partial day stays withheld."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        streaming_hourly_daily_rollup,
+    )
+
+    return streaming_hourly_daily_rollup(spark, sf_dir)
+
+
 def q_pystream_replay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STREAMING connector end-to-end (Python Data Source
     streaming API, sources/python_datasource.py): the events log
@@ -1028,6 +1042,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_stream_upsert": q_events_stream_upsert,
     "events_stream_sliding": q_events_stream_sliding,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "events_stream_hourly_daily": q_events_stream_hourly_daily,
     "events_stream_left_join": q_events_stream_left_join,
     "events_stream_sessions": q_events_stream_sessions,
     # --- round-5 corpus-assembly additions (first grade) ---
@@ -1069,7 +1084,6 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_topk": q_embedding_topk,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
-    "above_avg_orders": q_above_avg_orders,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
@@ -1086,6 +1100,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "above_avg_orders": q_above_avg_orders,
     "group_count_ordered": q_group_count_ordered,
     "conditional_flag_agg": q_conditional_flag_agg,
     "ship_delay_by_priority": q_ship_delay_by_priority,
@@ -1427,6 +1442,30 @@ _ORACLES: dict[str, str] = {
                  count(*) AS n_events, round(sum(value), 4) AS s
           FROM events GROUP BY 1
         )
+    """,
+    # Chained stateful streaming (hourly → daily): append-mode emission
+    # = a day row exists iff day_end <= global watermark (ms-truncated
+    # max event time − 2 h). The final partial day is withheld; every
+    # hour of an emitted day is necessarily closed, so the daily rollup
+    # aggregates the plain batch hourly table.
+    "events_stream_hourly_daily": """
+        WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        wm AS (SELECT CAST(floor(max(us) / 1000) AS BIGINT) - 7200000 AS wm_ms FROM e),
+        hourly AS (
+          SELECT date_trunc('hour', make_timestamp(us)) AS h, event_type,
+                 count(*) AS n_events, round(sum(value), 4) AS sum_value
+          FROM e GROUP BY 1, 2),
+        daily AS (
+          SELECT date_trunc('day', h) AS d0, event_type,
+                 max(n_events) AS max_hourly_events,
+                 CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(sum(n_events) AS BIGINT) AS total_events,
+                 round(sum(sum_value), 4) AS total_value
+          FROM hourly GROUP BY 1, 2)
+        SELECT strftime(d0, '%Y-%m-%d') AS day, event_type,
+               max_hourly_events, n_hours, total_events, total_value
+        FROM daily, wm
+        WHERE epoch_ms(d0 + INTERVAL 1 DAY) <= wm_ms
     """,
     "events_stream_tumbling": """
         SELECT bucket_start, event_type, n_events, sum_value,

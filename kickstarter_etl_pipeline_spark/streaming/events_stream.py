@@ -481,3 +481,68 @@ def stream_upsert_rollup(
     )
     query.awaitTermination()
     return spark.read.parquet(table_path)
+
+
+def streaming_hourly_daily_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark ≥ 3.5
+    multiple-stateful-operator support): a watermarked hourly tumbling
+    aggregation feeds a SECOND windowed aggregation that rolls the
+    hourly buckets up to per-day statistics — the streaming analog of a
+    two-level rollup cube, all inside one exactly-once pipeline.
+
+    The hand-off uses ``window_time(w)`` (= w.end − 1 µs, the event
+    time of an aggregated row) as the second aggregation's time column,
+    the documented chaining pattern. Append mode is REQUIRED for
+    chained aggs: a day row emits only once the global watermark
+    (ms-truncated max event time minus the delay) passes the day's
+    window end, so with a finite AvailableNow replay the final
+    partial day stays in state, unemitted — the oracle replays exactly
+    that bookkeeping.
+
+    Scale posture: both aggregation states are bounded by the watermark
+    (hours and days evict once closed); shuffles are keyed by
+    (window, event_type) — uniform. The memory sink is the
+    fixture-verification tier, as everywhere in this module.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"), "event_type")
+        .agg(
+            F.max("n_events").alias("max_hourly_events"),
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("n_events").alias("total_events"),
+            F.round(F.sum("sum_value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("d.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "max_hourly_events",
+            "n_hours",
+            "total_events",
+            "total_value",
+        )
+    )
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stream_ckpt_")
+    query = (
+        daily.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
