@@ -1,0 +1,120 @@
+"""Graph analytics over co-occurrence edge sets.
+
+Triangle counting is THE canonical distributed-graph primitive (the
+basis of clustering coefficients, community pre-filters, and spam/bot
+ring detection over interaction graphs). The implementation here is
+the standard degree-ordered orientation algorithm (Cohen's MapReduce
+formulation / Suri & Vassilvitskii "Counting Triangles and the Curse
+of the Last Reducer", WWW'11):
+
+1. every undirected edge is oriented from its LOWER-(degree, id)
+   endpoint to its higher one — a total order, so each edge appears
+   exactly once and each triangle is counted exactly once, at its
+   minimum-rank apex;
+2. wedges = pairs of out-edges from one apex (self-join keyed by the
+   apex vertex);
+3. a wedge closes iff the oriented edge between its two far ends
+   exists (equi-join on the vertex pair).
+
+Degree orientation is the scale mitigation: out-degree after
+orientation is O(√m) even on power-law graphs, so the wedge self-join
+never explodes on hub vertices — exactly the "curse of the last
+reducer" the id-only orientation suffers. Everything is deterministic
+((degree, id) ranks have no ties), so the whole pipeline has a full
+DuckDB twin.
+
+The related connected-components primitive lives in operators.dedup
+(large-star/small-star over near-dup edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degree_table(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Vertex degrees of an undirected, deduplicated edge list."""
+    ends = edges.select(F.col(u).alias("id")).unionAll(edges.select(F.col(v).alias("id")))
+    return ends.groupBy("id").agg(F.count("*").cast("long").alias("degree"))
+
+
+def orient_by_degree(edges: DataFrame, deg: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Orient each edge from lower (degree, id) to higher (degree, id).
+
+    The degree table is corpus-scale but narrow (id, degree); both
+    joins are uniform-key equi-joins on vertex id. The rank struct is
+    carried on the DST side because the wedge step orders far ends by
+    it.
+    """
+    e = (
+        edges.join(deg.select(F.col("id").alias(u), F.col("degree").alias("_du")), u)
+        .join(deg.select(F.col("id").alias(v), F.col("degree").alias("_dv")), v)
+    )
+    rank_u = F.struct(F.col("_du").alias("d"), F.col(u).alias("i"))
+    rank_v = F.struct(F.col("_dv").alias("d"), F.col(v).alias("i"))
+    u_first = rank_u < rank_v
+    return e.select(
+        F.when(u_first, F.col(u)).otherwise(F.col(v)).alias("src"),
+        F.when(u_first, F.col(v)).otherwise(F.col(u)).alias("dst"),
+        F.when(u_first, rank_v).otherwise(rank_u).alias("dst_rank"),
+    )
+
+
+def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected,
+    deduplicated (u < v) edge list.
+
+    Returns (user-facing columns) one row per vertex that belongs to at
+    least one triangle: ``(id, degree, n_triangles)``.
+    """
+    deg = degree_table(edges, u, v)
+    oriented = orient_by_degree(edges, deg, u, v).localCheckpoint(eager=True)
+    e1 = oriented.select(
+        F.col("src").alias("_a"), F.col("dst").alias("_b"), F.col("dst_rank").alias("_rb")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("_a"), F.col("dst").alias("_c"), F.col("dst_rank").alias("_rc")
+    )
+    wedges = e1.join(e2, on="_a").filter(F.col("_rb") < F.col("_rc"))
+    closing = oriented.select(F.col("src").alias("_b"), F.col("dst").alias("_c"))
+    tri = wedges.join(closing, on=["_b", "_c"]).select("_a", "_b", "_c")
+    per_vertex = (
+        tri.select(F.explode(F.array("_a", "_b", "_c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_vertex.join(deg, on="id")
+
+
+def cooccurrence_edges(
+    events: DataFrame,
+    event_type: str = "error",
+    bucket_seconds: int = 1800,
+    us_col: str = "_us",
+) -> DataFrame:
+    """Undirected user co-occurrence edges: two users are connected iff
+    they both emitted ``event_type`` within the same ``bucket_seconds``
+    time bucket. Input must carry exact integer microseconds in
+    ``us_col`` (operators.events.with_unix_micros).
+
+    The bucket self-join is keyed by the bucket id — shuffle
+    O(events), with per-bucket pair fan-out bounded by bucket occupancy
+    (choose the bucket width so occupancy stays small; salting the
+    bucket key is the mitigation if one bucket runs hot).
+    """
+    nodes = (
+        events.filter(F.col("event_type") == event_type)
+        .select(
+            (F.floor(F.col(us_col) / (bucket_seconds * 1_000_000))).alias("_bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = nodes.select("_bucket", F.col("user_id").alias("u"))
+    b = nodes.select("_bucket", F.col("user_id").alias("v"))
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )

@@ -456,6 +456,24 @@ def q_events_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.distinct_user_event_pairs(load_table(spark, sf_dir, "events"))
 
 
+def q_user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (degree-ordered orientation — see
+    operators.graph) over the error co-occurrence graph: users
+    connected iff they both errored within the same 30-minute bucket.
+    Per-user triangle participation + degree; bot-ring / correlated-
+    failure detection shape."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return triangle_counts(edges).select(
+        F.col("id").alias("user_id"), "degree", "n_triangles"
+    )
+
+
 def q_events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior click."""
     from kickstarter_etl_pipeline_spark.operators.joins import asof_join_backward
@@ -1060,6 +1078,7 @@ _QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "bigram_collocations": q_bigram_collocations,
     "seq_length_histogram": q_seq_length_histogram,
+    "user_triangle_counts": q_user_triangle_counts,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1083,7 +1102,6 @@ _QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
     "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
@@ -1100,6 +1118,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "local_supplier_volume": q_local_supplier_volume,
     "above_avg_orders": q_above_avg_orders,
     "group_count_ordered": q_group_count_ordered,
     "conditional_flag_agg": q_conditional_flag_agg,
@@ -2893,6 +2912,37 @@ _ORACLES["simhash_md5_candidates"] = r"""
     FROM pairs
 """
 
+
+# FULL twin of q_user_triangle_counts (operators.graph): the same
+# degree-ordered orientation — every edge oriented from its lower
+# (degree, id) endpoint, wedges from a shared apex with rank-ordered
+# far ends, closed by the oriented far-end edge; each triangle lands
+# exactly once, at its minimum-rank apex.
+_ORACLES["user_triangle_counts"] = """
+    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+               FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dst_d
+      FROM edges JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      WHERE (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)),
+    tri AS (
+      SELECT a, w.b, w.c FROM wedges w
+      JOIN oriented o ON o.src = w.b AND o.dst = w.c),
+    pv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY id)
+    SELECT pv.id AS user_id, deg.d AS degree, pv.n_triangles
+    FROM pv JOIN deg ON deg.id = pv.id
+"""
 
 # FULL twin of q_containment_pairs: same word-3-gram shingles as the
 # Jaccard oracle, scored as |∩| / min(|A|, |B|) (asymmetric containment).

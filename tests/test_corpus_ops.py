@@ -159,3 +159,20 @@ def test_bigram_collocation_lift_is_exact(spark):
     assert r["n_pair"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
     # lift = (2/10) / ((3/12)*(3/12)) = 0.2 / 0.0625 = 3.2
     assert r["lift"] == 3.2
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge = 2 triangles sharing an edge; a pendant vertex
+    joins none. Exercises the degree-ordered orientation (vertex 9 has
+    degree 1, so every edge at 9 orients away from it)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (1, 9)], "u long, v long"
+    )
+    out = {r["id"]: r for r in triangle_counts(edges).collect()}
+    # triangles: (1,2,3) and (1,2,4)
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_triangles"] == 2 and out[2]["n_triangles"] == 2
+    assert out[3]["n_triangles"] == 1 and out[4]["n_triangles"] == 1
+    assert out[1]["degree"] == 4 and out[3]["degree"] == 2
