@@ -386,3 +386,89 @@ def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket_start", "n_docs", "n_tokens", "token_share", "cum_token_share")
     )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: per-token posting list (doc_id:tf pairs in
+    doc order) + document frequency + collection frequency — the
+    classic IR inverted-index construction as one explode + two
+    aggregations. The posting list is emitted as a canonical STRING
+    ("doc:tf,doc:tf,...") so the cross-engine hash compare is exact
+    (array cells stringify differently across engines).
+
+    Scale posture: one shuffle keyed by token for the per-(token, doc)
+    tf counts, one keyed by token for the postings roll-up; postings
+    of giant stopword-like tokens are the skew risk — production
+    engines split posting lists into blocks, which here would be a
+    secondary bucket key on floor(doc_id / block)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("coll_freq"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.tf.cast("string")),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+def q_source_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication report: for every source pair, the
+    number of shared word-3-gram shingles and the Jaccard overlap of
+    the two sources' shingle sets — the corpus-level "how much does
+    source A overlap source B" table that drives source de-weighting
+    and contamination triage (same shingle definition as the document
+    dedup tier, aggregated to source granularity).
+
+    Distinct (source, shingle) pairs are bounded by vocabulary³, far
+    below corpus size; the pair join is keyed by shingle — uniform."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import with_shingles
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        with_shingles(ensure_min_partitions(docs), "text", "_sh", 3)
+        .select("source", F.explode("_sh").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = fp.groupBy("source").agg(F.count("*").cast("long").alias("_n"))
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    shared = (
+        a.join(b, on="fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("_n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("_n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            round_det(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+    )

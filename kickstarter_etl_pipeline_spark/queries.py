@@ -141,6 +141,8 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_semantic_dedup,
     q_bigram_collocations,
     q_seq_length_histogram,
+    q_inverted_index,
+    q_source_overlap_report,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1079,6 +1081,8 @@ _QUERIES: dict[str, QueryFn] = {
     "bigram_collocations": q_bigram_collocations,
     "seq_length_histogram": q_seq_length_histogram,
     "user_triangle_counts": q_user_triangle_counts,
+    "inverted_index": q_inverted_index,
+    "source_overlap_report": q_source_overlap_report,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1096,9 +1100,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dim_category": q_dim_category,
     "fact_star": q_fact_star,
     "topk_customers": q_topk_customers,
-    "window_running_sum": q_window_running_sum,
     "region_rollup": q_region_rollup,
-    "events_tumbling": q_events_tumbling,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
     "shipping_priority": q_shipping_priority,
@@ -1118,6 +1120,8 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "events_tumbling": q_events_tumbling,
+    "window_running_sum": q_window_running_sum,
     "local_supplier_volume": q_local_supplier_volume,
     "above_avg_orders": q_above_avg_orders,
     "group_count_ordered": q_group_count_ordered,
@@ -2942,6 +2946,40 @@ _ORACLES["user_triangle_counts"] = """
              UNION ALL SELECT c FROM tri) GROUP BY id)
     SELECT pv.id AS user_id, deg.d AS degree, pv.n_triangles
     FROM pv JOIN deg ON deg.id = pv.id
+"""
+
+# FULL twin of q_inverted_index: identical (token, doc) tf table, then
+# postings as "doc:tf" in doc order (doc_id is unique per token, so
+# Spark's array_sort(struct(doc_id, tf)) == ORDER BY doc_id).
+_ORACLES["inverted_index"] = f"""
+    WITH tf AS (
+      SELECT token, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY 1, 2)
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS coll_freq,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY token
+"""
+
+# FULL twin of q_source_overlap_report: distinct (source, word-3-gram
+# shingle) pairs, pairwise shared counts, Jaccard of the shingle sets.
+_ORACLES["source_overlap_report"] = f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    fp AS (SELECT DISTINCT source, fp FROM (
+             SELECT source,
+                    unnest(list_transform(range(1, len(t) - 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS fp
+             FROM toks)),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY source),
+    shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(count(*) AS BIGINT) AS n_shared
+               FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+               GROUP BY 1, 2)
+    SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           floor(n_shared / (sa.n + sb.n - n_shared) * 1000000 + 0.5) / 1000000.0 AS jaccard
+    FROM shared JOIN sizes sa ON sa.source = source_a
+                JOIN sizes sb ON sb.source = source_b
 """
 
 # FULL twin of q_containment_pairs: same word-3-gram shingles as the
