@@ -118,3 +118,32 @@ def cooccurrence_edges(
         .select("u", "v")
         .distinct()
     )
+
+
+def clustering_coefficients(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``cc = 2·triangles / (degree·(degree−1))`` for degree ≥ 2, with
+    vertices in no triangle reported as 0.0 (a LEFT join against the
+    triangle table — they are the interesting low-cohesion cases).
+
+    Same cost profile as :func:`triangle_counts` plus one broadcast-or-
+    shuffle left join on vertex id.
+    """
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
+    deg = degree_table(edges, u, v)
+    tri = triangle_counts(edges, u, v).select("id", "n_triangles")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, on="id", how="left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            round_det(
+                2 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -670,3 +670,95 @@ def semantic_dedup(
             F.when(F.col("_n_near").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
         )
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 ANN: int8-quantized scan + exact float rescore — the
+    production "scalar quantization + rescoring" retrieval pattern
+    (a quarter of float32 memory traffic on the scan, full precision
+    only on the shortlist).
+
+    Fully deterministic, hence fully oracle-able:
+
+    - per-vector symmetric quantization, the :func:`quantization_profile`
+      scheme (``floor(v/scale·127 + 0.5)`` — engine-stable halfway
+      cases);
+    - int dot products are EXACT integers (|q| ≤ 127, so 64 dims stay
+      < 2^21 ≪ 2^53); the approximate similarity ``qdot/(‖q_q‖·‖q_c‖)``
+      uses only IEEE-correctly-rounded ops (sqrt, mul, div) in a fixed
+      tree, rounded to 6 dp before ranking so the shortlist boundary is
+      engine-stable (neighbor-id tie-break);
+    - the shortlist is exact-rescored in float and re-ranked by rounded
+      true cosine.
+
+    Scale posture: the query side broadcasts (same contract as
+    :func:`brute_force_topk`); the scan stage is one codegen'd pass.
+    At 100 TB the quantized scan composes with the IVF/LSH cell pruning
+    tiers — this operator demonstrates the quantize+rescore arithmetic
+    in isolation.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    def _quantize(df: DataFrame, prefix: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        staged = df.select(F.col(id_col).alias(f"{prefix}_id"), v.alias("_v"))
+        scale = F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+        staged = staged.withColumn("_scale", scale)
+        q = F.transform(
+            F.col("_v"), lambda x: F.floor(x / F.col("_scale") * 127 + 0.5).cast("long")
+        )
+        zeros = F.transform(F.col("_v"), lambda x: F.lit(0).cast("long"))
+        staged = staged.withColumn("_q", F.when(F.col("_scale") == 0, zeros).otherwise(q))
+        qnorm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).cast("double")
+        )
+        return staged.select(
+            f"{prefix}_id",
+            F.col("_v").alias(f"{prefix}_v"),
+            F.col("_q").alias(f"{prefix}_q"),
+            qnorm.alias(f"{prefix}_qn"),
+        )
+
+    c = _quantize(ensure_min_partitions(corpus, barrier=False), "c").filter(F.col("c_qn") > 0)
+    qy = _quantize(queries, "q").filter(F.col("q_qn") > 0)
+    qdot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qy))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "q_v",
+            "c_v",
+            F.round((qdot.cast("double") / (F.col("q_qn") * F.col("c_qn"))), 6).alias(
+                "approx_sim"
+            ),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlisted = (
+        scored.withColumn("_srank", F.row_number().over(w_short))
+        .filter(F.col("_srank") <= shortlist)
+        .withColumn("cosine_sim", F.round(cosine(F.col("q_v"), F.col("c_v")), 6))
+    )
+    w_final = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        shortlisted.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_sim", "cosine_sim", "rank")
+    )

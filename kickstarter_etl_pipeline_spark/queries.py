@@ -458,6 +458,34 @@ def q_events_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.distinct_user_event_pairs(load_table(spark, sf_dir, "events"))
 
 
+def q_user_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the same error co-occurrence
+    graph as q_user_triangle_counts: cc = 2T/(d(d-1)) per user with
+    degree >= 2, triangle-free vertices reported as 0.0."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+        cooccurrence_edges,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return clustering_coefficients(edges).select(
+        F.col("id").alias("user_id"), "degree", "n_triangles", "clustering_coeff"
+    )
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 retrieval: int8-quantized scan (exact integer dot products)
+    shortlists 20 candidates per query on rounded approximate cosine,
+    then exact float rescore re-ranks to top-5 — the production
+    scalar-quantization + rescoring pattern, fully oracle'd because the
+    quantization grid and both rank orders are engine-deterministic."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=20)
+
+
 def q_user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle counting (degree-ordered orientation — see
     operators.graph) over the error co-occurrence graph: users
@@ -1083,6 +1111,8 @@ _QUERIES: dict[str, QueryFn] = {
     "user_triangle_counts": q_user_triangle_counts,
     "inverted_index": q_inverted_index,
     "source_overlap_report": q_source_overlap_report,
+    "user_clustering_coeffs": q_user_clustering_coeffs,
+    "quantized_topk": q_quantized_topk,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1099,11 +1129,9 @@ _QUERIES: dict[str, QueryFn] = {
     "dim_state": q_dim_state,
     "dim_category": q_dim_category,
     "fact_star": q_fact_star,
-    "topk_customers": q_topk_customers,
     "region_rollup": q_region_rollup,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
-    "shipping_priority": q_shipping_priority,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
@@ -1120,6 +1148,8 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "topk_customers": q_topk_customers,
+    "shipping_priority": q_shipping_priority,
     "events_tumbling": q_events_tumbling,
     "window_running_sum": q_window_running_sum,
     "local_supplier_volume": q_local_supplier_volume,
@@ -2946,6 +2976,75 @@ _ORACLES["user_triangle_counts"] = """
              UNION ALL SELECT c FROM tri) GROUP BY id)
     SELECT pv.id AS user_id, deg.d AS degree, pv.n_triangles
     FROM pv JOIN deg ON deg.id = pv.id
+"""
+
+# FULL twin of q_user_clustering_coeffs: the triangle-count CTE chain
+# with a degree >= 2 LEFT join so triangle-free vertices report 0.0.
+_ORACLES["user_clustering_coeffs"] = """
+    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+               FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dst_d
+      FROM edges JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      WHERE (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)),
+    tri AS (
+      SELECT a, w.b, w.c FROM wedges w
+      JOIN oriented o ON o.src = w.b AND o.dst = w.c),
+    pv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY id)
+    SELECT deg.id AS user_id, deg.d AS degree,
+           CAST(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+           floor(2 * coalesce(pv.n_triangles, 0) / (deg.d * (deg.d - 1))
+                 * 1000000 + 0.5) / 1000000.0 AS clustering_coeff
+    FROM deg LEFT JOIN pv ON pv.id = deg.id
+    WHERE deg.d >= 2
+"""
+
+# FULL twin of q_quantized_topk (similarity.quantized_topk): identical
+# int8 grid (floor(x/scale*127 + 0.5)), exact integer dot products,
+# identical shortlist and rescore rank orders.
+_ORACLES["quantized_topk"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    qz AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+    qq AS (SELECT vec_id, e,
+                  CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT))
+                  END AS q
+           FROM qz),
+    qn AS (SELECT vec_id, e, q,
+                  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS qnrm
+           FROM qq),
+    c AS (SELECT * FROM qn WHERE qnrm > 0),
+    qy AS (SELECT * FROM qn WHERE qnrm > 0 AND vec_id < 20),
+    scored AS (
+      SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id, qy.e AS qe, c.e AS ce,
+             round(CAST(list_dot_product(qy.q, c.q) AS DOUBLE) / (qy.qnrm * c.qnrm), 6)
+               AS approx_sim
+      FROM c, qy WHERE c.vec_id <> qy.vec_id),
+    short AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sim DESC, neighbor_id) AS srank
+      FROM scored),
+    resc AS (
+      SELECT query_id, neighbor_id, approx_sim,
+             round(list_cosine_similarity(qe, ce), 6) AS cosine_sim
+      FROM short WHERE srank <= 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_sim, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM resc)
+    SELECT query_id, neighbor_id, approx_sim, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 # FULL twin of q_inverted_index: identical (token, doc) tf table, then
