@@ -457,3 +457,72 @@ def q_jsonl_pyds_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+def q_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multidimensional clustering report over
+    orders: bucket (o_orderdate, o_totalprice) into a 16×16 grid, bit-
+    interleave the two 4-bit bucket ids into an 8-bit z-value, group the
+    256 cells into 16 "files" of 16 consecutive z-cells, and report each
+    file's row count and min/max range in BOTH dimensions.
+
+    This is the data-layout math behind Delta/Iceberg Z-ORDER BY: a
+    1-dim sort gives perfect pruning on one column and none on the
+    other; the Morton interleave bounds every file's extent in both,
+    so 2-dim predicates skip most files. The physical write+skip proof
+    for 1-dim clustering lives in q_range_clustered_prune_agg (real
+    files, real PushedFilters); this query grades the integer z-math
+    and the locality it produces — every step is exact integer
+    arithmetic, fully oracle-able.
+
+    Scale posture: two tiny min/max aggregates ride a one-row
+    broadcast; bucket + interleave are per-row bit ops; the report is
+    one uniform 16-key aggregate. At 100 TB the same z-value becomes
+    the repartitionByRange / sortWithinPartitions key at write time.
+    """
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    rng = F.broadcast(
+        o.agg(
+            F.min("day").alias("_dmin"), F.max("day").alias("_dmax"),
+            F.min("cents").alias("_cmin"), F.max("cents").alias("_cmax"),
+        )
+    )
+    staged = o.crossJoin(rng).select(
+        "day",
+        "cents",
+        # floor() explicitly: Spark's double→long cast truncates while
+        # DuckDB's CAST rounds — floor is the one both engines share.
+        F.floor(
+            (F.col("day") - F.col("_dmin")) * 16 / (F.col("_dmax") - F.col("_dmin") + 1)
+        ).alias("bd"),
+        F.floor(
+            (F.col("cents") - F.col("_cmin")) * 16 / (F.col("_cmax") - F.col("_cmin") + 1)
+        ).alias("bp"),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(4):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col("bd"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(F.col("bp"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return (
+        staged.withColumn("zval", z)
+        .withColumn("file_id", F.shiftright(F.col("zval").cast("int"), 4).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("day").cast("long").alias("min_day"),
+            F.max("day").cast("long").alias("max_day"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )

@@ -100,6 +100,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
     q_cdc_apply_agg,
+    q_zorder_layout_report,
     q_scd1_merge_agg,
     q_scd2_priority_history,
     q_compaction_roundtrip_agg,
@@ -1113,6 +1114,7 @@ _QUERIES: dict[str, QueryFn] = {
     "source_overlap_report": q_source_overlap_report,
     "user_clustering_coeffs": q_user_clustering_coeffs,
     "quantized_topk": q_quantized_topk,
+    "zorder_layout_report": q_zorder_layout_report,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1129,7 +1131,6 @@ _QUERIES: dict[str, QueryFn] = {
     "dim_state": q_dim_state,
     "dim_category": q_dim_category,
     "fact_star": q_fact_star,
-    "region_rollup": q_region_rollup,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
@@ -1148,6 +1149,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "region_rollup": q_region_rollup,
     "topk_customers": q_topk_customers,
     "shipping_priority": q_shipping_priority,
     "events_tumbling": q_events_tumbling,
@@ -2976,6 +2978,32 @@ _ORACLES["user_triangle_counts"] = """
              UNION ALL SELECT c FROM tri) GROUP BY id)
     SELECT pv.id AS user_id, deg.d AS degree, pv.n_triangles
     FROM pv JOIN deg ON deg.id = pv.id
+"""
+
+# FULL twin of q_zorder_layout_report: identical integer bucket grid
+# (explicit floor — Spark's double→long cast truncates, DuckDB's
+# rounds), identical 4+4-bit Morton interleave and 16-cell file blocks.
+_ORACLES["zorder_layout_report"] = """
+    WITH o AS (SELECT CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS day,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM orders),
+    r AS (SELECT min(day) AS dmin, max(day) AS dmax,
+                 min(cents) AS cmin, max(cents) AS cmax FROM o),
+    b AS (SELECT day, cents,
+                 CAST(floor((day - dmin) * 16 / (dmax - dmin + 1)) AS BIGINT) AS bd,
+                 CAST(floor((cents - cmin) * 16 / (cmax - cmin + 1)) AS BIGINT) AS bp
+          FROM o, r),
+    z AS (SELECT day, cents,
+                 (((bd >> 0) & 1) << 1) + (((bp >> 0) & 1) << 0) +
+                 (((bd >> 1) & 1) << 3) + (((bp >> 1) & 1) << 2) +
+                 (((bd >> 2) & 1) << 5) + (((bp >> 2) & 1) << 4) +
+                 (((bd >> 3) & 1) << 7) + (((bp >> 3) & 1) << 6) AS zval
+          FROM b)
+    SELECT CAST(zval >> 4 AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(day) AS min_day, max(day) AS max_day,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM z GROUP BY 1
 """
 
 # FULL twin of q_user_clustering_coeffs: the triangle-count CTE chain
