@@ -472,3 +472,11 @@ def q_source_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def q_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 skip-gram (center, context) co-occurrence counts with a
+    +/-2 window — the word2vec/GloVe training-pair table."""
+    from kickstarter_etl_pipeline_spark.operators.text import skipgram_cooccurrence
+
+    return skipgram_cooccurrence(load_table(spark, sf_dir, "documents"), window=2, top_k=100)

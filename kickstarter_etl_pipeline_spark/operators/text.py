@@ -385,3 +385,45 @@ def bigram_collocations(
         .orderBy(F.desc("n_pair"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(top_k)
     )
+
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    window: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts — the (center, context) pair table
+    that seeds word2vec/GloVe-style embedding training.
+
+    For every token position i, the contexts are positions i±1..i±window
+    within the same document. Pairs are DIRECTED (center, context) and
+    each ordered pair occurrence counts once, so the table is symmetric
+    in aggregate (count(a,b) = count(b,a)) — a cheap invariant check.
+    Top-k by (count, center, context) total order via TakeOrdered.
+
+    One explode (bounded fan-out ≤ 2·window per token) and one
+    uniform-key shuffle for the counts.
+    """
+    staged = df.withColumn("_toks", tokens(text_col)).filter(F.size("_toks") >= 2)
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+    pairs = staged.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(sequence(1, size(_toks)), i -> "
+                    f"filter(transform(array({', '.join(str(o) for o in offsets)}), "
+                    "o -> CASE WHEN i + o >= 1 AND i + o <= size(_toks) THEN "
+                    "named_struct('center', element_at(_toks, i), "
+                    "'context', element_at(_toks, i + o)) END), p -> p IS NOT NULL))"
+                )
+            )
+        ).alias("_p")
+    ).select("_p.center", "_p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("center"), F.asc("context"))
+        .limit(top_k)
+    )

@@ -144,6 +144,7 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_seq_length_histogram,
     q_inverted_index,
     q_source_overlap_report,
+    q_skipgram_cooccurrence,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1115,6 +1116,7 @@ _QUERIES: dict[str, QueryFn] = {
     "user_clustering_coeffs": q_user_clustering_coeffs,
     "quantized_topk": q_quantized_topk,
     "zorder_layout_report": q_zorder_layout_report,
+    "skipgram_cooccurrence": q_skipgram_cooccurrence,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1129,7 +1131,6 @@ _QUERIES: dict[str, QueryFn] = {
     # --- r01/r02 entries never re-graded since, cycled back through ---
     "dim_date": q_dim_date,
     "dim_state": q_dim_state,
-    "dim_category": q_dim_category,
     "fact_star": q_fact_star,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
@@ -1149,6 +1150,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "dim_category": q_dim_category,
     "region_rollup": q_region_rollup,
     "topk_customers": q_topk_customers,
     "shipping_priority": q_shipping_priority,
@@ -2978,6 +2980,25 @@ _ORACLES["user_triangle_counts"] = """
              UNION ALL SELECT c FROM tri) GROUP BY id)
     SELECT pv.id AS user_id, deg.d AS degree, pv.n_triangles
     FROM pv JOIN deg ON deg.id = pv.id
+"""
+
+# FULL twin of q_skipgram_cooccurrence: identical ±2-offset directed
+# (center, context) pair construction and (count, center, context)
+# total order for the top-k boundary.
+_ORACLES["skipgram_cooccurrence"] = f"""
+    WITH toks AS (SELECT t FROM (SELECT {_TOKS} AS t FROM documents) WHERE len(t) >= 2),
+    pr AS (
+      SELECT unnest(flatten(list_transform(range(1, len(t) + 1), i ->
+               list_filter(list_transform([-2, -1, 1, 2], o ->
+                 CASE WHEN i + o >= 1 AND i + o <= len(t)
+                      THEN {{'center': t[i], 'context': t[i + o]}} END),
+                 p -> p IS NOT NULL)))) AS p
+      FROM toks)
+    SELECT p.center AS center, p.context AS context,
+           CAST(count(*) AS BIGINT) AS n_cooc
+    FROM pr GROUP BY 1, 2
+    ORDER BY n_cooc DESC, center, context
+    LIMIT 100
 """
 
 # FULL twin of q_zorder_layout_report: identical integer bucket grid
