@@ -371,7 +371,13 @@ def streaming_purchase_click_join(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
         how,
-    ).select("user_id", "purchase_id", "click_id")
+    ).select(
+        # full_outer adds right-only rows whose purchase side is NULL —
+        # take the user from whichever side is present.
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
     checkpoint = _checkpoint_dir("ks_stream_ssj_")
     query = (
