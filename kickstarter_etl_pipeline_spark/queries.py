@@ -460,6 +460,36 @@ def q_events_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.distinct_user_event_pairs(load_table(spark, sf_dir, "events"))
 
 
+def q_exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median of o_totalprice per order status, via
+    explicit middle-rank selection — rank rows by value per group, keep
+    positions floor((n+1)/2) and floor((n+2)/2), median = (min+max)/2
+    of those one-or-two rows. No percentile interpolation semantics to
+    disagree on across engines: every step is rank arithmetic plus one
+    fixed IEEE expression, so the oracle is exact.
+
+    Scale note: the per-group rank is a groupwise sort — the exact
+    tier. At 100 TB the scale path is approx_percentile
+    (q_approx_aggregates); this operator is what you verify it
+    against."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy("o_orderstatus")).alias("_n"),
+    )
+    mid = ranked.filter(
+        (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
+    )
+    return mid.groupBy("o_orderstatus").agg(
+        F.max("_n").cast("long").alias("n_orders"),
+        ((F.min("o_totalprice") + F.max("o_totalprice")) / 2).alias("median_price"),
+    )
+
+
 def q_user_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficients over the same error co-occurrence
     graph as q_user_triangle_counts: cc = 2T/(d(d-1)) per user with
@@ -1133,6 +1163,7 @@ _QUERIES: dict[str, QueryFn] = {
     "quantized_topk": q_quantized_topk,
     "zorder_layout_report": q_zorder_layout_report,
     "skipgram_cooccurrence": q_skipgram_cooccurrence,
+    "exact_median_by_group": q_exact_median_by_group,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1145,7 +1176,6 @@ _QUERIES: dict[str, QueryFn] = {
     "scd1_merge_agg": q_scd1_merge_agg,
     "dedup_components_star": q_dedup_components_star,
     # --- r01/r02 entries never re-graded since, cycled back through ---
-    "dim_state": q_dim_state,
     "fact_star": q_fact_star,
     "text_stats": q_text_stats,
     "embedding_topk": q_embedding_topk,
@@ -1165,6 +1195,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "dim_state": q_dim_state,
     "dim_date": q_dim_date,
     "dim_category": q_dim_category,
     "region_rollup": q_region_rollup,
@@ -3023,6 +3054,24 @@ _ORACLES["user_triangle_counts"] = """
              UNION ALL SELECT c FROM tri) GROUP BY id)
     SELECT pv.id AS user_id, deg.d AS degree, pv.n_triangles
     FROM pv JOIN deg ON deg.id = pv.id
+"""
+
+# FULL twin of q_exact_median_by_group: identical middle-rank
+# selection; (min+max)/2 of the one-or-two middle rows, no percentile
+# interpolation semantics involved.
+_ORACLES["exact_median_by_group"] = """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders),
+    mid AS (SELECT * FROM ranked
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+               OR rn = CAST(floor((n + 2) / 2) AS BIGINT))
+    SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n_orders,
+           (min(o_totalprice) + max(o_totalprice)) / 2 AS median_price
+    FROM mid GROUP BY o_orderstatus
 """
 
 # FULL twin of q_skipgram_cooccurrence: identical ±2-offset directed
