@@ -299,3 +299,71 @@ def test_pii_scrub_idempotent_and_counts(docs):
     for i, _ in scrubbed_py:
         assert twice[i]["n_urls"] == 0 and twice[i]["n_emails"] == 0 and twice[i]["n_phones"] == 0
         assert twice[i]["scrubbed_md5"] == by_id[i]["scrubbed_md5"]
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_triangle_counts_match_brute_force(edges):
+    """Degree-ordered triangle counting vs an O(n³) Python reference on
+    random graphs of ≤ 10 vertices."""
+    from itertools import combinations
+
+    from kickstarter_etl_pipeline_spark.operators.graph import triangle_counts
+
+    spark = _get_spark()
+    undirected = {(min(a, b), max(a, b)) for a, b in edges}
+    adj = {}
+    for a, b in undirected:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                expected[x] = expected.get(x, 0) + 1
+    df = spark.createDataFrame(sorted(undirected), "u long, v long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_containment_matches_set_arithmetic(docs):
+    """containment_pairs vs Python set arithmetic over word 3-grams."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import containment_pairs
+
+    spark = _get_spark()
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    expected = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                inter = len(sh[a] & sh[b])
+                cont = inter / min(len(sh[a]), len(sh[b]))
+                import math
+                cont = math.floor(cont * 1e6 + 0.5) / 1e6
+                if cont >= 0.5:
+                    expected[(a, b)] = (inter, cont)
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["containment"])
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert got == expected
