@@ -1,0 +1,304 @@
+"""Round-5 oracle twins for the curation/graph/layout additions.
+
+Split out of queries.py (VERDICT r04 #8: keep the registry module
+lean). Same contract as every oracle in queries.py: DuckDB SQL that is
+value-hash-identical to the Spark query post-rounding. _TOKS/_NORM are
+the shared tokenization constants.
+"""
+
+from __future__ import annotations
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+ORACLES_EXT: dict[str, str] = {}
+
+# FULL twin of q_user_triangle_counts (operators.graph): the same
+# degree-ordered orientation — every edge oriented from its lower
+# (degree, id) endpoint, wedges from a shared apex with rank-ordered
+# far ends, closed by the oriented far-end edge; each triangle lands
+# exactly once, at its minimum-rank apex.
+ORACLES_EXT["user_triangle_counts"] = """
+    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+               FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dst_d
+      FROM edges JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      WHERE (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)),
+    tri AS (
+      SELECT a, w.b, w.c FROM wedges w
+      JOIN oriented o ON o.src = w.b AND o.dst = w.c),
+    pv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY id)
+    SELECT pv.id AS user_id, deg.d AS degree, pv.n_triangles
+    FROM pv JOIN deg ON deg.id = pv.id
+"""
+
+# FULL twin of q_exact_median_by_group: identical middle-rank
+# selection; (min+max)/2 of the one-or-two middle rows, no percentile
+# interpolation semantics involved.
+ORACLES_EXT["exact_median_by_group"] = """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders),
+    mid AS (SELECT * FROM ranked
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+               OR rn = CAST(floor((n + 2) / 2) AS BIGINT))
+    SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n_orders,
+           (min(o_totalprice) + max(o_totalprice)) / 2 AS median_price
+    FROM mid GROUP BY o_orderstatus
+"""
+
+# FULL twin of q_skipgram_cooccurrence: identical ±2-offset directed
+# (center, context) pair construction and (count, center, context)
+# total order for the top-k boundary.
+ORACLES_EXT["skipgram_cooccurrence"] = f"""
+    WITH toks AS (SELECT t FROM (SELECT {_TOKS} AS t FROM documents) WHERE len(t) >= 2),
+    pr AS (
+      SELECT unnest(flatten(list_transform(range(1, len(t) + 1), i ->
+               list_filter(list_transform([-2, -1, 1, 2], o ->
+                 CASE WHEN i + o >= 1 AND i + o <= len(t)
+                      THEN {{'center': t[i], 'context': t[i + o]}} END),
+                 p -> p IS NOT NULL)))) AS p
+      FROM toks)
+    SELECT p.center AS center, p.context AS context,
+           CAST(count(*) AS BIGINT) AS n_cooc
+    FROM pr GROUP BY 1, 2
+    ORDER BY n_cooc DESC, center, context
+    LIMIT 100
+"""
+
+# FULL twin of q_zorder_layout_report: identical integer bucket grid
+# (explicit floor — Spark's double→long cast truncates, DuckDB's
+# rounds), identical 4+4-bit Morton interleave and 16-cell file blocks.
+ORACLES_EXT["zorder_layout_report"] = """
+    WITH o AS (SELECT CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS day,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM orders),
+    r AS (SELECT min(day) AS dmin, max(day) AS dmax,
+                 min(cents) AS cmin, max(cents) AS cmax FROM o),
+    b AS (SELECT day, cents,
+                 CAST(floor((day - dmin) * 16 / (dmax - dmin + 1)) AS BIGINT) AS bd,
+                 CAST(floor((cents - cmin) * 16 / (cmax - cmin + 1)) AS BIGINT) AS bp
+          FROM o, r),
+    z AS (SELECT day, cents,
+                 (((bd >> 0) & 1) << 1) + (((bp >> 0) & 1) << 0) +
+                 (((bd >> 1) & 1) << 3) + (((bp >> 1) & 1) << 2) +
+                 (((bd >> 2) & 1) << 5) + (((bp >> 2) & 1) << 4) +
+                 (((bd >> 3) & 1) << 7) + (((bp >> 3) & 1) << 6) AS zval
+          FROM b)
+    SELECT CAST(zval >> 4 AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(day) AS min_day, max(day) AS max_day,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM z GROUP BY 1
+"""
+
+# FULL twin of q_user_clustering_coeffs: the triangle-count CTE chain
+# with a degree >= 2 LEFT join so triangle-free vertices report 0.0.
+ORACLES_EXT["user_clustering_coeffs"] = """
+    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+               FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dst_d
+      FROM edges JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      WHERE (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)),
+    tri AS (
+      SELECT a, w.b, w.c FROM wedges w
+      JOIN oriented o ON o.src = w.b AND o.dst = w.c),
+    pv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY id)
+    SELECT deg.id AS user_id, deg.d AS degree,
+           CAST(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+           floor(2 * coalesce(pv.n_triangles, 0) / (deg.d * (deg.d - 1))
+                 * 1000000 + 0.5) / 1000000.0 AS clustering_coeff
+    FROM deg LEFT JOIN pv ON pv.id = deg.id
+    WHERE deg.d >= 2
+"""
+
+# FULL twin of q_quantized_topk (similarity.quantized_topk): identical
+# int8 grid (floor(x/scale*127 + 0.5)), exact integer dot products,
+# identical shortlist and rescore rank orders.
+ORACLES_EXT["quantized_topk"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    qz AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+    qq AS (SELECT vec_id, e,
+                  CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT))
+                  END AS q
+           FROM qz),
+    qn AS (SELECT vec_id, e, q,
+                  sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS qnrm
+           FROM qq),
+    c AS (SELECT * FROM qn WHERE qnrm > 0),
+    qy AS (SELECT * FROM qn WHERE qnrm > 0 AND vec_id < 20),
+    scored AS (
+      SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id, qy.e AS qe, c.e AS ce,
+             round(CAST(list_dot_product(qy.q, c.q) AS DOUBLE) / (qy.qnrm * c.qnrm), 6)
+               AS approx_sim
+      FROM c, qy WHERE c.vec_id <> qy.vec_id),
+    short AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sim DESC, neighbor_id) AS srank
+      FROM scored),
+    resc AS (
+      SELECT query_id, neighbor_id, approx_sim,
+             round(list_cosine_similarity(qe, ce), 6) AS cosine_sim
+      FROM short WHERE srank <= 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_sim, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM resc)
+    SELECT query_id, neighbor_id, approx_sim, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+# FULL twin of q_inverted_index: identical (token, doc) tf table, then
+# postings as "doc:tf" in doc order (doc_id is unique per token, so
+# Spark's array_sort(struct(doc_id, tf)) == ORDER BY doc_id).
+ORACLES_EXT["inverted_index"] = f"""
+    WITH tf AS (
+      SELECT token, doc_id, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY 1, 2)
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS coll_freq,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY token
+"""
+
+# FULL twin of q_source_overlap_report: distinct (source, word-3-gram
+# shingle) pairs, pairwise shared counts, Jaccard of the shingle sets.
+ORACLES_EXT["source_overlap_report"] = f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    fp AS (SELECT DISTINCT source, fp FROM (
+             SELECT source,
+                    unnest(list_transform(range(1, len(t) - 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS fp
+             FROM toks)),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY source),
+    shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(count(*) AS BIGINT) AS n_shared
+               FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+               GROUP BY 1, 2)
+    SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           floor(n_shared / (sa.n + sb.n - n_shared) * 1000000 + 0.5) / 1000000.0 AS jaccard
+    FROM shared JOIN sizes sa ON sa.source = source_a
+                JOIN sizes sb ON sb.source = source_b
+"""
+
+# FULL twin of q_containment_pairs: same word-3-gram shingles as the
+# Jaccard oracle, scored as |∩| / min(|A|, |B|) (asymmetric containment).
+ORACLES_EXT["containment_pairs"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+             FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           floor(n_common / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000.0 AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(n_common / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000.0 >= 0.6
+"""
+
+# FULL twin of q_semantic_dedup (similarity.semantic_dedup): md5-anchor
+# Voronoi cells exactly as in the anchor-IVF oracle, then a vector is
+# dropped iff a LOWER-id cell-mate has 6-dp-rounded cosine >= 0.9.
+ORACLES_EXT["semantic_dedup"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    anchors AS (
+      SELECT av, rn - 1 AS ci FROM (
+        SELECT CAST(embedding AS DOUBLE[]) AS av,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= 16),
+    cass AS (
+      SELECT vec_id, e, ci AS cell FROM (
+        SELECT v.vec_id, v.e, a.ci,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_distance(v.e, a.av), a.ci) AS rn
+        FROM v CROSS JOIN anchors a)
+      WHERE rn = 1),
+    dups AS (
+      SELECT b.vec_id, count(*) AS n_near
+      FROM cass a JOIN cass b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
+      GROUP BY b.vec_id)
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           CAST(coalesce(d.n_near, 0) AS BIGINT) AS n_near_dups,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM cass c LEFT JOIN dups d ON c.vec_id = d.vec_id
+"""
+
+# FULL twin of q_bigram_collocations: identical count tables and the
+# identical division/multiplication tree for lift (no ln/exp — see
+# text.bigram_collocations).
+ORACLES_EXT["bigram_collocations"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {{'a': t[i], 'b': t[i+1]}})) AS p
+           FROM toks WHERE len(t) >= 2),
+    pairs AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*) AS n_pair
+              FROM bg GROUP BY 1, 2),
+    uni AS (SELECT tok, count(*) AS n_tok
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    tot AS (SELECT (SELECT sum(n_pair) FROM pairs) AS m,
+                   (SELECT sum(n_tok) FROM uni) AS n)
+    SELECT tok_a, tok_b, n_pair, ua.n_tok AS n_a, ub.n_tok AS n_b,
+           floor((n_pair / m) / ((ua.n_tok / n) * (ub.n_tok / n))
+                 * 1000000 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN uni ua ON ua.tok = tok_a
+    JOIN uni ub ON ub.tok = tok_b
+    CROSS JOIN tot
+    ORDER BY n_pair DESC, tok_a, tok_b
+    LIMIT 50
+"""
+
+# FULL twin of q_seq_length_histogram: integer width-32 buckets of the
+# per-doc whitespace token count, token share + cumulative share.
+ORACLES_EXT["seq_length_histogram"] = f"""
+    WITH t AS (SELECT CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+    b AS (SELECT n - n % 32 AS bucket_start,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM t GROUP BY 1),
+    tot AS (SELECT sum(n_tokens) AS tt FROM b)
+    SELECT bucket_start, n_docs, n_tokens,
+           floor(n_tokens / tt * 1000000 + 0.5) / 1000000.0 AS token_share,
+           floor(sum(n_tokens) OVER (ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / tt * 1000000 + 0.5) / 1000000.0 AS cum_token_share
+    FROM b CROSS JOIN tot
+"""
