@@ -744,3 +744,44 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_spend"), "c_custkey")
         .limit(10)
     )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (weekly DAU/WAU): for every calendar
+    day with events, the count of DISTINCT users active in [d−6, d],
+    next to that day's own distinct actives.
+
+    Distinct-over-a-sliding-window does NOT decompose into a window
+    frame over daily aggregates (users repeat across days), so the
+    correct distributed shape is: distinct (day, user) pairs, a
+    bounded range self-join onto the day grid (fan-out ≤ 7 — an
+    equi-join on the derived grid day would also work via explode), and
+    a distinct count per grid day. Shuffles are keyed by day —
+    uniform. The sketch path at extreme scale is HLL partials per day
+    merged over the window (distinct_users_rollup shows that merge).
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    day_user = (
+        ev.select(F.floor(F.col("_us") / 86_400_000_000).alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = day_user.select("day").distinct()
+    window_hits = days.alias("g").join(
+        day_user.alias("a"),
+        (F.col("a.day") <= F.col("g.day")) & (F.col("a.day") >= F.col("g.day") - 6),
+    )
+    rolling = window_hits.groupBy(F.col("g.day").alias("day")).agg(
+        F.countDistinct("a.user_id").cast("long").alias("active_7d")
+    )
+    daily = day_user.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("active_1d")
+    )
+    return (
+        rolling.join(daily, on="day")
+        .select(
+            F.col("day").cast("long").alias("day_idx"),
+            "active_1d",
+            "active_7d",
+        )
+    )

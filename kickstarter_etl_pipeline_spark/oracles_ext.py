@@ -302,3 +302,20 @@ ORACLES_EXT["seq_length_histogram"] = f"""
                  / tt * 1000000 + 0.5) / 1000000.0 AS cum_token_share
     FROM b CROSS JOIN tot
 """
+
+# FULL twin of q_rolling_active_users: distinct (day, user) pairs, the
+# same 7-day range self-join onto the day grid, distinct counts.
+ORACLES_EXT["rolling_active_users"] = """
+    WITH du AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                                user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    hits AS (SELECT g.day AS gday, a.user_id
+             FROM days g JOIN du a ON a.day <= g.day AND a.day >= g.day - 6),
+    rolling AS (SELECT gday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+                FROM hits GROUP BY gday),
+    daily AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_1d
+              FROM du GROUP BY day)
+    SELECT rolling.day AS day_idx, daily.active_1d, rolling.active_7d
+    FROM rolling JOIN daily ON rolling.day = daily.day
+"""
