@@ -785,3 +785,49 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_7d",
         )
     )
+
+
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value series, per event type: the
+    time-series candlestick aggregation (open = first value in event
+    order, high/low = extremes, close = last, volume = count).
+
+    first/last are defined on the exact-µs (ts, event_id) total order —
+    engine-deterministic — and computed with max_by/min_by rather than
+    a window sort, so the whole bar table is ONE map-side-combining
+    aggregate keyed by (day, type): no per-group sort, no row_number,
+    one uniform shuffle. The order key is a zero-padded string (µs then
+    event_id) because DuckDB's arg_min/arg_max lack struct-key
+    overloads — string order == numeric order under the padding.
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    key = F.concat_ws(
+        ":",
+        F.lpad(F.col("_us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.floor(F.col("_us") / 86_400_000_000).cast("long").alias("day_idx"),
+            "event_type",
+            "value",
+            key.alias("_k"),
+        )
+        .groupBy("day_idx", "event_type")
+        .agg(
+            F.min_by("value", F.col("_k")).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.max_by("value", F.col("_k")).alias("close"),
+            F.count("*").cast("long").alias("volume"),
+        )
+        .select(
+            "day_idx",
+            "event_type",
+            F.round("open", 4).alias("open"),
+            "high",
+            "low",
+            F.round("close", 4).alias("close"),
+            "volume",
+        )
+    )

@@ -319,3 +319,18 @@ ORACLES_EXT["rolling_active_users"] = """
     SELECT rolling.day AS day_idx, daily.active_1d, rolling.active_7d
     FROM rolling JOIN daily ON rolling.day = daily.day
 """
+
+# FULL twin of q_events_ohlc_bars: arg_min/arg_max on the same
+# zero-padded (us, event_id) string key; rounding applied in the same places.
+ORACLES_EXT["events_ohlc_bars"] = """
+    WITH e AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_idx,
+                      event_type, value, epoch_us(ts) AS us, event_id
+               FROM events)
+    SELECT day_idx, event_type,
+           round(arg_min(value, lpad(CAST(us AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(arg_max(value, lpad(CAST(us AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM e GROUP BY day_idx, event_type
+"""

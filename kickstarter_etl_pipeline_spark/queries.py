@@ -97,6 +97,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_except_all_priorities,
     q_part_string_ops,
     q_topk_customers,    q_rolling_active_users,
+    q_events_ohlc_bars,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1166,6 +1167,7 @@ _QUERIES: dict[str, QueryFn] = {
     "skipgram_cooccurrence": q_skipgram_cooccurrence,
     "exact_median_by_group": q_exact_median_by_group,
     "rolling_active_users": q_rolling_active_users,
+    "events_ohlc_bars": q_events_ohlc_bars,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1179,7 +1181,6 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_components_star": q_dedup_components_star,
     # --- r01/r02 entries never re-graded since, cycled back through ---
     "fact_star": q_fact_star,
-    "embedding_topk": q_embedding_topk,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
@@ -1196,6 +1197,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "embedding_topk": q_embedding_topk,
     "text_stats": q_text_stats,
     "dim_state": q_dim_state,
     "dim_date": q_dim_date,
