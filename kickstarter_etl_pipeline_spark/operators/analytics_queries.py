@@ -831,3 +831,57 @@ def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per (event_type, day): each
+    observation is weighted by its holding interval — the exact-µs gap
+    to the NEXT event of the same type that day (the day's last
+    observation carries no interval). The financial/TS aggregation that
+    a plain avg() silently gets wrong when sampling is irregular.
+
+    Weights are exact integer microseconds (lead over the (us,
+    event_id) total order); the weighted sum is rounded to 4 dp, the
+    same engine-tolerance discipline as every sum(value) oracle in the
+    registry. One window partitioned by (type, day) + one aggregate —
+    both keyed uniformly.
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    day = F.floor(F.col("_us") / 86_400_000_000).cast("long")
+    w = Window.partitionBy("event_type", "_day").orderBy("_us", "event_id")
+    staged = (
+        ev.withColumn("_day", day)
+        .withColumn("_dt", (F.lead("_us").over(w) - F.col("_us")).cast("long"))
+        .filter(F.col("_dt").isNotNull())
+    )
+    return staged.groupBy(F.col("_day").alias("day_idx"), "event_type").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("_dt").cast("long").alias("total_us"),
+        F.round(F.sum(F.col("value") * F.col("_dt")) / F.sum("_dt"), 4).alias("twap"),
+    )
+
+
+def q_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per status — the inequality /
+    concentration metric (0 = equal spend, →1 = one order dominates):
+    ``G = 2·Σ(i·xᵢ) / (n·Σxᵢ) − (n+1)/n`` over ascending-sorted values
+    (orderkey tie-break; ties in x make the rank choice irrelevant to
+    the sum). One per-group rank window + one aggregate; round 6 on the
+    final fixed expression tree.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    return ranked.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            2 * F.sum(F.col("_i") * F.col("o_totalprice"))
+            / (F.count("*") * F.sum("o_totalprice"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

@@ -334,3 +334,34 @@ ORACLES_EXT["events_ohlc_bars"] = """
            CAST(count(*) AS BIGINT) AS volume
     FROM e GROUP BY day_idx, event_type
 """
+
+# FULL twin of q_events_twap: identical lead-gap weights over the
+# (us, event_id) order; identical weighted-sum / total-gap tree.
+ORACLES_EXT["events_twap"] = """
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS us, event_id,
+                      CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_idx
+               FROM events),
+    g AS (SELECT *, lead(us) OVER (PARTITION BY event_type, day_idx
+                                   ORDER BY us, event_id) - us AS dt
+          FROM e)
+    SELECT day_idx, event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt) AS BIGINT) AS total_us,
+           round(sum(value * dt) / sum(dt), 4) AS twap
+    FROM g WHERE dt IS NOT NULL
+    GROUP BY day_idx, event_type
+"""
+
+# FULL twin of q_gini_by_status: ascending rank with orderkey
+# tie-break, identical Gini expression tree.
+ORACLES_EXT["gini_by_status"] = """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+      FROM orders)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(2 * sum(i * o_totalprice) / (count(*) * sum(o_totalprice))
+                 - (count(*) + 1) / count(*), 6) AS gini
+    FROM ranked GROUP BY o_orderstatus
+"""

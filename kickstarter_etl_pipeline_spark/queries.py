@@ -98,6 +98,8 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_part_string_ops,
     q_topk_customers,    q_rolling_active_users,
     q_events_ohlc_bars,
+    q_events_twap,
+    q_gini_by_status,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1168,14 +1170,14 @@ _QUERIES: dict[str, QueryFn] = {
     "exact_median_by_group": q_exact_median_by_group,
     "rolling_active_users": q_rolling_active_users,
     "events_ohlc_bars": q_events_ohlc_bars,
+    "events_twap": q_events_twap,
+    "gini_by_status": q_gini_by_status,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "source_quota": q_source_quota,
     "decontaminate_overlap": q_decontaminate_overlap,
-    "embedding_quantization": q_embedding_quantization,
     "idempotent_append_agg": q_idempotent_append_agg,
     "scd1_merge_agg": q_scd1_merge_agg,
     "dedup_components_star": q_dedup_components_star,
@@ -1197,6 +1199,8 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "repetition_stats": q_repetition_stats,
+    "embedding_quantization": q_embedding_quantization,
     "embedding_topk": q_embedding_topk,
     "text_stats": q_text_stats,
     "dim_state": q_dim_state,
