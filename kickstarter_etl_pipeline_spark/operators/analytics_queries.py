@@ -885,3 +885,70 @@ def q_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session entry paths: the first three event types of every
+    user session (30-min gap rule, same lag+cumsum construction as
+    sessionize), joined with '>' — the product-analytics "how do
+    sessions start" path-mining table.
+
+    The per-session path builds inside one aggregate via
+    array_sort(collect_list(struct)) over the exact (µs, event_id)
+    order — no second window pass; top-k is a TakeOrdered on the
+    unique (count, path) order.
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("_us").over(w).isNull() | ((F.col("_us") - F.lag("_us").over(w)) > gap_us), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(cum).cast("long")
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_us", "event_id", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experimentation readout: users deterministically bucketed by
+    the last md5 hex digit of user_id (0-7 → A, 8-f → B), then per
+    (bucket, event_type): distinct users, events, value sum and
+    events-per-user — the reproducible traffic-split + guardrail table
+    (same assignment on every engine/run/cluster, no RNG).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 32, 1) < "8", "A"
+    ).otherwise("B")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .withColumn(
+            "events_per_user", round_det(F.col("n_events") / F.col("n_users"), 6)
+        )
+    )

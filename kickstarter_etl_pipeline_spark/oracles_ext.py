@@ -365,3 +365,35 @@ ORACLES_EXT["gini_by_status"] = """
                  - (count(*) + 1) / count(*), 6) AS gini
     FROM ranked GROUP BY o_orderstatus
 """
+
+# FULL twin of q_session_paths: same 30-min gap sessionization (the
+# events_sessionize CTE chain), first-3 path via ORDER BY inside
+# list(), same top-k order.
+ORACLES_EXT["session_paths"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lagd),
+    sess AS (SELECT *, CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM flagged),
+    paths AS (SELECT user_id, session_id,
+                     array_to_string(list_slice(list(event_type ORDER BY us, event_id), 1, 3), '>') AS path
+              FROM sess GROUP BY user_id, session_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+"""
+
+# FULL twin of q_ab_experiment_report: identical md5 traffic split.
+ORACLES_EXT["ab_experiment_report"] = """
+    SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) < '8'
+                THEN 'A' ELSE 'B' END AS bucket,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           floor(count(*) / count(DISTINCT user_id) * 1000000 + 0.5) / 1000000.0
+             AS events_per_user
+    FROM events GROUP BY 1, 2
+"""

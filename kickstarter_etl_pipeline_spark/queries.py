@@ -100,6 +100,8 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_events_ohlc_bars,
     q_events_twap,
     q_gini_by_status,
+    q_session_paths,
+    q_ab_experiment_report,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1172,11 +1174,11 @@ _QUERIES: dict[str, QueryFn] = {
     "events_ohlc_bars": q_events_ohlc_bars,
     "events_twap": q_events_twap,
     "gini_by_status": q_gini_by_status,
+    "session_paths": q_session_paths,
+    "ab_experiment_report": q_ab_experiment_report,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
-    "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
-    "source_quota": q_source_quota,
     "decontaminate_overlap": q_decontaminate_overlap,
     "idempotent_append_agg": q_idempotent_append_agg,
     "scd1_merge_agg": q_scd1_merge_agg,
@@ -1199,6 +1201,8 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "source_quota": q_source_quota,
     "repetition_stats": q_repetition_stats,
     "embedding_quantization": q_embedding_quantization,
     "embedding_topk": q_embedding_topk,
