@@ -952,3 +952,49 @@ def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_user", round_det(F.col("n_events") / F.col("n_users"), 6)
         )
     )
+
+
+def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence table for event_type × day-of-week:
+    observed counts, expected counts under independence
+    (row_total·col_total/N) and each cell's χ² contribution
+    ((o−e)²/e) — the guardrail test behind "is traffic mix shifting by
+    weekday". All inputs are exact integer counts; expected and the
+    contribution are one fixed IEEE expression tree each (round 6), so
+    the whole table is engine-deterministic. Σ contribution = the χ²
+    statistic (34 df here), left to the reader so every graded cell is
+    raw.
+
+    One (type, dow) aggregate plus two broadcast marginal joins — the
+    contingency table is tiny at any corpus scale.
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    cells = (
+        ev.select(
+            "event_type",
+            # epoch day 0 = 1970-01-01 (Thursday = dow 4 under ISO-ish
+            # numbering below); derive dow purely from the integer day
+            # index so no timezone/calendar function is involved.
+            ((F.floor(F.col("_us") / 86_400_000_000) + 4) % 7).cast("int").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("_rt"))
+    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("_ct"))
+    n = cells.agg(F.sum("observed").alias("_n"))
+    expected = F.col("_rt") * F.col("_ct") / F.col("_n")
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round((F.col("observed") - expected) * (F.col("observed") - expected) / expected, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )

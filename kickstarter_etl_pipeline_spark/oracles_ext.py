@@ -397,3 +397,21 @@ ORACLES_EXT["ab_experiment_report"] = """
              AS events_per_user
     FROM events GROUP BY 1, 2
 """
+
+# FULL twin of q_chi2_type_by_dow: same integer dow derivation
+# ((epoch_day + 4) % 7), same marginal/expected/contribution trees.
+ORACLES_EXT["chi2_type_by_dow"] = """
+    WITH cells AS (
+      SELECT event_type,
+             CAST((floor(epoch_us(ts) / 86400000000) + 4) % 7 AS INTEGER) AS dow,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(observed) AS r FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, sum(observed) AS c FROM cells GROUP BY dow),
+    n AS (SELECT sum(observed) AS n FROM cells)
+    SELECT cells.event_type, cells.dow, cells.observed,
+           round(r * c / n, 6) AS expected,
+           round((observed - r * c / n) * (observed - r * c / n) / (r * c / n), 6)
+             AS chi2_contrib
+    FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+"""

@@ -102,6 +102,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_gini_by_status,
     q_session_paths,
     q_ab_experiment_report,
+    q_chi2_type_by_dow,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1176,9 +1177,9 @@ _QUERIES: dict[str, QueryFn] = {
     "gini_by_status": q_gini_by_status,
     "session_paths": q_session_paths,
     "ab_experiment_report": q_ab_experiment_report,
+    "chi2_type_by_dow": q_chi2_type_by_dow,
     # --- round-3a batch, re-grade (last graded r03) ---
     "token_frequency": q_token_frequency,
-    "stratified_sample": q_stratified_sample,
     "decontaminate_overlap": q_decontaminate_overlap,
     "idempotent_append_agg": q_idempotent_append_agg,
     "scd1_merge_agg": q_scd1_merge_agg,
@@ -1201,6 +1202,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "stratified_sample": q_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "source_quota": q_source_quota,
     "repetition_stats": q_repetition_stats,
