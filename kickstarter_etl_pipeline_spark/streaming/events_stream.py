@@ -552,3 +552,60 @@ def streaming_hourly_daily_rollup(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_hourly_daily_append_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """PRODUCTION TIER of the chained rollup: the hourly → daily
+    two-stage stateful pipeline of :func:`streaming_hourly_daily_rollup`
+    writing APPEND-mode to an exactly-once parquet sink instead of the
+    fixture memory sink. Both states stay bounded (hours and days evict
+    at their watermark); restarts resume from the checkpoint without
+    duplicating any emitted day (exactly-once-per-window contract,
+    assert-tested). Returns the sink contents read back as a batch
+    frame.
+    """
+    stream = read_events_raw_stream(
+        spark, src_dir, glob="*.parquet", max_files_per_trigger=max_files_per_trigger
+    )
+    hourly = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"), "event_type")
+        .agg(
+            F.max("n_events").alias("max_hourly_events"),
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("n_events").alias("total_events"),
+            F.round(F.sum("sum_value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("d.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "max_hourly_events",
+            "n_hours",
+            "total_events",
+            "total_value",
+        )
+    )
+    query = (
+        daily.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

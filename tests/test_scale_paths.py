@@ -323,3 +323,26 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, recall
     assert all(r["rank"] <= 5 for r in approx_rows)
+
+
+def test_chained_rollup_append_sink_exactly_once(spark, sf_dir, tmp_path):
+    """The production chained (hourly → daily) append pipeline: sink
+    contents equal the memory-sink twin, and a RESTART from the same
+    checkpoint with no new data appends nothing (exactly-once per
+    window)."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        stream_hourly_daily_append_parquet,
+        streaming_hourly_daily_rollup,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    got = stream_hourly_daily_append_parquet(spark, sf_dir, out, ckpt).collect()
+    want = streaming_hourly_daily_rollup(spark, sf_dir).collect()
+    key = lambda r: (r["day"], r["event_type"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert {key(r): (r["max_hourly_events"], r["n_hours"], r["total_events"]) for r in got} \
+        == {key(r): (r["max_hourly_events"], r["n_hours"], r["total_events"]) for r in want}
+    # restart: same checkpoint, same source — nothing new to emit
+    again = stream_hourly_daily_append_parquet(spark, sf_dir, out, ckpt).collect()
+    assert len(again) == len(got)
