@@ -480,3 +480,37 @@ def q_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kickstarter_etl_pipeline_spark.operators.text import skipgram_cooccurrence
 
     return skipgram_cooccurrence(load_table(spark, sf_dir, "documents"), window=2, top_k=100)
+
+
+def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation capstone: one keep/drop decision per document
+    with the FIRST failing rule as the reason — the composed pipeline a
+    curation run actually executes (char-length gate → repetition gate →
+    quality gate), built from the already-oracle'd feature operators.
+
+    Every threshold compares a 6-dp round_det'd ratio, so the rule
+    boundaries are engine-stable; the oracle composes the same verified
+    CTE bodies and the same CASE cascade.
+    """
+    from kickstarter_etl_pipeline_spark.operators.text import quality_score, repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = repetition_stats(docs).select("doc_id", "top_token_ratio")
+    staged = docs.select(
+        "doc_id", "n_chars", quality_score("text").alias("quality")
+    ).join(reps, "doc_id")
+    decision = (
+        F.when(F.col("n_chars") < 100, "too_short")
+        .when(F.col("n_chars") > 10000, "too_long")
+        .when(F.col("top_token_ratio") >= 0.2, "high_repetition")
+        .when(F.col("quality") < 0.5, "low_quality")
+        .otherwise("keep")
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "quality",
+        "top_token_ratio",
+        decision.alias("decision"),
+        (decision == "keep").cast("int").alias("is_kept"),
+    )

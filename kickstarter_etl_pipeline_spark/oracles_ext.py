@@ -415,3 +415,35 @@ ORACLES_EXT["chi2_type_by_dow"] = """
              AS chi2_contrib
     FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
 """
+
+# FULL twin of q_curation_decision: the verified repetition_stats and
+# quality_scores CTE bodies composed, then the identical CASE cascade
+# on the 6-dp-rounded features.
+ORACLES_EXT["curation_decision"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    pt AS (SELECT doc_id, token, count(*) AS tc FROM tok GROUP BY 1, 2),
+    rep AS (SELECT doc_id,
+                   floor(CAST(max(tc) AS BIGINT) / CAST(sum(tc) AS BIGINT)
+                         * 1000000 + 0.5) / 1000000.0 AS top_token_ratio
+            FROM pt GROUP BY doc_id),
+    q AS (SELECT doc_id, n_chars,
+                 floor((
+                   (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+                   * (0.5 + 0.5 * (len(list_distinct(toks)) / nullif(len(toks), 0)))
+                   - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           / greatest(length(text), 1) * 5, 0.5)
+                 ) * 1000000 + 0.5) / 1000000.0 AS quality
+          FROM (SELECT doc_id, text, n_chars, {_TOKS} AS toks FROM documents)),
+    j AS (SELECT q.doc_id, q.n_chars, q.quality, rep.top_token_ratio
+          FROM q JOIN rep ON q.doc_id = rep.doc_id),
+    d AS (SELECT *,
+                 CASE WHEN n_chars < 100 THEN 'too_short'
+                      WHEN n_chars > 10000 THEN 'too_long'
+                      WHEN top_token_ratio >= 0.2 THEN 'high_repetition'
+                      WHEN quality < 0.5 THEN 'low_quality'
+                      ELSE 'keep' END AS decision
+          FROM j)
+    SELECT doc_id, n_chars, quality, top_token_ratio, decision,
+           CAST(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM d
+"""

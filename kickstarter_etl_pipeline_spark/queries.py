@@ -152,6 +152,7 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_inverted_index,
     q_source_overlap_report,
     q_skipgram_cooccurrence,
+    q_curation_decision,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1178,8 +1179,8 @@ _QUERIES: dict[str, QueryFn] = {
     "session_paths": q_session_paths,
     "ab_experiment_report": q_ab_experiment_report,
     "chi2_type_by_dow": q_chi2_type_by_dow,
+    "curation_decision": q_curation_decision,
     # --- round-3a batch, re-grade (last graded r03) ---
-    "token_frequency": q_token_frequency,
     "decontaminate_overlap": q_decontaminate_overlap,
     "idempotent_append_agg": q_idempotent_append_agg,
     "scd1_merge_agg": q_scd1_merge_agg,
@@ -1202,6 +1203,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "token_frequency": q_token_frequency,
     "stratified_sample": q_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "source_quota": q_source_quota,
