@@ -998,3 +998,114 @@ def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_exact_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quartiles per order status under the
+    NEAREST-RANK convention (p_q = value at rank ceil(q·n) in ascending
+    order, orderkey tie-break) — no interpolation, so the result is a
+    member of the data and engine-deterministic by construction.
+    Complements q_exact_median_by_group (which uses the averaged-middle
+    convention) and approx_aggregates (the sketch path at scale).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count("*").over(Window.partitionBy("o_orderstatus")).cast("long").alias("_n"),
+    )
+    picks = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+    conds = [
+        F.max(
+            F.when(F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")), F.col("o_totalprice"))
+        ).alias(name)
+        for name, q in picks
+    ]
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(F.max("_n").alias("n_orders"), *conds)
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "p25",
+            "p50",
+            "p75",
+            F.round(F.col("p75") - F.col("p25"), 2).alias("iqr"),
+        )
+    )
+
+
+def q_session_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types at SESSION granularity:
+    for each unordered type pair, P(both in one session) /
+    (P(a)·P(b)) — "users who view also purchase?" expressed exactly
+    like retail basket analysis, over the 30-min-gap sessions.
+
+    Counts are exact integers (sessions containing a type / a pair);
+    lift is one fixed division tree on them (round 6); the session
+    total rides a one-row broadcast, never a driver-side count. The pair
+    generation explodes each session's DISTINCT type set (≤ 5 types →
+    ≤ 10 pairs per session — bounded fan-out, no self-join).
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("_us").over(w).isNull() | ((F.col("_us") - F.lag("_us").over(w)) > gap_us), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess_types = (
+        ev.withColumn("_new", new_session)
+        .withColumn("_sid", F.sum("_new").over(cum).cast("long"))
+        .select("user_id", "_sid", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    totals = F.broadcast(
+        sess_types.select("user_id", "_sid").distinct().agg(
+            F.count("*").cast("long").alias("_ns")
+        )
+    )
+    type_counts = sess_types.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("_tn")
+    )
+    per_session = sess_types.groupBy("user_id", "_sid").agg(
+        F.array_sort(F.collect_list("event_type")).alias("_types")
+    )
+    pairs = per_session.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_types, (a, i) -> "
+                "transform(slice(_types, i + 2, size(_types)), b -> "
+                "named_struct('type_a', a, 'type_b', b))))"
+            )
+        ).alias("_p")
+    ).select("_p.type_a", "_p.type_b")
+    pair_counts = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_both")
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(type_counts.select(F.col("event_type").alias("type_a"), F.col("_tn").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(type_counts.select(F.col("event_type").alias("type_b"), F.col("_tn").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(totals)
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            round_det(
+                (F.col("n_both") / F.col("_ns"))
+                / ((F.col("n_a") / F.col("_ns")) * (F.col("n_b") / F.col("_ns"))),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -447,3 +447,49 @@ ORACLES_EXT["curation_decision"] = f"""
            CAST(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END AS INTEGER) AS is_kept
     FROM d
 """
+
+# FULL twin of q_exact_quartiles_by_status: nearest-rank quantiles
+# (rank == ceil(q*n)) over the same (price, orderkey) order.
+ORACLES_EXT["exact_quartiles_by_status"] = """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+      FROM orders)
+    SELECT o_orderstatus, max(n) AS n_orders,
+           max(CASE WHEN rn = ceil(0.25 * n) THEN o_totalprice END) AS p25,
+           max(CASE WHEN rn = ceil(0.5 * n) THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn = ceil(0.75 * n) THEN o_totalprice END) AS p75,
+           round(max(CASE WHEN rn = ceil(0.75 * n) THEN o_totalprice END)
+                 - max(CASE WHEN rn = ceil(0.25 * n) THEN o_totalprice END), 2) AS iqr
+    FROM ranked GROUP BY o_orderstatus
+"""
+
+# FULL twin of q_session_basket_lift: same sessionization CTE chain,
+# per-session distinct type sets, in-list pair generation, identical
+# lift tree over the one-row session total.
+ORACLES_EXT["session_basket_lift"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lagd),
+    sess AS (SELECT *, CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM flagged),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT user_id, sid FROM st)),
+    tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS tn FROM st GROUP BY event_type),
+    ps AS (SELECT user_id, sid, list_sort(list(event_type)) AS types FROM st GROUP BY user_id, sid),
+    pr AS (SELECT unnest(flatten(list_transform(types, (a, i) ->
+             list_transform(list_slice(types, i + 1, len(types)), b ->
+               {'type_a': a, 'type_b': b})))) AS p
+           FROM ps),
+    pc AS (SELECT p.type_a AS type_a, p.type_b AS type_b, CAST(count(*) AS BIGINT) AS n_both
+           FROM pr GROUP BY 1, 2)
+    SELECT pc.type_a, pc.type_b, pc.n_both, ta.tn AS n_a, tb.tn AS n_b,
+           floor((pc.n_both / ns.n) / ((ta.tn / ns.n) * (tb.tn / ns.n))
+                 * 1000000 + 0.5) / 1000000.0 AS lift
+    FROM pc JOIN tc ta ON ta.event_type = pc.type_a
+            JOIN tc tb ON tb.event_type = pc.type_b
+            CROSS JOIN ns
+"""

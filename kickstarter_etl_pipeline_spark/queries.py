@@ -103,6 +103,8 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_session_paths,
     q_ab_experiment_report,
     q_chi2_type_by_dow,
+    q_exact_quartiles_by_status,
+    q_session_basket_lift,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1180,10 +1182,10 @@ _QUERIES: dict[str, QueryFn] = {
     "ab_experiment_report": q_ab_experiment_report,
     "chi2_type_by_dow": q_chi2_type_by_dow,
     "curation_decision": q_curation_decision,
+    "exact_quartiles_by_status": q_exact_quartiles_by_status,
+    "session_basket_lift": q_session_basket_lift,
     # --- round-3a batch, re-grade (last graded r03) ---
     "decontaminate_overlap": q_decontaminate_overlap,
-    "idempotent_append_agg": q_idempotent_append_agg,
-    "scd1_merge_agg": q_scd1_merge_agg,
     "dedup_components_star": q_dedup_components_star,
     # --- r01/r02 entries never re-graded since, cycled back through ---
     "fact_star": q_fact_star,
@@ -1203,6 +1205,8 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "idempotent_append_agg": q_idempotent_append_agg,
+    "scd1_merge_agg": q_scd1_merge_agg,
     "token_frequency": q_token_frequency,
     "stratified_sample": q_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
