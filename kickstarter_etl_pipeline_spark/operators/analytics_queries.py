@@ -1109,3 +1109,45 @@ def q_session_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification eval over the embeddings: every vector with
+    vec_id < 50 is classified by the majority label of its 5 exact
+    cosine nearest neighbors (vote ties broken by smaller label), next
+    to its true label and a hit flag — the standard embedding-quality
+    probe (a good space ⇒ high leave-one-out kNN accuracy).
+
+    Composes the oracle'd brute-force top-k with a label join; the
+    vote is one (query, label) count + a row_number over the (count
+    desc, label asc) total order.
+    """
+    from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = F.broadcast(emb.select("vec_id", "label"))
+    nn = brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    votes = (
+        nn.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    return (
+        pred.join(
+            labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).cast("int").alias("is_correct"),
+        )
+    )

@@ -514,3 +514,26 @@ def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         decision.alias("decision"),
         (decision == "keep").cast("int").alias("is_kept"),
     )
+
+
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    labeled lang column: (true, predicted) counts with row share — the
+    eval table for the lang_id heuristic (systematically honest about
+    where the shared synthetic vocabulary confuses it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        TX.with_lang_id(docs)
+        .groupBy(F.col("lang").alias("true_lang"), F.col("lang_pred").alias("pred_lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    row_tot = cells.groupBy("true_lang").agg(F.sum("n_docs").alias("_rt"))
+    return (
+        cells.join(F.broadcast(row_tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            round_det(F.col("n_docs") / F.col("_rt"), 6).alias("row_share"),
+        )
+    )

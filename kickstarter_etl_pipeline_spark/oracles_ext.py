@@ -493,3 +493,57 @@ ORACLES_EXT["session_basket_lift"] = """
             JOIN tc tb ON tb.event_type = pc.type_b
             CROSS JOIN ns
 """
+
+# FULL twin of q_knn_label_vote: the embedding_topk oracle pipeline at
+# vec_id < 50, label-joined, identical (votes desc, label asc) vote.
+ORACLES_EXT["knn_label_vote"] = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+               FROM q, c WHERE neighbor_id <> query_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+               FROM scored),
+    nn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+    votes AS (SELECT nn.query_id, c.label, CAST(count(*) AS BIGINT) AS n_votes
+              FROM nn JOIN c ON c.neighbor_id = nn.neighbor_id
+              GROUP BY 1, 2),
+    pred AS (SELECT query_id, label AS pred_label, n_votes FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY n_votes DESC, label) AS r
+               FROM votes) WHERE r = 1)
+    SELECT p.query_id, t.label AS true_label, p.pred_label, p.n_votes,
+           CAST(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+    FROM pred p JOIN (SELECT vec_id AS query_id, label FROM embeddings) t USING (query_id)
+"""
+
+# FULL twin of q_lang_confusion_matrix: the verified lang_id CTE body,
+# aggregated to (true, pred) cells with row shares.
+ORACLES_EXT["lang_confusion_matrix"] = f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','is'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['el','la','los','de','que','es'], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS s_fr
+      FROM (SELECT doc_id, lang, text, {{_TOKS}} AS toks FROM documents)
+    ),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+                  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored),
+    cells AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM pred GROUP BY 1, 2),
+    rt AS (SELECT true_lang, sum(n_docs) AS r FROM cells GROUP BY true_lang)
+    SELECT cells.true_lang, cells.pred_lang, cells.n_docs,
+           floor(cells.n_docs / rt.r * 1000000 + 0.5) / 1000000.0 AS row_share
+    FROM cells JOIN rt USING (true_lang)
+"""
+ORACLES_EXT["lang_confusion_matrix"] = ORACLES_EXT["lang_confusion_matrix"].replace("{_TOKS}", _TOKS)

@@ -105,6 +105,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_chi2_type_by_dow,
     q_exact_quartiles_by_status,
     q_session_basket_lift,
+    q_knn_label_vote,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -155,6 +156,7 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_source_overlap_report,
     q_skipgram_cooccurrence,
     q_curation_decision,
+    q_lang_confusion_matrix,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1184,6 +1186,8 @@ _QUERIES: dict[str, QueryFn] = {
     "curation_decision": q_curation_decision,
     "exact_quartiles_by_status": q_exact_quartiles_by_status,
     "session_basket_lift": q_session_basket_lift,
+    "knn_label_vote": q_knn_label_vote,
+    "lang_confusion_matrix": q_lang_confusion_matrix,
     # --- round-3a batch, re-grade (last graded r03) ---
     "decontaminate_overlap": q_decontaminate_overlap,
     "dedup_components_star": q_dedup_components_star,
