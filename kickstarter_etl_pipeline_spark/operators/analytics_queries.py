@@ -1151,3 +1151,30 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_label") == F.col("true_label")).cast("int").alias("is_correct"),
         )
     )
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN tier against exact brute force, PER
+    QUERY — the index-quality report a retrieval deployment watches.
+    Both pipelines are individually oracle'd (ann_lsh_topk,
+    embedding_topk), so their composition is too: the oracle joins the
+    two verified SQL pipelines and computes the identical hit ratio.
+    """
+    from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(
+        emb, queries, dim=64, k=5, num_planes=3, num_tables=6, n_probe=2
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            round_det(F.col("n_hits") / 5.0, 6).alias("recall_at_5"),
+        )
+    )

@@ -106,6 +106,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_exact_quartiles_by_status,
     q_session_basket_lift,
     q_knn_label_vote,
+    q_ann_recall_report,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1188,6 +1189,7 @@ _QUERIES: dict[str, QueryFn] = {
     "session_basket_lift": q_session_basket_lift,
     "knn_label_vote": q_knn_label_vote,
     "lang_confusion_matrix": q_lang_confusion_matrix,
+    "ann_recall_report": q_ann_recall_report,
     # --- round-3a batch, re-grade (last graded r03) ---
     "decontaminate_overlap": q_decontaminate_overlap,
     "dedup_components_star": q_dedup_components_star,
@@ -1209,8 +1211,8 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
-    "idempotent_append_agg": q_idempotent_append_agg,
     "scd1_merge_agg": q_scd1_merge_agg,
+    "idempotent_append_agg": q_idempotent_append_agg,
     "token_frequency": q_token_frequency,
     "stratified_sample": q_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3053,6 +3055,19 @@ _ORACLES["simhash_md5_candidates"] = r"""
 # (VERDICT r04 #8: registry module stays lean); merged here so the
 # driver contract is unchanged.
 _ORACLES.update(ORACLES_EXT)
+
+# FULL twin of q_ann_recall_report: the two verified pipelines
+# (embedding_topk exact, ann_lsh_topk approximate — identical query
+# set and k) composed; recall@5 = hits / 5 per query.
+_ORACLES["ann_recall_report"] = f"""
+    SELECT ex.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           floor(count(l.neighbor_id) / 5.0 * 1000000 + 0.5) / 1000000.0 AS recall_at_5
+    FROM ({_ORACLES['embedding_topk']}) ex
+    LEFT JOIN ({_ORACLES['ann_lsh_topk']}) l
+      ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+    GROUP BY ex.query_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
