@@ -1178,3 +1178,17 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("n_hits") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration PageRank over the error co-occurrence graph —
+    ITERATIVE yet fully oracle'd: the rank vector is rounded to a 1e-9
+    grid after every iteration (see operators.graph.pagerank), so the
+    DuckDB twin replays the literal unrolled recurrence bit-for-bit."""
+    from kickstarter_etl_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return pagerank(edges, iterations=10).select(
+        F.col("id").alias("user_id"), "pr_permille"
+    )

@@ -147,3 +147,64 @@ def clustering_coefficients(edges: DataFrame, u: str = "u", v: str = "v") -> Dat
             ).alias("clustering_coeff"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """PageRank over an undirected edge list (each edge contributes in
+    both directions), FULLY oracle-able despite being iterative.
+
+    The standard obstacle to cross-engine bit-equality for iterative
+    float algorithms is contribution-sum ORDER (each engine aggregates
+    in its own order, and the ulp-level noise compounds across
+    iterations). This implementation kills the accumulation channel by
+    ROUNDING the rank vector to 9 decimals after every iteration
+    (round_det grid; per-sum order noise is ~1e-17 relative, ten
+    orders below the grid) — so a plain SQL engine replaying the same
+    per-iteration expression lands on bit-identical iterates, and the
+    oracle is the literal unrolled recurrence. Deterministic iteration
+    COUNT (no convergence test) keeps the replay finite.
+
+    Scale posture: per iteration, one equi-join of the rank vector
+    onto the edge list (shuffle keyed by vertex) + one vertex-keyed
+    aggregate; the rank vector is localCheckpoint'd each round so the
+    lineage stays flat (same pattern as connected_components). The
+    two driver-side scalars (vertex count, iteration index) are
+    control data, not rows.
+    """
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
+    directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
+        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    )
+    deg = directed.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
+    directed = directed.join(deg, "src").localCheckpoint(eager=True)
+    verts = directed.select(F.col("src").alias("id")).distinct()
+    n_df = F.broadcast(verts.agg(F.count("*").cast("long").alias("_n")))
+    pr = (
+        verts.crossJoin(n_df)
+        .select("id", round_det(F.lit(1.0) / F.col("_n"), 9).alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contribs = (
+            directed.join(pr.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
+        )
+        pr = (
+            contribs.crossJoin(n_df)
+            .select(
+                "id",
+                round_det(
+                    (1.0 - damping) / F.col("_n") + damping * F.col("_in"), 9
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("id", round_det(F.col("pr") * 1000, 6).alias("pr_permille"))

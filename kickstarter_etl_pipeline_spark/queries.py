@@ -107,6 +107,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_session_basket_lift,
     q_knn_label_vote,
     q_ann_recall_report,
+    q_graph_pagerank,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1190,6 +1191,7 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_label_vote": q_knn_label_vote,
     "lang_confusion_matrix": q_lang_confusion_matrix,
     "ann_recall_report": q_ann_recall_report,
+    "graph_pagerank": q_graph_pagerank,
     # --- round-3a batch, re-grade (last graded r03) ---
     "decontaminate_overlap": q_decontaminate_overlap,
     "dedup_components_star": q_dedup_components_star,
@@ -1211,6 +1213,7 @@ _QUERIES: dict[str, QueryFn] = {
     # ---------------- below the fold (green in r03/r04; the four
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
+    "scd1_merge_agg": q_scd1_merge_agg,
     "scd1_merge_agg": q_scd1_merge_agg,
     "idempotent_append_agg": q_idempotent_append_agg,
     "token_frequency": q_token_frequency,
@@ -3068,6 +3071,48 @@ _ORACLES["ann_recall_report"] = f"""
       ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
     GROUP BY ex.query_id
 """
+
+
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled 10-iteration PageRank recurrence — possible because the
+    Spark side rounds the rank vector to a 1e-9 grid each iteration
+    (graph.pagerank), so contribution-sum order noise (~1e-17) never
+    reaches the grid and both engines hold bit-identical iterates."""
+    rd9 = "floor(({expr}) * 1000000000 + 0.5) / 1000000000.0"
+    head = """
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+                   FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    dedges AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM dedges GROUP BY src),
+    n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM dedges),
+    pr0 AS (SELECT s.src AS id, """ + rd9.format(expr="1.0 / n.n") + """ AS pr
+            FROM (SELECT DISTINCT src FROM dedges) s CROSS JOIN n)"""
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f""",
+    pr{k + 1} AS (
+      SELECT dedges.dst AS id, """
+            + rd9.format(expr=f"(1.0 - 0.85) / n.n + 0.85 * sum(p.pr / deg.d)")
+            + f""" AS pr
+      FROM dedges JOIN pr{k} p ON p.id = dedges.src
+                  JOIN deg ON deg.src = dedges.src
+                  CROSS JOIN n
+      GROUP BY dedges.dst, n.n)"""
+        )
+    tail = f"""
+    SELECT id AS user_id,
+           floor((pr * 1000) * 1000000 + 0.5) / 1000000.0 AS pr_permille
+    FROM pr{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
