@@ -1192,3 +1192,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=10).select(
         F.col("id").alias("user_id"), "pr_permille"
     )
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round synchronous label-propagation communities over the error
+    co-occurrence graph — iterative, integer-exact, fully oracle'd
+    (see operators.graph.label_propagation)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return label_propagation(edges, iterations=5).select(
+        F.col("id").alias("user_id"), "community", "n_members"
+    )

@@ -29,7 +29,7 @@ The related connected-components primitive lives in operators.dedup
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def degree_table(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
@@ -208,3 +208,47 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr.select("id", round_det(F.col("pr") * 1000, 6).alias("pr_permille"))
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 5, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made fully deterministic: labels start as vertex ids,
+    each round every vertex adopts its neighbors' MAJORITY label with
+    ties broken toward the SMALLEST label, all vertices updating
+    simultaneously for a FIXED number of rounds (no convergence test).
+    Every step is integer counting + a total-order argmax, so the
+    whole run is replayable in SQL — no RNG, no float, no async
+    schedule (the classic sources of LPA nondeterminism).
+
+    Returns (id, community, n_members). Per round: one vertex-keyed
+    join + one (vertex, label) aggregate + one per-vertex argmax
+    window; lineage kept flat with a localCheckpoint per round.
+    Synchronous LPA can oscillate on bipartite structures — the fixed
+    round count makes that a defined, replayable outcome rather than a
+    hang.
+    """
+    directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
+        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        directed.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        votes = (
+            directed.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "community")
+            .agg(F.count("*").alias("_n"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("_n"), F.asc("community"))
+        labels = (
+            votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("id", "community")
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("community").agg(F.count("*").cast("long").alias("n_members"))
+    return labels.join(sizes, "community").select("id", "community", "n_members")

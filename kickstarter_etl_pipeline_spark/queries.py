@@ -108,6 +108,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_knn_label_vote,
     q_ann_recall_report,
     q_graph_pagerank,
+    q_graph_communities,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1149,7 +1150,6 @@ _QUERIES: dict[str, QueryFn] = {
     # --- streaming surface repaired after the r4 ts-unit bug + r5 addition ---
     "events_stateful_timeout_sessions": q_events_stateful_timeout_sessions,
     "events_stream_upsert": q_events_stream_upsert,
-    "events_stream_sliding": q_events_stream_sliding,
     "events_stream_tumbling": q_events_stream_tumbling,
     "events_stream_hourly_daily": q_events_stream_hourly_daily,
     "events_stream_left_join": q_events_stream_left_join,
@@ -1192,6 +1192,7 @@ _QUERIES: dict[str, QueryFn] = {
     "lang_confusion_matrix": q_lang_confusion_matrix,
     "ann_recall_report": q_ann_recall_report,
     "graph_pagerank": q_graph_pagerank,
+    "graph_communities": q_graph_communities,
     # --- round-3a batch, re-grade (last graded r03) ---
     "decontaminate_overlap": q_decontaminate_overlap,
     "dedup_components_star": q_dedup_components_star,
@@ -1214,6 +1215,7 @@ _QUERIES: dict[str, QueryFn] = {
     # r01/r02 entries displaced by the round-5 second batch rotate
     # back through the window next round) ----------------
     "scd1_merge_agg": q_scd1_merge_agg,
+    "events_stream_sliding": q_events_stream_sliding,
     "scd1_merge_agg": q_scd1_merge_agg,
     "idempotent_append_agg": q_idempotent_append_agg,
     "token_frequency": q_token_frequency,
@@ -3113,6 +3115,43 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
 
 
 _ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+
+
+def _lpa_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled synchronous label propagation — integer votes with a
+    (count desc, label asc) argmax; replayable because every step is
+    exact and the schedule is fixed."""
+    head = """
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+                   FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    dedges AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+    lp0 AS (SELECT DISTINCT src AS id, src AS community FROM dedges)"""
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f""",
+    lp{k + 1} AS (
+      SELECT id, community FROM (
+        SELECT dedges.dst AS id, p.community,
+               row_number() OVER (PARTITION BY dedges.dst
+                                  ORDER BY count(*) DESC, p.community) AS r
+        FROM dedges JOIN lp{k} p ON p.id = dedges.src
+        GROUP BY dedges.dst, p.community)
+      WHERE r = 1)"""
+        )
+    tail = f""",
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS n_members
+              FROM lp{iterations} GROUP BY community)
+    SELECT l.id AS user_id, l.community, s.n_members
+    FROM lp{iterations} l JOIN sizes s USING (community)
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_communities"] = _lpa_oracle_sql()
+
 
 
 def oracle_sql() -> dict[str, str]:

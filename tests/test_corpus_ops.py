@@ -176,3 +176,16 @@ def test_triangle_counts_hand_graph(spark):
     assert out[1]["n_triangles"] == 2 and out[2]["n_triangles"] == 2
     assert out[3]["n_triangles"] == 1 and out[4]["n_triangles"] == 1
     assert out[1]["degree"] == 4 and out[3]["degree"] == 2
+
+
+def test_pagerank_star_graph(spark):
+    """On a star graph the hub out-ranks the leaves; ranks sum to ~1."""
+    from kickstarter_etl_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "u long, v long")
+    out = {r["id"]: r["pr_permille"] for r in pagerank(edges, iterations=10).collect()}
+    assert len(out) == 6
+    hub, leaves = out[0], [out[i] for i in range(1, 6)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # symmetry
+    assert abs(sum(out.values()) - 1000.0) < 0.01
