@@ -1150,7 +1150,6 @@ _QUERIES: dict[str, QueryFn] = {
     # --- streaming surface repaired after the r4 ts-unit bug + r5 addition ---
     "events_stateful_timeout_sessions": q_events_stateful_timeout_sessions,
     "events_stream_upsert": q_events_stream_upsert,
-    "events_stream_tumbling": q_events_stream_tumbling,
     "events_stream_hourly_daily": q_events_stream_hourly_daily,
     "events_stream_left_join": q_events_stream_left_join,
     "events_stream_full_join": q_events_stream_full_join,
@@ -1193,15 +1192,15 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_recall_report": q_ann_recall_report,
     "graph_pagerank": q_graph_pagerank,
     "graph_communities": q_graph_communities,
-    # --- round-3a batch, re-grade (last graded r03) ---
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "dedup_components_star": q_dedup_components_star,
-    # --- r01/r02 entries never re-graded since, cycled back through ---
-    "fact_star": q_fact_star,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
     "simhash_md5_candidates": q_simhash_md5_candidates,
+    # --- re-grades (hold green r01-r04 records) ---
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "dedup_components_star": q_dedup_components_star,
+    "fact_star": q_fact_star,
+    "events_stream_tumbling": q_events_stream_tumbling,
     "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
     "pivot_status_priority": q_pivot_status_priority,
     "events_sessionize": q_events_sessionize,
