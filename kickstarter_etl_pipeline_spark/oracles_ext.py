@@ -547,3 +547,25 @@ ORACLES_EXT["lang_confusion_matrix"] = f"""
     FROM cells JOIN rt USING (true_lang)
 """
 ORACLES_EXT["lang_confusion_matrix"] = ORACLES_EXT["lang_confusion_matrix"].replace("{_TOKS}", _TOKS)
+
+# FULL twin of q_pit_priority_revenue: the scd2_priority_history
+# window recurrence, the same half-open interval predicate, the same
+# decimal revenue roll-up.
+ORACLES_EXT["pit_priority_revenue"] = """
+    WITH hist AS (
+      SELECT o_custkey AS h_custkey, o_orderpriority AS pit_priority,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS effective_to
+      FROM orders),
+    li AS (SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    j AS (SELECT h.pit_priority, li.l_extendedprice
+          FROM li JOIN hist h
+            ON li.o_custkey = h.h_custkey
+           AND li.l_shipdate >= h.effective_from
+           AND (h.effective_to IS NULL OR li.l_shipdate < h.effective_to))
+    SELECT pit_priority, CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM j GROUP BY pit_priority
+"""

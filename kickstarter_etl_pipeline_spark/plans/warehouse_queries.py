@@ -526,3 +526,51 @@ def q_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("max_cents"),
         )
     )
+
+
+def q_pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join (the feature-store / SCD2-lookup shape): each
+    lineitem is matched to the priority VERSION its customer had at
+    ship time — equi-join on the key plus a half-open validity-interval
+    predicate [effective_from, effective_to) against the Type-2
+    history — then rolled up to revenue per point-in-time priority.
+    Training-data pipelines need exactly this join to avoid feature
+    leakage (using today's attribute for yesterday's example).
+
+    The interval predicate rides the custkey equi-join (SMJ with a
+    residual range condition — never a cross product); versions per key
+    are bounded by order count, so the join fan-out is 1 by
+    construction (validity intervals partition the timeline).
+    """
+    from kickstarter_etl_pipeline_spark.operators.dims import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    hist = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        id_col="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderpriority").alias("pit_priority"),
+        "effective_from",
+        "effective_to",
+    )
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", "l_shipdate", "l_extendedprice")
+    joined = li.join(
+        hist,
+        (F.col("o_custkey") == F.col("h_custkey"))
+        & (F.col("l_shipdate") >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (F.col("l_shipdate") < F.col("effective_to"))),
+    )
+    return joined.groupBy("pit_priority").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -114,6 +114,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
     q_cdc_apply_agg,
     q_zorder_layout_report,
+    q_pit_priority_revenue,
     q_scd1_merge_agg,
     q_scd2_priority_history,
     q_compaction_roundtrip_agg,
@@ -1141,11 +1142,12 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and (d) the r01/r02 entries that have never been re-graded since.
 # Everything below the fold holds a green driver grade from r03 or r04.
 _QUERIES: dict[str, QueryFn] = {
-    # --- representative core (pinned; green r01-r03, minhash now oracle'd) ---
+    # --- representative core (pinned; green r01-r04) — slimmed to three
+    # so every never-graded r5 entry fits the 50-slot window; dedup_exact
+    # (4 green grades) rotates below the fold this round ---
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
     "events_stateful_sessions": q_events_stateful_sessions,
-    "dedup_exact": q_dedup_exact,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     # --- streaming surface repaired after the r4 ts-unit bug + r5 addition ---
     "events_stateful_timeout_sessions": q_events_stateful_timeout_sessions,
@@ -1192,15 +1194,17 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_recall_report": q_ann_recall_report,
     "graph_pagerank": q_graph_pagerank,
     "graph_communities": q_graph_communities,
+    "pit_priority_revenue": q_pit_priority_revenue,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
     "simhash_md5_candidates": q_simhash_md5_candidates,
     # --- re-grades (hold green r01-r04 records) ---
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "dedup_components_star": q_dedup_components_star,
     "fact_star": q_fact_star,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "dedup_components_star": q_dedup_components_star,
+    "decontaminate_overlap": q_decontaminate_overlap,
     "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
     "pivot_status_priority": q_pivot_status_priority,
     "events_sessionize": q_events_sessionize,
