@@ -569,3 +569,22 @@ ORACLES_EXT["pit_priority_revenue"] = """
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM j GROUP BY pit_priority
 """
+
+# FULL twin of q_time_travel_agg: reconstruct both committed snapshot
+# states (v1 = even keys; v2 = v1 minus updated keys, plus the update
+# batch) and aggregate them side by side.
+ORACLES_EXT["time_travel_agg"] = """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 4 <= 1),
+    v2 AS (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           UNION ALL SELECT * FROM upd)
+    SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+    FROM base
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), count(*), CAST(sum(o_orderkey) AS BIGINT),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    FROM v2
+"""

@@ -574,3 +574,41 @@ def q_pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+def q_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel end-to-end (sources.sinks.write_snapshot /
+    read_snapshot): v1 = base orders (even keys), v2 = SCD1-style
+    update (+1000 on keys divisible by 4, inserts for keys ≡1 mod 4);
+    the graded result reads BOTH versions back and aggregates them side
+    by side — proving v1 stayed immutable under the v2 commit and the
+    pointer swap is atomic (the crash-safety branch is pytest-proven).
+    """
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import read_snapshot, write_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = run_scratch_dir("tt_orders_") + "/t"
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    write_snapshot(spark, base, table)
+    updates = orders.filter(F.col("o_orderkey") % 4 <= 1).select(
+        "o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
+    )
+    merged = (
+        base.join(updates.select(F.col("o_orderkey").alias("_k")), base.o_orderkey == F.col("_k"), "left_anti")
+        .unionByName(updates)
+    )
+    write_snapshot(spark, merged, table)
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            read_snapshot(spark, table, version=v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+    return parts[0].unionAll(parts[1])

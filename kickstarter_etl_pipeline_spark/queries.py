@@ -115,6 +115,7 @@ from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F4
     q_cdc_apply_agg,
     q_zorder_layout_report,
     q_pit_priority_revenue,
+    q_time_travel_agg,
     q_scd1_merge_agg,
     q_scd2_priority_history,
     q_compaction_roundtrip_agg,
@@ -1146,7 +1147,6 @@ _QUERIES: dict[str, QueryFn] = {
     # so every never-graded r5 entry fits the 50-slot window; dedup_exact
     # (4 green grades) rotates below the fold this round ---
     "star_flagship": q_star_flagship,
-    "q1_pricing_summary": q_q1_pricing_summary,
     "events_stateful_sessions": q_events_stateful_sessions,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     # --- streaming surface repaired after the r4 ts-unit bug + r5 addition ---
@@ -1195,6 +1195,7 @@ _QUERIES: dict[str, QueryFn] = {
     "graph_pagerank": q_graph_pagerank,
     "graph_communities": q_graph_communities,
     "pit_priority_revenue": q_pit_priority_revenue,
+    "time_travel_agg": q_time_travel_agg,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
@@ -1202,7 +1203,9 @@ _QUERIES: dict[str, QueryFn] = {
     # --- re-grades (hold green r01-r04 records) ---
     "fact_star": q_fact_star,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "q1_pricing_summary": q_q1_pricing_summary,
     "dedup_exact": q_dedup_exact,
+    "fact_star": q_fact_star,
     "dedup_components_star": q_dedup_components_star,
     "decontaminate_overlap": q_decontaminate_overlap,
     "custkeys_1998_not_1999": q_custkeys_1998_not_1999,

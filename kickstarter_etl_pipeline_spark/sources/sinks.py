@@ -352,3 +352,69 @@ def apply_cdc_batch(
     materialized = merged.localCheckpoint(eager=True)
     materialized.write.mode("overwrite").parquet(path)
     return materialized
+
+
+# --- versioned snapshots (poor-man's time travel) ---
+#
+# The container has no Delta/Iceberg package, so the lake-format
+# time-travel contract is re-expressed on plain parquet: every write
+# lands in an immutable `v=K/` directory, and a `_VERSION` pointer file
+# is swapped ATOMICALLY (temp-write + rename, the same crash-safety
+# discipline as compact_parquet) only after the snapshot's data is
+# fully committed. Readers resolve the pointer (or an explicit
+# version), so a writer crash mid-snapshot leaves a dangling v-dir
+# that no reader can observe — snapshot isolation by construction.
+# With a real lake format the same API maps onto native time travel.
+
+
+def _version_pointer(spark: SparkSession, table_dir: str):
+    fs, _ = _hadoop_fs(spark, table_dir)
+    ptr = spark._jvm.org.apache.hadoop.fs.Path(table_dir + "/_VERSION")
+    return fs, ptr
+
+
+def snapshot_version(spark: SparkSession, table_dir: str) -> int | None:
+    """Current committed version, or None for an empty table. The
+    pointer is read through the Hadoop FileSystem stream (Spark's text
+    reader silently skips ``_``-prefixed metadata files), so the same
+    code path works on any filesystem scheme the session can reach."""
+    fs, ptr = _version_pointer(spark, table_dir)
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(text.strip())
+
+
+def write_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the next immutable snapshot and return its
+    version. Data first, pointer last (atomic rename) — a crash before
+    the swap leaves the previous version fully readable."""
+    current = snapshot_version(spark, table_dir)
+    version = 1 if current is None else current + 1
+    df.write.mode("overwrite").parquet(f"{table_dir}/v={version}")
+    fs, ptr = _version_pointer(spark, table_dir)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(table_dir + f"/_VERSION.tmp.{version}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(str(version).encode("utf-8")))
+    out.close()
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    fs.rename(tmp, ptr)
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read the table AS OF ``version`` (default: latest committed).
+    Requesting a version newer than the pointer raises — dangling
+    uncommitted v-dirs are unreadable by contract."""
+    committed = snapshot_version(spark, table_dir)
+    if committed is None:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    pick = committed if version is None else version
+    if pick > committed or pick < 1:
+        raise ValueError(f"version {pick} not committed (latest = {committed})")
+    return spark.read.parquet(f"{table_dir}/v={pick}")

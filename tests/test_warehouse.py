@@ -66,3 +66,28 @@ def test_configure_logger_rotating(tmp_path=None):
         isinstance(h, logging.handlers.RotatingFileHandler) and h.maxBytes == 5 * 1024 * 1024
         for h in logger.handlers
     )
+
+
+def test_snapshot_crash_safety(spark, tmp_path):
+    """A dangling uncommitted v-dir (writer crashed before the pointer
+    swap) is invisible: latest stays at the committed version and
+    reading the dangling version raises."""
+    import pytest as _pytest
+
+    from kickstarter_etl_pipeline_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_version,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert write_snapshot(spark, df, table) == 1
+    assert write_snapshot(spark, df.filter("k < 5"), table) == 2
+    # simulate a crash: v=3 data lands but the pointer never swaps
+    df.filter("k < 2").write.parquet(table + "/v=3")
+    assert snapshot_version(spark, table) == 2
+    assert read_snapshot(spark, table).count() == 5
+    assert read_snapshot(spark, table, version=1).count() == 10
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, table, version=3)
