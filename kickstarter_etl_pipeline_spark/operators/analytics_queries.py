@@ -1208,3 +1208,39 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=5).select(
         F.col("id").alias("user_id"), "community", "n_members"
     )
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event
+    value stream (α = 0.25) — the streaming-flavored smoother, computed
+    as a SEQUENTIAL fold over each user's exact (µs, event_id)-ordered
+    values. Oracle-able by the same deterministic-by-rounding device as
+    PageRank: every fold step lands on a 1e-9 grid, so engine-side
+    fold implementations (Spark `aggregate`, DuckDB `list_reduce`)
+    produce bit-identical results.
+
+    One shuffle (the per-user collect); the fold is per-row JVM
+    expression work. At extreme per-user history lengths the collected
+    list is the bound — window the stream (EWMA over the last N days)
+    before folding.
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    grouped = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_us", "event_id", "value"))),
+            lambda s: s.value.cast("double"),
+        ).alias("_vals")
+    )
+    step = lambda acc, x: F.floor((acc * 0.75 + x * 0.25) * 1_000_000_000 + 0.5) / F.lit(
+        1_000_000_000.0
+    )
+    ewma = F.aggregate(
+        F.expr("slice(_vals, 2, size(_vals) - 1)"),
+        F.element_at(F.col("_vals"), 1),
+        step,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("_vals").cast("long").alias("n_events"),
+        round_det(ewma, 6).alias("ewma_value"),
+    )

@@ -588,3 +588,18 @@ ORACLES_EXT["time_travel_agg"] = """
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
     FROM v2
 """
+
+# FULL twin of q_events_ewma: same ordered value list, same rounded
+# fold (DuckDB list_reduce seeds with the first element, matching the
+# Spark aggregate's explicit seed + tail slice).
+ORACLES_EXT["events_ewma"] = """
+    WITH l AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           floor(list_reduce(vals, (acc, x) ->
+                   floor((acc * 0.75 + x * 0.25) * 1000000000 + 0.5) / 1000000000.0)
+                 * 1000000 + 0.5) / 1000000.0 AS ewma_value
+    FROM l
+"""

@@ -109,6 +109,7 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_ann_recall_report,
     q_graph_pagerank,
     q_graph_communities,
+    q_events_ewma,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1146,7 +1147,6 @@ _QUERIES: dict[str, QueryFn] = {
     # --- representative core (pinned; green r01-r04) — slimmed to three
     # so every never-graded r5 entry fits the 50-slot window; dedup_exact
     # (4 green grades) rotates below the fold this round ---
-    "star_flagship": q_star_flagship,
     "events_stateful_sessions": q_events_stateful_sessions,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     # --- streaming surface repaired after the r4 ts-unit bug + r5 addition ---
@@ -1196,6 +1196,7 @@ _QUERIES: dict[str, QueryFn] = {
     "graph_communities": q_graph_communities,
     "pit_priority_revenue": q_pit_priority_revenue,
     "time_travel_agg": q_time_travel_agg,
+    "events_ewma": q_events_ewma,
     # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
@@ -1203,6 +1204,7 @@ _QUERIES: dict[str, QueryFn] = {
     # --- re-grades (hold green r01-r04 records) ---
     "fact_star": q_fact_star,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "fact_star": q_fact_star,
