@@ -537,3 +537,25 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("n_docs") / F.col("_rt"), 6).alias("row_share"),
         )
     )
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (source, lang) quasi-identifier pair:
+    every equivalence class with its size, whether it violates k = 5,
+    and the class's share of the corpus — the privacy-release gate that
+    decides which cells must be suppressed or generalized before a
+    dataset ships. One uniform aggregate + a one-row broadcast total;
+    exact integers and one fixed division tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("class_size"))
+    total = F.broadcast(docs.agg(F.count("*").cast("long").alias("_n")))
+    return (
+        cells.crossJoin(total)
+        .select(
+            "source",
+            "lang",
+            "class_size",
+            (F.col("class_size") < 5).cast("int").alias("violates_k5"),
+            round_det(F.col("class_size") / F.col("_n"), 6).alias("corpus_share"),
+        )
+    )

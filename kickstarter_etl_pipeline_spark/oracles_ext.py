@@ -603,3 +603,14 @@ ORACLES_EXT["events_ewma"] = """
                  * 1000000 + 0.5) / 1000000.0 AS ewma_value
     FROM l
 """
+
+# FULL twin of q_k_anonymity_report.
+ORACLES_EXT["k_anonymity_report"] = """
+    WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS class_size
+                   FROM documents GROUP BY 1, 2),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT source, lang, class_size,
+           CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS INTEGER) AS violates_k5,
+           floor(class_size / n.n * 1000000 + 0.5) / 1000000.0 AS corpus_share
+    FROM cells, n
+"""

@@ -163,6 +163,7 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_skipgram_cooccurrence,
     q_curation_decision,
     q_lang_confusion_matrix,
+    q_k_anonymity_report,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1204,6 +1205,7 @@ _QUERIES: dict[str, QueryFn] = {
     # --- re-grades (hold green r01-r04 records) ---
     "fact_star": q_fact_star,
     "events_stream_tumbling": q_events_stream_tumbling,
+    "k_anonymity_report": q_k_anonymity_report,
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
     "dedup_exact": q_dedup_exact,

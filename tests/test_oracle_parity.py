@@ -95,11 +95,24 @@ def test_grading_window_invariants():
     window, below = names[:50], names[50:]
     rows_only = set(QUERIES) - set(ORACLES)
     assert not (set(window) & rows_only), "rows-only query occupies a graded slot"
-    graded = set()
+    # "graded" = the LATEST driver grade was a hash-match; a query whose
+    # most recent grade FAILED (e.g. the r4 streaming ts-unit bug) must
+    # be re-graded and counts as ungraded here.
+    latest = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         for k, v in json.load(open(path)).items():
-            if v.get("hash_match") is True:
-                graded.add(k)
+            if v.get("hash_match") is not None:
+                latest[k] = v["hash_match"]
+    graded = {k for k, ok in latest.items() if ok}
     stranded = [n for n in below if n not in graded and n not in rows_only]
-    assert not stranded, f"never-graded oracle'd queries below the fold: {stranded}"
+    # A round can add MORE than 50 new queries; stranding is then
+    # unavoidable — but only legitimate while every graded slot is
+    # itself a first-grade (maximal rotation). Swapping a graded entry
+    # in while a never-graded one sits below stays an error.
+    if stranded:
+        regraded_in_window = [n for n in window if n in graded]
+        assert not regraded_in_window, (
+            f"never-graded queries below the fold {stranded} while "
+            f"already-graded entries occupy window slots: {regraded_in_window}"
+        )
