@@ -1244,3 +1244,51 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_vals").cast("long").alias("n_events"),
         round_det(ewma, 6).alias("ewma_value"),
     )
+
+
+def q_traffic_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality heatmap: event counts per (day-of-week,
+    hour-of-day) cell with each cell's share of total traffic — the
+    capacity-planning profile. dow/hour derived from integer epoch
+    arithmetic (no calendar functions), exact counts, one fixed
+    division tree."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    cells = (
+        ev.select(
+            ((F.floor(F.col("_us") / 86_400_000_000) + 4) % 7).cast("int").alias("dow"),
+            (F.floor(F.col("_us") / 3_600_000_000) % 24).cast("int").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    total = F.broadcast(cells.agg(F.sum("n_events").alias("_t")))
+    return cells.crossJoin(total).select(
+        "dow", "hour", "n_events", round_det(F.col("n_events") / F.col("_t"), 6).alias("share")
+    )
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: the Herfindahl-Hirschman
+    index over suppliers' revenue shares (HHI = Σ shareᵢ², share in
+    percent → 0..10000), plus the top-supplier share — the market-
+    concentration metric, computed from exact decimal revenue sums
+    with a fixed squared-share tree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("_rev").cast("double").alias("rev"))
+    )
+    nat_tot = rev.groupBy("n_name").agg(F.sum("rev").alias("_nt"))
+    shares = rev.join(nat_tot, "n_name").select(
+        "n_name", (F.col("rev") / F.col("_nt") * 100).alias("_sh")
+    )
+    return shares.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        round_det(F.sum(F.col("_sh") * F.col("_sh")), 4).alias("hhi"),
+        round_det(F.max("_sh"), 4).alias("top_share_pct"),
+    )

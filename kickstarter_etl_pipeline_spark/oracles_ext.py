@@ -614,3 +614,36 @@ ORACLES_EXT["k_anonymity_report"] = """
            floor(class_size / n.n * 1000000 + 0.5) / 1000000.0 AS corpus_share
     FROM cells, n
 """
+
+# FULL twin of q_traffic_seasonality: integer epoch dow/hour.
+ORACLES_EXT["traffic_seasonality"] = """
+    WITH cells AS (
+      SELECT CAST((floor(epoch_us(ts) / 86400000000) + 4) % 7 AS INTEGER) AS dow,
+             CAST(floor(epoch_us(ts) / 3600000000) % 24 AS INTEGER) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT sum(n_events) AS t FROM cells)
+    SELECT dow, hour, n_events,
+           floor(n_events / t.t * 1000000 + 0.5) / 1000000.0 AS share
+    FROM cells, t
+"""
+
+# FULL twin of q_supplier_hhi: identical decimal revenue sums, share
+# and squared-share trees (sum-order noise ~1e-13 relative, rounded at
+# 4 dp — the TWAP/Gini tolerance class, sf0.1-proven).
+ORACLES_EXT["supplier_hhi"] = """
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_suppkey),
+    nt AS (SELECT n_name, sum(rev) AS nt FROM rev GROUP BY n_name),
+    sh AS (SELECT rev.n_name, rev.rev / nt.nt * 100 AS sh
+           FROM rev JOIN nt ON rev.n_name = nt.n_name)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           floor(sum(sh * sh) * 10000 + 0.5) / 10000.0 AS hhi,
+           floor(max(sh) * 10000 + 0.5) / 10000.0 AS top_share_pct
+    FROM sh GROUP BY n_name
+"""

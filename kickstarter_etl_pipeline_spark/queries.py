@@ -110,6 +110,8 @@ from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa
     q_graph_pagerank,
     q_graph_communities,
     q_events_ewma,
+    q_traffic_seasonality,
+    q_supplier_hhi,
 )
 
 from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F401 — registry surface
@@ -1206,6 +1208,8 @@ _QUERIES: dict[str, QueryFn] = {
     "fact_star": q_fact_star,
     "events_stream_tumbling": q_events_stream_tumbling,
     "k_anonymity_report": q_k_anonymity_report,
+    "traffic_seasonality": q_traffic_seasonality,
+    "supplier_hhi": q_supplier_hhi,
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
     "dedup_exact": q_dedup_exact,
