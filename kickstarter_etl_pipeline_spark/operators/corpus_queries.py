@@ -559,3 +559,34 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("class_size") / F.col("_n"), 6).alias("corpus_share"),
         )
     )
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law table): distinct-token count
+    after each decile of the corpus in doc_id order, with the decile's
+    token volume — the how-fast-does-vocab-grow input to tokenizer
+    sizing. Computed scale-safely: one pass records each token's FIRST
+    document (min doc_id) and each doc's token count; the curve is then
+    ten tiny threshold aggregates over those compact tables — never ten
+    scans of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    first_doc = tok.groupBy("token").agg(F.min("doc_id").alias("_first")).localCheckpoint(
+        eager=True
+    )
+    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("_n")).localCheckpoint(eager=True)
+    max_id = F.broadcast(docs.agg(F.max("doc_id").alias("_max")))
+    deciles = spark.range(1, 11).select((F.col("id") * 10).cast("int").alias("pct"))
+    thresholds = deciles.crossJoin(max_id).select(
+        "pct", F.floor(F.col("_max") * F.col("pct") / 100).alias("_thr")
+    )
+    vocab = thresholds.join(
+        first_doc, first_doc._first <= F.col("_thr"), "left"
+    ).groupBy("pct", "_thr").agg(F.count("token").cast("long").alias("vocab_size"))
+    volume = thresholds.join(
+        doc_tokens, doc_tokens.doc_id <= F.col("_thr"), "left"
+    ).groupBy("pct").agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_tokens"))
+    return (
+        vocab.join(volume, "pct")
+        .select("pct", "n_tokens", "vocab_size")
+    )

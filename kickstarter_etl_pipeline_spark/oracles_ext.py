@@ -647,3 +647,19 @@ ORACLES_EXT["supplier_hhi"] = """
            floor(max(sh) * 10000 + 0.5) / 10000.0 AS top_share_pct
     FROM sh GROUP BY n_name
 """
+
+# FULL twin of q_vocab_growth_curve: token first-doc table + per-doc
+# token counts, ten threshold aggregates.
+ORACLES_EXT["vocab_growth_curve"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    fd AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token),
+    dt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    th AS (SELECT CAST(p * 10 AS INTEGER) AS pct,
+                  CAST(floor(mx.m * (p * 10) / 100) AS BIGINT) AS thr
+           FROM (SELECT unnest(range(1, 11)) AS p), mx)
+    SELECT th.pct,
+           CAST(coalesce((SELECT sum(n) FROM dt WHERE dt.doc_id <= th.thr), 0) AS BIGINT) AS n_tokens,
+           CAST((SELECT count(*) FROM fd WHERE fd.first_doc <= th.thr) AS BIGINT) AS vocab_size
+    FROM th
+"""

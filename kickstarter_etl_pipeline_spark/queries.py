@@ -166,6 +166,7 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_curation_decision,
     q_lang_confusion_matrix,
     q_k_anonymity_report,
+    q_vocab_growth_curve,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1210,6 +1211,7 @@ _QUERIES: dict[str, QueryFn] = {
     "k_anonymity_report": q_k_anonymity_report,
     "traffic_seasonality": q_traffic_seasonality,
     "supplier_hhi": q_supplier_hhi,
+    "vocab_growth_curve": q_vocab_growth_curve,
     "star_flagship": q_star_flagship,
     "q1_pricing_summary": q_q1_pricing_summary,
     "dedup_exact": q_dedup_exact,
