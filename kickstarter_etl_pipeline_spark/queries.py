@@ -1138,29 +1138,153 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the grading driver sweeps the FIRST 50 entries of
-# this dict. Rounds 1-2 graded the original 50; round 3 graded the 35
-# round-2 queries + 10 round-3a additions; round 4 graded the 34
-# round-3b additions (all green except the two streaming ts-unit
-# casualties). Round 5 rotates: (a) the pinned 5-query representative
-# core, (b) the repaired streaming surface (upsert/sliding/tumbling —
-# red or unre-graded since the r4 fixture change) plus the NEW
-# timeout-sessionizer query, (c) the round-3a batch back for re-grade,
-# and (d) the r01/r02 entries that have never been re-graded since.
-# Everything below the fold holds a green driver grade from r03 or r04.
+# this dict. Round-6 rotation: (a) the four entries added late in round
+# 5 that have never been driver-graded, (b) the 43 stalest entries
+# (last green in round 2, never re-graded since), (c) three round-3
+# entries to fill the window. Everything below the fold holds a green
+# driver grade from r03/r04/r05 or is declared rows-only. New queries
+# added mid-round MUST be inserted at the head of the window (they are
+# never-graded) — test_grading_window_invariants enforces this.
 _QUERIES: dict[str, QueryFn] = {
-    # --- representative core (pinned; green r01-r04) — slimmed to three
-    # so every never-graded r5 entry fits the 50-slot window; dedup_exact
-    # (4 green grades) rotates below the fold this round ---
+    # --- round-6 window: first-grade (added r5, never driver-graded) ---
+    "k_anonymity_report": q_k_anonymity_report,
+    "traffic_seasonality": q_traffic_seasonality,
+    "supplier_hhi": q_supplier_hhi,
+    "vocab_growth_curve": q_vocab_growth_curve,
+    # --- round-6 window: stalest re-grades (last green r02) ---
+    "fact_star": q_fact_star,
+    "events_stream_tumbling": q_events_stream_tumbling,
+    "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
+    "pivot_status_priority": q_pivot_status_priority,
+    "events_sessionize": q_events_sessionize,
+    "events_json_kv": q_events_json_kv,
+    "events_sliding": q_events_sliding,
+    "events_distinct_pairs": q_events_distinct_pairs,
+    "events_asof_purchase_click": q_events_asof_purchase_click,
+    "char_jaccard_pairs": q_char_jaccard_pairs,
+    "distinct_counts": q_distinct_counts,
+    "events_stream_sliding": q_events_stream_sliding,
+    "embedding_topk": q_embedding_topk,
+    "text_stats": q_text_stats,
+    "dim_state": q_dim_state,
+    "dim_date": q_dim_date,
+    "dim_category": q_dim_category,
+    "region_rollup": q_region_rollup,
+    "topk_customers": q_topk_customers,
+    "shipping_priority": q_shipping_priority,
+    "events_tumbling": q_events_tumbling,
+    "window_running_sum": q_window_running_sum,
+    "local_supplier_volume": q_local_supplier_volume,
+    "above_avg_orders": q_above_avg_orders,
+    "group_count_ordered": q_group_count_ordered,
+    "conditional_flag_agg": q_conditional_flag_agg,
+    "ship_delay_by_priority": q_ship_delay_by_priority,
+    "window_rank_topn": q_window_rank_topn,
+    "cube_status_priority": q_cube_status_priority,
+    "price_stats_by_status": q_price_stats_by_status,
+    "part_string_ops": q_part_string_ops,
+    "csv_roundtrip_agg": q_csv_roundtrip_agg,
+    "clean_corpus": q_clean_corpus,
+    "q1_pricing_summary_sql": q_q1_pricing_summary_sql,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "multimodal_features": q_multimodal_features,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders_count": q_customers_with_orders_count,
+    "custkeys_both_years": q_custkeys_both_years,
+    "project_rename_filter": q_project_rename_filter,
+    # --- round-6 window: r03 re-grades (window fill) ---
+    "dedup_components_star": q_dedup_components_star,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "scd1_merge_agg": q_scd1_merge_agg,
+    # ---------------- below the fold: every entry here holds a green
+    # driver grade (r03-r05) or is declared rows-only ----------------
+    # --- last green r03 ---
+    "idempotent_append_agg": q_idempotent_append_agg,
+    "token_frequency": q_token_frequency,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "source_quota": q_source_quota,
+    "repetition_stats": q_repetition_stats,
+    "embedding_quantization": q_embedding_quantization,
+    "skew_salted_join": q_skew_salted_join,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q19_or_predicates": q_q19_or_predicates,
+    "q22_idle_balances": q_q22_idle_balances,
+    "window_moving_avg": q_window_moving_avg,
+    "window_ntile_percent": q_window_ntile_percent,
+    "unpivot_metrics": q_unpivot_metrics,
+    "corr_price_quantity": q_corr_price_quantity,
+    "histogram_price": q_histogram_price,
+    "except_all_priorities": q_except_all_priorities,
+    "bpe_token_counts": q_bpe_token_counts,
+    "scd2_priority_history": q_scd2_priority_history,
+    "hash_sample": q_hash_sample,
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "dedup_components": q_dedup_components,
+    "window_first_last": q_window_first_last,
+    "json_roundtrip_agg": q_json_roundtrip_agg,
+    "orc_roundtrip_agg": q_orc_roundtrip_agg,
+    "q8_market_share": q_q8_market_share,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_order_count_distribution": q_q13_order_count_distribution,
+    "dq_star_report": q_dq_star_report,
+    # --- last green r04 ---
+    "star_flagship": q_star_flagship,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "dedup_exact": q_dedup_exact,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q9_product_profit": q_q9_product_profit,
+    "q11_important_values": q_q11_important_values,
+    "q12_priority_class": q_q12_priority_class,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q20_promo_part_suppliers": q_q20_promo_part_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "pii_scrub": q_pii_scrub,
+    "oov_rate": q_oov_rate,
+    "domain_mix_report": q_domain_mix_report,
+    "length_filter_funnel": q_length_filter_funnel,
+    "compaction_roundtrip_agg": q_compaction_roundtrip_agg,
+    "partitioned_prune_agg": q_partitioned_prune_agg,
+    "dq_quarantine_report": q_dq_quarantine_report,
+    "incremental_rollup_agg": q_incremental_rollup_agg,
+    "events_funnel": q_events_funnel,
+    "cohort_retention": q_cohort_retention,
+    "priority_mode_by_status": q_priority_mode_by_status,
+    "cdc_apply_agg": q_cdc_apply_agg,
+    "dedup_canonical_docs": q_dedup_canonical_docs,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
+    "rfm_segments": q_rfm_segments,
+    "train_val_test_split": q_train_val_test_split,
+    "event_transition_matrix": q_event_transition_matrix,
+    "null_safe_join_agg": q_null_safe_join_agg,
+    "nation_share_of_region": q_nation_share_of_region,
+    "error_blast_radius": q_error_blast_radius,
+    "label_centroid_distances": q_label_centroid_distances,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "range_join_price_bands": q_range_join_price_bands,
+    "grouping_sets_status_year": q_grouping_sets_status_year,
+    "events_lag_lead": q_events_lag_lead,
+    "q4_order_priority": q_q4_order_priority,
+    "q18_large_orders": q_q18_large_orders,
+    "embedding_norms": q_embedding_norms,
+    "events_gap_fill": q_events_gap_fill,
+    # --- last green r05 ---
     "events_stateful_sessions": q_events_stateful_sessions,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
-    # --- streaming surface repaired after the r4 ts-unit bug + r5 addition ---
     "events_stateful_timeout_sessions": q_events_stateful_timeout_sessions,
     "events_stream_upsert": q_events_stream_upsert,
     "events_stream_hourly_daily": q_events_stream_hourly_daily,
     "events_stream_left_join": q_events_stream_left_join,
     "events_stream_full_join": q_events_stream_full_join,
     "events_stream_sessions": q_events_stream_sessions,
-    # --- round-5 corpus-assembly additions (first grade) ---
     "pack_sequences": q_pack_sequences,
     "source_mixing_weights": q_source_mixing_weights,
     "chunk_documents": q_chunk_documents,
@@ -1170,7 +1294,6 @@ _QUERIES: dict[str, QueryFn] = {
     "pystream_replay_agg": q_pystream_replay_agg,
     "range_clustered_prune_agg": q_range_clustered_prune_agg,
     "yoy_customer_activity": q_yoy_customer_activity,
-    # --- round-5 curation additions, second batch (first grade) ---
     "containment_pairs": q_containment_pairs,
     "semantic_dedup": q_semantic_dedup,
     "bigram_collocations": q_bigram_collocations,
@@ -1201,144 +1324,15 @@ _QUERIES: dict[str, QueryFn] = {
     "pit_priority_revenue": q_pit_priority_revenue,
     "time_travel_agg": q_time_travel_agg,
     "events_ewma": q_events_ewma,
-    # --- newly FULL-oracle'd approximate tier (was rows-only through r04) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
     "simhash_md5_candidates": q_simhash_md5_candidates,
-    # --- re-grades (hold green r01-r04 records) ---
-    "fact_star": q_fact_star,
-    "events_stream_tumbling": q_events_stream_tumbling,
-    "k_anonymity_report": q_k_anonymity_report,
-    "traffic_seasonality": q_traffic_seasonality,
-    "supplier_hhi": q_supplier_hhi,
-    "vocab_growth_curve": q_vocab_growth_curve,
-    "star_flagship": q_star_flagship,
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "dedup_exact": q_dedup_exact,
-    "fact_star": q_fact_star,
-    "dedup_components_star": q_dedup_components_star,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "custkeys_1998_not_1999": q_custkeys_1998_not_1999,
-    "pivot_status_priority": q_pivot_status_priority,
-    "events_sessionize": q_events_sessionize,
-    "events_json_kv": q_events_json_kv,
-    "events_sliding": q_events_sliding,
-    "events_distinct_pairs": q_events_distinct_pairs,
-    "events_asof_purchase_click": q_events_asof_purchase_click,
-    "char_jaccard_pairs": q_char_jaccard_pairs,
-    "distinct_counts": q_distinct_counts,
-    # ---------------- below the fold (green in r03/r04; the four
-    # r01/r02 entries displaced by the round-5 second batch rotate
-    # back through the window next round) ----------------
-    "scd1_merge_agg": q_scd1_merge_agg,
-    "events_stream_sliding": q_events_stream_sliding,
-    "scd1_merge_agg": q_scd1_merge_agg,
-    "idempotent_append_agg": q_idempotent_append_agg,
-    "token_frequency": q_token_frequency,
-    "stratified_sample": q_stratified_sample,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "source_quota": q_source_quota,
-    "repetition_stats": q_repetition_stats,
-    "embedding_quantization": q_embedding_quantization,
-    "embedding_topk": q_embedding_topk,
-    "text_stats": q_text_stats,
-    "dim_state": q_dim_state,
-    "dim_date": q_dim_date,
-    "dim_category": q_dim_category,
-    "region_rollup": q_region_rollup,
-    "topk_customers": q_topk_customers,
-    "shipping_priority": q_shipping_priority,
-    "events_tumbling": q_events_tumbling,
-    "window_running_sum": q_window_running_sum,
-    "local_supplier_volume": q_local_supplier_volume,
-    "above_avg_orders": q_above_avg_orders,
-    "group_count_ordered": q_group_count_ordered,
-    "conditional_flag_agg": q_conditional_flag_agg,
-    "ship_delay_by_priority": q_ship_delay_by_priority,
-    "window_rank_topn": q_window_rank_topn,
-    "cube_status_priority": q_cube_status_priority,
-    "price_stats_by_status": q_price_stats_by_status,
-    "part_string_ops": q_part_string_ops,
-    "csv_roundtrip_agg": q_csv_roundtrip_agg,
-    "clean_corpus": q_clean_corpus,
-    "q1_pricing_summary_sql": q_q1_pricing_summary_sql,
-    "doc_fingerprints": q_doc_fingerprints,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # --- rows-only (no DuckDB oracle; driver records rows-only check) ---
     "simhash_candidates": q_simhash_candidates,
-    "multimodal_features": q_multimodal_features,
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,
-    "q6_forecast_revenue": q_q6_forecast_revenue,
-    "q9_product_profit": q_q9_product_profit,
-    "q11_important_values": q_q11_important_values,
-    "q12_priority_class": q_q12_priority_class,
-    "q15_top_supplier": q_q15_top_supplier,
-    "q16_supplier_part_counts": q_q16_supplier_part_counts,
-    "q17_small_qty_revenue": q_q17_small_qty_revenue,
-    "q20_promo_part_suppliers": q_q20_promo_part_suppliers,
-    "q21_waiting_suppliers": q_q21_waiting_suppliers,
-    "pii_scrub": q_pii_scrub,
-    "oov_rate": q_oov_rate,
     "perplexity_proxy": q_perplexity_proxy,
-    "domain_mix_report": q_domain_mix_report,
-    "length_filter_funnel": q_length_filter_funnel,
-    "compaction_roundtrip_agg": q_compaction_roundtrip_agg,
-    "partitioned_prune_agg": q_partitioned_prune_agg,
-    "dq_quarantine_report": q_dq_quarantine_report,
-    "incremental_rollup_agg": q_incremental_rollup_agg,
     "distinct_users_rollup": q_distinct_users_rollup,
-    "events_funnel": q_events_funnel,
-    "cohort_retention": q_cohort_retention,
-    "priority_mode_by_status": q_priority_mode_by_status,
-    "cdc_apply_agg": q_cdc_apply_agg,
-    "dedup_canonical_docs": q_dedup_canonical_docs,
-    "events_anomaly_zscore": q_events_anomaly_zscore,
-    "rfm_segments": q_rfm_segments,
-    "train_val_test_split": q_train_val_test_split,
-    "event_transition_matrix": q_event_transition_matrix,
-    "null_safe_join_agg": q_null_safe_join_agg,
-    "nation_share_of_region": q_nation_share_of_region,
-    "error_blast_radius": q_error_blast_radius,
-    "label_centroid_distances": q_label_centroid_distances,
-    "customers_without_orders": q_customers_without_orders,
-    "customers_with_orders_count": q_customers_with_orders_count,
-    "custkeys_both_years": q_custkeys_both_years,
-    "project_rename_filter": q_project_rename_filter,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_near_dup_exact": q_embedding_near_dup_exact,
     "approx_aggregates": q_approx_aggregates,
-    "range_join_price_bands": q_range_join_price_bands,
-    "grouping_sets_status_year": q_grouping_sets_status_year,
-    "events_lag_lead": q_events_lag_lead,
-    "q4_order_priority": q_q4_order_priority,
-    "q18_large_orders": q_q18_large_orders,
-    "embedding_norms": q_embedding_norms,
-    "events_gap_fill": q_events_gap_fill,
-    "skew_salted_join": q_skew_salted_join,
-    "q7_nation_volume": q_q7_nation_volume,
-    "q14_promo_revenue": q_q14_promo_revenue,
-    "q19_or_predicates": q_q19_or_predicates,
-    "q22_idle_balances": q_q22_idle_balances,
-    "window_moving_avg": q_window_moving_avg,
-    "window_ntile_percent": q_window_ntile_percent,
-    "unpivot_metrics": q_unpivot_metrics,
-    "corr_price_quantity": q_corr_price_quantity,
-    "histogram_price": q_histogram_price,
-    "except_all_priorities": q_except_all_priorities,
-    "bpe_token_counts": q_bpe_token_counts,
-    "scd2_priority_history": q_scd2_priority_history,
-    "hash_sample": q_hash_sample,
-    "levenshtein_pairs": q_levenshtein_pairs,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "dedup_components": q_dedup_components,
-    "window_first_last": q_window_first_last,
-    "json_roundtrip_agg": q_json_roundtrip_agg,
-    "orc_roundtrip_agg": q_orc_roundtrip_agg,
-    "q8_market_share": q_q8_market_share,
-    "q10_returned_items": q_q10_returned_items,
-    "q13_order_count_distribution": q_q13_order_count_distribution,
-    "dq_star_report": q_dq_star_report,
 }
 
 

@@ -80,6 +80,26 @@ def test_entry_smoke(spark):
     assert "state_name" in df.columns
 
 
+def test_registry_has_no_duplicate_keys():
+    """Duplicate keys in a dict literal are silent in Python (later
+    binding wins) but they corrupt the 50-slot window arithmetic the
+    rotation comments reason about — parse the source and reject them."""
+    import collections
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(root, "kickstarter_etl_pipeline_spark", "queries.py")
+    ).read()
+    body = re.search(
+        r"_QUERIES: dict\[str, QueryFn\] = \{(.*?)\n\}", src, re.S
+    ).group(1)
+    keys = re.findall(r'^\s*"([a-z0-9_]+)":', body, re.M)
+    dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+    assert not dupes, f"duplicate registry keys: {dupes}"
+
+
 def test_grading_window_invariants():
     """The driver grades the FIRST 50 registry entries. Guard the
     rotation contract: exactly 50+ entries, no rows-only query inside
