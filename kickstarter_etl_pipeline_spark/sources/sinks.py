@@ -373,14 +373,43 @@ def _version_pointer(spark: SparkSession, table_dir: str):
     return fs, ptr
 
 
+def _latest_committed_by_scan(spark: SparkSession, table_dir: str) -> int | None:
+    """Crash-recovery fallback: highest ``v=K`` directory whose Spark
+    write fully committed (``_SUCCESS`` present). Only consulted when
+    the ``_VERSION`` pointer is absent — ``_SUCCESS`` is written by the
+    Hadoop output committer strictly before the pointer swap, so every
+    directory it admits holds a complete snapshot; a writer that died
+    mid-data-write left no ``_SUCCESS`` and stays invisible."""
+    fs, _ = _hadoop_fs(spark, table_dir)
+    root = spark._jvm.org.apache.hadoop.fs.Path(table_dir)
+    if not fs.exists(root):
+        return None
+    best = None
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        ok = spark._jvm.org.apache.hadoop.fs.Path(f"{table_dir}/v={v}/_SUCCESS")
+        if fs.exists(ok) and (best is None or v > best):
+            best = v
+    return best
+
+
 def snapshot_version(spark: SparkSession, table_dir: str) -> int | None:
     """Current committed version, or None for an empty table. The
     pointer is read through the Hadoop FileSystem stream (Spark's text
     reader silently skips ``_``-prefixed metadata files), so the same
-    code path works on any filesystem scheme the session can reach."""
+    code path works on any filesystem scheme the session can reach.
+    A missing pointer falls back to scanning committed ``v=K``
+    directories so a crash inside the pointer swap window (or a lost
+    pointer file) never makes committed data unreadable."""
     fs, ptr = _version_pointer(spark, table_dir)
     if not fs.exists(ptr):
-        return None
+        return _latest_committed_by_scan(spark, table_dir)
     stream = fs.open(ptr)
     try:
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
@@ -391,8 +420,13 @@ def snapshot_version(spark: SparkSession, table_dir: str) -> int | None:
 
 def write_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as the next immutable snapshot and return its
-    version. Data first, pointer last (atomic rename) — a crash before
-    the swap leaves the previous version fully readable."""
+    version. Data first, pointer last. The swap prefers FileContext's
+    overwriting rename (atomic on HDFS and the local FS — no window
+    where the pointer is absent, and it THROWS on failure instead of
+    returning false); where FileContext is unavailable it falls back to
+    delete+rename with the rename's boolean checked, and the
+    ``snapshot_version`` scan fallback covers the delete→rename crash
+    window."""
     current = snapshot_version(spark, table_dir)
     version = 1 if current is None else current + 1
     df.write.mode("overwrite").parquet(f"{table_dir}/v={version}")
@@ -401,9 +435,27 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     out = fs.create(tmp, True)
     out.write(bytearray(str(version).encode("utf-8")))
     out.close()
-    if fs.exists(ptr):
-        fs.delete(ptr, False)
-    fs.rename(tmp, ptr)
+    try:
+        jvm = spark._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), jvm.org.apache.hadoop.conf.Configuration()
+        )
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = overwrite
+        fc.rename(tmp, ptr, opts)
+    except Exception:
+        if fs.exists(ptr):
+            fs.delete(ptr, False)
+        if not fs.rename(tmp, ptr):
+            raise IOError(
+                f"pointer swap failed: rename({tmp}, {ptr}) returned false; "
+                f"snapshot v={version} is committed but not yet visible via "
+                f"the pointer (the scan fallback in snapshot_version still "
+                f"resolves it)"
+            )
     return version
 
 

@@ -91,3 +91,31 @@ def test_snapshot_crash_safety(spark, tmp_path):
     assert read_snapshot(spark, table, version=1).count() == 10
     with _pytest.raises(ValueError):
         read_snapshot(spark, table, version=3)
+
+
+def test_snapshot_pointer_loss_recovery(spark, tmp_path):
+    """A lost _VERSION pointer (crash inside the swap window) must not
+    strand committed snapshots: snapshot_version falls back to the
+    highest v=K dir with _SUCCESS, reads resolve, and the next write
+    allocates past the recovered version."""
+    import os
+
+    from kickstarter_etl_pipeline_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_version,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert write_snapshot(spark, df, table) == 1
+    assert write_snapshot(spark, df.filter("k < 5"), table) == 2
+    os.remove(table + "/_VERSION")  # simulate the swap-window crash
+    assert snapshot_version(spark, table) == 2
+    assert read_snapshot(spark, table).count() == 5
+    assert read_snapshot(spark, table, version=1).count() == 10
+    # a partially-written v-dir (no _SUCCESS) stays invisible to the scan
+    os.makedirs(table + "/v=7")
+    assert snapshot_version(spark, table) == 2
+    assert write_snapshot(spark, df.filter("k < 2"), table) == 3
+    assert read_snapshot(spark, table).count() == 2
