@@ -257,9 +257,10 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality filter: mean unigram surprisal + perplexity
-    proxy per document under the corpus's own unigram LM. Uses ln/exp,
-    which are NOT bit-deterministic across engines (NOTES.md rule 7) —
-    registered rows-only by design."""
+    proxy per document under the corpus's own unigram LM. ln/exp are
+    snapped to fixed grids (integer nano-nats per token, 6-dp mean,
+    2-dp ppl — see text.unigram_surprisal) so the query carries a FULL
+    DuckDB oracle despite the transcendentals."""
     from kickstarter_etl_pipeline_spark.operators.text import unigram_surprisal
 
     docs = load_table(spark, sf_dir, "documents")

@@ -294,11 +294,22 @@ def unigram_surprisal(
     noise scores high.
 
     Two uniform-key shuffles (token counts, per-doc mean); the LM table
-    rides a broadcast. Uses ``ln`` — NOT engine-deterministic in the
-    last ulp (NOTES.md determinism rule 7), so the registry entry is
-    rows-only by design.
+    rides a broadcast.
+
+    Determinism (NOTES.md rule 7, the events_ewma rounded-fold trick):
+    ``ln``/``exp`` differ across engines in the last ulp, so every
+    transcendental output is snapped to a fixed grid BEFORE any
+    aggregation. Per-token surprisal becomes an exact integer in
+    nano-nats (``floor(-ln(tf/total)·1e9 + 0.5)``) — tf/total is an
+    IEEE division of exact integers, bit-identical everywhere, and a
+    1-ulp ``ln`` flip moves the integer by ±1 nano-nat, which the
+    6-dp rounding of the per-doc mean absorbs. Sums of integers are
+    exact and order-independent, so the shuffle order can't perturb the
+    result. ``exp`` is applied to the already-rounded mean and snapped
+    at 2 dp. DuckDB replays the identical arithmetic (oracles_ext).
     """
     from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
     tok = (
         ensure_min_partitions(df)
@@ -307,14 +318,20 @@ def unigram_surprisal(
     )
     lm = tok.groupBy("token").agg(F.count("*").alias("_tf"))
     total = lm.agg(F.sum("_tf").cast("double").alias("_total"))
-    probs = lm.crossJoin(F.broadcast(total)).select(
-        "token", (F.col("_tf") / F.col("_total")).alias("_p")
+    surprisal = lm.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(-F.log(F.col("_tf") / F.col("_total")) * 1e9 + 0.5)
+        .cast("long")
+        .alias("_s9"),  # integer nano-nats: exact under sum, any order
     )
-    scored = tok.join(F.broadcast(probs), on="token")
+    scored = tok.join(F.broadcast(surprisal), on="token")
+    mean_nats = round_det(
+        F.sum("_s9").cast("double") / (F.count("*") * F.lit(1e9)), 6
+    )
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
-        F.round(F.avg(-F.log(F.col("_p"))), 4).alias("mean_surprisal_nats"),
-        F.round(F.exp(F.avg(-F.log(F.col("_p")))), 2).alias("ppl_proxy"),
+        mean_nats.alias("mean_surprisal_nats"),
+        round_det(F.exp(mean_nats), 2).alias("ppl_proxy"),
     )
 
 

@@ -663,3 +663,27 @@ ORACLES_EXT["vocab_growth_curve"] = f"""
            CAST((SELECT count(*) FROM fd WHERE fd.first_doc <= th.thr) AS BIGINT) AS vocab_size
     FROM th
 """
+
+# FULL twin of q_perplexity_proxy: the rounded-fold determinism trick
+# (events_ewma class) applied to the unigram LM. Per-token surprisal is
+# snapped to an exact BIGINT nano-nat grid (floor(-ln(tf/total)·1e9 +
+# 0.5)) so the per-doc sum is order-independent integer arithmetic; the
+# per-doc mean is rounded at 6 dp (absorbing any ±1 nano-nat ulp flip
+# of ln), and exp runs on the already-rounded mean, snapped at 2 dp —
+# the same expression tree Spark builds in text.unigram_surprisal.
+ORACLES_EXT["perplexity_proxy"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    lm AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM lm),
+    s AS (SELECT token, CAST(floor(-ln(tf / tot.total) * 1000000000 + 0.5) AS BIGINT) AS s9
+          FROM lm, tot),
+    d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(s.s9) AS BIGINT) AS ssum
+          FROM tok t JOIN s USING (token) GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           floor(CAST(ssum AS DOUBLE) / (n_tokens * 1000000000.0) * 1000000 + 0.5)
+             / 1000000.0 AS mean_surprisal_nats,
+           floor(exp(floor(CAST(ssum AS DOUBLE) / (n_tokens * 1000000000.0) * 1000000 + 0.5)
+                     / 1000000.0) * 100 + 0.5) / 100.0 AS ppl_proxy
+    FROM d
+"""

@@ -1146,7 +1146,8 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # added mid-round MUST be inserted at the head of the window (they are
 # never-graded) — test_grading_window_invariants enforces this.
 _QUERIES: dict[str, QueryFn] = {
-    # --- round-6 window: first-grade (added r5, never driver-graded) ---
+    # --- round-6 window: first-grade (never driver-graded with an oracle) ---
+    "perplexity_proxy": q_perplexity_proxy,  # FULL oracle as of r6 (was rows-only)
     "k_anonymity_report": q_k_anonymity_report,
     "traffic_seasonality": q_traffic_seasonality,
     "supplier_hhi": q_supplier_hhi,
@@ -1198,10 +1199,10 @@ _QUERIES: dict[str, QueryFn] = {
     # --- round-6 window: r03 re-grades (window fill) ---
     "dedup_components_star": q_dedup_components_star,
     "decontaminate_overlap": q_decontaminate_overlap,
-    "scd1_merge_agg": q_scd1_merge_agg,
     # ---------------- below the fold: every entry here holds a green
     # driver grade (r03-r05) or is declared rows-only ----------------
     # --- last green r03 ---
+    "scd1_merge_agg": q_scd1_merge_agg,
     "idempotent_append_agg": q_idempotent_append_agg,
     "token_frequency": q_token_frequency,
     "stratified_sample": q_stratified_sample,
@@ -1329,7 +1330,6 @@ _QUERIES: dict[str, QueryFn] = {
     "simhash_md5_candidates": q_simhash_md5_candidates,
     # --- rows-only (no DuckDB oracle; driver records rows-only check) ---
     "simhash_candidates": q_simhash_candidates,
-    "perplexity_proxy": q_perplexity_proxy,
     "distinct_users_rollup": q_distinct_users_rollup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "approx_aggregates": q_approx_aggregates,
@@ -3171,10 +3171,9 @@ def oracle_sql() -> dict[str, str]:
     (Spark-native xxhash64 DuckDB can't reproduce; partial oracle in
     tests/), ann_ivf_topk (seeded pyspark.ml k-means index build —
     iterative training SQL can't replay; partial oracle in tests/),
-    perplexity_proxy (ln/exp not engine-bit-stable; partial oracle in
-    tests/), approx_aggregates and distinct_users_rollup
-    (sketch-specific estimates). ann_lsh_topk is FULLY oracle'd — see
-    _ann_lsh_oracle_sql.
+    approx_aggregates and distinct_users_rollup (sketch-specific
+    estimates). ann_lsh_topk and perplexity_proxy are FULLY oracle'd
+    (deterministic md5 planes / nano-nat surprisal grid).
     """
     return dict(_ORACLES)
 
