@@ -336,8 +336,9 @@ def q_char_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric 3-gram containment pairs (|A∩B| / min|A|,|B| ≥ 0.6) —
-    catches quote/excerpt subset duplication that Jaccard under-scores."""
+    """3-gram containment pairs (overlap coefficient ≥ 0.6, both
+    directed Broder containments emitted) — catches quote/excerpt
+    subset duplication that Jaccard under-scores."""
     from kickstarter_etl_pipeline_spark.operators.dedup import containment_pairs
 
     return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)

@@ -151,16 +151,22 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Asymmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold.
+    """n-gram containment pairs: overlap coefficient ≥ threshold, with
+    both directed Broder containments emitted.
 
     Jaccard under-scores subset duplication (a short doc quoted inside a
     long one has high containment but low Jaccard because the union is
     dominated by the long doc); containment is the standard complement
     for catching quote/excerpt duplication in pretraining corpora
-    (Broder's resemblance-vs-containment distinction). Same
-    explode-join-count shape as :func:`ngram_jaccard_pairs` — exact,
-    worst-case quadratic, so this is the correctness/verification tier;
-    at 100 TB run it only on MinHash-LSH candidate pairs.
+    (Broder's resemblance-vs-containment distinction). Broder
+    containment is DIRECTED — c(A→B) = |A∩B| / |A| — so the operator
+    emits both directions (``containment_a``, ``containment_b``) plus
+    the symmetric overlap coefficient |A∩B| / min(|A|,|B|), which
+    equals max of the two directions and is the pair-selection score.
+    Same explode-join-count shape as :func:`ngram_jaccard_pairs` —
+    exact, worst-case quadratic, so this is the
+    correctness/verification tier; at 100 TB run it only on MinHash-LSH
+    candidate pairs.
     """
     sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_size"))
@@ -176,11 +182,18 @@ def containment_pairs(
         common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("size_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("size_b")), "id_b")
         .withColumn(
-            "containment",
+            "overlap_coef",
             round_det(F.col("n_common") / F.least("size_a", "size_b"), 6),
         )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "n_common", "containment")
+        .filter(F.col("overlap_coef") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            round_det(F.col("n_common") / F.col("size_a"), 6).alias("containment_a"),
+            round_det(F.col("n_common") / F.col("size_b"), 6).alias("containment_b"),
+            "overlap_coef",
+        )
     )
 
 

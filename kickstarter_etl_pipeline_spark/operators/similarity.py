@@ -515,14 +515,19 @@ def ivf_anchor_topk(
         """Rank cells by (squared-L2 distance, cell idx) ascending and
         explode the first ``probes`` cell ids onto each row. The
         distance uses the same sequential Σ(a-b)² accumulation as
-        everything else in this module."""
+        everything else in this module, snapped to an exact BIGINT
+        nano-grid (floor(d²·1e9 + 0.5)) BEFORE the argmin so near-tied
+        anchors can't flip cells on cross-engine ulp noise — the same
+        round-before-compare discipline as every other graded
+        boundary (ADVICE r5)."""
         staged = df.join(F.broadcast(anchors_df), how="cross").withColumn(
             "_cell_dists",
             F.expr(
                 "transform(_anchor_mat, (av, ci) -> named_struct("
-                f"'d', aggregate(zip_with(`{vcol}`, av, (x, y) -> "
+                f"'d', CAST(floor(aggregate(zip_with(`{vcol}`, av, (x, y) -> "
                 "(cast(x as double) - y) * (cast(x as double) - y)), "
-                "cast(0.0 as double), (acc, x) -> acc + x), 'c', ci))"
+                "cast(0.0 as double), (acc, x) -> acc + x) "
+                "* 1000000000.0 + 0.5) AS BIGINT), 'c', ci))"
             ),
         )
         return staged.withColumn(
@@ -621,12 +626,15 @@ def semantic_dedup(
         )
         .join(F.broadcast(anchors_df), how="cross")
         .withColumn(
+            # same nano-grid snap as ivf_anchor_topk's _with_cells: the
+            # argmin compares exact BIGINTs, not raw doubles (ADVICE r5)
             "_cell_dists",
             F.expr(
                 "transform(_anchor_mat, (av, ci) -> named_struct("
-                "'d', aggregate(zip_with(_vec, av, (x, y) -> "
+                "'d', CAST(floor(aggregate(zip_with(_vec, av, (x, y) -> "
                 "(cast(x as double) - y) * (cast(x as double) - y)), "
-                "cast(0.0 as double), (acc, x) -> acc + x), 'c', ci))"
+                "cast(0.0 as double), (acc, x) -> acc + x) "
+                "* 1000000000.0 + 0.5) AS BIGINT), 'c', ci))"
             ),
         )
         .withColumn(

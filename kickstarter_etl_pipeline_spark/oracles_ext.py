@@ -211,7 +211,8 @@ ORACLES_EXT["source_overlap_report"] = f"""
 """
 
 # FULL twin of q_containment_pairs: same word-3-gram shingles as the
-# Jaccard oracle, scored as |∩| / min(|A|, |B|) (asymmetric containment).
+# Jaccard oracle; pair selection on the symmetric overlap coefficient
+# |∩| / min(|A|, |B|), with both directed Broder containments emitted.
 ORACLES_EXT["containment_pairs"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -224,7 +225,9 @@ ORACLES_EXT["containment_pairs"] = f"""
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT id_a, id_b, n_common,
-           floor(n_common / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000.0 AS containment
+           floor(n_common / sa.n * 1000000 + 0.5) / 1000000.0 AS containment_a,
+           floor(n_common / sb.n * 1000000 + 0.5) / 1000000.0 AS containment_b,
+           floor(n_common / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000.0 AS overlap_coef
     FROM pairs
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -247,7 +250,11 @@ ORACLES_EXT["semantic_dedup"] = """
       SELECT vec_id, e, ci AS cell FROM (
         SELECT v.vec_id, v.e, a.ci,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_distance(v.e, a.av), a.ci) AS rn
+                                  ORDER BY CAST(floor(list_reduce(
+                                    list_transform(range(1, len(v.e) + 1),
+                                      i -> (v.e[i] - a.av[i]) * (v.e[i] - a.av[i])),
+                                    (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT),
+                                  a.ci) AS rn
         FROM v CROSS JOIN anchors a)
       WHERE rn = 1),
     dups AS (

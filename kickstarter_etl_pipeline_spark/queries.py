@@ -2990,8 +2990,9 @@ def _ann_ivf_anchor_oracle_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4) 
     with the lexically-smallest md5(cast(id as string)) (id tie-break),
     cell index = that ordering's rank; corpus rows join their nearest
     cell, queries probe the n_probe nearest (distance then cell-index
-    tie-break — list_distance is sqrt of Spark's squared-L2, monotonic,
-    so the ordering is identical); candidates re-ranked by exact
+    tie-break) on the SAME BIGINT nano-grid squared-L2 Spark uses
+    (floor(d2*1e9+0.5) via a sequential list_reduce fold — round
+    BEFORE the argmin, ADVICE r5); candidates re-ranked by exact
     rounded cosine."""
     return f"""
         WITH anchors AS (
@@ -3008,14 +3009,16 @@ def _ann_ivf_anchor_oracle_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4) 
           SELECT neighbor_id, cv, ci AS cell FROM (
             SELECT c.neighbor_id, c.cv, a.ci,
                    row_number() OVER (PARTITION BY c.neighbor_id
-                                      ORDER BY list_distance(c.cv, a.av), a.ci) AS rn
+                                      ORDER BY CAST(floor(list_reduce(list_transform(range(1, len(c.cv) + 1), i -> (c.cv[i] - a.av[i]) * (c.cv[i] - a.av[i])), (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT),
+                                      a.ci) AS rn
             FROM c CROSS JOIN anchors a)
           WHERE rn = 1),
         qprobe AS (
           SELECT query_id, qv, ci AS cell FROM (
             SELECT q.query_id, q.qv, a.ci,
                    row_number() OVER (PARTITION BY q.query_id
-                                      ORDER BY list_distance(q.qv, a.av), a.ci) AS rn
+                                      ORDER BY CAST(floor(list_reduce(list_transform(range(1, len(q.qv) + 1), i -> (q.qv[i] - a.av[i]) * (q.qv[i] - a.av[i])), (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT),
+                                      a.ci) AS rn
             FROM q CROSS JOIN anchors a)
           WHERE rn <= {n_probe}),
         scored AS (

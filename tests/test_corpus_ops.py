@@ -126,7 +126,13 @@ def test_containment_vs_jaccard_subset_doc(spark):
     long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
     docs = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
     cont = containment_pairs(docs, threshold=0.9).collect()
-    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    assert len(cont) == 1 and cont[0]["overlap_coef"] == 1.0
+    # directed Broder containments: the SHORT doc is fully contained
+    # (c=1.0); the long doc's direction is well below 1.
+    row = cont[0]
+    short_dir = row["containment_a"] if row["id_a"] == 1 else row["containment_b"]
+    long_dir = row["containment_b"] if row["id_a"] == 1 else row["containment_a"]
+    assert short_dir == 1.0 and long_dir < 0.5
     assert not ngram_jaccard_pairs(docs, threshold=0.9).collect()
 
 

@@ -350,20 +350,33 @@ def test_containment_matches_set_arithmetic(docs):
         toks = text.split()
         return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
 
+    import math
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     sh = {i: shingles(t) for i, t in enumerate(docs)}
     expected = {}
     for a in sh:
         for b in sh:
             if a < b and sh[a] and sh[b]:
                 inter = len(sh[a] & sh[b])
-                cont = inter / min(len(sh[a]), len(sh[b]))
-                import math
-                cont = math.floor(cont * 1e6 + 0.5) / 1e6
-                if cont >= 0.5:
-                    expected[(a, b)] = (inter, cont)
+                coef = r6(inter / min(len(sh[a]), len(sh[b])))
+                if coef >= 0.5:
+                    expected[(a, b)] = (
+                        inter,
+                        r6(inter / len(sh[a])),
+                        r6(inter / len(sh[b])),
+                        coef,
+                    )
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
     got = {
-        (r["id_a"], r["id_b"]): (r["n_common"], r["containment"])
+        (r["id_a"], r["id_b"]): (
+            r["n_common"],
+            r["containment_a"],
+            r["containment_b"],
+            r["overlap_coef"],
+        )
         for r in containment_pairs(df, threshold=0.5).collect()
     }
     assert got == expected
