@@ -1,0 +1,286 @@
+"""Oracle assembly: cross-oracle aliases, generated twins (LSH /
+anchor-IVF / SimHash / PageRank / LPA / recall report), and the
+final merged dict the driver contract exposes. Split out of
+queries.py in round 6.
+"""
+
+from kickstarter_etl_pipeline_spark.oracles_analytics import ORACLES_ANALYTICS
+from kickstarter_etl_pipeline_spark.oracles_core import ORACLES_CORE
+from kickstarter_etl_pipeline_spark.oracles_ext import ORACLES_EXT
+
+_ORACLES: dict[str, str] = {}
+_ORACLES.update(ORACLES_CORE)
+_ORACLES.update(ORACLES_ANALYTICS)
+
+_ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
+# Star-rewriting CC must produce the exact same groups as min-label CC.
+_ORACLES["dedup_components_star"] = _ORACLES["dedup_components"]
+_ORACLES["events_stream_sliding"] = _ORACLES["events_sliding"]
+# The finite-fixture upsert rollup must equal the batch tumbling agg.
+_ORACLES["events_stream_upsert"] = _ORACLES["events_tumbling"]
+# Compaction must preserve the data exactly — same oracle as the
+# idempotent-append round-trip (a plain aggregate over documents).
+_ORACLES["compaction_roundtrip_agg"] = _ORACLES["idempotent_append_agg"]
+# Format round-trips must reproduce the parquet-sourced aggregate exactly.
+_ORACLES["json_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
+_ORACLES["orc_roundtrip_agg"] = _ORACLES["csv_roundtrip_agg"]
+# Custom Python Data Source connector round-trip: same contract, over
+# the documents table.
+_ORACLES["jsonl_pyds_roundtrip_agg"] = """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+           count(DISTINCT lang) AS n_langs,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY source
+"""
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, num_planes: int = 3, num_tables: int = 6) -> str:
+    """FULL DuckDB twin of q_ann_lsh_topk — possible because every stage
+    of the LSH pipeline is deterministic: the hyperplanes are md5-derived
+    constants (similarity._plane_component), bucketing is pure sign
+    arithmetic, multi-probe flips the single lowest-|margin| plane with a
+    plane-index tie-break, and the re-scoring is exact rounded cosine.
+    The plane matrix is inlined as DOUBLE[] literals (Python float repr
+    round-trips exactly), so DuckDB replays the identical bucket → probe
+    → candidate → score → rank computation. n_probe is fixed at 2 (one
+    bit-flip probe), matching the query wrapper."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import _plane_component
+
+    rows = []
+    for g in range(num_tables * num_planes):
+        comps = ", ".join(repr(_plane_component(g, j)) for j in range(dim))
+        rows.append(f"({g // num_planes}, {g % num_planes}, [{comps}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    kp = num_planes
+    return f"""
+        WITH planes(tbl, p, pl) AS (VALUES {values}),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+        cdots AS (SELECT neighbor_id, tbl, p, list_dot_product(cv, pl) AS d
+                  FROM c CROSS JOIN planes),
+        cbuck AS (SELECT neighbor_id, tbl,
+                         CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END
+                                  * (1 << ({kp - 1} - p))) AS BIGINT) AS bucket
+                  FROM cdots GROUP BY 1, 2),
+        qdots AS (SELECT query_id, tbl, p, list_dot_product(qv, pl) AS d
+                  FROM q CROSS JOIN planes),
+        qmain AS (SELECT query_id, tbl,
+                         CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END
+                                  * (1 << ({kp - 1} - p))) AS BIGINT) AS bucket
+                  FROM qdots GROUP BY 1, 2),
+        qflip AS (SELECT query_id, tbl, p AS flip_p,
+                         row_number() OVER (PARTITION BY query_id, tbl
+                                            ORDER BY abs(d), p) AS rn
+                  FROM qdots),
+        qprobes AS (
+            SELECT query_id, tbl, bucket FROM qmain
+            UNION ALL
+            SELECT m.query_id, m.tbl,
+                   CAST(xor(m.bucket, CAST(1 << ({kp - 1} - f.flip_p) AS BIGINT)) AS BIGINT)
+            FROM qmain m JOIN qflip f
+              ON m.query_id = f.query_id AND m.tbl = f.tbl AND f.rn = 1),
+        cand AS (SELECT DISTINCT pr.query_id, cb.neighbor_id
+                 FROM qprobes pr JOIN cbuck cb
+                   ON pr.tbl = cb.tbl AND pr.bucket = cb.bucket
+                 WHERE cb.neighbor_id <> pr.query_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+                          round(list_cosine_similarity(q.qv, c.cv), 6) AS cosine_sim
+                   FROM cand JOIN q ON cand.query_id = q.query_id
+                             JOIN c ON cand.neighbor_id = c.neighbor_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+_ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+
+
+def _ann_ivf_anchor_oracle_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4) -> str:
+    """FULL DuckDB twin of q_ann_ivf_anchor_topk (see
+    similarity.ivf_anchor_topk): anchors are the n_cells corpus vectors
+    with the lexically-smallest md5(cast(id as string)) (id tie-break),
+    cell index = that ordering's rank; corpus rows join their nearest
+    cell, queries probe the n_probe nearest (distance then cell-index
+    tie-break) on the SAME BIGINT nano-grid squared-L2 Spark uses
+    (floor(d2*1e9+0.5) via a sequential list_reduce fold — round
+    BEFORE the argmin, ADVICE r5); candidates re-ranked by exact
+    rounded cosine."""
+    return f"""
+        WITH anchors AS (
+          SELECT av, rn - 1 AS ci FROM (
+            SELECT CAST(embedding AS DOUBLE[]) AS av,
+                   row_number() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings)
+          WHERE rn <= {n_cells}),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+        cass AS (
+          SELECT neighbor_id, cv, ci AS cell FROM (
+            SELECT c.neighbor_id, c.cv, a.ci,
+                   row_number() OVER (PARTITION BY c.neighbor_id
+                                      ORDER BY CAST(floor(list_reduce(list_transform(range(1, len(c.cv) + 1), i -> (c.cv[i] - a.av[i]) * (c.cv[i] - a.av[i])), (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT),
+                                      a.ci) AS rn
+            FROM c CROSS JOIN anchors a)
+          WHERE rn = 1),
+        qprobe AS (
+          SELECT query_id, qv, ci AS cell FROM (
+            SELECT q.query_id, q.qv, a.ci,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY CAST(floor(list_reduce(list_transform(range(1, len(q.qv) + 1), i -> (q.qv[i] - a.av[i]) * (q.qv[i] - a.av[i])), (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT),
+                                      a.ci) AS rn
+            FROM q CROSS JOIN anchors a)
+          WHERE rn <= {n_probe}),
+        scored AS (
+          SELECT qp.query_id, ca.neighbor_id,
+                 round(list_cosine_similarity(qp.qv, ca.cv), 6) AS cosine_sim
+          FROM qprobe qp JOIN cass ca ON qp.cell = ca.cell
+          WHERE ca.neighbor_id <> qp.query_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+_ORACLES["ann_ivf_anchor_topk"] = _ann_ivf_anchor_oracle_sql()
+
+# FULL twin of q_simhash_md5_candidates (dedup.with_simhash with
+# md5_token_hash/60 bits): token hash = first 15 md5 hex chars as a
+# 60-bit integer, per-bit ±1 sums over every token occurrence, sign
+# pack, 4×15-bit band blocking, exact Hamming on colliding pairs.
+_ORACLES["simhash_md5_candidates"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    th AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+    bitsum AS (
+      SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS chunk
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM pairs
+"""
+
+
+# Round-5 curation/graph/layout oracle twins live in oracles_ext.py
+# (VERDICT r04 #8: registry module stays lean); merged here so the
+# driver contract is unchanged.
+_ORACLES.update(ORACLES_EXT)
+
+# FULL twin of q_ann_recall_report: the two verified pipelines
+# (embedding_topk exact, ann_lsh_topk approximate — identical query
+# set and k) composed; recall@5 = hits / 5 per query.
+_ORACLES["ann_recall_report"] = f"""
+    SELECT ex.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           floor(count(l.neighbor_id) / 5.0 * 1000000 + 0.5) / 1000000.0 AS recall_at_5
+    FROM ({_ORACLES['embedding_topk']}) ex
+    LEFT JOIN ({_ORACLES['ann_lsh_topk']}) l
+      ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+    GROUP BY ex.query_id
+"""
+
+
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled 10-iteration PageRank recurrence — possible because the
+    Spark side rounds the rank vector to a 1e-9 grid each iteration
+    (graph.pagerank), so contribution-sum order noise (~1e-17) never
+    reaches the grid and both engines hold bit-identical iterates."""
+    rd9 = "floor(({expr}) * 1000000000 + 0.5) / 1000000000.0"
+    head = """
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+                   FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    dedges AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM dedges GROUP BY src),
+    n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM dedges),
+    pr0 AS (SELECT s.src AS id, """ + rd9.format(expr="1.0 / n.n") + """ AS pr
+            FROM (SELECT DISTINCT src FROM dedges) s CROSS JOIN n)"""
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f""",
+    pr{k + 1} AS (
+      SELECT dedges.dst AS id, """
+            + rd9.format(expr=f"(1.0 - 0.85) / n.n + 0.85 * sum(p.pr / deg.d)")
+            + f""" AS pr
+      FROM dedges JOIN pr{k} p ON p.id = dedges.src
+                  JOIN deg ON deg.src = dedges.src
+                  CROSS JOIN n
+      GROUP BY dedges.dst, n.n)"""
+        )
+    tail = f"""
+    SELECT id AS user_id,
+           floor((pr * 1000) * 1000000 + 0.5) / 1000000.0 AS pr_permille
+    FROM pr{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+
+
+def _lpa_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled synchronous label propagation — integer votes with a
+    (count desc, label asc) argmax; replayable because every step is
+    exact and the schedule is fixed."""
+    head = """
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+                   FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    dedges AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+    lp0 AS (SELECT DISTINCT src AS id, src AS community FROM dedges)"""
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f""",
+    lp{k + 1} AS (
+      SELECT id, community FROM (
+        SELECT dedges.dst AS id, p.community,
+               row_number() OVER (PARTITION BY dedges.dst
+                                  ORDER BY count(*) DESC, p.community) AS r
+        FROM dedges JOIN lp{k} p ON p.id = dedges.src
+        GROUP BY dedges.dst, p.community)
+      WHERE r = 1)"""
+        )
+    tail = f""",
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS n_members
+              FROM lp{iterations} GROUP BY community)
+    SELECT l.id AS user_id, l.community, s.n_members
+    FROM lp{iterations} l JOIN sizes s USING (community)
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_communities"] = _lpa_oracle_sql()
+
+ALL_ORACLES = _ORACLES
