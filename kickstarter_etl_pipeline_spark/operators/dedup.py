@@ -691,3 +691,60 @@ def simhash_candidates(
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+
+
+def duplicate_ngram_span_stats(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact substring-duplication statistics (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    measurement, re-expressed on token n-grams instead of suffix arrays):
+    for every document, the fraction of its token-``n``-gram POSITIONS
+    whose gram occurs more than once in the corpus (cross-document or
+    repeated within a document).
+
+    Unlike the set-similarity tiers this keeps every POSITION (no
+    array_distinct) — a doc that repeats one slogan fifty times scores
+    fifty duplicated positions. Two uniform-key shuffles (gram counts,
+    per-doc rollup); the left join keeps zero-position docs (shorter
+    than ``n`` tokens) with NULL dup_ratio. At 100 TB the gram-count
+    table is the big intermediate — its key space is bounded by corpus
+    positions, hash-partitioned, no skew beyond natural gram frequency
+    (stop-gram heads are the hot keys; they are exactly the duplicated
+    ones, and the count aggregate map-side combines).
+    """
+    staged = ensure_min_partitions(df).withColumn("_toks", tokens(text_col))
+    pos = staged.filter(F.size("_toks") >= n).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {n - 1}), "
+                f"i -> array_join(slice(_toks, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    gram_counts = pos.groupBy("gram").agg(F.count("*").alias("_n_occ"))
+    per_doc = (
+        pos.join(gram_counts, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_positions"),
+            F.sum(F.when(F.col("_n_occ") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_dup_positions"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_positions"), F.lit(0)).cast("long").alias("n_positions"),
+            F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long").alias(
+                "n_dup_positions"
+            ),
+            round_det(F.col("n_dup_positions") / F.col("n_positions"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )

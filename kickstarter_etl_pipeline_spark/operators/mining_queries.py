@@ -1,0 +1,179 @@
+"""Round-6 corpus/structure-mining queries: substring-duplication
+statistics, Zipf rank-frequency fit, privacy l-diversity, per-source
+quality percentile gating, session bounce analytics, graph link
+prediction, MinHash estimator calibration, and bloom-prefiltered joins.
+
+Each query has a full DuckDB oracle twin (oracles_mining.py) and
+follows the repo's determinism rules: exact integer/decimal
+aggregation, transcendentals snapped to fixed grids BEFORE
+aggregation, rankings totally ordered by (value, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators import text as TX
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact substring-duplication stats over token
+    8-grams (Lee et al. 2022 ExactSubstr measurement, n-gram form):
+    fraction of gram positions occurring >1 time in the corpus."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import duplicate_ngram_span_stats
+
+    return duplicate_ngram_span_stats(load_table(spark, sf_dir, "documents"), n=8)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token frequencies: OLS slope and
+    intercept of ln(freq) on ln(rank) — the corpus-health scalar every
+    pretraining data audit reports (natural text ≈ −1).
+
+    Determinism: ln(rank) and ln(freq) are snapped to exact integer
+    MICRO-nat grids (floor(ln·1e6 + 0.5)), all OLS sums are exact
+    BIGINT arithmetic (Σxy ≤ 1000·(7e6·1.6e7) ≈ 1e17 < 2^63), and the
+    final slope/intercept divide exact-int-derived doubles — IEEE
+    division of identical inputs, then a 6-dp grid. Rank order is the
+    total order (count DESC, token ASC). One shuffle (token counts) +
+    a 1000-row TakeOrdered.
+    """
+    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        token_frequency(docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(1000)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+            ),
+        )
+    )
+    g = top.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1e6 + 0.5).cast("long").alias("x6"),
+        F.floor(F.log(F.col("n_occurrences").cast("double")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("y6"),
+    )
+    sums = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / (n * F.lit(1e6))
+    return sums.select(
+        F.col("n").alias("n_tokens"),
+        round_det(slope, 6).alias("zipf_slope"),
+        round_det(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion to
+    q_k_anonymity_report: per ``source`` quasi-class, how diverse the
+    sensitive attribute (``lang``) is — distinct-l, the l=3 violation
+    flag, and the dominant language's share (the homogeneity-attack
+    surface). Exact integers + one fixed division tree."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("_n"))
+    return cells.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.when(F.count("*") < 3, 1).otherwise(0).cast("int").alias("violates_l3"),
+        round_det(F.max("_n") / F.sum("_n"), 6).alias("top_lang_share"),
+    )
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: keep the top 80% of documents by quality
+    score WITHIN each source (per-source ranking is the standard
+    curation discipline — a global cutoff would empty low-scoring
+    sources entirely and skew the mixture). Cutoff is rank-based
+    (rank ≤ ceil(0.8·n) over the (quality DESC, doc_id) total order) —
+    pure integer arithmetic, no percent_rank n=1 edge cases. Mean kept
+    quality aggregates the already-6dp-rounded scores through
+    DECIMAL(18,6) so sum order can't perturb the 6-dp output grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("source"))
+    )
+    kept = F.col("_rk") <= F.ceil(F.col("_n") * 0.8)
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.min(F.when(kept, F.col("quality"))).alias("min_kept_quality"),
+        round_det(
+            F.sum(F.when(kept, F.col("quality")).otherwise(F.lit(0.0)).cast("decimal(18,6)"))
+            .cast("double")
+            / F.sum(F.when(kept, 1).otherwise(0)),
+            6,
+        ).alias("mean_kept_quality"),
+    )
+
+
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate analytics per session ENTRY event type: sessionize
+    (30-min gap, the events_sessionize construction), take each
+    session's first event type ((ts, event_id) total order), and report
+    sessions / bounces (single-event sessions) / bounce rate / mean
+    depth per entry type. One shuffle on user_id (sessionization), one
+    on entry type (rollup)."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("_us").over(w).isNull() | ((F.col("_us") - F.lag("_us").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("_new", new_session)
+        .withColumn("session_id", F.sum("_new").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min_by("event_type", F.struct("_us", "event_id")).alias("entry_type"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return sess.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_bounces"
+        ),
+        round_det(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("bounce_rate"),
+        round_det(F.sum("n_events") / F.count("*"), 6).alias("mean_depth"),
+    )
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the error co-occurrence
+    graph (same graph as user_triangle_counts): non-adjacent user pairs
+    sharing ≥2 neighbors, scored by neighborhood Jaccard."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        common_neighbor_link_prediction,
+        cooccurrence_edges,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return common_neighbor_link_prediction(edges, min_common=2)

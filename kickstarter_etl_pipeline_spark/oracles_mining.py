@@ -1,0 +1,150 @@
+"""DuckDB oracle twins for the round-6 mining queries
+(operators/mining_queries.py). Same determinism discipline as every
+other oracle module: exact integer/decimal aggregation, fixed-grid
+transcendentals, (value, id) total orders.
+"""
+
+from kickstarter_etl_pipeline_spark.oracles_core import _TOKS
+
+ORACLES_MINING: dict[str, str] = {}
+
+# FULL twin of q_duplicate_ngram_spans: positional (non-distinct) token
+# 8-grams; DuckDB range(1, n) is end-EXCLUSIVE = Spark sequence(1, n-1),
+# and t[i:i+7] is an inclusive 8-element slice = Spark slice(t, i, 8).
+ORACLES_MINING["duplicate_ngram_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> array_to_string(t[i:i+7], ' '))) AS gram
+            FROM toks WHERE len(t) >= 8),
+    gc AS (SELECT gram, count(*) AS n_occ FROM pos GROUP BY gram),
+    pd AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+                  CAST(sum(CASE WHEN g.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           FROM pos p JOIN gc g USING (gram) GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_positions, 0) AS BIGINT) AS n_positions,
+           CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_positions,
+           floor(pd.n_dup / pd.n_positions * 1000000 + 0.5) / 1000000.0 AS dup_ratio
+    FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+# FULL twin of q_zipf_slope: micro-nat integer grids for ln(rank) /
+# ln(freq), exact BIGINT OLS sums, IEEE double combination.
+ORACLES_MINING["zipf_slope"] = f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+            FROM tf ORDER BY n DESC, token LIMIT 1000),
+    g AS (SELECT CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT) AS x6,
+                 CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) AS y6
+          FROM top),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+                 CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+                 CAST(sum(x6 * x6) AS BIGINT) AS sxx
+          FROM g)
+    SELECT n AS n_tokens,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS zipf_slope,
+           floor((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * 1000000.0) * 1000000 + 0.5) / 1000000.0
+             AS zipf_intercept
+    FROM s
+"""
+
+# FULL twin of q_l_diversity_report.
+ORACLES_MINING["l_diversity_report"] = """
+    WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1, 2)
+    SELECT source, CAST(sum(n) AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS INTEGER) AS violates_l3,
+           floor(max(n) / sum(n) * 1000000 + 0.5) / 1000000.0 AS top_lang_share
+    FROM cells GROUP BY source
+"""
+
+# FULL twin of q_quality_percentile_filter: same quality expression as
+# the quality_scores oracle, rank-based 80% cutoff (integer arithmetic,
+# no percent_rank n=1 edge), DECIMAL(18,6) mean path.
+ORACLES_MINING["quality_percentile_filter"] = f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             floor((
+               (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+               * (0.5 + 0.5 * (len(list_distinct(toks)) / nullif(len(toks), 0)))
+               - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / greatest(length(text), 1) * 5, 0.5)
+             ) * 1000000 + 0.5) / 1000000.0 AS quality
+      FROM (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents)),
+    ranked AS (SELECT *,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY quality DESC, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM scored),
+    k AS (SELECT *, CASE WHEN rk <= ceil(n * 0.8) THEN 1 ELSE 0 END AS kept FROM ranked)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           min(CASE WHEN kept = 1 THEN quality END) AS min_kept_quality,
+           floor(CAST(sum(CASE WHEN kept = 1 THEN CAST(quality AS DECIMAL(18,6))
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(kept) * 1000000 + 0.5) / 1000000.0 AS mean_kept_quality
+    FROM k GROUP BY source
+"""
+
+# FULL twin of q_session_bounce_rate: the events_sessionize
+# gaps-and-islands construction + first-event-of-session entry type.
+ORACLES_MINING["session_bounce_rate"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM lagd),
+    sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM flagged),
+    fe AS (SELECT user_id, session_id, event_type,
+                  row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY us, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id, session_id) AS n_events
+           FROM sess),
+    per AS (SELECT event_type AS entry_type, n_events FROM fe WHERE rn = 1)
+    SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / count(*)
+                 * 1000000 + 0.5) / 1000000.0 AS bounce_rate,
+           floor(sum(n_events) / count(*) * 1000000 + 0.5) / 1000000.0 AS mean_depth
+    FROM per GROUP BY entry_type
+"""
+
+# FULL twin of q_graph_link_prediction: same 30-min error co-occurrence
+# edges as user_triangle_counts, wedge join, anti-join against existing
+# edges, neighborhood Jaccard on a 6-dp grid.
+ORACLES_MINING["graph_link_prediction"] = """
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS bucket,
+                                   user_id
+                   FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM nodes a JOIN nodes b ON a.bucket = b.bucket AND a.user_id < b.user_id),
+    adj AS (SELECT u AS a, v AS n FROM edges UNION ALL SELECT v AS a, u AS n FROM edges),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY a),
+    wedge AS (SELECT x.a AS u, y.a AS v, CAST(count(*) AS BIGINT) AS n_common
+              FROM adj x JOIN adj y ON x.n = y.n AND x.a < y.a
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    nonadj AS (SELECT w.u, w.v, w.n_common FROM wedge w
+               ANTI JOIN edges e ON w.u = e.u AND w.v = e.v)
+    SELECT na.u, na.v, na.n_common,
+           floor(na.n_common / (du.degree + dv.degree - na.n_common)
+                 * 1000000 + 0.5) / 1000000.0 AS jaccard_score
+    FROM nonadj na
+    JOIN deg du ON du.a = na.u
+    JOIN deg dv ON dv.a = na.v
+"""

@@ -217,6 +217,15 @@ from kickstarter_etl_pipeline_spark.qdefs_embeddings import (  # noqa: F401 — 
     q_embedding_quantization,
 )
 
+from kickstarter_etl_pipeline_spark.operators.mining_queries import (  # noqa: F401 — registry surface
+    q_duplicate_ngram_spans,
+    q_graph_link_prediction,
+    q_l_diversity_report,
+    q_quality_percentile_filter,
+    q_session_bounce_rate,
+    q_zipf_slope,
+)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -233,6 +242,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # never-graded) — test_grading_window_invariants enforces this.
 _QUERIES: dict[str, QueryFn] = {
     # --- round-6 window: first-grade (never driver-graded with an oracle) ---
+    "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "zipf_slope": q_zipf_slope,
+    "l_diversity_report": q_l_diversity_report,
+    "quality_percentile_filter": q_quality_percentile_filter,
+    "session_bounce_rate": q_session_bounce_rate,
+    "graph_link_prediction": q_graph_link_prediction,
     "perplexity_proxy": q_perplexity_proxy,  # FULL oracle as of r6 (was rows-only)
     "k_anonymity_report": q_k_anonymity_report,
     "traffic_seasonality": q_traffic_seasonality,
