@@ -748,3 +748,55 @@ def duplicate_ngram_span_stats(
             ),
         )
     )
+
+
+def minhash_md5_estimate_vs_exact(
+    df: DataFrame,
+    num_hashes: int = 16,
+    candidate_threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION: for every candidate pair (exact
+    word-n-gram Jaccard ≥ ``candidate_threshold``), compare the
+    ``num_hashes``-permutation MinHash estimate (fraction of agreeing
+    signature slots — an unbiased estimator of Jaccard, Broder 1997)
+    against the exact value and report the absolute error.
+
+    This is the measurement that justifies the production LSH tier's
+    band/row parameters: E[|est − J|] ≈ sqrt(J(1−J)/k). Unlike the
+    xxhash64 production signature (engine-specific), the permutations
+    here are ``md5(seed || ':' || shingle)`` string mins — bit-exact in
+    any engine with md5, so the whole report carries a full DuckDB
+    oracle. Estimate = exact integer count / k; error compares two
+    6-dp-grid values. The signature is one per-row expression over the
+    staged shingle array (no extra shuffle); the pair join reuses the
+    exact-tier candidates.
+    """
+    staged = with_shingles(ensure_min_partitions(df), text_col, "_sh", n).localCheckpoint(
+        eager=True
+    )
+    sig = staged.filter(F.size("_sh") > 0).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), i -> "
+            "array_min(transform(_sh, s -> md5(concat(cast(i as string), ':', s)))))"
+        ).alias("_sig"),
+    )
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    pairs = jaccard_pairs_from_shingle_table(sh, candidate_threshold, id_col)
+    est = F.expr(
+        "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), b -> b))"
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.join(sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")), "id_a")
+        .join(sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("exact_jaccard"),
+            round_det(est, 6).alias("est_jaccard"),
+            round_det(F.abs(round_det(est, 6) - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )

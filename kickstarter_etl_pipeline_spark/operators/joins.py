@@ -111,3 +111,47 @@ def asof_join_backward(
         "asof_ts_us",
         *[f"asof_{c}" for c in right_value_cols],
     )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 65536,
+) -> DataFrame:
+    """Bloom-style membership prefilter of ``fact`` against the key set
+    of ``keys`` — the hand-rolled analog of Spark's runtime bloom-filter
+    injection (spark.sql.optimizer.runtime.bloomFilter.*), kept fully
+    declarative so the plan is inspectable and works at any threshold.
+
+    The filter is a bitmap packed into 64-bit words built with ONE
+    aggregate over the (small) key side — ``groupBy(word_idx) →
+    bit_or(1 << bit_idx)`` — at most ``n_bits/64`` rows, broadcast-
+    joined onto the fact by word index, then a bitwise AND test. One
+    hash function (xxhash64), so FPR ≈ n_keys/n_bits; false positives
+    are REMOVED by the exact join that follows in any caller — the
+    prefilter only cuts shuffle volume, never changes results. At 100
+    TB this is the pattern for cutting a fact-side shuffle when the
+    dim predicate is selective but the dim is too big to broadcast
+    whole: the bitmap is O(n_bits) regardless of dim width.
+    """
+    bitmap = (
+        keys.select(
+            F.expr(f"pmod(xxhash64(`{dim_key}`), {n_bits})").alias("_h")
+        )
+        .select(
+            F.expr("_h div 64").alias("_word_idx"),
+            F.expr("shiftleft(1L, cast(_h % 64 as int))").alias("_bit"),
+        )
+        .groupBy("_word_idx")
+        .agg(F.expr("bit_or(_bit)").alias("_word"))
+    )
+    staged = fact.withColumn(
+        "_fh", F.expr(f"pmod(xxhash64(`{fact_key}`), {n_bits})")
+    ).withColumn("_word_idx", F.expr("_fh div 64"))
+    return (
+        staged.join(F.broadcast(bitmap), on="_word_idx", how="inner")
+        .filter(F.expr("(_word & shiftleft(1L, cast(_fh % 64 as int))) != 0"))
+        .drop("_fh", "_word_idx", "_word")
+    )

@@ -177,3 +177,56 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
     edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
     return common_neighbor_link_prediction(edges, min_common=2)
+
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: md5-permutation 16-slot signature
+    agreement vs exact n-gram Jaccard on candidate pairs."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import minhash_md5_estimate_vs_exact
+
+    return minhash_md5_estimate_vs_exact(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, candidate_threshold=0.3
+    )
+
+
+def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact→dim join: lineitem rows are prefiltered by
+    a 65536-bit bitmap built from the selective part subset (one brand)
+    before the exact join — the declarative analog of runtime
+    bloom-filter injection. False positives die in the exact join, so
+    the plain-join oracle verifies transparency. Revenue in DECIMAL."""
+    from kickstarter_etl_pipeline_spark.operators.joins import bloom_prefilter
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dim = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey", "p_type")
+    prefiltered = bloom_prefilter(lineitem, dim, "l_partkey", "p_partkey")
+    return (
+        prefiltered.join(
+            F.broadcast(dim), prefiltered["l_partkey"] == dim["p_partkey"]
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-least-once replay collapse via
+    dropDuplicatesWithinWatermark; oracle = batch DISTINCT rollup."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        streaming_dedup_counts,
+    )
+
+    return streaming_dedup_counts(spark, sf_dir)

@@ -148,3 +148,63 @@ ORACLES_MINING["graph_link_prediction"] = """
     JOIN deg du ON du.a = na.u
     JOIN deg dv ON dv.a = na.v
 """
+
+# FULL twin of q_minhash_jaccard_estimate: md5-permutation signatures
+# replayed verbatim (string mins are byte-lexicographic in both
+# engines); exact Jaccard replays the ngram_jaccard_pairs tree; the
+# estimate divides an exact slot-agreement count by 16 (a power of two,
+# so the division is exact binary arithmetic).
+ORACLES_MINING["minhash_jaccard_estimate"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+            FROM toks WHERE len(t) >= 3),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                     list_min(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)))) AS sg
+            FROM shl WHERE len(sh) > 0),
+    shx AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b,
+                   floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5)
+                     / 1000000.0 AS j
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b),
+    est AS (SELECT jac.id_a, jac.id_b, jac.j,
+                   floor(list_sum(list_transform(range(1, 17),
+                           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END))
+                         / 16.0 * 1000000 + 0.5) / 1000000.0 AS e
+            FROM jac
+            JOIN sig a ON a.doc_id = jac.id_a
+            JOIN sig b ON b.doc_id = jac.id_b
+            WHERE jac.j >= 0.3)
+    SELECT id_a, id_b, j AS exact_jaccard, e AS est_jaccard,
+           floor(abs(e - j) * 1000000 + 0.5) / 1000000.0 AS abs_err
+    FROM est
+"""
+
+# FULL twin of q_bloom_prefiltered_join: the bloom prefilter is
+# result-transparent (false positives are removed by the exact join),
+# so the oracle is the PLAIN join — that transparency is the property
+# under test.
+ORACLES_MINING["bloom_prefiltered_join"] = """
+    SELECT p.p_type, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#12'
+    GROUP BY p.p_type
+"""
+
+# FULL twin of q_events_stream_dedup: within-watermark streaming dedup
+# on a finite ordered fixture equals the batch DISTINCT rollup.
+ORACLES_MINING["events_stream_dedup"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_keys
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) FROM events)
+    GROUP BY event_type
+"""

@@ -218,7 +218,10 @@ from kickstarter_etl_pipeline_spark.qdefs_embeddings import (  # noqa: F401 — 
 )
 
 from kickstarter_etl_pipeline_spark.operators.mining_queries import (  # noqa: F401 — registry surface
+    q_bloom_prefiltered_join,
     q_duplicate_ngram_spans,
+    q_events_stream_dedup,
+    q_minhash_jaccard_estimate,
     q_graph_link_prediction,
     q_l_diversity_report,
     q_quality_percentile_filter,
@@ -243,6 +246,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {
     # --- round-6 window: first-grade (never driver-graded with an oracle) ---
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "bloom_prefiltered_join": q_bloom_prefiltered_join,
+    "events_stream_dedup": q_events_stream_dedup,
     "zipf_slope": q_zipf_slope,
     "l_diversity_report": q_l_diversity_report,
     "quality_percentile_filter": q_quality_percentile_filter,

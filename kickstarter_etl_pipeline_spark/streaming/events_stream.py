@@ -609,3 +609,45 @@ def stream_hourly_daily_append_parquet(
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def streaming_dedup_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "24 hours",
+) -> DataFrame:
+    """At-least-once replay collapse: dropDuplicatesWithinWatermark on
+    the (user_id, event_type, minute-bucket) key, then a BATCH rollup of
+    the deduplicated stream — per event_type, how many distinct keys
+    survived. Duplicate keys only arise within one minute bucket, so any
+    watermark delay ≥ the fixture's disorder makes the within-watermark
+    dedup EXACT here, and the batch-DISTINCT oracle verifies it. State
+    is bounded by the watermark horizon (the reason to prefer this over
+    plain dropDuplicates, whose state grows forever at 100 TB/day).
+
+    FIXTURE-VERIFICATION TIER for the rollup (memory sink); the dedup
+    stage itself is the production pattern.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withColumn("minute_bucket", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+        .select("user_id", "event_type", "minute_bucket")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stream_ckpt_")
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_distinct_keys"))
+    )
