@@ -230,3 +230,115 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_dedup_counts(spark, sf_dir)
+
+
+def q_priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: per-source
+    top-5 documents by the Efraimidis–Spirakis A-Res priority
+    ``u^(1/w)`` with weight w = n_chars — long documents are
+    proportionally more likely to be drawn, and the draw is a pure
+    function of the data (u comes from md5(doc_id), not an RNG), so the
+    "sample" is reproducible across engines, runs, and cluster sizes.
+    This is the 100 TB way to draw a weighted corpus subsample: one
+    per-row expression + a per-group top-k (TakeOrdered, no global
+    sort).
+
+    Determinism: rank on ln(u)/w (monotone in u^(1/w)) snapped to an
+    exact BIGINT nano-grid; u = (h+1)/16^12 from the first 12 md5 hex
+    digits, an IEEE division of exact integers. A ±1 nano flip from
+    ln's cross-engine ulp noise only reorders keys that are within
+    1e-9 of each other — the 500-doc key spread is ~10 orders wider.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (h + 1) / F.lit(float(16**12))
+    key9 = F.floor(F.log(u) / F.col("n_chars") * 1e9 + 0.5).cast("long")
+    w = Window.partitionBy("source").orderBy(F.desc("priority_key9"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", key9.alias("priority_key9"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", "n_chars", "priority_key9")
+    )
+
+
+def q_source_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity per source over the language distribution:
+    Shannon entropy (nats) and the Simpson concentration index — the
+    two standard mixture-health scalars for a pretraining source
+    (low entropy / high Simpson = one language dominates).
+
+    Determinism: each entropy term −p·ln(p) is snapped to an exact
+    BIGINT nano-nat grid BEFORE summing (p = exact-integer division),
+    so sum order is irrelevant; Simpson = Σnᵢ²/n² divides exact
+    integers. Two uniform-key aggregates, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("_n"))
+    totals = cells.groupBy("source").agg(F.sum("_n").cast("long").alias("_tot"))
+    terms = cells.join(totals, "source").select(
+        "source",
+        "_n",
+        "_tot",
+        F.floor(
+            -(F.col("_n") / F.col("_tot")) * F.log(F.col("_n") / F.col("_tot")) * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("_t9"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("_tot").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        round_det(F.sum("_t9") / F.lit(1e9), 6).alias("shannon_entropy_nats"),
+        round_det(
+            F.sum(F.col("_n") * F.col("_n")).cast("double")
+            / (F.max("_tot") * F.max("_tot")),
+            6,
+        ).alias("simpson_index"),
+    )
+
+
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over daily event counts per type (Page
+    1954): the one-sided positive CUSUM s_t = max(0, s_{t-1} + (x_t − μ
+    − k)) with slack k = σ/2, reporting the max excursion (the drift
+    statistic) and the final value.
+
+    Spark-first trick: the clamped fold needs no fold at all — with
+    prefix sums P_t of the increments, s_t = P_t − min(0, min_{j≤t}
+    P_j), so the whole thing is two ordered-window passes. Increments
+    are snapped to an exact BIGINT nano-grid first, making every
+    prefix sum / min / max exact integer arithmetic (μ and σ derive
+    from exact integer sums; sqrt is IEEE-correctly-rounded, so both
+    engines agree bit-for-bit). One shuffle on event_type."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.col("_us") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    stats = Window.partitionBy("event_type")
+    mu = F.sum("x").over(stats).cast("double") / F.count("*").over(stats)
+    sigma = F.sqrt(
+        F.sum(F.col("x") * F.col("x")).over(stats).cast("double")
+        / F.count("*").over(stats)
+        - mu * mu
+    )
+    staged = daily.withColumn(
+        "_d9", F.floor((F.col("x") - mu - sigma / 2) * 1e9 + 0.5).cast("long")
+    ).withColumn("_mu", mu).withColumn("_sigma", sigma)
+    seq = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        staged.withColumn("_p", F.sum("_d9").over(seq))
+        .withColumn("_s", F.col("_p") - F.least(F.lit(0).cast("long"), F.min("_p").over(seq)))
+    )
+    return cum.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        round_det(F.max("_mu"), 6).alias("mean_daily"),
+        round_det(F.max("_sigma"), 6).alias("sigma_daily"),
+        round_det(F.max("_s") / F.lit(1e9), 6).alias("max_cusum"),
+        round_det(F.max_by("_s", "day") / F.lit(1e9), 6).alias("end_cusum"),
+    )

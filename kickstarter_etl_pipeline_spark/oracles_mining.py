@@ -208,3 +208,76 @@ ORACLES_MINING["events_stream_dedup"] = """
     FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) FROM events)
     GROUP BY event_type
 """
+
+# FULL twin of q_priority_weighted_sample: Efraimidis-Spirakis priority
+# key ln(u)/w on a BIGINT nano-grid; u from the first 12 md5 hex digits
+# (hex->int replayed via DuckDB's 0x-prefixed VARCHAR->BIGINT cast).
+ORACLES_MINING["priority_weighted_sample"] = """
+    WITH d AS (SELECT doc_id, source, n_chars,
+                      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                           AS BIGINT) AS h
+               FROM documents),
+    k AS (SELECT doc_id, source, n_chars,
+                 CAST(floor(ln((h + 1) / 281474976710656.0) / n_chars
+                            * 1000000000 + 0.5) AS BIGINT) AS priority_key9
+          FROM d),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY priority_key9 DESC, doc_id) AS INTEGER) AS rank
+          FROM k)
+    SELECT source, rank, doc_id, n_chars, priority_key9 FROM r WHERE rank <= 5
+"""
+
+# FULL twin of q_source_diversity_report: nano-nat entropy terms summed
+# as exact integers; Simpson from exact integer sums.
+ORACLES_MINING["source_diversity_report"] = """
+    WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY source),
+    terms AS (SELECT c.source, c.n, t.tot,
+                     CAST(floor(-(c.n / t.tot) * ln(c.n / t.tot)
+                                * 1000000000 + 0.5) AS BIGINT) AS t9
+              FROM cells c JOIN tot t USING (source))
+    SELECT source, max(tot) AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+           floor(sum(t9) / 1000000000.0 * 1000000 + 0.5) / 1000000.0
+             AS shannon_entropy_nats,
+           floor(CAST(sum(n * n) AS DOUBLE) / (max(tot) * max(tot))
+                 * 1000000 + 0.5) / 1000000.0 AS simpson_index
+    FROM terms GROUP BY source
+"""
+
+# FULL twin of q_events_cusum_drift: prefix-sum formulation of the
+# clamped CUSUM fold (s_t = P_t - min(0, running-min P)), increments on
+# a BIGINT nano-grid; mu/sigma from exact integer window sums (sqrt is
+# IEEE-correctly-rounded, hence engine-identical).
+ORACLES_MINING["events_cusum_drift"] = """
+    WITH daily AS (SELECT event_type,
+                          CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                          CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1, 2),
+    st AS (SELECT *,
+                  CAST(sum(x) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY event_type) AS mu,
+                  sqrt(CAST(sum(x * x) OVER (PARTITION BY event_type) AS DOUBLE)
+                         / count(*) OVER (PARTITION BY event_type)
+                       - (CAST(sum(x) OVER (PARTITION BY event_type) AS DOUBLE)
+                            / count(*) OVER (PARTITION BY event_type))
+                         * (CAST(sum(x) OVER (PARTITION BY event_type) AS DOUBLE)
+                              / count(*) OVER (PARTITION BY event_type))) AS sigma
+           FROM daily),
+    d9 AS (SELECT *, CAST(floor((x - mu - sigma / 2) * 1000000000 + 0.5) AS BIGINT) AS dd
+           FROM st),
+    cumt AS (SELECT *, sum(dd) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+             FROM d9),
+    s AS (SELECT *, p - least(CAST(0 AS BIGINT),
+                              min(p) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+          FROM cumt)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           floor(max(mu) * 1000000 + 0.5) / 1000000.0 AS mean_daily,
+           floor(max(sigma) * 1000000 + 0.5) / 1000000.0 AS sigma_daily,
+           floor(max(sv) / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS max_cusum,
+           floor(arg_max(sv, day) / 1000000000.0 * 1000000 + 0.5) / 1000000.0
+             AS end_cusum
+    FROM s GROUP BY event_type
+"""

@@ -221,7 +221,10 @@ from kickstarter_etl_pipeline_spark.operators.mining_queries import (  # noqa: F
     q_bloom_prefiltered_join,
     q_duplicate_ngram_spans,
     q_events_stream_dedup,
+    q_events_cusum_drift,
     q_minhash_jaccard_estimate,
+    q_priority_weighted_sample,
+    q_source_diversity_report,
     q_graph_link_prediction,
     q_l_diversity_report,
     q_quality_percentile_filter,
@@ -246,6 +249,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {
     # --- round-6 window: first-grade (never driver-graded with an oracle) ---
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "priority_weighted_sample": q_priority_weighted_sample,
+    "source_diversity_report": q_source_diversity_report,
+    "events_cusum_drift": q_events_cusum_drift,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "bloom_prefiltered_join": q_bloom_prefiltered_join,
     "events_stream_dedup": q_events_stream_dedup,

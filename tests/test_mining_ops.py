@@ -70,3 +70,66 @@ def test_minhash_estimate_identical_docs(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["exact_jaccard"] == 1.0 and r["est_jaccard"] == 1.0 and r["abs_err"] == 0.0
+
+
+def test_cusum_prefix_sum_equals_clamped_fold(spark):
+    """The window formulation s_t = P_t − min(0, min_{j≤t} P_j) must
+    equal the literal clamped fold max(0, s_{t-1} + δ_t) — checked in
+    exact nano-grid integers against a Python replay."""
+    import math
+
+    import __spark_entry__ as ENTRY
+    from tests.conftest import SF_SMOKE
+
+    out = {
+        r["event_type"]: r
+        for r in ENTRY.queries()["events_cusum_drift"](spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    daily: dict = {}
+    for r in ev:
+        day = (r["ts"].replace(tzinfo=None) - __import__("datetime").datetime(1970, 1, 1)).days
+        daily.setdefault(r["event_type"], {}).setdefault(day, 0)
+        daily[r["event_type"]][day] += 1
+    for et, by_day in daily.items():
+        xs = [by_day[d] for d in sorted(by_day)]
+        n = len(xs)
+        mu = sum(xs) / n
+        sigma = math.sqrt(sum(x * x for x in xs) / n - mu * mu)
+        s = 0
+        mx = 0
+        for x in xs:
+            d9 = math.floor((x - mu - sigma / 2) * 1e9 + 0.5)
+            s = max(0, s + d9)
+            mx = max(mx, s)
+        r = out[et]
+        assert r["n_days"] == n
+        assert r["max_cusum"] == math.floor(mx / 1e9 * 1e6 + 0.5) / 1e6
+        assert r["end_cusum"] == math.floor(s / 1e9 * 1e6 + 0.5) / 1e6
+
+
+def test_priority_sample_matches_python_replay(spark):
+    """The A-Res top-5 per source must equal a Python replay of the
+    md5-priority computation (reproducibility is the operator's point)."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as ENTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = ENTRY.queries()["priority_weighted_sample"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_source: dict = {}
+    for d in docs:
+        h = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:12], 16)
+        u = (h + 1) / 16**12
+        k9 = math.floor(math.log(u) / d["n_chars"] * 1e9 + 0.5)
+        by_source.setdefault(d["source"], []).append((-k9, d["doc_id"]))
+    expected = set()
+    for src, lst in by_source.items():
+        for rank, (_, doc_id) in enumerate(sorted(lst)[:5], start=1):
+            expected.add((src, rank, doc_id))
+    got = {(r["source"], r["rank"], r["doc_id"]) for r in rows}
+    assert got == expected
