@@ -342,3 +342,12 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.max("_s") / F.lit(1e9), 6).alias("max_cusum"),
         round_det(F.max_by("_s", "day") / F.lit(1e9), 6).alias("end_cusum"),
     )
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR greedy re-ranking (λ=0.7, k=5)
+    over each query's exact top-20 cosine candidates."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import mmr_diversified_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_diversified_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, pool=20)

@@ -770,3 +770,108 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_sim", "cosine_sim", "rank")
     )
+
+
+def mmr_diversified_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's ``pool``-size exact-cosine candidate set,
+    greedily select ``k`` results maximizing
+    ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` — the standard
+    diversity-aware retrieval pass (RAG context assembly, dedup-aware
+    search) that plain top-k can't express.
+
+    Spark-first shape: the DISTRIBUTED work is the one candidate-
+    generation pass (brute-force here; swap in lsh_topk at scale). The
+    greedy selection is k−1 driver-built plan rounds over the BOUNDED
+    candidate table (≤ queries×pool rows, checkpointed once): each
+    round is one join against the selected set (≤ queries×(t−1) rows),
+    one (query, candidate) max-aggregate, and one row_number pick —
+    no UDFs, no per-row Python, deterministic tie-breaks
+    ((mmr DESC, id ASC) total order on 6-dp grids). The DuckDB twin
+    unrolls the same k−1 rounds as CTEs.
+    """
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
+    cands = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_nv", norm(F.col("_v")))
+    cands = (
+        cands.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", F.col("cosine_sim").alias("_rel"), "_v", "_nv")
+        .localCheckpoint(eager=True)
+    )
+    pick1 = Window.partitionBy("query_id").orderBy(F.desc("_rel"), F.asc("neighbor_id"))
+    selected = (
+        cands.withColumn("_rn", F.row_number().over(pick1))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("_rel").alias("mmr_score"),
+            "_v",
+            "_nv",
+        )
+    )
+    for t in range(2, k + 1):
+        sel = selected.select(
+            "query_id",
+            F.col("neighbor_id").alias("_sid"),
+            F.col("_v").alias("_sv"),
+            F.col("_nv").alias("_snv"),
+        )
+        # drop candidates already selected for that query
+        rem = cands.join(
+            sel.select("query_id", F.col("_sid").alias("neighbor_id")),
+            on=["query_id", "neighbor_id"],
+            how="left_anti",
+        )
+        scored = (
+            rem.join(sel, on="query_id")
+            .withColumn(
+                "_sim_ds",
+                F.round(
+                    F.try_divide(dot(F.col("_v"), F.col("_sv")), F.col("_nv") * F.col("_snv")),
+                    6,
+                ),
+            )
+            .groupBy("query_id", "neighbor_id", "_rel", "_v", "_nv")
+            .agg(F.max("_sim_ds").alias("_max_sel"))
+            .withColumn(
+                # (1 − λ) is snapped to 10 decimals so the literal the
+                # plan carries equals the one the SQL twin writes
+                # (1.0 − 0.7 in binary is 0.30000000000000004 — a real
+                # mismatch, caught at first oracle run)
+                "_mmr",
+                round_det(
+                    F.lit(lam) * F.col("_rel")
+                    - F.lit(round(1.0 - lam, 10)) * F.col("_max_sel"),
+                    6,
+                ),
+            )
+        )
+        pickt = Window.partitionBy("query_id").orderBy(F.desc("_mmr"), F.asc("neighbor_id"))
+        picked = (
+            scored.withColumn("_rn", F.row_number().over(pickt))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).cast("int").alias("rank"),
+                "neighbor_id",
+                F.col("_mmr").alias("mmr_score"),
+                "_v",
+                "_nv",
+            )
+        )
+        selected = selected.unionByName(picked).localCheckpoint(eager=True)
+    return selected.select("query_id", "rank", "neighbor_id", "mmr_score")

@@ -286,3 +286,61 @@ def _lpa_oracle_sql(iterations: int = 5) -> str:
 _ORACLES["graph_communities"] = _lpa_oracle_sql()
 
 ALL_ORACLES = _ORACLES
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """FULL DuckDB twin of q_mmr_diversified_topk
+    (similarity.mmr_diversified_topk): the greedy selection is unrolled
+    into k−1 CTE rounds — possible because every round's argmax is a
+    deterministic (6-dp mmr DESC, id ASC) total order over bounded
+    per-query candidate sets, exactly the device used for the PageRank
+    unrolled recurrence. λ and (1−λ) are written as the same double
+    literals Spark uses (0.7 / 0.3 — NOT 1−0.7 computed at runtime,
+    which is 0.30000000000000004)."""
+    rounds = []
+    sel_union = "SELECT query_id, rank, neighbor_id, mmr_score, cv FROM sel1"
+    for t in range(2, k + 1):
+        prev_union = f"selu{t - 1}"
+        rounds.append(f"""
+    {prev_union} AS ({sel_union}),
+    rem{t} AS (SELECT c.* FROM cand c
+               ANTI JOIN {prev_union} s
+                 ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id),
+    pairs{t} AS (SELECT r.query_id, r.neighbor_id, r.rel, r.cv,
+                        max(round(list_cosine_similarity(r.cv, s.cv), 6)) AS max_sel
+                 FROM rem{t} r JOIN {prev_union} s ON r.query_id = s.query_id
+                 GROUP BY r.query_id, r.neighbor_id, r.rel, r.cv),
+    scored{t} AS (SELECT *, floor(({lam} * rel - {round(1 - lam, 10)} * max_sel)
+                                  * 1000000 + 0.5) / 1000000.0 AS mmr
+                  FROM pairs{t}),
+    sel{t} AS (SELECT query_id, CAST({t} AS INTEGER) AS rank, neighbor_id,
+                      mmr AS mmr_score, cv
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, neighbor_id) AS rn
+                     FROM scored{t})
+               WHERE rn = 1)""")
+        sel_union += f"\n    UNION ALL SELECT query_id, rank, neighbor_id, mmr_score, cv FROM sel{t}"
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored0 AS (SELECT query_id, neighbor_id, cv,
+                       round(list_cosine_similarity(qv, cv), 6) AS rel
+                FROM q, c WHERE neighbor_id <> query_id),
+    cand AS (SELECT query_id, neighbor_id, rel, cv
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, neighbor_id) AS rn
+                   FROM scored0)
+             WHERE rn <= {pool}),
+    sel1 AS (SELECT query_id, CAST(1 AS INTEGER) AS rank, neighbor_id,
+                    rel AS mmr_score, cv
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, neighbor_id) AS rn
+                   FROM cand)
+             WHERE rn = 1),{','.join(rounds)},
+    allsel AS ({sel_union})
+    SELECT query_id, rank, neighbor_id, mmr_score FROM allsel
+    """
+
+
+_ORACLES["mmr_diversified_topk"] = _mmr_oracle_sql()

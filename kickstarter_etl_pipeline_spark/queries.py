@@ -223,6 +223,7 @@ from kickstarter_etl_pipeline_spark.operators.mining_queries import (  # noqa: F
     q_events_stream_dedup,
     q_events_cusum_drift,
     q_minhash_jaccard_estimate,
+    q_mmr_diversified_topk,
     q_priority_weighted_sample,
     q_source_diversity_report,
     q_graph_link_prediction,
@@ -252,6 +253,7 @@ _QUERIES: dict[str, QueryFn] = {
     "priority_weighted_sample": q_priority_weighted_sample,
     "source_diversity_report": q_source_diversity_report,
     "events_cusum_drift": q_events_cusum_drift,
+    "mmr_diversified_topk": q_mmr_diversified_topk,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "bloom_prefiltered_join": q_bloom_prefiltered_join,
     "events_stream_dedup": q_events_stream_dedup,

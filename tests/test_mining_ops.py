@@ -133,3 +133,30 @@ def test_priority_sample_matches_python_replay(spark):
             expected.add((src, rank, doc_id))
     got = {(r["source"], r["rank"], r["doc_id"]) for r in rows}
     assert got == expected
+
+
+def test_mmr_prefers_diverse_over_duplicate(spark):
+    """With a near-duplicate of the best candidate in the pool, MMR must
+    pick the DIVERSE second result where plain top-k would pick the
+    duplicate — the operator's reason to exist."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_diversified_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (100, [0.8, 0.6]),      # best match (rel 0.8)
+        (101, [0.8, 0.6]),      # exact duplicate: mmr = .7*.8 - .3*1 = .26
+        (102, [0.6, -0.8]),     # diverse (orthogonal to 100): mmr = .7*.6 = .42
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter("vec_id >= 100")
+    q = df.filter("vec_id = 0")
+    plain = [r["neighbor_id"] for r in brute_force_topk(corpus, q, k=2).orderBy("rank").collect()]
+    assert plain == [100, 101]  # top-k happily returns the duplicate
+    mmr = [
+        r["neighbor_id"]
+        for r in mmr_diversified_topk(corpus, q, k=2, pool=3).orderBy("rank").collect()
+    ]
+    assert mmr == [100, 102]  # MMR penalizes the duplicate, picks diverse
