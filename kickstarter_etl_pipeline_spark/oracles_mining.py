@@ -125,11 +125,11 @@ ORACLES_MINING["session_bounce_rate"] = """
     FROM per GROUP BY entry_type
 """
 
-# FULL twin of q_graph_link_prediction: same 30-min error co-occurrence
-# edges as user_triangle_counts, wedge join, anti-join against existing
-# edges, neighborhood Jaccard on a 6-dp grid.
+# FULL twin of q_graph_link_prediction: 10-min error co-occurrence
+# edges (bucket width = the sparsity knob), wedge join, anti-join
+# against existing edges, neighborhood Jaccard on a 6-dp grid.
 ORACLES_MINING["graph_link_prediction"] = """
-    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS bucket,
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bucket,
                                    user_id
                    FROM events WHERE event_type = 'error'),
     edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
