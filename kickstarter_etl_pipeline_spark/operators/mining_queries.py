@@ -358,3 +358,155 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_diversified_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, pool=20)
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer TRAINING (Sennrich et al. 2016):
+    corpus-wide adjacent character-pair counts within words — the table
+    whose argmax is the first merge rule. Top-50 by (count DESC, pair
+    ASC). One explode + one uniform-key count + a TakeOrdered; at 100
+    TB the pair key space is tiny (charset²), so the aggregate
+    map-side-combines to almost nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(TX.tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "pair", "n_occurrences")
+    )
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever-training data mining: for each anchor (vec_id < 20),
+    the top-3 DIFFERENT-label neighbors by cosine — the classic hard
+    negatives that make contrastive training work (high-similarity,
+    wrong-label). Same broadcast scoring shape as embedding_topk with a
+    label-inequality predicate; rank on the (rounded cosine DESC, id)
+    total order."""
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+    from kickstarter_etl_pipeline_spark.operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("_qlabel"),
+            F.col("embedding").alias("_qv"),
+        )
+        .withColumn("_qn", norm(F.col("_qv")))
+    )
+    c = (
+        ensure_min_partitions(emb)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("embedding").alias("_cv"),
+        )
+        .withColumn("_cn", norm(F.col("_cv")))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("_qlabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                F.try_divide(dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine_sim")
+    )
+
+
+def q_table_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table reconciliation (the Merkle-bucket pattern):
+    compare two table versions bucket-by-bucket WITHOUT a global sort —
+    per key-hash bucket, row counts, insert/delete/update/unchanged
+    class counts, and an order-independent XOR content checksum
+    (bit_xor of md5-derived 60-bit row hashes, replayable in any engine
+    with md5). At 100 TB this is how replicas are compared: checksums
+    first, per-bucket drill-down only where they differ.
+
+    v1 = even-key orders; v2 = v1 with key%8==6 deleted, key%4==0
+    repriced (+1000), and odd key%4==1 rows inserted — every diff class
+    non-empty by construction."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 8 != 6)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 4 == 0, F.col("price") + 1000)
+            .otherwise(F.col("price"))
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+        .unionByName(orders.filter(F.col("o_orderkey") % 4 == 1))
+    )
+    rh = lambda: F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"), F.col("price").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    a = v1.select(
+        (F.col("o_orderkey") % 16).alias("bucket"),
+        F.col("o_orderkey").alias("k"),
+        F.col("price").alias("p1"),
+        rh().alias("h1"),
+    )
+    b = v2.select(
+        (F.col("o_orderkey") % 16).alias("bucket"),
+        F.col("o_orderkey").alias("k"),
+        F.col("price").alias("p2"),
+        rh().alias("h2"),
+    )
+    joined = a.join(b, on=["bucket", "k"], how="full_outer")
+    return joined.groupBy("bucket").agg(
+        F.sum(F.when(F.col("p1").isNotNull(), 1).otherwise(0)).cast("long").alias("n_v1"),
+        F.sum(F.when(F.col("p2").isNotNull(), 1).otherwise(0)).cast("long").alias("n_v2"),
+        F.sum(F.when(F.col("p2").isNull() & F.col("p1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+        F.sum(F.when(F.col("p1").isNull() & F.col("p2").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(
+            F.when(F.col("p1").isNotNull() & F.col("p2").isNotNull() & (F.col("p1") != F.col("p2")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(
+            F.when(F.col("p1").isNotNull() & F.col("p2").isNotNull() & (F.col("p1") == F.col("p2")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unchanged"),
+        F.expr("bit_xor(h1)").alias("checksum_v1"),
+        F.expr("bit_xor(h2)").alias("checksum_v2"),
+    )

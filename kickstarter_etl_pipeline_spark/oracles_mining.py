@@ -281,3 +281,72 @@ ORACLES_MINING["events_cusum_drift"] = """
              AS end_cusum
     FROM s GROUP BY event_type
 """
+
+# FULL twin of q_bpe_merge_candidates.
+ORACLES_MINING["bpe_merge_candidates"] = f"""
+    WITH words AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    pairs AS (SELECT unnest(list_transform(range(1, length(w)),
+                     i -> substr(w, i, 2))) AS pair
+              FROM words WHERE length(w) >= 2),
+    counts AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+               FROM pairs GROUP BY pair),
+    top AS (SELECT *, CAST(row_number() OVER (
+                  ORDER BY n_occurrences DESC, pair) AS INTEGER) AS rank
+            FROM counts ORDER BY n_occurrences DESC, pair LIMIT 50)
+    SELECT rank, pair, n_occurrences FROM top
+"""
+
+# FULL twin of q_hard_negative_mining: embedding_topk's scoring shape
+# with a label-inequality predicate.
+ORACLES_MINING["hard_negative_mining"] = """
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, neighbor_label,
+                      round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+               FROM q, c
+               WHERE neighbor_id <> query_id AND neighbor_label <> qlabel),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+               FROM scored)
+    SELECT query_id, rank, neighbor_id, neighbor_label, cosine_sim
+    FROM ranked WHERE rank <= 3
+"""
+
+# FULL twin of q_table_diff_report: identical v1/v2 construction,
+# identical md5-derived 60-bit row hash (DECIMAL(18,2)->VARCHAR price
+# rendering agreed by both engines), bit_xor checksums.
+ORACLES_MINING["table_diff_report"] = """
+    WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders),
+    v1 AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+    v2 AS (SELECT o_orderkey,
+                  CAST(CASE WHEN o_orderkey % 4 = 0 THEN price + 1000
+                            ELSE price END AS DECIMAL(18,2)) AS price
+           FROM v1 WHERE o_orderkey % 8 <> 6
+           UNION ALL
+           SELECT o_orderkey, price FROM o WHERE o_orderkey % 4 = 1),
+    a AS (SELECT o_orderkey % 16 AS bucket, o_orderkey AS k, price AS p1,
+                 CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+                      ':', CAST(price AS VARCHAR))), 1, 15)) AS BIGINT) AS h1
+          FROM v1),
+    b AS (SELECT o_orderkey % 16 AS bucket, o_orderkey AS k, price AS p2,
+                 CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+                      ':', CAST(price AS VARCHAR))), 1, 15)) AS BIGINT) AS h2
+          FROM v2),
+    j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket, a.p1, b.p2, a.h1, b.h2
+          FROM a FULL OUTER JOIN b ON a.bucket = b.bucket AND a.k = b.k)
+    SELECT bucket,
+           CAST(sum(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+           CAST(sum(CASE WHEN p2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+           CAST(sum(CASE WHEN p2 IS NULL AND p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(sum(CASE WHEN p1 IS NULL AND p2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           CAST(sum(CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(sum(CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL AND p1 = p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           bit_xor(h1) AS checksum_v1,
+           bit_xor(h2) AS checksum_v2
+    FROM j GROUP BY bucket
+"""

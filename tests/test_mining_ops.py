@@ -160,3 +160,25 @@ def test_mmr_prefers_diverse_over_duplicate(spark):
         for r in mmr_diversified_topk(corpus, q, k=2, pool=3).orderBy("rank").collect()
     ]
     assert mmr == [100, 102]  # MMR penalizes the duplicate, picks diverse
+
+
+def test_table_diff_report_invariants(spark):
+    """Per bucket: v1 = deleted + updated + unchanged, v2 = inserted +
+    updated + unchanged; checksums agree exactly on buckets with no
+    changes and differ where any row changed."""
+    import __spark_entry__ as ENTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = ENTRY.queries()["table_diff_report"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_v1"] == r["n_deleted"] + r["n_updated"] + r["n_unchanged"]
+        assert r["n_v2"] == r["n_inserted"] + r["n_updated"] + r["n_unchanged"]
+        changed = r["n_deleted"] + r["n_inserted"] + r["n_updated"]
+        if changed == 0:
+            assert r["checksum_v1"] == r["checksum_v2"]
+    # the construction guarantees every class is non-empty overall
+    assert sum(r["n_deleted"] for r in rows) > 0
+    assert sum(r["n_inserted"] for r in rows) > 0
+    assert sum(r["n_updated"] for r in rows) > 0
+    assert sum(r["n_unchanged"] for r in rows) > 0
