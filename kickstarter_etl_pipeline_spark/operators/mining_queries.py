@@ -510,3 +510,44 @@ def q_table_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h1)").alias("checksum_v1"),
         F.expr("bit_xor(h2)").alias("checksum_v2"),
     )
+
+
+def q_sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED tolerance contract for the approximate tier: per event
+    type, the EXACT distinct-user count and p50 value (both
+    SQL-replayable) next to within-tolerance booleans for Spark's
+    HLL++ (approx_count_distinct, rsd 5% → checked at ±5%) and
+    approx_percentile (checked against the exact p50 band ±5%).
+
+    The raw sketch estimates are engine-specific (why
+    approx_aggregates / distinct_users_rollup are rows-only); this
+    report grades the part that IS portable — the accuracy CONTRACT.
+    The oracle pins the exact columns and asserts both booleans true,
+    so a regression that pushes a sketch out of tolerance flips the
+    driver grade, not just a pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct_users"),
+        F.approx_count_distinct("user_id").alias("_approx_distinct"),
+        F.expr("percentile(value, 0.5)").alias("_exact_p50_raw"),
+        F.percentile_approx("value", F.lit(0.5)).alias("_approx_p50"),
+    )
+    return per_type.select(
+        "event_type",
+        "exact_distinct_users",
+        round_det(F.col("_exact_p50_raw"), 4).alias("exact_p50_value"),
+        (
+            F.abs(F.col("_approx_distinct") - F.col("exact_distinct_users"))
+            / F.col("exact_distinct_users")
+            <= 0.05
+        )
+        .cast("int")
+        .alias("distinct_within_5pct"),
+        (
+            F.abs(F.col("_approx_p50") - F.col("_exact_p50_raw"))
+            / F.abs(F.col("_exact_p50_raw"))
+            <= 0.05
+        )
+        .cast("int")
+        .alias("p50_within_5pct"),
+    )

@@ -350,3 +350,17 @@ ORACLES_MINING["table_diff_report"] = """
            bit_xor(h2) AS checksum_v2
     FROM j GROUP BY bucket
 """
+
+# Tolerance-contract twin of q_sketch_accuracy_report: the exact
+# columns replay in SQL; the booleans are pinned TRUE — the oracle
+# GRADES the sketches' accuracy contract (a sketch regression out of
+# the ±5% band flips the driver grade), while the raw estimates stay
+# rows-only elsewhere (engine-specific by nature).
+ORACLES_MINING["sketch_accuracy_report"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS exact_p50_value,
+           CAST(1 AS INTEGER) AS distinct_within_5pct,
+           CAST(1 AS INTEGER) AS p50_within_5pct
+    FROM events GROUP BY event_type
+"""
