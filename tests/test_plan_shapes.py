@@ -227,3 +227,38 @@ def test_bigram_collocations_topk_is_take_ordered(spark, sf_dir):
     plan = explain_str(q_bigram_collocations(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_prefilter_broadcasts_bitmap(spark, sf_dir):
+    """The bloom bitmap (<= n_bits/64 rows) must ride a broadcast join
+    onto the fact — a shuffle there would defeat the prefilter's
+    purpose — and the pattern must introduce no nested-loop join."""
+    from kickstarter_etl_pipeline_spark.queries import q_bloom_prefiltered_join
+
+    plan = explain_str(q_bloom_prefiltered_join(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # bitmap probe + exact dim join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_ngram_spans_prunes_columns(spark, sf_dir):
+    """The span stats read only (doc_id, text) from the documents scan —
+    lang/source/n_chars must be pruned."""
+    from kickstarter_etl_pipeline_spark.queries import q_duplicate_ngram_spans
+
+    plan = explain_str(q_duplicate_ngram_spans(spark, sf_dir))
+    read_schemas = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read_schemas
+    for line in read_schemas:
+        assert "lang" not in line and "source" not in line
+
+
+def test_hard_negative_mining_broadcasts_queries(spark, sf_dir):
+    """The 20-anchor side must broadcast against the corpus scan (the
+    embedding_topk shape) — no shuffle of the corpus."""
+    from kickstarter_etl_pipeline_spark.queries import q_hard_negative_mining
+
+    plan = explain_str(q_hard_negative_mining(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
