@@ -714,6 +714,10 @@ def duplicate_ngram_span_stats(
     ones, and the count aggregate map-side combines).
     """
     staged = ensure_min_partitions(df).withColumn("_toks", tokens(text_col))
+    # checkpoint: both the gram-count aggregate and the per-doc join
+    # read this table — without it the tokenize+explode (the dominant
+    # cost) executes twice (module-standard pattern, see
+    # jaccard_pairs_from_shingle_table)
     pos = staged.filter(F.size("_toks") >= n).select(
         F.col(id_col),
         F.explode(
@@ -722,7 +726,7 @@ def duplicate_ngram_span_stats(
                 f"i -> array_join(slice(_toks, i, {n}), ' '))"
             )
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=True)
     gram_counts = pos.groupBy("gram").agg(F.count("*").alias("_n_occ"))
     per_doc = (
         pos.join(gram_counts, on="gram")

@@ -272,6 +272,16 @@ def common_neighbor_link_prediction(
     """
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
+    # self-contained precondition: normalize to distinct u<v edges so a
+    # caller passing duplicate or bidirectional rows can't silently
+    # inflate degrees / common-neighbor counts (round-6 self-review)
+    edges = (
+        edges.select(
+            F.least(F.col(u), F.col(v)).alias(u), F.greatest(F.col(u), F.col(v)).alias(v)
+        )
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+    )
     adj = edges.select(F.col(u).alias("a"), F.col(v).alias("n")).unionAll(
         edges.select(F.col(v).alias("a"), F.col(u).alias("n"))
     )

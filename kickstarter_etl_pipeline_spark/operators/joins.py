@@ -125,6 +125,12 @@ def bloom_prefilter(
     injection (spark.sql.optimizer.runtime.bloomFilter.*), kept fully
     declarative so the plan is inspectable and works at any threshold.
 
+    Keys are hashed through a STRING cast: xxhash64 is type-sensitive
+    in Spark (xxhash64(5::INT) != xxhash64(5::BIGINT)), so hashing the
+    raw columns would silently drop every true match when the two
+    sides' key types differ — the string rendering is the
+    type-insensitive common form (round-6 self-review finding).
+
     The filter is a bitmap packed into 64-bit words built with ONE
     aggregate over the (small) key side — ``groupBy(word_idx) →
     bit_or(1 << bit_idx)`` — at most ``n_bits/64`` rows, broadcast-
@@ -138,7 +144,7 @@ def bloom_prefilter(
     """
     bitmap = (
         keys.select(
-            F.expr(f"pmod(xxhash64(`{dim_key}`), {n_bits})").alias("_h")
+            F.expr(f"pmod(xxhash64(cast(`{dim_key}` as string)), {n_bits})").alias("_h")
         )
         .select(
             F.expr("_h div 64").alias("_word_idx"),
@@ -148,7 +154,7 @@ def bloom_prefilter(
         .agg(F.expr("bit_or(_bit)").alias("_word"))
     )
     staged = fact.withColumn(
-        "_fh", F.expr(f"pmod(xxhash64(`{fact_key}`), {n_bits})")
+        "_fh", F.expr(f"pmod(xxhash64(cast(`{fact_key}` as string)), {n_bits})")
     ).withColumn("_word_idx", F.expr("_fh div 64"))
     return (
         staged.join(F.broadcast(bitmap), on="_word_idx", how="inner")

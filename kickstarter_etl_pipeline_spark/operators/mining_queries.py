@@ -183,7 +183,18 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
     edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
-    return common_neighbor_link_prediction(edges, min_common=2)
+    preds = common_neighbor_link_prediction(edges, min_common=2)
+    # top-100 by (score, u, v): the candidate table is corpus-sized at
+    # scale (677k pairs at sf0.1) — a TakeOrdered bounds the report
+    # without a density-sensitive score floor (which empties as the
+    # graph densifies and per-pair jaccard falls)
+    w = Window.orderBy(F.desc("jaccard_score"), F.asc("u"), F.asc("v"))
+    return (
+        preds.orderBy(F.desc("jaccard_score"), F.asc("u"), F.asc("v"))
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "u", "v", "n_common", "jaccard_score")
+    )
 
 
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,8 +527,8 @@ def q_sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRADED tolerance contract for the approximate tier: per event
     type, the EXACT distinct-user count and p50 value (both
     SQL-replayable) next to within-tolerance booleans for Spark's
-    HLL++ (approx_count_distinct, rsd 5% → checked at ±5%) and
-    approx_percentile (checked against the exact p50 band ±5%).
+    HLL++ (approx_count_distinct at rsd 2% → checked at ±10%, a 5-σ
+    band) and approx_percentile (±5% of the exact p50, ε-floored).
 
     The raw sketch estimates are engine-specific (why
     approx_aggregates / distinct_users_rollup are rows-only); this
@@ -528,7 +539,11 @@ def q_sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_distinct_users"),
-        F.approx_count_distinct("user_id").alias("_approx_distinct"),
+        # rsd 2% -> the ±10% graded band is 5 sigma: pass probability
+        # ~1-6e-7 per group at ANY scale (rsd is scale-free), vs the
+        # first draft's ±5% on the default 5% rsd (1 sigma — failed at
+        # sf0.1, caught in round-6 self-review).
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_distinct"),
         F.expr("percentile(value, 0.5)").alias("_exact_p50_raw"),
         F.percentile_approx("value", F.lit(0.5)).alias("_approx_p50"),
     )
@@ -539,14 +554,14 @@ def q_sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("_approx_distinct") - F.col("exact_distinct_users"))
             / F.col("exact_distinct_users")
-            <= 0.05
+            <= 0.10
         )
         .cast("int")
-        .alias("distinct_within_5pct"),
+        .alias("distinct_within_10pct"),
+        # absolute-epsilon floor keeps an exact-zero p50 from dividing by 0
         (
             F.abs(F.col("_approx_p50") - F.col("_exact_p50_raw"))
-            / F.abs(F.col("_exact_p50_raw"))
-            <= 0.05
+            <= F.greatest(F.abs(F.col("_exact_p50_raw")) * 0.05, F.lit(1e-6))
         )
         .cast("int")
         .alias("p50_within_5pct"),

@@ -140,13 +140,16 @@ ORACLES_MINING["graph_link_prediction"] = """
               FROM adj x JOIN adj y ON x.n = y.n AND x.a < y.a
               GROUP BY 1, 2 HAVING count(*) >= 2),
     nonadj AS (SELECT w.u, w.v, w.n_common FROM wedge w
-               ANTI JOIN edges e ON w.u = e.u AND w.v = e.v)
-    SELECT na.u, na.v, na.n_common,
-           floor(na.n_common / (du.degree + dv.degree - na.n_common)
-                 * 1000000 + 0.5) / 1000000.0 AS jaccard_score
-    FROM nonadj na
-    JOIN deg du ON du.a = na.u
-    JOIN deg dv ON dv.a = na.v
+               ANTI JOIN edges e ON w.u = e.u AND w.v = e.v),
+    scored AS (SELECT na.u, na.v, na.n_common,
+                      floor(na.n_common / (du.degree + dv.degree - na.n_common)
+                            * 1000000 + 0.5) / 1000000.0 AS jaccard_score
+               FROM nonadj na
+               JOIN deg du ON du.a = na.u
+               JOIN deg dv ON dv.a = na.v)
+    SELECT CAST(row_number() OVER (ORDER BY jaccard_score DESC, u, v) AS INTEGER) AS rank,
+           u, v, n_common, jaccard_score
+    FROM scored ORDER BY jaccard_score DESC, u, v LIMIT 100
 """
 
 # FULL twin of q_minhash_jaccard_estimate: md5-permutation signatures
@@ -360,7 +363,7 @@ ORACLES_MINING["sketch_accuracy_report"] = """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
            floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS exact_p50_value,
-           CAST(1 AS INTEGER) AS distinct_within_5pct,
+           CAST(1 AS INTEGER) AS distinct_within_10pct,
            CAST(1 AS INTEGER) AS p50_within_5pct
     FROM events GROUP BY event_type
 """

@@ -379,7 +379,16 @@ def _latest_committed_by_scan(spark: SparkSession, table_dir: str) -> int | None
     the ``_VERSION`` pointer is absent — ``_SUCCESS`` is written by the
     Hadoop output committer strictly before the pointer swap, so every
     directory it admits holds a complete snapshot; a writer that died
-    mid-data-write left no ``_SUCCESS`` and stays invisible."""
+    mid-data-write left no ``_SUCCESS`` and stays invisible.
+
+    Semantics under pointer loss (deliberate, documented): a snapshot
+    whose DATA committed but whose pointer swap never completed becomes
+    visible through this fallback — the in-flight write is treated as
+    having completed, which is safe (the data is whole) but means
+    recovery can move the table FORWARD past the last pointer-committed
+    version. Deployments needing strictly pointer-committed recovery
+    should restore the pointer from the desired ``v=K`` instead of
+    relying on the scan."""
     fs, _ = _hadoop_fs(spark, table_dir)
     root = spark._jvm.org.apache.hadoop.fs.Path(table_dir)
     if not fs.exists(root):

@@ -182,3 +182,33 @@ def test_table_diff_report_invariants(spark):
     assert sum(r["n_inserted"] for r in rows) > 0
     assert sum(r["n_updated"] for r in rows) > 0
     assert sum(r["n_unchanged"] for r in rows) > 0
+
+
+def test_bloom_prefilter_type_mismatch_keys(spark):
+    """xxhash64 is type-sensitive; the string-cast hashing must keep the
+    no-false-negatives guarantee even when key types differ (int fact
+    key vs bigint dim key)."""
+    from kickstarter_etl_pipeline_spark.operators.joins import bloom_prefilter
+
+    fact = spark.range(0, 2000).selectExpr("cast(id as int) as k")
+    keys = spark.range(0, 2000, 13).selectExpr("cast(id as bigint) as k")
+    pre = bloom_prefilter(fact, keys, "k", "k", n_bits=4096)
+    true_matches = fact.join(keys.selectExpr("cast(k as int) as k"), "k", "left_semi")
+    assert true_matches.count() > 0
+    assert true_matches.join(pre, "k", "left_anti").count() == 0
+
+
+def test_link_prediction_tolerates_duplicate_edges(spark):
+    """Duplicate and bidirectional edge rows must not inflate degrees or
+    common-neighbor counts."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        common_neighbor_link_prediction,
+    )
+
+    clean = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long")
+    noisy = clean.unionAll(
+        spark.createDataFrame([(2, 1), (1, 2), (3, 2), (4, 3)], "u long, v long")
+    )
+    a = sorted(map(tuple, common_neighbor_link_prediction(clean).collect()))
+    b = sorted(map(tuple, common_neighbor_link_prediction(noisy).collect()))
+    assert a == b
