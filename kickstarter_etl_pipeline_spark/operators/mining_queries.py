@@ -272,7 +272,11 @@ def q_priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     u = (h + 1) / F.lit(float(16**12))
-    key9 = F.floor(F.log(u) / F.col("n_chars") * 1e9 + 0.5).cast("long")
+    # greatest(w, 1): a zero-weight row would put -inf on the key grid;
+    # degenerate weights get the minimum positive weight instead
+    key9 = F.floor(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * 1e9 + 0.5
+    ).cast("long")
     w = Window.partitionBy("source").orderBy(F.desc("priority_key9"), F.asc("doc_id"))
     return (
         docs.select("doc_id", "source", "n_chars", key9.alias("priority_key9"))

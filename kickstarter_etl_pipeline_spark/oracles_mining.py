@@ -221,7 +221,7 @@ ORACLES_MINING["priority_weighted_sample"] = """
                            AS BIGINT) AS h
                FROM documents),
     k AS (SELECT doc_id, source, n_chars,
-                 CAST(floor(ln((h + 1) / 281474976710656.0) / n_chars
+                 CAST(floor(ln((h + 1) / 281474976710656.0) / greatest(n_chars, 1)
                             * 1000000000 + 0.5) AS BIGINT) AS priority_key9
           FROM d),
     r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
