@@ -570,3 +570,48 @@ def q_sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("p50_within_5pct"),
     )
+
+
+def q_lorenz_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of event volume over users — the
+    CURVE behind the gini_by_status scalar: for each user-decile
+    (users ranked by activity ascending), the cumulative share of all
+    events. The heavy-user audit every rate-limit / abuse review
+    starts from. Exact integers end-to-end: per-user counts, rank
+    thresholds floor(N·d/10), cumulative sums via a threshold join
+    against a compact 10-row frame (the vocab_growth_curve shape — no
+    ten rescans)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.asc("n"), F.asc("user_id"))
+    ranked = per_user.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    totals = F.broadcast(
+        ranked.agg(
+            F.count("*").cast("long").alias("_n_users"),
+            F.sum("n").cast("long").alias("_n_events"),
+        )
+    )
+    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    thresholds = deciles.crossJoin(totals).select(
+        "decile",
+        F.floor(F.col("_n_users") * F.col("decile") / 10).cast("long").alias("_thr"),
+        "_n_events",
+    )
+    return (
+        thresholds.join(ranked, F.col("rank") <= F.col("_thr"), how="left")
+        .groupBy("decile", "_n_events")
+        .agg(
+            F.count("rank").cast("long").alias("n_users_cum"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_events_cum"),
+        )
+        .select(
+            "decile",
+            "n_users_cum",
+            "n_events_cum",
+            round_det(F.col("n_events_cum") / F.col("_n_events"), 6).alias(
+                "event_share"
+            ),
+        )
+    )
