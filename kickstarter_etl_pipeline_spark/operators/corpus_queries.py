@@ -582,13 +582,38 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = deciles.crossJoin(max_id).select(
         "pct", F.floor(F.col("_max") * F.col("pct") / 100).alias("_thr")
     )
-    vocab = thresholds.join(
-        first_doc, first_doc._first <= F.col("_thr"), "left"
-    ).groupBy("pct", "_thr").agg(F.count("token").cast("long").alias("vocab_size"))
-    volume = thresholds.join(
-        doc_tokens, doc_tokens.doc_id <= F.col("_thr"), "left"
-    ).groupBy("pct").agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_tokens"))
+
+    # Round-7 rewrite (de-BNLJ): instead of a `value <= _thr` non-equi
+    # LEFT join — whose LEFT-outer BroadcastNestedLoopJoin must
+    # broadcast the DATA-sized right side and fans rows out ~5.5× —
+    # assign each data row its FIRST covering decile arithmetically:
+    #   pct_min(v) = smallest p in {10..100} with floor(max·p/100) >= v
+    #             = 10 · ceil(ceil(100·v / max) / 10)      (v, max ints)
+    # then aggregate ONCE per bucket (≤10 groups, map-side combine) and
+    # take a cumulative sum over the 10-row threshold frame. O(N), one
+    # uniform shuffle per side, no data-sized broadcast — survives a
+    # billion-token vocabulary.
+    def _bucket(val: F.Column) -> F.Column:
+        c = F.floor((F.lit(100) * val + F.col("_max") - 1) / F.col("_max"))
+        return F.greatest(F.lit(10), (F.floor((c + 9) / 10) * 10)).cast("int")
+
+    vocab_b = (
+        first_doc.crossJoin(max_id)
+        .groupBy(_bucket(F.col("_first")).alias("pct"))
+        .agg(F.count("*").cast("long").alias("_nv"))
+    )
+    volume_b = (
+        doc_tokens.crossJoin(max_id)
+        .groupBy(_bucket(F.col("doc_id")).alias("pct"))
+        .agg(F.sum("_n").cast("long").alias("_nt"))
+    )
+    wcum = Window.orderBy("pct").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        vocab.join(volume, "pct")
-        .select("pct", "n_tokens", "vocab_size")
+        thresholds.join(F.broadcast(vocab_b), "pct", "left")
+        .join(F.broadcast(volume_b), "pct", "left")
+        .select(
+            "pct",
+            F.sum(F.coalesce(F.col("_nt"), F.lit(0))).over(wcum).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_nv"), F.lit(0))).over(wcum).cast("long").alias("vocab_size"),
+        )
     )

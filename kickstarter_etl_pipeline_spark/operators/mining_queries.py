@@ -577,18 +577,31 @@ def q_lorenz_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     CURVE behind the gini_by_status scalar: for each user-decile
     (users ranked by activity ascending), the cumulative share of all
     events. The heavy-user audit every rate-limit / abuse review
-    starts from. Exact integers end-to-end: per-user counts, rank
-    thresholds floor(N·d/10), cumulative sums via a threshold join
-    against a compact 10-row frame (the vocab_growth_curve shape — no
-    ten rescans)."""
+    starts from.
+
+    Shape (round-7 rewrite): ONE window pass computes both the dense
+    rank and the running event total (same ORDER BY → one Window
+    operator, one sort), then the 10 decile thresholds
+    floor(N·d/10) equi-join the prefix-sum table on ``rank = thr`` —
+    a broadcast hash join of a 10-row build side, O(N) total work.
+    The previous draft's ``rank <= thr`` non-equi LEFT join forced a
+    BroadcastNestedLoopJoin whose broadcast side was the DATA-sized
+    ranked table (executor OOM at scale) plus a ~5.5× row fan-out;
+    this shape has neither. Since ranks are dense 1..N, the
+    cumulative user count at threshold t is t itself — no count(*)
+    needed. Exact integers end-to-end."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-    w = Window.orderBy(F.asc("n"), F.asc("user_id"))
-    ranked = per_user.withColumn("rank", F.row_number().over(w)).localCheckpoint(
-        eager=True
+    w = (
+        Window.orderBy(F.asc("n"), F.asc("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_user.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w).cast("long").alias("_cum_events"),
     )
     totals = F.broadcast(
-        ranked.agg(
+        per_user.agg(
             F.count("*").cast("long").alias("_n_users"),
             F.sum("n").cast("long").alias("_n_events"),
         )
@@ -599,19 +612,22 @@ def q_lorenz_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("_n_users") * F.col("decile") / 10).cast("long").alias("_thr"),
         "_n_events",
     )
+    # Inner equi-join picks the ≤10 prefix rows at the thresholds; the
+    # tiny left join back onto the 10-row threshold frame restores
+    # deciles whose threshold is 0 (N < 10 users) with zero rows/events.
+    at_thr = cum.join(
+        F.broadcast(thresholds.select("decile", "_thr")),
+        cum["rank"] == F.col("_thr"),
+        "inner",
+    ).select("decile", "_cum_events")
     return (
-        thresholds.join(ranked, F.col("rank") <= F.col("_thr"), how="left")
-        .groupBy("decile", "_n_events")
-        .agg(
-            F.count("rank").cast("long").alias("n_users_cum"),
-            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_events_cum"),
-        )
+        thresholds.join(F.broadcast(at_thr), "decile", "left")
         .select(
             "decile",
-            "n_users_cum",
-            "n_events_cum",
-            round_det(F.col("n_events_cum") / F.col("_n_events"), 6).alias(
-                "event_share"
-            ),
+            F.col("_thr").alias("n_users_cum"),
+            F.coalesce(F.col("_cum_events"), F.lit(0)).cast("long").alias("n_events_cum"),
+            round_det(
+                F.coalesce(F.col("_cum_events"), F.lit(0)) / F.col("_n_events"), 6
+            ).alias("event_share"),
         )
     )

@@ -368,21 +368,28 @@ ORACLES_MINING["sketch_accuracy_report"] = """
     FROM events GROUP BY event_type
 """
 
-# FULL twin of q_lorenz_curve_events.
+# FULL twin of q_lorenz_curve_events (round-7 rewrite: prefix-sum +
+# equi-join — the original correlated non-inner join was unplannable in
+# DuckDB, 'Non-inner join on correlated columns not supported').
 ORACLES_MINING["lorenz_curve_events"] = """
     WITH per_user AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
                       FROM events GROUP BY user_id),
-    ranked AS (SELECT *, row_number() OVER (ORDER BY n, user_id) AS rank
-               FROM per_user),
+    cum AS (SELECT row_number() OVER (ORDER BY n, user_id) AS rank,
+                   sum(n) OVER (ORDER BY n, user_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_events
+            FROM per_user),
     t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-                 CAST(sum(n) AS BIGINT) AS n_events FROM ranked),
-    d AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS decile)
-    SELECT d.decile,
-           CAST(count(r.rank) AS BIGINT) AS n_users_cum,
-           CAST(coalesce(sum(r.n), 0) AS BIGINT) AS n_events_cum,
-           floor(coalesce(sum(r.n), 0) / t.n_events * 1000000 + 0.5)
+                 CAST(sum(n) AS BIGINT) AS n_events FROM per_user),
+    d AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS decile),
+    thr AS (SELECT d.decile,
+                   CAST((t.n_users * d.decile) // 10 AS BIGINT) AS thr,
+                   t.n_events
+            FROM d CROSS JOIN t)
+    SELECT thr.decile,
+           thr.thr AS n_users_cum,
+           CAST(coalesce(c.cum_events, 0) AS BIGINT) AS n_events_cum,
+           floor(coalesce(c.cum_events, 0) / thr.n_events * 1000000 + 0.5)
              / 1000000.0 AS event_share
-    FROM d, t
-    LEFT JOIN ranked r ON r.rank <= (t.n_users * d.decile) // 10
-    GROUP BY d.decile, t.n_events
+    FROM thr LEFT JOIN cum c ON c.rank = thr.thr
 """

@@ -66,6 +66,30 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+def test_all_oracles_plan_in_duckdb():
+    """Ship-gate for the oracle ledger: every oracle must at least PLAN
+    in DuckDB. Round 6 shipped ``lorenz_curve_events`` in the final
+    snapshot commit with SQL DuckDB cannot plan ('Non-inner join on
+    correlated columns not supported') — it became the round's one
+    driver err because nothing cheap validated the SQL before merge.
+    EXPLAIN against empty-filtered fixture views exercises the binder
+    and physical planner without reading data, so the whole ledger
+    checks in seconds."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet' WHERE 1=0"
+        )
+    failures = []
+    for name in sorted(ORACLES):
+        try:
+            con.execute(f"EXPLAIN {ORACLES[name]}")
+        except Exception as exc:  # noqa: BLE001 — collect every planner error
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    con.close()
+    assert not failures, "unplannable oracle SQL:\n" + "\n".join(failures)
+
+
 def test_rows_only_queries_run(spark):
     """Queries without oracles must still execute and return a schema."""
     for name in sorted(set(QUERIES) - set(ORACLES)):

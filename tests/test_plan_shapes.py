@@ -262,3 +262,28 @@ def test_hard_negative_mining_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_threshold_curve_queries_have_no_outer_bnlj(spark, sf_dir):
+    """Threshold-curve family (lorenz_curve_events, vocab_growth_curve):
+    the round-6 drafts left-joined 10 threshold rows onto a DATA-sized
+    table on `value <= thr` — a LEFT-outer BroadcastNestedLoopJoin must
+    broadcast its RIGHT (data-sized) side, an executor-OOM at 100×.
+    The round-7 prefix-sum shape allows BNLJ only for the deliberate
+    one-row scalar cross-joins (Inner/Cross, broadcasting the 1-row
+    side); any OUTER nested-loop join here is a regression. The decile
+    lookups themselves must be broadcast HASH joins."""
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_lorenz_curve_events,
+        q_vocab_growth_curve,
+    )
+
+    for q in (q_lorenz_curve_events, q_vocab_growth_curve):
+        plan = explain_str(q(spark, sf_dir))
+        bnlj_lines = [
+            line for line in plan.splitlines() if "BroadcastNestedLoopJoin" in line
+        ]
+        outer = [line for line in bnlj_lines if "Outer" in line]
+        assert not outer, f"{q.__name__}: outer BNLJ present: {outer}"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # the threshold equi-joins
