@@ -48,6 +48,17 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q9_product_profit",
     "pii_scrub",
+    # round 7 breadth (VERDICT r6 task 5): one representative per tier
+    # added in rounds 5-6 so a perf regression in the newest families
+    # shows up in BENCH deltas — iterative graph, embedding-cell dedup,
+    # multi-granularity streaming rollup, exploded-gram span stats,
+    # greedy re-rank, Merkle-bucket diff.
+    "graph_pagerank",
+    "semantic_dedup",
+    "events_stream_hourly_daily",
+    "duplicate_ngram_spans",
+    "mmr_diversified_topk",
+    "table_diff_report",
 ]
 
 
