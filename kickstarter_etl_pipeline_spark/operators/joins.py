@@ -142,22 +142,31 @@ def bloom_prefilter(
     dim predicate is selective but the dim is too big to broadcast
     whole: the bitmap is O(n_bits) regardless of dim width.
     """
+    # Working columns carry a content-derived suffix so a caller whose
+    # fact legitimately contains a column named e.g. `_fh` is never
+    # silently overwritten then dropped (round-6 ADVICE finding). The
+    # suffix is deterministic (no RNG — plans stay stable across runs)
+    # and collision-checked against the caller's schema.
+    suffix = "6b1f"
+    while any(c.endswith(suffix) for c in fact.columns):
+        suffix += "x"
+    fh, widx, word = f"_fh_{suffix}", f"_word_idx_{suffix}", f"_word_{suffix}"
     bitmap = (
         keys.select(
-            F.expr(f"pmod(xxhash64(cast(`{dim_key}` as string)), {n_bits})").alias("_h")
+            F.expr(f"pmod(xxhash64(cast(`{dim_key}` as string)), {n_bits})").alias(fh)
         )
         .select(
-            F.expr("_h div 64").alias("_word_idx"),
-            F.expr("shiftleft(1L, cast(_h % 64 as int))").alias("_bit"),
+            F.expr(f"`{fh}` div 64").alias(widx),
+            F.expr(f"shiftleft(1L, cast(`{fh}` % 64 as int))").alias("_bit"),
         )
-        .groupBy("_word_idx")
-        .agg(F.expr("bit_or(_bit)").alias("_word"))
+        .groupBy(widx)
+        .agg(F.expr("bit_or(_bit)").alias(word))
     )
     staged = fact.withColumn(
-        "_fh", F.expr(f"pmod(xxhash64(cast(`{fact_key}` as string)), {n_bits})")
-    ).withColumn("_word_idx", F.expr("_fh div 64"))
+        fh, F.expr(f"pmod(xxhash64(cast(`{fact_key}` as string)), {n_bits})")
+    ).withColumn(widx, F.expr(f"`{fh}` div 64"))
     return (
-        staged.join(F.broadcast(bitmap), on="_word_idx", how="inner")
-        .filter(F.expr("(_word & shiftleft(1L, cast(_fh % 64 as int))) != 0"))
-        .drop("_fh", "_word_idx", "_word")
+        staged.join(F.broadcast(bitmap), on=widx, how="inner")
+        .filter(F.expr(f"(`{word}` & shiftleft(1L, cast(`{fh}` % 64 as int))) != 0"))
+        .drop(fh, widx, word)
     )

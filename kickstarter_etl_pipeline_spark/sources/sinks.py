@@ -408,17 +408,38 @@ def _latest_committed_by_scan(spark: SparkSession, table_dir: str) -> int | None
     return best
 
 
-def snapshot_version(spark: SparkSession, table_dir: str) -> int | None:
+def snapshot_version(
+    spark: SparkSession, table_dir: str, scan_recovery: bool = True
+) -> int | None:
     """Current committed version, or None for an empty table. The
     pointer is read through the Hadoop FileSystem stream (Spark's text
     reader silently skips ``_``-prefixed metadata files), so the same
     code path works on any filesystem scheme the session can reach.
     A missing pointer falls back to scanning committed ``v=K``
     directories so a crash inside the pointer swap window (or a lost
-    pointer file) never makes committed data unreadable."""
+    pointer file) never makes committed data unreadable.
+
+    ``scan_recovery=False`` opts into strictly pointer-committed
+    semantics: a missing pointer then reads as an empty table instead
+    of silently rolling FORWARD to a data-committed-but-unpublished
+    snapshot (the r6 ADVICE distinction). The scan path, when taken,
+    logs a WARNING so crash recovery is observable, never silent."""
     fs, ptr = _version_pointer(spark, table_dir)
     if not fs.exists(ptr):
-        return _latest_committed_by_scan(spark, table_dir)
+        if not scan_recovery:
+            return None
+        recovered = _latest_committed_by_scan(spark, table_dir)
+        if recovered is not None:
+            import logging
+
+            logging.getLogger("kickstarter_etl_pipeline_spark.sinks").warning(
+                "snapshot pointer missing under %s; scan recovery resolved "
+                "v=%d (data-committed). Restore _VERSION explicitly if "
+                "strictly pointer-committed recovery is required.",
+                table_dir,
+                recovered,
+            )
+        return recovered
     stream = fs.open(ptr)
     try:
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")

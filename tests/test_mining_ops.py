@@ -24,6 +24,27 @@ def test_bloom_prefilter_superset_and_transparency(spark):
     assert pre.count() < fact.count() * 0.5
 
 
+def test_bloom_prefilter_preserves_caller_columns(spark):
+    """A caller whose fact already carries columns named like the
+    prefilter's working columns (`_fh`, `_word_idx`, `_word`) must get
+    them back untouched — the round-6 draft withColumn'd directly onto
+    those names, silently replacing then DROPPING the caller's data
+    (ADVICE r6 finding)."""
+    from kickstarter_etl_pipeline_spark.operators.joins import bloom_prefilter
+
+    fact = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("_fh"),
+        (F.col("id") * 2).alias("_word_idx"),
+        (F.col("id") * 3).alias("_word"),
+    )
+    keys = spark.range(0, 500, 7).select(F.col("id").alias("k"))
+    pre = bloom_prefilter(fact, keys, "k", "k", n_bits=4096)
+    assert set(pre.columns) == {"k", "_fh", "_word_idx", "_word"}
+    row = pre.filter(F.col("k") == 7).collect()[0]
+    assert (row["_fh"], row["_word_idx"], row["_word"]) == (7, 14, 21)
+
+
 def test_duplicate_ngram_spans_edges(spark):
     """Short docs (<n tokens) report 0 positions / NULL ratio; a doc
     repeating another's text has every position duplicated."""
