@@ -1,0 +1,309 @@
+"""Round-7 LM-data-prep and scale-infrastructure queries.
+
+Each query has a full DuckDB oracle twin (oracles_lm.py) and follows
+the repo's determinism rules: exact integer/decimal aggregation,
+transcendentals snapped to integer grids BEFORE aggregation (the
+two-level-grid recipe from NOTES.md), identical IEEE expression trees
+on both engines, rankings totally ordered by (value, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import text as TX
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.session import default_parallelism
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+
+def q_scalable_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE distributed global rank — the scale path that lifts
+    the single-partition ceiling every `Window.orderBy(...)` global
+    rank in this repo otherwise hits (SCALE.md, Windows): range-
+    partition the rows by the sort key, rank LOCALLY within each range
+    partition, then add per-partition offsets computed from the
+    partition row counts (a P-row frame, broadcast back). No partition
+    ever sees more than its range's rows; the only all-data exchanges
+    are the range repartition and the P-group window — both balanced
+    by the range partitioner, never a single task.
+
+    Output = every user's event-count rank ascending (count, then
+    user_id) — bit-identical to a plain global row_number, which is
+    exactly what the oracle replays. Determinism: the range
+    partitioner's sampled boundaries vary run to run, but ranks are a
+    pure function of the total order (n, user_id), which is unique per
+    row — boundaries only move rows between partitions, never change
+    rank.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    n_parts = max(2, min(default_parallelism(), 8))
+    parts = per_user.repartitionByRange(n_parts, F.asc("n"), F.asc("user_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("_pid").orderBy(F.asc("n"), F.asc("user_id"))
+    # ONE materialization of the range-partitioned, locally-ranked rows.
+    # Load-bearing, not an optimization: RangePartitioner SAMPLES its
+    # boundaries, so two independent executions of the same
+    # repartitionByRange lineage (one for the ranks, one for the
+    # counts) may split rows differently — offsets computed from a
+    # second execution could disagree with the _pid each row got in
+    # the first. The checkpoint pins a single partitioning that both
+    # consumers read.
+    local = parts.withColumn("_lrank", F.row_number().over(wl)).localCheckpoint(
+        eager=True
+    )
+    # P rows of control data: per-partition counts -> exclusive prefix
+    # offsets (tiny frame, broadcast back onto the ranked rows).
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(wp), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "user_id",
+            "n",
+            (F.col("_lrank") + F.col("_off")).cast("long").alias("rank"),
+        )
+    )
+
+
+def q_token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage curve for tokenizer/vocabulary sizing: for each of
+    the top-25 most frequent tokens (count DESC, token ASC), the
+    cumulative number of corpus token occurrences covered and the
+    cumulative share of ALL occurrences — the "how much of the corpus
+    does a k-entry vocab cover" table read before fixing a vocab size.
+
+    One uniform-key aggregate (token counts) → TakeOrdered(25) → a
+    25-row cumulative window + one-row broadcast total. The corpus
+    total is over ALL tokens, not the head — the share curve is
+    honest about the tail it excludes.
+    """
+    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = token_frequency(docs)
+    total = F.broadcast(freq.agg(F.sum("n_occurrences").cast("long").alias("_total")))
+    top = (
+        freq.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(25)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_occurrences"), F.asc("token")))
+            .cast("int"),
+        )
+    )
+    wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("cum_occurrences", F.sum("n_occurrences").over(wcum).cast("long"))
+        .crossJoin(total)
+        .select(
+            "rank",
+            "token",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "cum_occurrences",
+            round_det(F.col("cum_occurrences") / F.col("_total"), 6).alias("cum_share"),
+        )
+    )
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch purchase attribution: for every
+    purchase event, the FIRST and the LAST non-purchase event type the
+    same user generated strictly before it (event-time order, event_id
+    tie-break); purchases with no prior touch attribute to '(none)'.
+    Output = per channel, how many purchases it gets under each model —
+    the classic marketing-attribution disagreement table.
+
+    One pass: both touches come from the SAME per-user ordered window
+    (first/last with ignorenulls over UNBOUNDED PRECEDING..1 PRECEDING)
+    — no self-join, no per-purchase rescan. Shuffle is keyed by
+    user_id (uniform); the channel rollup is a low-cardinality
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    purchases = (
+        ev.withColumn("_first", F.first(touch, ignorenulls=True).over(wp))
+        .withColumn("_last", F.last(touch, ignorenulls=True).over(wp))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("_first"), F.lit("(none)")).alias("first_touch"),
+            F.coalesce(F.col("_last"), F.lit("(none)")).alias("last_touch"),
+        )
+    )
+    first_counts = purchases.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count("*").cast("long").alias("n_first_touch")
+    )
+    last_counts = purchases.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count("*").cast("long").alias("n_last_touch")
+    )
+    return (
+        first_counts.join(last_counts, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first_touch", F.lit(0)).cast("long").alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).cast("long").alias("n_last_touch"),
+        )
+    )
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source re-weighting (the T5/multilingual
+    mixing rule, Raffel et al. 2020 §3.4.3: sample source s with
+    probability ∝ p_s^τ, τ = 0.7): per source, the corpus share and
+    the temperature-flattened resampling share — the table a data
+    scheduler consumes to up-sample tail sources.
+
+    Determinism (two-level grid, NOTES.md): p^0.7 = exp(0.7·ln p);
+    ln p is snapped to an exact 1e-9 integer grid, scaled by 7/10 in
+    integer arithmetic, exp'd, and the weight snapped to an exact 1e-6
+    integer grid — integer SUMS are then exact, and the final share is
+    one IEEE division + 6-dp grid, identical on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    total = F.broadcast(docs.agg(F.count("*").cast("long").alias("_n")))
+    # L = floor(ln(p)*1e9 + 0.5); M = floor(7*L/10); W = floor(exp(M/1e9)*1e6 + 0.5)
+    weighted = counts.crossJoin(total).withColumn(
+        "_w",
+        F.floor(
+            F.exp(
+                F.floor(
+                    F.lit(7)
+                    * F.floor(F.log(F.col("n_docs") / F.col("_n")) * 1e9 + 0.5)
+                    / 10
+                )
+                / F.lit(1e9)
+            )
+            * 1e6
+            + 0.5
+        ).cast("long"),
+    )
+    wsum = F.broadcast(weighted.agg(F.sum("_w").cast("long").alias("_wsum")))
+    return (
+        weighted.crossJoin(wsum)
+        .select(
+            "source",
+            "n_docs",
+            round_det(F.col("n_docs") / F.col("_n"), 6).alias("corpus_share"),
+            round_det(F.col("_w") / F.col("_wsum"), 6).alias("resample_share"),
+        )
+    )
+
+
+def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.25, absolute discount D = 0.75) for the
+    top-50 corpus bigrams — the smoothing every classic LM-data quality
+    filter (and KenLM-style perplexity scorer) is built on:
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/T
+
+    where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    left-contexts of w2 (the continuation probability), T = distinct
+    bigram types. EVERYTHING is a ratio of exact integer counts and
+    D = 0.75 is exact binary, so both engines evaluate the identical
+    IEEE expression tree — bit-equal before the final 6-dp grid.
+
+    Shape: one explode to adjacent in-word token pairs → one bigram
+    count aggregate (uniform keys) → two small grouped tables (per-w1,
+    per-w2 stats) equi-joined back + a one-row broadcast scalar T.
+    Top-50 by (count DESC, w1, w2) via TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # size >= 2 guard: ANSI sequence(1, 0) counts DOWN (the r5 shingle
+    # trap) — single-token docs must contribute no pairs, not a reversed
+    # range.
+    toks = docs.select(TX.tokens("text").alias("_t")).filter(F.expr("size(_t) >= 2"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_bigram"))
+    by_w1 = c12.groupBy("w1").agg(
+        F.sum("n_bigram").cast("long").alias("_c1"),
+        F.count("*").cast("long").alias("_n1fwd"),
+    )
+    by_w2 = c12.groupBy("w2").agg(F.count("*").cast("long").alias("_nback"))
+    types = F.broadcast(c12.agg(F.count("*").cast("long").alias("_T")))
+    scored = (
+        c12.join(by_w1, "w1")
+        .join(by_w2, "w2")
+        .crossJoin(types)
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            round_det(
+                F.greatest(F.col("n_bigram") - 0.75, F.lit(0.0)) / F.col("_c1")
+                + F.lit(0.75)
+                * F.col("_n1fwd")
+                / F.col("_c1")
+                * (F.col("_nback") / F.col("_T")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2")))
+            .cast("int"),
+        )
+        .select("rank", "w1", "w2", "n_bigram", "p_kn")
+    )
+
+
+def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance audit: assign every document to one of 64
+    shards by a stable content-independent hash (md5 of doc_id — the
+    same deterministic-digit device as hash_sample, portable across
+    engines unlike xxhash64), then report each shard's document count,
+    character volume, and skew ratio vs the ideal uniform share — the
+    pre-flight check before writing training shards, where one hot
+    shard stalls every epoch.
+
+    One per-row hash + one 64-group aggregate (map-side combined) + a
+    one-row broadcast total. At 100 TB this is a metadata-cheap audit:
+    the shuffle carries 64 rows per task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 64
+    )
+    per_shard = docs.groupBy(shard.alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    total = F.broadcast(docs.agg(F.count("*").cast("long").alias("_n")))
+    return (
+        per_shard.crossJoin(total)
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            round_det(F.col("n_docs") * 64 / F.col("_n"), 6).alias("skew_ratio"),
+        )
+    )

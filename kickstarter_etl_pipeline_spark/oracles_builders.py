@@ -7,12 +7,14 @@ queries.py in round 6.
 from kickstarter_etl_pipeline_spark.oracles_analytics import ORACLES_ANALYTICS
 from kickstarter_etl_pipeline_spark.oracles_core import ORACLES_CORE
 from kickstarter_etl_pipeline_spark.oracles_ext import ORACLES_EXT
+from kickstarter_etl_pipeline_spark.oracles_lm import ORACLES_LM
 from kickstarter_etl_pipeline_spark.oracles_mining import ORACLES_MINING
 
 _ORACLES: dict[str, str] = {}
 _ORACLES.update(ORACLES_CORE)
 _ORACLES.update(ORACLES_ANALYTICS)
 _ORACLES.update(ORACLES_MINING)
+_ORACLES.update(ORACLES_LM)
 
 _ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
 # Star-rewriting CC must produce the exact same groups as min-label CC.

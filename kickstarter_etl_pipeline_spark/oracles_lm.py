@@ -1,0 +1,137 @@
+"""DuckDB oracle twins for the round-7 LM-data-prep queries
+(operators/lm_queries.py). Same determinism rules as every other
+ledger: exact integer counts, identical IEEE expression trees,
+transcendentals snapped to integer grids before aggregation, floats
+rounded on the same fixed grid as the Spark side.
+"""
+
+ORACLES_LM: dict[str, str] = {}
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# FULL twin of q_scalable_rank_events: the two-phase distributed rank
+# must be bit-identical to a plain global row_number over the same
+# total order — that equivalence IS the correctness contract.
+ORACLES_LM["scalable_rank_events"] = """
+    WITH per_user AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                      FROM events GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(row_number() OVER (ORDER BY n, user_id) AS BIGINT) AS rank
+    FROM per_user
+"""
+
+# FULL twin of q_token_coverage_topk.
+ORACLES_LM["token_coverage_topk"] = f"""
+    WITH freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+                  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+                  GROUP BY token),
+    t AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM freq),
+    top AS (SELECT token, n_occurrences,
+                   CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                        AS INTEGER) AS rank
+            FROM freq
+            ORDER BY n_occurrences DESC, token LIMIT 25)
+    SELECT rank, token, n_occurrences,
+           CAST(sum(n_occurrences) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_occurrences,
+           floor(sum(n_occurrences) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / t.total * 1000000 + 0.5) / 1000000.0 AS cum_share
+    FROM top CROSS JOIN t
+"""
+
+# FULL twin of q_touch_attribution.
+ORACLES_LM["touch_attribution"] = """
+    WITH marked AS (
+      SELECT event_type,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_t,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_t
+      FROM events),
+    purchases AS (SELECT coalesce(first_t, '(none)') AS first_touch,
+                         coalesce(last_t, '(none)') AS last_touch
+                  FROM marked WHERE event_type = 'purchase'),
+    f AS (SELECT first_touch AS channel, CAST(count(*) AS BIGINT) AS n_first_touch
+          FROM purchases GROUP BY 1),
+    l AS (SELECT last_touch AS channel, CAST(count(*) AS BIGINT) AS n_last_touch
+          FROM purchases GROUP BY 1)
+    SELECT coalesce(f.channel, l.channel) AS channel,
+           CAST(coalesce(n_first_touch, 0) AS BIGINT) AS n_first_touch,
+           CAST(coalesce(n_last_touch, 0) AS BIGINT) AS n_last_touch
+    FROM f FULL OUTER JOIN l ON f.channel = l.channel
+"""
+
+# FULL twin of q_temperature_resample. Grid bookkeeping matches the
+# Spark side symbol for symbol:
+#   L = floor(ln(n/N)*1e9 + 0.5); M = floor(7*L/10);
+#   W = floor(exp(M/1e9)*1e6 + 0.5); share = round6(W / sum(W)).
+ORACLES_LM["temperature_resample"] = """
+    WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    w AS (SELECT source, n_docs, t.n,
+                 CAST(floor(
+                   exp(floor(7 * floor(ln(n_docs / t.n) * 1000000000 + 0.5) / 10)
+                       / 1000000000.0) * 1000000 + 0.5) AS BIGINT) AS wgt
+          FROM counts CROSS JOIN t),
+    s AS (SELECT CAST(sum(wgt) AS BIGINT) AS wsum FROM w)
+    SELECT source, n_docs,
+           floor(n_docs / w.n * 1000000 + 0.5) / 1000000.0 AS corpus_share,
+           floor(wgt / s.wsum * 1000000 + 0.5) / 1000000.0 AS resample_share
+    FROM w CROSS JOIN s
+"""
+
+# FULL twin of q_kneser_ney_bigrams. The discounted probability is a
+# pure ratio tree of exact BIGINT counts with D = 0.75 (exact binary):
+# both engines evaluate greatest(c12-0.75,0)/c1 + 0.75*n1f/c1*(nb/T)
+# left-associatively over IEEE doubles — bit-equal pre-grid.
+ORACLES_LM["kneser_ney_bigrams"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents
+                  WHERE len({_TOKS}) >= 2),
+    bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(range(1, len(t))) AS r(i)),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram
+            FROM bg GROUP BY w1, w2),
+    by1 AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1fwd
+            FROM c12 GROUP BY w1),
+    by2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS nback FROM c12 GROUP BY w2),
+    ty AS (SELECT CAST(count(*) AS BIGINT) AS T FROM c12),
+    scored AS (
+      SELECT c12.w1, c12.w2, n_bigram,
+             floor((greatest(n_bigram - 0.75, 0.0) / c1
+                    + 0.75 * n1fwd / c1 * (nback / ty.T)) * 1000000 + 0.5)
+               / 1000000.0 AS p_kn
+      FROM c12 JOIN by1 ON c12.w1 = by1.w1
+               JOIN by2 ON c12.w2 = by2.w2
+               CROSS JOIN ty)
+    SELECT CAST(row_number() OVER (ORDER BY n_bigram DESC, w1, w2) AS INTEGER)
+             AS rank,
+           w1, w2, n_bigram, p_kn
+    FROM scored
+    ORDER BY n_bigram DESC, w1, w2 LIMIT 50
+"""
+
+# FULL twin of q_shard_balance_report (md5-digit shard key, the
+# hash_sample device — engine-portable unlike xxhash64).
+ORACLES_LM["shard_balance_report"] = """
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    shards AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS shard,
+             n_chars
+      FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor(count(*) * 64 / t.n * 1000000 + 0.5) / 1000000.0 AS skew_ratio
+    FROM shards CROSS JOIN t
+    GROUP BY shard, t.n
+"""

@@ -238,6 +238,15 @@ from kickstarter_etl_pipeline_spark.operators.mining_queries import (  # noqa: F
     q_zipf_slope,
 )
 
+from kickstarter_etl_pipeline_spark.operators.lm_queries import (  # noqa: F401 — registry surface
+    q_scalable_rank_events,
+    q_token_coverage_topk,
+    q_touch_attribution,
+    q_temperature_resample,
+    q_kneser_ney_bigrams,
+    q_shard_balance_report,
+)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -254,6 +263,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # at the head of the window (they are never-graded) —
 # test_grading_window_invariants enforces this.
 _QUERIES: dict[str, QueryFn] = {
+    # --- round-7 window: first-grade (added this round, never graded) ---
+    "scalable_rank_events": q_scalable_rank_events,
+    "token_coverage_topk": q_token_coverage_topk,
+    "touch_attribution": q_touch_attribution,
+    "temperature_resample": q_temperature_resample,
+    "kneser_ney_bigrams": q_kneser_ney_bigrams,
+    "shard_balance_report": q_shard_balance_report,
     # --- round-7 window: re-certify (fixed this round, never green) ---
     "lorenz_curve_events": q_lorenz_curve_events,
     # --- round-7 window: stalest re-grades (last green r02) ---
@@ -301,15 +317,15 @@ _QUERIES: dict[str, QueryFn] = {
     "levenshtein_pairs": q_levenshtein_pairs,
     "embedding_dim_stats": q_embedding_dim_stats,
     "dedup_components": q_dedup_components,
+    # ---------------- below the fold: every entry here holds a green
+    # driver grade (r03-r06) or is declared rows-only ----------------
+    # --- last green r03 ---
     "window_first_last": q_window_first_last,
     "json_roundtrip_agg": q_json_roundtrip_agg,
     "orc_roundtrip_agg": q_orc_roundtrip_agg,
     "q8_market_share": q_q8_market_share,
     "q10_returned_items": q_q10_returned_items,
     "q13_order_count_distribution": q_q13_order_count_distribution,
-    # ---------------- below the fold: every entry here holds a green
-    # driver grade (r03-r06) or is declared rows-only ----------------
-    # --- last green r03 ---
     "dq_star_report": q_dq_star_report,
     # --- last green r04 ---
     "star_flagship": q_star_flagship,
