@@ -307,3 +307,177 @@ def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("n_docs") * 64 / F.col("_n"), 6).alias("skew_ratio"),
         )
     )
+
+
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY (the complement of Lee et al. 2022's
+    duplication measurement): for every document, the fraction of its
+    token-8-gram positions whose gram first occurs (min doc_id over the
+    corpus) in THIS document — the "how much genuinely new text does
+    each doc add in ingestion order" curve that decides whether the
+    tail of a crawl is still worth keeping. Within a gram's first
+    document every occurrence counts as novel (the gram is new to the
+    corpus there); later documents score 0 for it.
+
+    Same checkpointed position table + uniform-key gram aggregate shape
+    as duplicate_ngram_span_stats (dedup.py:696 family): two shuffles,
+    stop-gram heads map-side combine, no all-pairs anywhere. Docs
+    shorter than 8 tokens report 0 positions / NULL ratio.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    n = 8
+    docs = load_table(spark, sf_dir, "documents")
+    staged = ensure_min_partitions(docs).withColumn("_toks", TX.tokens("text"))
+    pos = (
+        staged.filter(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {n - 1}), "
+                    f"i -> array_join(slice(_toks, i, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first_doc = pos.groupBy("gram").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        pos.join(first_doc, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_positions"),
+            F.sum(F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel_positions"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_positions", F.lit(0)).cast("long").alias("n_positions"),
+            F.coalesce("n_novel_positions", F.lit(0)).cast("long").alias(
+                "n_novel_positions"
+            ),
+            round_det(F.col("n_novel_positions") / F.col("n_positions"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+def q_ccnet_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source quality tiers (Wenzek et al. 2020 §4.3:
+    split each language's crawl into head/middle/tail by LM
+    perplexity): rank every document WITHIN its source by the unigram
+    surprisal proxy ascending (lower = more natural), cut into 3
+    ntile tiers, and report each (source, tier)'s size and mean
+    surprisal — the table a curation pipeline uses to keep head,
+    re-filter middle, drop tail.
+
+    Determinism: per-doc mean surprisal is snapped to an exact
+    integer MICRO-nat grid before any cross-doc aggregation, so tier
+    sums are exact and order-free; ntile over the unique (m6, doc_id)
+    order is engine-identical. Shuffles: the surprisal pass (two
+    uniform-key) + one source-partitioned window over per-doc rows.
+    """
+    from kickstarter_etl_pipeline_spark.operators.text import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        unigram_surprisal(docs)
+        .select(
+            "doc_id",
+            # micro-nat integer: 6-dp grid value scaled to exact BIGINT
+            F.floor(F.col("mean_surprisal_nats") * 1e6 + 0.5).cast("long").alias("_m6"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    wt = Window.partitionBy("source").orderBy(F.asc("_m6"), F.asc("doc_id"))
+    tiers = scored.withColumn("tier", F.ntile(3).over(wt).cast("int"))
+    return tiers.groupBy("source", "tier").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        round_det(F.sum("_m6").cast("double") / (F.count("*") * F.lit(1e6)), 6).alias(
+            "tier_mean_surprisal"
+        ),
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011, ADC
+    variant): split the 64-dim embedding into m = 4 subspaces of 16
+    dims; each subspace's codebook is 16 anchor centroids (the
+    embeddings of vec_id 0..15 sliced to that subspace — deterministic
+    "training", the ivf_anchor device); every vector compresses to 4
+    codes (argmin squared distance per subspace); a query scores a
+    vector ASYMMETRICALLY by summing its precomputed query→centroid
+    distances at the vector's codes — 4 integer adds per candidate
+    instead of a 64-dim scan. Top-5 different-vector neighbors per
+    query (vec_id < 10) by (ADC distance, vec_id).
+
+    Exactness: subspace distances fold left over (double)x−(double)y
+    squares (identical tree in DuckDB's list_reduce) and snap to
+    integer nano-grids; ADC sums are exact BIGINT adds. Scale shape:
+    codes are ONE corpus pass against a 64-row broadcast codebook; the
+    ADC join fans out by |queries|·m against a 640-row broadcast LUT —
+    at web scale the code table is 8 bytes/vector, the reason PQ is
+    the in-RAM billion-vector index.
+    """
+    m, sub_dim, n_cent, n_q, k = 4, 16, 16, 10, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("embedding", s * sub_dim + 1, sub_dim).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sub"),
+    ).select("vec_id", "_sub.s", "_sub.sv")
+    cent = sub.filter(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").cast("int").alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    d9 = F.floor(
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"),
+                F.col("cv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    dists = sub.join(F.broadcast(cent), "s").select("vec_id", "s", "cid", d9.alias("d9"))
+    wc = Window.partitionBy("vec_id", "s").orderBy(F.asc("d9"), F.asc("cid"))
+    codes = (
+        dists.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+    lut = dists.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), "s", "cid", F.col("d9").alias("qd9")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd9").cast("long").alias("adc_d9"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("adc_d9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_d9")
+    )

@@ -135,3 +135,91 @@ ORACLES_LM["shard_balance_report"] = """
     FROM shards CROSS JOIN t
     GROUP BY shard, t.n
 """
+
+# FULL twin of q_ngram_novelty_curve (positional token 8-grams; DuckDB
+# range is end-exclusive, slices inclusive — same mapping as the
+# duplicate_ngram_spans twin).
+ORACLES_LM["ngram_novelty_curve"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 6),
+                          i -> array_to_string(t[i:i+7], ' '))) AS gram
+            FROM toks WHERE len(t) >= 8),
+    fd AS (SELECT gram, min(doc_id) AS first_doc FROM pos GROUP BY gram),
+    pd AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+                  CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_novel
+           FROM pos p JOIN fd f USING (gram) GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_positions, 0) AS BIGINT) AS n_positions,
+           CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel_positions,
+           floor(pd.n_novel / pd.n_positions * 1000000 + 0.5) / 1000000.0
+             AS novelty_ratio
+    FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+# FULL twin of q_ccnet_quality_tiers: replays the unigram_surprisal
+# nano-nat grid (identical to the perplexity_proxy twin), snaps the
+# per-doc mean to integer MICRO-nats, ntiles within source, and
+# aggregates exact integer sums per tier.
+ORACLES_LM["ccnet_quality_tiers"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    lm AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    t AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM lm),
+    s9 AS (SELECT token,
+                  CAST(floor(-ln(tf / t.total) * 1000000000 + 0.5) AS BIGINT) AS s9
+           FROM lm CROSS JOIN t),
+    per_doc AS (SELECT tok.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(s9.s9) AS BIGINT) AS sum9
+                FROM tok JOIN s9 USING (token) GROUP BY tok.doc_id),
+    m6 AS (SELECT doc_id,
+                  CAST(floor(
+                    (floor(sum9 / (n_tokens * 1000000000.0) * 1000000 + 0.5)
+                     / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS m6
+           FROM per_doc),
+    tiers AS (SELECT d.source, m6.m6,
+                     CAST(ntile(3) OVER (PARTITION BY d.source
+                                         ORDER BY m6.m6, m6.doc_id) AS INTEGER)
+                       AS tier
+              FROM m6 JOIN documents d USING (doc_id))
+    SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(sum(m6) / (count(*) * 1000000.0) * 1000000 + 0.5) / 1000000.0
+             AS tier_mean_surprisal
+    FROM tiers GROUP BY source, tier
+"""
+
+# FULL twin of q_ann_pq_topk: identical subspace slicing, identical
+# left-fold squared-distance tree snapped at nano-grid, identical
+# (d9, cid) argmin codes, exact BIGINT ADC sums.
+ORACLES_LM["ann_pq_topk"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sub AS (SELECT vec_id, CAST(r.s AS INTEGER) AS s,
+                   e[r.s*16+1 : r.s*16+16] AS sv
+            FROM v, unnest(range(0, 4)) AS r(s)),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, s, sv AS cv
+             FROM sub WHERE vec_id < 16),
+    d AS (SELECT sub.vec_id, sub.s, cent.cid,
+                 CAST(floor(list_reduce(
+                   list_transform(range(1, 17),
+                     i -> (sub.sv[i] - cent.cv[i]) * (sub.sv[i] - cent.cv[i])),
+                   (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT) AS d9
+          FROM sub JOIN cent USING (s)),
+    codes AS (SELECT vec_id, s, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                             ORDER BY d9, cid) AS rn
+                FROM d) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, s, cid, d9 AS qd9
+            FROM d WHERE vec_id < 10),
+    scored AS (SELECT l.query_id, c.vec_id,
+                      CAST(sum(l.qd9) AS BIGINT) AS adc_d9
+               FROM codes c JOIN lut l USING (s, cid)
+               WHERE c.vec_id <> l.query_id
+               GROUP BY l.query_id, c.vec_id)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d9, vec_id) AS INTEGER) AS rank,
+           vec_id, adc_d9
+    FROM scored
+    QUALIFY rank <= 5
+"""
