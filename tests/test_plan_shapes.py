@@ -287,3 +287,35 @@ def test_threshold_curve_queries_have_no_outer_bnlj(spark, sf_dir):
         assert not outer, f"{q.__name__}: outer BNLJ present: {outer}"
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan  # the threshold equi-joins
+
+
+def test_ann_pq_topk_is_all_broadcast_hash(spark, sf_dir):
+    """PQ/ADC: the codebook (64 rows) and the query LUT (640 rows) must
+    ride broadcast HASH joins onto the corpus-sized sides — a
+    SortMergeJoin or nested-loop join anywhere defeats the
+    8-bytes-per-vector point of product quantization."""
+    from kickstarter_etl_pipeline_spark.queries import q_ann_pq_topk
+
+    plan = explain_str(q_ann_pq_topk(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # codebook + LUT
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalable_rank_single_partition_only_for_offsets(spark, sf_dir):
+    """Two-phase rank: the only SinglePartition exchange allowed is the
+    P-row offset window; the data rows must never funnel through one
+    partition (that would re-create the ceiling the operator lifts)."""
+    from kickstarter_etl_pipeline_spark.queries import q_scalable_rank_events
+
+    plan = explain_str(q_scalable_rank_events(spark, sf_dir), mode="simple")
+    # exactly ONE SinglePartition exchange — the P-row offset window;
+    # it must sit above the per-partition count aggregate, never the
+    # raw rows (the range partitioning itself is inside the checkpoint
+    # and not visible here)
+    assert plan.count("Exchange SinglePartition") == 1
+    single_idx = plan.index("Exchange SinglePartition")
+    assert "HashAggregate" in plan[single_idx:], "offset funnel must be post-aggregate"
+    # the offsets frame is the broadcast side; data side joins by _pid
+    assert "BroadcastHashJoin" in plan
