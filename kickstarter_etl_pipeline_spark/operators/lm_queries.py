@@ -481,3 +481,132 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "adc_d9")
     )
+
+
+def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC tier against EXACT full-dimension squared
+    L2 distance, per query — the compression-loss monitor a PQ
+    deployment watches (ADC is lossy by construction; Jégou et al.
+    2011 §V reports exactly this curve). Both pipelines are
+    individually deterministic (integer nano-grid distances, (d, id)
+    total orders), so the composed report carries a full oracle.
+
+    Shape: the exact side is one broadcast scoring pass (10 query rows
+    against the corpus — the embedding_topk shape); the PQ side is
+    q_ann_pq_topk's code/LUT pipeline. The comparison join is
+    50×50 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    d9 = F.floor(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("_qv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d9.alias("_d9"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("_d9"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    approx = q_ann_pq_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            round_det(F.col("n_hits") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution (Mikolov et al. 2013
+    §2.2: draw negatives ∝ count(w)^{3/4} — the flattening that keeps
+    stopwords from dominating): the top-50 tokens with their smoothed
+    sampling share over the FULL vocabulary normalizer.
+
+    Determinism: count^0.75 = exp(0.75·ln count) on the two-level grid
+    (ln at 1e-9 integer nano-nats, exact 3/4 integer scaling, exp
+    snapped to 1e-6 integer micro-units); the normalizer sums exact
+    BIGINTs over the whole vocabulary, then one IEEE division + 6-dp
+    grid per emitted row. One uniform-key aggregate + TakeOrdered(50)
+    + a one-row broadcast sum."""
+    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = token_frequency(docs).select("token", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+    # W = floor(exp(floor(3*floor(ln(n)*1e9+0.5)/4)/1e9)*1e6 + 0.5)
+    weighted = freq.withColumn(
+        "_w",
+        F.floor(
+            F.exp(
+                F.floor(F.lit(3) * F.floor(F.log("n_occurrences") * 1e9 + 0.5) / 4)
+                / F.lit(1e9)
+            )
+            * 1e6
+            + 0.5
+        ).cast("long"),
+    )
+    wsum = F.broadcast(weighted.agg(F.sum("_w").cast("long").alias("_wsum")))
+    top = (
+        weighted.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_occurrences"), F.asc("token")))
+            .cast("int"),
+        )
+    )
+    return top.crossJoin(wsum).select(
+        "rank",
+        "token",
+        "n_occurrences",
+        round_det(F.col("_w") / F.col("_wsum"), 6).alias("neg_sampling_share"),
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    word (the cross-lingual cost metric every multilingual tokenizer
+    eval reports — high-fertility languages pay more compute per word)
+    plus character volume per BPE-ish token. Pure JVM regex + one
+    low-cardinality aggregate; exact integer sums, fixed division
+    trees."""
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    per_doc = docs.select(
+        "lang",
+        F.size(TX.tokens("text")).cast("long").alias("_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("_bpe"),
+        F.col("n_chars").cast("long").alias("_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("_bpe").cast("long").alias("n_bpeish_tokens"),
+        round_det(F.sum("_bpe") / F.sum("_ws"), 6).alias("fertility"),
+        round_det(F.sum("_chars") / F.sum("_bpe"), 6).alias("chars_per_token"),
+    )

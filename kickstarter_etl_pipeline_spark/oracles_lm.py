@@ -223,3 +223,85 @@ ORACLES_LM["ann_pq_topk"] = """
     FROM scored
     QUALIFY rank <= 5
 """
+
+# FULL twin of q_pq_recall_report: the PQ pipeline CTEs (identical to
+# the ann_pq_topk twin) composed with an exact full-dimension squared-
+# L2 top-5 — the same verified-composition device as ann_recall_report.
+ORACLES_LM["pq_recall_report"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sub AS (SELECT vec_id, CAST(r.s AS INTEGER) AS s,
+                   e[r.s*16+1 : r.s*16+16] AS sv
+            FROM v, unnest(range(0, 4)) AS r(s)),
+    cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, s, sv AS cv
+             FROM sub WHERE vec_id < 16),
+    d AS (SELECT sub.vec_id, sub.s, cent.cid,
+                 CAST(floor(list_reduce(
+                   list_transform(range(1, 17),
+                     i -> (sub.sv[i] - cent.cv[i]) * (sub.sv[i] - cent.cv[i])),
+                   (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT) AS d9
+          FROM sub JOIN cent USING (s)),
+    codes AS (SELECT vec_id, s, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                             ORDER BY d9, cid) AS rn
+                FROM d) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, s, cid, d9 AS qd9
+            FROM d WHERE vec_id < 10),
+    pq AS (SELECT query_id, vec_id FROM (
+             SELECT l.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY l.query_id
+                                       ORDER BY sum(l.qd9), c.vec_id) AS rn
+             FROM codes c JOIN lut l USING (s, cid)
+             WHERE c.vec_id <> l.query_id
+             GROUP BY l.query_id, c.vec_id) WHERE rn <= 5),
+    exact AS (SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         CAST(floor(list_reduce(
+                           list_transform(range(1, len(c.e) + 1),
+                             i -> (c.e[i] - q.e[i]) * (c.e[i] - q.e[i])),
+                           (acc, x) -> acc + x) * 1000000000 + 0.5) AS BIGINT),
+                         c.vec_id) AS rn
+                FROM v c CROSS JOIN v q
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rn <= 5)
+    SELECT e.query_id,
+           CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+           floor(count(p.vec_id) / 5.0 * 1000000 + 0.5) / 1000000.0 AS recall_at_5
+    FROM exact e LEFT JOIN pq p USING (query_id, vec_id)
+    GROUP BY e.query_id
+"""
+
+# FULL twin of q_negative_sampling_table: count^{3/4} on the two-level
+# grid, full-vocabulary normalizer, top-50 by (count DESC, token).
+ORACLES_LM["negative_sampling_table"] = f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    w AS (SELECT token, n,
+                 CAST(floor(
+                   exp(floor(3 * floor(ln(n) * 1000000000 + 0.5) / 4)
+                       / 1000000000.0) * 1000000 + 0.5) AS BIGINT) AS wgt
+          FROM freq),
+    s AS (SELECT CAST(sum(wgt) AS BIGINT) AS wsum FROM w),
+    top AS (SELECT token, n, wgt,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+                     AS rank
+            FROM w ORDER BY n DESC, token LIMIT 50)
+    SELECT rank, token, n AS n_occurrences,
+           floor(wgt / s.wsum * 1000000 + 0.5) / 1000000.0 AS neg_sampling_share
+    FROM top CROSS JOIN s
+"""
+
+# FULL twin of q_tokenizer_fertility (regex identical to the
+# bpe_token_counts twin; RE2 and Java agree on this alternation).
+ORACLES_LM["tokenizer_fertility"] = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+             AS BIGINT) AS n_bpeish_tokens,
+           floor(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                 / sum(len({_TOKS})) * 1000000 + 0.5) / 1000000.0 AS fertility,
+           floor(sum(n_chars)
+                 / sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                 * 1000000 + 0.5) / 1000000.0 AS chars_per_token
+    FROM documents GROUP BY lang
+"""
