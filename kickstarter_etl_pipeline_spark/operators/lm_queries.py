@@ -17,60 +17,86 @@ from kickstarter_etl_pipeline_spark.session import default_parallelism
 from kickstarter_etl_pipeline_spark.sources.readers import load_table
 
 
-def q_scalable_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TWO-PHASE distributed global rank — the scale path that lifts
-    the single-partition ceiling every `Window.orderBy(...)` global
-    rank in this repo otherwise hits (SCALE.md, Windows): range-
-    partition the rows by the sort key, rank LOCALLY within each range
-    partition, then add per-partition offsets computed from the
-    partition row counts (a P-row frame, broadcast back). No partition
-    ever sees more than its range's rows; the only all-data exchanges
-    are the range repartition and the P-group window — both balanced
-    by the range partitioner, never a single task.
+def two_phase_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    cum_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """TWO-PHASE distributed global rank (and optional global prefix
+    sum) — the scale path that lifts the single-partition ceiling a
+    `Window.orderBy(...)` global rank otherwise hits (SCALE.md,
+    Windows): range-partition the rows by the sort key, rank (and
+    partially prefix-sum) LOCALLY within each range partition, then add
+    per-partition offsets computed from the partition aggregates (a
+    P-row frame, broadcast back). No partition ever sees more than its
+    range's rows; the only all-data exchanges are the range repartition
+    and the P-group window — both balanced by the range partitioner,
+    never a single task.
 
-    Output = every user's event-count rank ascending (count, then
-    user_id) — bit-identical to a plain global row_number, which is
-    exactly what the oracle replays. Determinism: the range
-    partitioner's sampled boundaries vary run to run, but ranks are a
-    pure function of the total order (n, user_id), which is unique per
-    row — boundaries only move rows between partitions, never change
-    rank.
+    Adds a ``rank`` column (bit-identical to a plain global
+    row_number over ``order_cols``), and — when ``cum_col`` is given —
+    a ``cum`` column equal to the inclusive running sum of ``cum_col``
+    in that order. Determinism: the range partitioner's sampled
+    boundaries vary run to run, but rank/cum are pure functions of the
+    total order (``order_cols`` must be unique per row) — boundaries
+    only move rows between partitions, never change the output.
     """
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-    n_parts = max(2, min(default_parallelism(), 8))
-    parts = per_user.repartitionByRange(n_parts, F.asc("n"), F.asc("user_id")).withColumn(
+    n_parts = n_parts or max(2, min(default_parallelism(), 8))
+    order = [F.asc(c) for c in order_cols]
+    parts = df.repartitionByRange(n_parts, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    wl = Window.partitionBy("_pid").orderBy(F.asc("n"), F.asc("user_id"))
+    wl = Window.partitionBy("_pid").orderBy(*order)
+    staged = parts.withColumn("_lrank", F.row_number().over(wl))
+    if cum_col is not None:
+        staged = staged.withColumn(
+            "_lcum",
+            F.sum(cum_col).over(
+                wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     # ONE materialization of the range-partitioned, locally-ranked rows.
     # Load-bearing, not an optimization: RangePartitioner SAMPLES its
     # boundaries, so two independent executions of the same
     # repartitionByRange lineage (one for the ranks, one for the
-    # counts) may split rows differently — offsets computed from a
-    # second execution could disagree with the _pid each row got in
-    # the first. The checkpoint pins a single partitioning that both
+    # offsets) may split rows differently — offsets computed from a
+    # second execution could disagree with the _pid each row got in the
+    # first. The checkpoint pins a single partitioning that both
     # consumers read.
-    local = parts.withColumn("_lrank", F.row_number().over(wl)).localCheckpoint(
-        eager=True
-    )
-    # P rows of control data: per-partition counts -> exclusive prefix
-    # offsets (tiny frame, broadcast back onto the ranked rows).
+    local = staged.localCheckpoint(eager=True)
+    # P rows of control data: per-partition aggregates -> exclusive
+    # prefix offsets (tiny frame, broadcast back onto the ranked rows).
     wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    aggs = [F.count("*").alias("_cnt")]
+    if cum_col is not None:
+        aggs.append(F.sum(cum_col).alias("_psum"))
     offsets = (
         local.groupBy("_pid")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(wp), F.lit(0)))
-        .select("_pid", "_off")
+        .agg(*aggs)
+        .withColumn("_roff", F.coalesce(F.sum("_cnt").over(wp), F.lit(0)))
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .select(
-            "user_id",
-            "n",
-            (F.col("_lrank") + F.col("_off")).cast("long").alias("rank"),
+    proj = ["_pid", "_roff"]
+    if cum_col is not None:
+        offsets = offsets.withColumn(
+            "_coff", F.coalesce(F.sum("_psum").over(wp), F.lit(0))
         )
+        proj.append("_coff")
+    out = local.join(F.broadcast(offsets.select(*proj)), "_pid").withColumn(
+        "rank", (F.col("_lrank") + F.col("_roff")).cast("long")
     )
+    if cum_col is not None:
+        out = out.withColumn("cum", (F.col("_lcum") + F.col("_coff")).cast("long"))
+    return out.drop("_pid", "_lrank", "_lcum", "_roff", "_coff")
+
+
+def q_scalable_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every user's event-count rank ascending (count, then user_id)
+    via :func:`two_phase_rank` — bit-identical to a plain global
+    row_number, which is exactly what the oracle replays."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    return two_phase_rank(per_user, ["n", "user_id"]).select("user_id", "n", "rank")
 
 
 def q_token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -579,26 +579,24 @@ def q_lorenz_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. The heavy-user audit every rate-limit / abuse review
     starts from.
 
-    Shape (round-7 rewrite): ONE window pass computes both the dense
-    rank and the running event total (same ORDER BY → one Window
-    operator, one sort), then the 10 decile thresholds
-    floor(N·d/10) equi-join the prefix-sum table on ``rank = thr`` —
-    a broadcast hash join of a 10-row build side, O(N) total work.
-    The previous draft's ``rank <= thr`` non-equi LEFT join forced a
-    BroadcastNestedLoopJoin whose broadcast side was the DATA-sized
-    ranked table (executor OOM at scale) plus a ~5.5× row fan-out;
-    this shape has neither. Since ranks are dense 1..N, the
+    Shape (round-7 rewrite): the rank AND the running event total come
+    from the distributed two-phase prefix machinery
+    (lm_queries.two_phase_rank — range split, local rank+cum, P-row
+    offset broadcast; no single-partition sort anywhere), then the 10
+    decile thresholds floor(N·d/10) equi-join the prefix-sum table on
+    ``rank = thr`` — a broadcast hash join of a 10-row build side,
+    O(N) total work. The round-6 draft's ``rank <= thr`` non-equi LEFT
+    join forced a BroadcastNestedLoopJoin whose broadcast side was the
+    DATA-sized ranked table (executor OOM at scale) plus a ~5.5× row
+    fan-out; this shape has neither. Since ranks are dense 1..N, the
     cumulative user count at threshold t is t itself — no count(*)
     needed. Exact integers end-to-end."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-    w = (
-        Window.orderBy(F.asc("n"), F.asc("user_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per_user.select(
-        F.row_number().over(w).alias("rank"),
-        F.sum("n").over(w).cast("long").alias("_cum_events"),
+    cum = two_phase_rank(per_user, ["n", "user_id"], cum_col="n").select(
+        "rank", F.col("cum").alias("_cum_events")
     )
     totals = F.broadcast(
         per_user.agg(
