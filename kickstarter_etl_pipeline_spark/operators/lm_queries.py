@@ -636,3 +636,50 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.sum("_bpe") / F.sum("_ws"), 6).alias("fertility"),
         round_det(F.sum("_chars") / F.sum("_bpe"), 6).alias("chars_per_token"),
     )
+
+
+def q_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily traffic trend: OLS slope/intercept of daily
+    event counts over the day index — the "is this event type growing
+    or dying" scalar every traffic review reads. All OLS sums are exact
+    BIGINTs over integer (day_index, count) pairs (the zipf_slope
+    device, but with NO transcendentals at all — x and y are already
+    integers), so both engines divide identical exact integers through
+    the identical expression tree, then snap at 6 dp.
+
+    One uniform (type, day) aggregate with map-side combine + one
+    per-type rollup + a one-row broadcast epoch base. Day index from
+    integer epoch arithmetic — no calendar functions."""
+    from kickstarter_etl_pipeline_spark.operators import events as EV
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("_us") / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    base = F.broadcast(daily.agg(F.min("day").alias("_d0")))
+    g = daily.crossJoin(base).select(
+        "event_type", (F.col("day") - F.col("_d0")).cast("long").alias("x"), "y"
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+    )
+    slope = (F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        round_det(slope, 6).alias("slope_per_day"),
+        round_det((F.col("_sy") - slope * F.col("_sx")) / F.col("n_days"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -305,3 +305,29 @@ ORACLES_LM["tokenizer_fertility"] = f"""
                  * 1000000 + 0.5) / 1000000.0 AS chars_per_token
     FROM documents GROUP BY lang
 """
+
+# FULL twin of q_daily_trend_by_type: exact BIGINT OLS sums over
+# integer (day_index, count) pairs; identical division trees.
+ORACLES_LM["daily_trend_by_type"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS d0 FROM daily),
+    g AS (SELECT event_type, CAST(day - b.d0 AS BIGINT) AS x, y
+          FROM daily CROSS JOIN b),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM g GROUP BY event_type)
+    SELECT event_type, n_days,
+           floor((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)
+                 * 1000000 + 0.5) / 1000000.0 AS slope_per_day,
+           floor((sy - (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx) * sx)
+                 / n_days * 1000000 + 0.5) / 1000000.0 AS intercept
+    FROM s
+"""
