@@ -683,3 +683,71 @@ def q_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on daily traffic: per event type, the
+    EXACT median and MAD (median absolute deviation) of daily counts,
+    and how many days deviate more than 3·MAD — the outlier-resistant
+    complement to events_anomaly_zscore (one bot-spike day drags a
+    mean/σ band; it cannot drag a median/MAD band).
+
+    Exactness: daily counts are integers; both medians use the
+    middle-rank selection device (rank positions floor((n+1)/2) and
+    floor((n+2)/2), median = (min+max)/2 — no interpolation semantics
+    to disagree on, the exact_median_by_group device), so every value
+    lives on the exact .5 grid and the 3·MAD comparison is
+    bit-identical across engines. Shuffles: one uniform (type, day)
+    aggregate + two per-type rank windows over day-count rows (group
+    size bounded by the time span, never corpus size)."""
+    from kickstarter_etl_pipeline_spark.operators import events as EV
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("_us") / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+
+    def exact_median(df: DataFrame, val: str, tie: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(F.asc(val), F.asc(tie))
+        ranked = df.select(
+            "event_type",
+            F.col(val),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("_n"),
+        )
+        mid = ranked.filter(
+            (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(
+            ((F.min(val) + F.max(val)) / 2).alias(out),
+            F.max("_n").cast("long").alias("_n_days"),
+        )
+
+    med = exact_median(daily, "y", "day", "_med").select("event_type", "_med", "_n_days")
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        "_med",
+        F.abs(F.col("y") - F.col("_med")).alias("_dev"),
+    )
+    mad = exact_median(dev, "_dev", "day", "_mad").select("event_type", "_mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.min(F.col("_med")).alias("median_daily"),
+            F.min(F.col("_mad")).alias("mad_daily"),
+            F.sum((F.col("_dev") > 3 * F.col("_mad")).cast("int"))
+            .cast("long")
+            .alias("n_anomaly_days"),
+            F.max("_dev").alias("max_abs_dev"),
+        )
+    )

@@ -331,3 +331,44 @@ ORACLES_LM["daily_trend_by_type"] = """
                  / n_days * 1000000 + 0.5) / 1000000.0 AS intercept
     FROM s
 """
+
+# FULL twin of q_events_mad_anomaly: both medians via middle-rank
+# selection (the exact_median_by_group device) — every value on the
+# exact .5 grid, no interpolation semantics, no rounding needed.
+ORACLES_LM["events_mad_anomaly"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    r1 AS (SELECT event_type, y,
+                  row_number() OVER (PARTITION BY event_type ORDER BY y, day) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+    med AS (SELECT event_type, (min(y) + max(y)) / 2 AS med,
+                   CAST(max(n) AS BIGINT) AS n_days
+            FROM r1
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+               OR rn = CAST(floor((n + 2) / 2) AS BIGINT)
+            GROUP BY event_type),
+    dev AS (SELECT d.event_type, d.day, d.y, abs(d.y - m.med) AS dv
+            FROM daily d JOIN med m USING (event_type)),
+    r2 AS (SELECT event_type, dv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dv, day) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+    mad AS (SELECT event_type, (min(dv) + max(dv)) / 2 AS mad
+            FROM r2
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+               OR rn = CAST(floor((n + 2) / 2) AS BIGINT)
+            GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           min(m.med) AS median_daily,
+           min(a.mad) AS mad_daily,
+           CAST(sum(CASE WHEN d.dv > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomaly_days,
+           max(d.dv) AS max_abs_dev
+    FROM dev d JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+"""
