@@ -594,8 +594,16 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uniform shuffle per side, no data-sized broadcast — survives a
     # billion-token vocabulary.
     def _bucket(val: F.Column) -> F.Column:
-        c = F.floor((F.lit(100) * val + F.col("_max") - 1) / F.col("_max"))
-        return F.greatest(F.lit(10), (F.floor((c + 9) / 10) * 10)).cast("int")
+        # _max = 0 (single document with doc_id 0): every threshold is 0
+        # and the doc belongs to every decile from 10% — the ceil-div
+        # would divide by zero under ANSI (r7 self-review finding; the
+        # replaced non-equi join handled 0 <= 0 naturally).
+        c = F.floor(
+            F.try_divide(F.lit(100) * val + F.col("_max") - 1, F.col("_max"))
+        )
+        return F.when(F.col("_max") == 0, F.lit(10)).otherwise(
+            F.greatest(F.lit(10), (F.floor((c + 9) / 10) * 10))
+        ).cast("int")
 
     vocab_b = (
         first_doc.crossJoin(max_id)

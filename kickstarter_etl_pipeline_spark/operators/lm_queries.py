@@ -43,15 +43,29 @@ def two_phase_rank(
     only move rows between partitions, never change the output.
     """
     n_parts = n_parts or max(2, min(default_parallelism(), 8))
+    # Collision-proof working-column names (the bloom_prefilter device,
+    # r7 self-review): a caller whose frame already carries `_pid` etc.
+    # must get it back untouched. `rank`/`cum` are the documented OUTPUT
+    # columns and deliberately replace same-named inputs.
+    suffix = "2pr"
+    while any(c.endswith(suffix) for c in df.columns):
+        suffix += "x"
+    pid, lrank, lcum = f"_pid_{suffix}", f"_lrank_{suffix}", f"_lcum_{suffix}"
+    roff, coff, cnt, psum = (
+        f"_roff_{suffix}",
+        f"_coff_{suffix}",
+        f"_cnt_{suffix}",
+        f"_psum_{suffix}",
+    )
     order = [F.asc(c) for c in order_cols]
     parts = df.repartitionByRange(n_parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+        pid, F.spark_partition_id()
     )
-    wl = Window.partitionBy("_pid").orderBy(*order)
-    staged = parts.withColumn("_lrank", F.row_number().over(wl))
+    wl = Window.partitionBy(pid).orderBy(*order)
+    staged = parts.withColumn(lrank, F.row_number().over(wl))
     if cum_col is not None:
         staged = staged.withColumn(
-            "_lcum",
+            lcum,
             F.sum(cum_col).over(
                 wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
@@ -67,27 +81,27 @@ def two_phase_rank(
     local = staged.localCheckpoint(eager=True)
     # P rows of control data: per-partition aggregates -> exclusive
     # prefix offsets (tiny frame, broadcast back onto the ranked rows).
-    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    aggs = [F.count("*").alias("_cnt")]
+    wp = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    aggs = [F.count("*").alias(cnt)]
     if cum_col is not None:
-        aggs.append(F.sum(cum_col).alias("_psum"))
+        aggs.append(F.sum(cum_col).alias(psum))
     offsets = (
-        local.groupBy("_pid")
+        local.groupBy(pid)
         .agg(*aggs)
-        .withColumn("_roff", F.coalesce(F.sum("_cnt").over(wp), F.lit(0)))
+        .withColumn(roff, F.coalesce(F.sum(cnt).over(wp), F.lit(0)))
     )
-    proj = ["_pid", "_roff"]
+    proj = [pid, roff]
     if cum_col is not None:
         offsets = offsets.withColumn(
-            "_coff", F.coalesce(F.sum("_psum").over(wp), F.lit(0))
+            coff, F.coalesce(F.sum(psum).over(wp), F.lit(0))
         )
-        proj.append("_coff")
-    out = local.join(F.broadcast(offsets.select(*proj)), "_pid").withColumn(
-        "rank", (F.col("_lrank") + F.col("_roff")).cast("long")
+        proj.append(coff)
+    out = local.join(F.broadcast(offsets.select(*proj)), pid).withColumn(
+        "rank", (F.col(lrank) + F.col(roff)).cast("long")
     )
     if cum_col is not None:
-        out = out.withColumn("cum", (F.col("_lcum") + F.col("_coff")).cast("long"))
-    return out.drop("_pid", "_lrank", "_lcum", "_roff", "_coff")
+        out = out.withColumn("cum", (F.col(lcum) + F.col(coff)).cast("long"))
+    return out.drop(pid, lrank, lcum, roff, coff)
 
 
 def q_scalable_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,8 +647,31 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("_ws").cast("long").alias("n_ws_tokens"),
         F.sum("_bpe").cast("long").alias("n_bpeish_tokens"),
-        round_det(F.sum("_bpe") / F.sum("_ws"), 6).alias("fertility"),
-        round_det(F.sum("_chars") / F.sum("_bpe"), 6).alias("chars_per_token"),
+        # try_divide: a lang whose docs have no BPE-ish tokens at all
+        # (empty/whitespace text) must report NULL, not crash under the
+        # session's ANSI default — matches DuckDB's NULL on integer
+        # division by zero (r7 self-review finding).
+        round_det(F.try_divide(F.sum("_bpe"), F.sum("_ws")), 6).alias("fertility"),
+        round_det(F.try_divide(F.sum("_chars"), F.sum("_bpe")), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, y) daily event counts — day index from integer
+    epoch arithmetic (no calendar functions). Shared by the daily-trend
+    and MAD-anomaly queries."""
+    from kickstarter_etl_pipeline_spark.operators import events as EV
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("_us") / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("y"))
     )
 
 
@@ -649,18 +686,12 @@ def q_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One uniform (type, day) aggregate with map-side combine + one
     per-type rollup + a one-row broadcast epoch base. Day index from
-    integer epoch arithmetic — no calendar functions."""
-    from kickstarter_etl_pipeline_spark.operators import events as EV
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    daily = (
-        ev.select(
-            "event_type",
-            F.floor(F.col("_us") / 86_400_000_000).cast("long").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count("*").cast("long").alias("y"))
-    )
+    integer epoch arithmetic — no calendar functions. A type seen on
+    only one day has no defined slope (OLS denominator 0): try_divide
+    yields NULL, matching DuckDB's NULL on integer division by zero
+    (a bare `/` would crash under the session's ANSI default — r7
+    self-review finding)."""
+    daily = _daily_counts(spark, sf_dir)
     base = F.broadcast(daily.agg(F.min("day").alias("_d0")))
     g = daily.crossJoin(base).select(
         "event_type", (F.col("day") - F.col("_d0")).cast("long").alias("x"), "y"
@@ -672,8 +703,9 @@ def q_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
     )
-    slope = (F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
-        F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.try_divide(
+        F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy"),
+        F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx"),
     )
     return s.select(
         "event_type",
@@ -700,17 +732,7 @@ def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines. Shuffles: one uniform (type, day)
     aggregate + two per-type rank windows over day-count rows (group
     size bounded by the time span, never corpus size)."""
-    from kickstarter_etl_pipeline_spark.operators import events as EV
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    daily = (
-        ev.select(
-            "event_type",
-            F.floor(F.col("_us") / 86_400_000_000).cast("long").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count("*").cast("long").alias("y"))
-    )
+    daily = _daily_counts(spark, sf_dir)
 
     def exact_median(df: DataFrame, val: str, tie: str, out: str) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(F.asc(val), F.asc(tie))
@@ -725,11 +747,10 @@ def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
         )
         return mid.groupBy("event_type").agg(
-            ((F.min(val) + F.max(val)) / 2).alias(out),
-            F.max("_n").cast("long").alias("_n_days"),
+            ((F.min(val) + F.max(val)) / 2).alias(out)
         )
 
-    med = exact_median(daily, "y", "day", "_med").select("event_type", "_med", "_n_days")
+    med = exact_median(daily, "y", "day", "_med")
     dev = daily.join(F.broadcast(med), "event_type").select(
         "event_type",
         "day",

@@ -124,3 +124,48 @@ def test_temperature_resample_flattens(spark, sf_dir):
     assert min_row["resample_share"] >= min_row["corpus_share"] - 1e-9
     total = sum(r["resample_share"] for r in rows)
     assert abs(total - 1.0) < 1e-3  # 6-dp grid rounding slack
+
+
+def test_two_phase_rank_preserves_caller_columns(spark):
+    """A caller whose frame already carries columns named like the
+    helper's working columns must get them back untouched (the
+    bloom_prefilter collision device; r7 self-review finding)."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.col("id").alias("_pid"),
+        (F.col("id") * 2).alias("_lrank"),
+        (F.col("id") * 3).alias("_roff"),
+    )
+    out = two_phase_rank(df, ["v", "k"])
+    assert set(out.columns) == {"k", "v", "_pid", "_lrank", "_roff", "rank"}
+    row = out.filter(F.col("k") == 10).collect()[0]
+    assert (row["_pid"], row["_lrank"], row["_roff"]) == (10, 20, 30)
+    # and the rank is still the true global rank over (v, k)
+    ranks = [r["rank"] for r in out.orderBy("v", "k").collect()]
+    assert ranks == list(range(1, 101))
+
+
+def test_daily_trend_single_day_type_yields_null_slope(spark):
+    """A type seen on only one day has no defined OLS slope: NULL, not
+    an ANSI DIVIDE_BY_ZERO crash (r7 self-review finding)."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import q_daily_trend_by_type
+    import os
+    import tempfile
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "solo", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "solo", 1.0, "{}"),
+        (3, "2024-01-01 10:00:00", 1, "pair", 1.0, "{}"),
+        (4, "2024-01-02 10:00:00", 1, "pair", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        out = {r["event_type"]: r for r in q_daily_trend_by_type(spark, tmp).collect()}
+    assert out["solo"]["slope_per_day"] is None
+    assert out["pair"]["slope_per_day"] == 0.0  # 1 event both days
