@@ -772,3 +772,80 @@ def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_dev").alias("max_abs_dev"),
         )
     )
+
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (island key = day − dense_rank over the
+    user's distinct active days; consecutive days share it), the
+    engagement metric behind every retention dashboard. Top-100 by
+    (streak DESC, user_id) so the output is bounded.
+
+    Shuffles: one (user, day) distinct + one per-user rank window
+    (groups bounded by the user's active-day count) + one island
+    aggregate. All integers; no rounding anywhere."""
+    from kickstarter_etl_pipeline_spark.operators import events as EV
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    user_days = ev.select(
+        "user_id",
+        F.floor(F.col("_us") / 86_400_000_000).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = user_days.withColumn(
+        "_isl", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "_isl").agg(
+        F.count("*").cast("long").alias("streak_days"),
+        F.min("day").cast("long").alias("streak_start_day"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start_day")
+    )
+    best = (
+        streaks.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "streak_days", "streak_start_day")
+    )
+    return (
+        best.orderBy(F.desc("streak_days"), F.asc("user_id"))
+        .limit(100)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("streak_days"), F.asc("user_id")))
+            .cast("int"),
+        )
+        .select("rank", "user_id", "streak_days", "streak_start_day")
+    )
+
+
+def q_traffic_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor
+    (variance/mean of daily counts; 1 = Poisson, >1 = bursty) — the
+    dispersion statistic that separates organic traffic from batch-job
+    or bot spikes. Variance from exact BIGINT sums
+    (n·Σy² − (Σy)²) / (n·(n−1)), mean = Σy/n — identical ratio trees
+    on both engines, 6-dp grids. A single-day type has undefined
+    variance: try_divide → NULL, no ANSI crash.
+
+    One uniform (type, day) aggregate + a |types|-row moment rollup —
+    scan-bound; the per-type state is 3 BIGINTs."""
+    daily = _daily_counts(spark, sf_dir)
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_syy"),
+    )
+    variance = F.try_divide(
+        F.col("n_days") * F.col("_syy") - F.col("_sy") * F.col("_sy"),
+        F.col("n_days") * (F.col("n_days") - 1),
+    )
+    mean = F.col("_sy") / F.col("n_days")
+    return s.select(
+        "event_type",
+        "n_days",
+        round_det(mean, 6).alias("mean_daily"),
+        round_det(variance, 6).alias("var_daily"),
+        round_det(F.try_divide(variance, mean), 6).alias("fano_factor"),
+    )

@@ -372,3 +372,51 @@ ORACLES_LM["events_mad_anomaly"] = """
     FROM dev d JOIN med m USING (event_type) JOIN mad a USING (event_type)
     GROUP BY d.event_type
 """
+
+# FULL twin of q_user_activity_streaks (gaps-and-islands: island key =
+# day - row_number over the user's distinct days).
+ORACLES_LM["user_activity_streaks"] = """
+    WITH user_days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events),
+    islands AS (SELECT user_id, day,
+                       day - row_number() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS isl
+                FROM user_days),
+    streaks AS (SELECT user_id, isl,
+                       CAST(count(*) AS BIGINT) AS streak_days,
+                       CAST(min(day) AS BIGINT) AS streak_start_day
+                FROM islands GROUP BY user_id, isl),
+    best AS (SELECT user_id, streak_days, streak_start_day FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY streak_days DESC, streak_start_day) AS rn
+               FROM streaks) WHERE rn = 1)
+    SELECT CAST(row_number() OVER (ORDER BY streak_days DESC, user_id)
+                AS INTEGER) AS rank,
+           user_id, streak_days, streak_start_day
+    FROM best
+    ORDER BY streak_days DESC, user_id LIMIT 100
+"""
+
+# FULL twin of q_traffic_burstiness: exact BIGINT moment sums,
+# identical ratio trees, NULL (not error) on single-day types.
+ORACLES_LM["traffic_burstiness"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM daily GROUP BY event_type)
+    SELECT event_type, n_days,
+           floor(sy / n_days * 1000000 + 0.5) / 1000000.0 AS mean_daily,
+           floor((n_days * syy - sy * sy) / (n_days * (n_days - 1))
+                 * 1000000 + 0.5) / 1000000.0 AS var_daily,
+           floor((n_days * syy - sy * sy) / (n_days * (n_days - 1))
+                 / (sy / n_days) * 1000000 + 0.5) / 1000000.0 AS fano_factor
+    FROM s
+"""
