@@ -849,3 +849,92 @@ def q_traffic_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(variance, 6).alias("var_daily"),
         round_det(F.try_divide(variance, mean), 6).alias("fano_factor"),
     )
+
+
+#: RAKE delimiter set: the union of the per-language stopword marker
+#: lists (text.LANG_MARKERS) — deliberately shared with the lang-ID
+#: heuristic so the two features agree on what a "function word" is.
+RAKE_STOPWORDS: tuple[str, ...] = tuple(
+    sorted({w for words in TX.LANG_MARKERS.values() for w in words})
+)
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens (stopwords delimit — the
+    gaps-and-islands device again, island key = pos − row_number over
+    the doc's non-stop tokens); each word scores degree(w)/freq(w)
+    where freq counts the word's occurrences in candidate phrases and
+    degree sums the lengths of the phrases containing it; a phrase
+    scores the sum over its word occurrences. Top-30 phrases by
+    (score DESC, phrase).
+
+    Determinism: degree/freq are exact integers and each word's ratio
+    is snapped to a 1e-6 integer grid BEFORE the per-phrase sum — not
+    because division is engine-unstable (it isn't) but because double
+    summation is order-sensitive and aggregation order is not
+    guaranteed; integer sums are associative, so the score is
+    order-free on both engines. Phrase text is assembled from a
+    position-sorted struct array (collect_list alone is
+    nondeterministic).
+
+    Shuffles: posexplode → per-doc island window (groups bounded by doc
+    length) → phrase aggregate → two uniform word-stat aggregates →
+    equi-join back → phrase-text aggregate → TakeOrdered(30)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.posexplode(TX.tokens("text")).alias("pos", "token"))
+        .filter(~F.col("token").isin(*RAKE_STOPWORDS) & (F.col("token") != ""))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    member = words.withColumn(
+        "_isl", F.col("pos") - F.row_number().over(w)
+    ).localCheckpoint(eager=True)
+    phrase_len = member.groupBy("doc_id", "_isl").agg(
+        F.count("*").cast("long").alias("_plen")
+    )
+    staged = member.join(phrase_len, ["doc_id", "_isl"])
+    stats = staged.groupBy("token").agg(
+        F.count("*").cast("long").alias("_freq"),
+        F.sum("_plen").cast("long").alias("_degree"),
+    )
+    scored_words = staged.join(stats, "token").select(
+        "doc_id",
+        "_isl",
+        "pos",
+        "token",
+        F.floor(F.col("_degree") / F.col("_freq") * 1e6 + 0.5)
+        .cast("long")
+        .alias("_w6"),
+    )
+    phrases = scored_words.groupBy("doc_id", "_isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("_w6").cast("long").alias("_score6"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("_score6").alias("_s6"),
+    )
+    return (
+        agg.orderBy(F.desc("_s6"), F.asc("phrase"))
+        .limit(30)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("_s6"), F.asc("phrase"))).cast("int"),
+        )
+        .select(
+            "rank",
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("_s6") / F.lit(1e6)).alias("rake_score"),
+        )
+    )

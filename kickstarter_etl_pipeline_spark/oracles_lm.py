@@ -420,3 +420,45 @@ ORACLES_LM["traffic_burstiness"] = """
                  / (sy / n_days) * 1000000 + 0.5) / 1000000.0 AS fano_factor
     FROM s
 """
+
+# FULL twin of q_rake_keywords: same stopword delimiter set (imported
+# from the Spark side so the two can never drift), same island keys
+# (pos offsets differ by a constant 1 — 0- vs 1-based — which shifts
+# every island key uniformly and changes nothing), same 1e-6 integer
+# word-score grid making the per-phrase sum order-free.
+from kickstarter_etl_pipeline_spark.operators.lm_queries import RAKE_STOPWORDS as _RAKE_STOPS
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+ORACLES_LM["rake_keywords"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos, t[r.i] AS token
+            FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+    words AS (SELECT * FROM pos
+              WHERE token NOT IN ({_STOPS_SQL}) AND token <> ''),
+    member AS (SELECT doc_id, pos, token,
+                      pos - row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS isl
+               FROM words),
+    plen AS (SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS plen
+             FROM member GROUP BY doc_id, isl),
+    staged AS (SELECT m.doc_id, m.isl, m.pos, m.token, p.plen
+               FROM member m JOIN plen p USING (doc_id, isl)),
+    stats AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(plen) AS BIGINT) AS degree
+              FROM staged GROUP BY token),
+    sw AS (SELECT s.doc_id, s.isl, s.pos, s.token,
+                  CAST(floor(st.degree / st.freq * 1000000 + 0.5) AS BIGINT) AS w6
+           FROM staged s JOIN stats st USING (token)),
+    phr AS (SELECT doc_id, isl,
+                   array_to_string(list(token ORDER BY pos), ' ') AS phrase,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(w6) AS BIGINT) AS score6
+            FROM sw GROUP BY doc_id, isl),
+    agg AS (SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   max(score6) AS s6
+            FROM phr GROUP BY phrase)
+    SELECT CAST(row_number() OVER (ORDER BY s6 DESC, phrase) AS INTEGER) AS rank,
+           phrase, n_words, n_occurrences, s6 / 1000000.0 AS rake_score
+    FROM agg ORDER BY s6 DESC, phrase LIMIT 30
+"""
