@@ -938,3 +938,34 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_s6") / F.lit(1e6)).alias("rake_score"),
         )
     )
+
+
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED coverage for the multimodal 1→N frame-sampling path:
+    documents as binary media → mapInPandas frame chunker
+    (multimodal.sample_frames — the video/audio keyframe-extraction
+    shape, Arrow-batched, bounded fan-out) → per-media rollup of frame
+    count, byte volume, distinct-frame count, and the first frame's
+    size. The rollup hashes against a DuckDB twin that replays the
+    chunk schedule with BLOB slicing — so the Python fan-out operator
+    itself is value-verified, not just schema-checked (its md5 column
+    is intentionally NOT graded: DuckDB has no md5(BLOB); distinctness
+    is compared on the raw chunk bytes instead).
+
+    Scale: fan-out is capped (max_frames) so output is a constant
+    factor of input; the rollup is a uniform media_id aggregate."""
+    from kickstarter_etl_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_media(docs), every_n_bytes=64, max_frames=8)
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.length("frame_payload")).cast("long").alias("total_frame_bytes"),
+        F.countDistinct("frame_payload").cast("long").alias("n_distinct_frames"),
+        F.min(F.when(F.col("frame_idx") == 0, F.length("frame_payload")))
+        .cast("long")
+        .alias("first_frame_bytes"),
+    )

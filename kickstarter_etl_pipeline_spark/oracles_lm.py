@@ -462,3 +462,27 @@ ORACLES_LM["rake_keywords"] = f"""
            phrase, n_words, n_occurrences, s6 / 1000000.0 AS rake_score
     FROM agg ORDER BY s6 DESC, phrase LIMIT 30
 """
+
+# FULL twin of q_media_frame_stats: replays the mapInPandas chunk
+# schedule (n = min(8, max(1, floor(bytes/64))), chunk i = bytes
+# [64i, 64i+64)). DuckDB has no BLOB substring/md5, so the replay
+# slices the VARCHAR — exact byte semantics BECAUSE the fixture text
+# is pure ASCII (verified: octet_length(encode(text)) = length(text)
+# for every doc at every SF; a non-ASCII corpus would need a
+# byte-level replay and would surface immediately as a grade
+# mismatch, not a silent pass).
+ORACLES_LM["media_frame_stats"] = """
+    WITH m AS (SELECT doc_id AS media_id, text,
+                      CAST(length(text) AS BIGINT) AS n_bytes
+               FROM documents),
+    fr AS (SELECT media_id, CAST(r.i AS INTEGER) AS frame_idx,
+                  substring(text, CAST(r.i * 64 + 1 AS BIGINT), 64) AS chunk
+           FROM m, unnest(range(0, least(8, greatest(1, n_bytes // 64)))) AS r(i))
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(length(chunk)) AS BIGINT) AS total_frame_bytes,
+           CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct_frames,
+           CAST(min(CASE WHEN frame_idx = 0 THEN length(chunk) END)
+                AS BIGINT) AS first_frame_bytes
+    FROM fr GROUP BY media_id
+"""
