@@ -169,3 +169,23 @@ def test_daily_trend_single_day_type_yields_null_slope(spark):
         out = {r["event_type"]: r for r in q_daily_trend_by_type(spark, tmp).collect()}
     assert out["solo"]["slope_per_day"] is None
     assert out["pair"]["slope_per_day"] == 0.0  # 1 event both days
+
+
+def test_rake_handcrafted_scores(spark):
+    """Classic RAKE check: 'deep learning of the deep networks' splits
+    on the stopwords into two 2-word phrases; deg(deep)=4 freq=2,
+    deg(learning)=deg(networks)=2 freq=1 → both phrases score 4.0."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import q_rake_keywords
+    import os
+    import tempfile
+
+    rows = [(1, "deep learning of the deep networks", "en", "srcA", 34)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["phrase"]: r for r in q_rake_keywords(spark, tmp).collect()}
+    assert set(out) == {"deep learning", "deep networks"}
+    for r in out.values():
+        assert r["n_words"] == 2 and r["rake_score"] == 4.0
