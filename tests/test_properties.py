@@ -380,3 +380,38 @@ def test_containment_matches_set_arithmetic(docs):
         for r in containment_pairs(df, threshold=0.5).collect()
     }
     assert got == expected
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 50),   # unique-ified below
+            st.integers(0, 5),    # heavily-tied sort value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_two_phase_rank_matches_row_number(rows):
+    """Distributed two-phase rank + prefix sum must be bit-identical to
+    the single-window reference on arbitrary (skewed, tied) inputs."""
+    from pyspark.sql import Window, functions as F
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    spark = _get_spark()
+    uniq = {k: v for k, v in rows}.items()  # unique keys (last wins)
+    df = spark.createDataFrame([(k, v) for k, v in uniq], "k long, v long")
+    got = two_phase_rank(df, ["v", "k"], cum_col="v", n_parts=4)
+    w = Window.orderBy(F.asc("v"), F.asc("k"))
+    want = df.select(
+        "k",
+        "v",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    assert sorted(map(tuple, got.select("k", "v", "rank", "cum").collect())) == sorted(
+        map(tuple, want.collect())
+    )
