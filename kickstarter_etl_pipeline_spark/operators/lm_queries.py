@@ -969,3 +969,104 @@ def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_frame_bytes"),
     )
+
+
+def q_session_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable INTERVAL×INTERVAL overlap join: which pairs of sessions
+    from DIFFERENT users were active at the same time (the concurrency
+    audit behind capacity planning and collusion/fraud review). The
+    scale shape is bucket decomposition: each session interval explodes
+    into the 30-min buckets it touches, candidate pairs come from a
+    bucket EQUI-join (never interval×interval nested loops), the exact
+    overlap predicate filters false candidates, and each surviving pair
+    is kept exactly once — in the canonical bucket containing the
+    overlap's start (the standard dedup trick; no distinct needed).
+    Top-100 pairs by (overlap DESC, ids).
+
+    The oracle is the TRANSPARENCY device (bloom_prefiltered_join's):
+    a naive non-equi self-join at fixture scale must produce the
+    identical pair set — proving the decomposition changes the plan,
+    never the answer. Fan-out is duration/30min + 1 buckets per
+    session; gap-bounded sessions keep it small, and a pathologically
+    long-lived session would be split or bucketed coarser (documented
+    ceiling). Exact integer microseconds end-to-end."""
+    from kickstarter_etl_pipeline_spark.operators import events as EV
+
+    bucket_us = 1_800_000_000
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    new_session = F.when(
+        F.lag("_us").over(w).isNull()
+        | ((F.col("_us") - F.lag("_us").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (
+        ev.withColumn("_new", new_session)
+        .withColumn("session_id", F.sum("_new").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("_us").alias("start_us"), F.max("_us").alias("end_us"))
+        .localCheckpoint(eager=True)
+    )
+    bucketed = iv.select(
+        "user_id",
+        "session_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / bucket_us),
+                F.floor(F.col("end_us") / bucket_us),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("start_us").alias("_sa"),
+        F.col("end_us").alias("_ea"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("start_us").alias("_sb"),
+        F.col("end_us").alias("_eb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter((F.col("_sa") <= F.col("_eb")) & (F.col("_sb") <= F.col("_ea")))
+        # canonical-bucket dedup: keep the pair only in the bucket where
+        # its overlap starts
+        .filter(
+            F.col("bucket")
+            == F.floor(F.greatest(F.col("_sa"), F.col("_sb")) / bucket_us)
+        )
+        .select(
+            "user_a",
+            "session_a",
+            "user_b",
+            "session_b",
+            (
+                F.least(F.col("_ea"), F.col("_eb"))
+                - F.greatest(F.col("_sa"), F.col("_sb"))
+            ).cast("long").alias("overlap_us"),
+        )
+    )
+    order = [
+        F.desc("overlap_us"),
+        F.asc("user_a"),
+        F.asc("session_a"),
+        F.asc("user_b"),
+        F.asc("session_b"),
+    ]
+    return (
+        pairs.orderBy(*order)
+        .limit(100)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+        .select(
+            "rank", "user_a", "session_a", "user_b", "session_b", "overlap_us"
+        )
+    )

@@ -486,3 +486,37 @@ ORACLES_LM["media_frame_stats"] = """
                 AS BIGINT) AS first_frame_bytes
     FROM fr GROUP BY media_id
 """
+
+# FULL twin of q_session_interval_overlap — the TRANSPARENCY device:
+# the oracle does the NAIVE non-equi interval self-join; the Spark side
+# does bucket decomposition + equi-join + canonical-bucket dedup. Equal
+# results prove the decomposition changes the plan, not the answer.
+ORACLES_LM["session_interval_overlap"] = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                               THEN 1 ELSE 0 END AS new_s FROM lagd),
+    sess AS (SELECT *, CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id FROM flagged),
+    iv AS (SELECT user_id, session_id,
+                  CAST(min(us) AS BIGINT) AS start_us,
+                  CAST(max(us) AS BIGINT) AS end_us
+           FROM sess GROUP BY user_id, session_id),
+    pairs AS (SELECT a.user_id AS user_a, a.session_id AS session_a,
+                     b.user_id AS user_b, b.session_id AS session_b,
+                     CAST(least(a.end_us, b.end_us)
+                          - greatest(a.start_us, b.start_us) AS BIGINT)
+                       AS overlap_us
+              FROM iv a JOIN iv b
+                ON a.user_id < b.user_id
+               AND a.start_us <= b.end_us AND b.start_us <= a.end_us)
+    SELECT CAST(row_number() OVER (ORDER BY overlap_us DESC, user_a,
+                session_a, user_b, session_b) AS INTEGER) AS rank,
+           user_a, session_a, user_b, session_b, overlap_us
+    FROM pairs
+    ORDER BY overlap_us DESC, user_a, session_a, user_b, session_b
+    LIMIT 100
+"""
