@@ -1070,3 +1070,61 @@ def q_session_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", "user_a", "session_a", "user_b", "session_b", "overlap_us"
         )
     )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), d = 1..9 — Python
+#: float literals shared VERBATIM with the SQL twin (the repo's
+#: float-literal contract rule: constants are part of the interface).
+BENFORD_P: tuple[float, ...] = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    forensic-accounting screen (fabricated or constrained numbers
+    deviate from P(d) = log10(1+1/d)). Per digit: observed count,
+    observed share, expected Benford share, and the digit's chi-square
+    contribution (obs − n·p)²/(n·p); the total chi² against the 15.51
+    critical value (χ²₈, α=0.05) is the reader's one-line verdict.
+
+    Determinism: counts are exact integers; the Benford constants are
+    Python float literals written VERBATIM in the SQL twin (the repo's
+    float-literal rule), so both engines evaluate the identical fixed
+    tree — one division + one square per digit, 6-dp grids. First
+    digit via string head of the decimal rendering (exact — no float
+    log10 on data). One low-cardinality aggregate; scan-bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)  # "0.xxx" would yield digit 0
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    total = F.broadcast(counts.agg(F.sum("n_obs").cast("long").alias("_n")))
+    expected = F.array(*[F.lit(p) for p in BENFORD_P])
+    return (
+        counts.crossJoin(total)
+        .select(
+            "digit",
+            "n_obs",
+            round_det(F.col("n_obs") / F.col("_n"), 6).alias("obs_share"),
+            round_det(F.element_at(expected, F.col("digit")), 6).alias(
+                "benford_share"
+            ),
+            round_det(
+                (F.col("n_obs") - F.col("_n") * F.element_at(expected, F.col("digit")))
+                * (F.col("n_obs") - F.col("_n") * F.element_at(expected, F.col("digit")))
+                / (F.col("_n") * F.element_at(expected, F.col("digit"))),
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )

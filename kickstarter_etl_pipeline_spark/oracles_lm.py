@@ -520,3 +520,33 @@ ORACLES_LM["session_interval_overlap"] = """
     ORDER BY overlap_us DESC, user_a, session_a, user_b, session_b
     LIMIT 100
 """
+
+# FULL twin of q_benford_price_audit: same verbatim float constants
+# (imported from the Spark side so they cannot drift), same fixed
+# chi-square tree. First digit via the string head of the decimal
+# rendering — identical for the leading digit in any shortest-round-
+# trip rendering of values >= 1.
+from kickstarter_etl_pipeline_spark.operators.lm_queries import BENFORD_P as _BENFORD_P
+
+# CAST each literal to DOUBLE: DuckDB would otherwise bind them as
+# DECIMAL(18,17) — which both overflows the grid multiply and departs
+# from the IEEE-double tree Spark evaluates.
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in enumerate(_BENFORD_P, start=1)
+) + " END"
+ORACLES_LM["benford_price_audit"] = f"""
+    WITH counts AS (
+      SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+    SELECT digit, n_obs,
+           floor(n_obs / t.n * 1000000 + 0.5) / 1000000.0 AS obs_share,
+           floor(({_BENFORD_CASE}) * 1000000 + 0.5) / 1000000.0 AS benford_share,
+           floor((n_obs - t.n * ({_BENFORD_CASE}))
+                 * (n_obs - t.n * ({_BENFORD_CASE}))
+                 / (t.n * ({_BENFORD_CASE})) * 1000000 + 0.5) / 1000000.0
+             AS chi2_contrib
+    FROM counts CROSS JOIN t
+"""
