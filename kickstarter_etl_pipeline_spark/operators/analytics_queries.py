@@ -898,16 +898,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — no second window pass; top-k is a TakeOrdered on the
     unique (count, path) order.
     """
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
-    gap_us = 1800 * 1_000_000
-    new_session = F.when(
-        F.lag("_us").over(w).isNull() | ((F.col("_us") - F.lag("_us").over(w)) > gap_us), 1
-    ).otherwise(0)
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.withColumn("_new", new_session).withColumn(
-        "session_id", F.sum("_new").over(cum).cast("long")
-    )
+    sess = EV.with_session_ids(load_table(spark, sf_dir, "events"))
     paths = sess.groupBy("user_id", "session_id").agg(
         F.array_join(
             F.slice(

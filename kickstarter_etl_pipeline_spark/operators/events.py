@@ -40,13 +40,17 @@ def tumbling_agg(events: DataFrame, ts_col: str = "ts", duration: str = "1 hour"
     )
 
 
-def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """Gap-based sessionization: a new session starts when the time since
-    the previous event of the same user exceeds ``gap_seconds``.
+def with_session_ids(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Event-level gap sessionization: every event row gains ``_us``
+    and a per-user ``session_id`` (a new session starts when the time
+    since the user's previous event exceeds ``gap_seconds``). Classic
+    lag + cumulative-sum construction; one shuffle on user_id; integer
+    microseconds → exact.
 
-    Classic lag + cumulative-sum construction; one shuffle on user_id.
-    The comparison is on integer microseconds → exact. Output one row per
-    (user, session) with count / duration / value rollups.
+    THE single definition of the 30-min-gap session — sessionize(),
+    session paths, bounce rate, and the interval-overlap join all
+    build on this one frame (r7 self-review: three verbatim copies had
+    accreted and had to stay in lockstep with four SQL twins).
     """
     with_us = with_unix_micros(events)
     w = Window.partitionBy("user_id").orderBy("_us", "event_id")
@@ -59,12 +63,17 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         )
         .otherwise(0)
     )
-    cum = Window.partitionBy("user_id").orderBy("_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sessions = with_us.withColumn("_new", new_session).withColumn(
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return with_us.withColumn("_new", new_session).withColumn(
         "session_id", F.sum("_new").over(cum).cast("long")
-    )
+    ).drop("_new")
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization rollup: one row per (user, session)
+    with count / duration / value aggregates (see with_session_ids for
+    the session-id construction)."""
+    sessions = with_session_ids(events, gap_seconds)
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         (F.max("_us") - F.min("_us")).alias("duration_us"),

@@ -136,17 +136,8 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions / bounces (single-event sessions) / bounce rate / mean
     depth per entry type. One shuffle on user_id (sessionization), one
     on entry type (rollup)."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
-    gap_us = 1800 * 1_000_000
-    new_session = F.when(
-        F.lag("_us").over(w).isNull() | ((F.col("_us") - F.lag("_us").over(w)) > gap_us),
-        1,
-    ).otherwise(0)
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = (
-        ev.withColumn("_new", new_session)
-        .withColumn("session_id", F.sum("_new").over(cum).cast("long"))
+        EV.with_session_ids(load_table(spark, sf_dir, "events"))
         .groupBy("user_id", "session_id")
         .agg(
             F.min_by("event_type", F.struct("_us", "event_id")).alias("entry_type"),

@@ -12,15 +12,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
-#: Tiny per-language stopword marker lists for the n-gram/stopword
-#: language heuristic. Real corpora would use larger lists; the operator
-#: shape (vectorized membership counting + argmax) is what matters.
-LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "to", "is"],
-    "de": ["der", "die", "das", "und", "ist", "ein"],
-    "es": ["el", "la", "los", "de", "que", "es"],
-    "fr": ["le", "la", "les", "et", "est", "une"],
-}
+#: Marker lists live in the engine-neutral constants module (shared
+#: with the DuckDB oracle ledgers); re-exported here for back-compat.
+from kickstarter_etl_pipeline_spark.constants import LANG_MARKERS  # noqa: F401
 
 
 def normalized(text: Column | str) -> Column:

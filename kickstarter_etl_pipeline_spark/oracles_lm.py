@@ -5,6 +5,11 @@ transcendentals snapped to integer grids before aggregation, floats
 rounded on the same fixed grid as the Spark side.
 """
 
+from kickstarter_etl_pipeline_spark.constants import (
+    BENFORD_P as _BENFORD_P,
+    RAKE_STOPWORDS as _RAKE_STOPS,
+)
+
 ORACLES_LM: dict[str, str] = {}
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -400,7 +405,10 @@ ORACLES_LM["user_activity_streaks"] = """
 """
 
 # FULL twin of q_traffic_burstiness: exact BIGINT moment sums,
-# identical ratio trees, NULL (not error) on single-day types.
+# identical ratio trees. NULLIF guards the zero denominator explicitly
+# — relying on DuckDB's x/0→NULL is version-dependent (newer DuckDB's
+# ieee_floating_point_ops changes double semantics), and Spark's
+# try_divide yields NULL; the guard keeps both engines NULL forever.
 ORACLES_LM["traffic_burstiness"] = """
     WITH daily AS (
       SELECT event_type,
@@ -414,20 +422,19 @@ ORACLES_LM["traffic_burstiness"] = """
           FROM daily GROUP BY event_type)
     SELECT event_type, n_days,
            floor(sy / n_days * 1000000 + 0.5) / 1000000.0 AS mean_daily,
-           floor((n_days * syy - sy * sy) / (n_days * (n_days - 1))
+           floor((n_days * syy - sy * sy) / nullif(n_days * (n_days - 1), 0)
                  * 1000000 + 0.5) / 1000000.0 AS var_daily,
-           floor((n_days * syy - sy * sy) / (n_days * (n_days - 1))
+           floor((n_days * syy - sy * sy) / nullif(n_days * (n_days - 1), 0)
                  / (sy / n_days) * 1000000 + 0.5) / 1000000.0 AS fano_factor
     FROM s
 """
 
 # FULL twin of q_rake_keywords: same stopword delimiter set (imported
-# from the Spark side so the two can never drift), same island keys
+# from the engine-neutral constants module so the two can never
+# drift), same island keys
 # (pos offsets differ by a constant 1 — 0- vs 1-based — which shifts
 # every island key uniformly and changes nothing), same 1e-6 integer
 # word-score grid making the per-phrase sum order-free.
-from kickstarter_etl_pipeline_spark.operators.lm_queries import RAKE_STOPWORDS as _RAKE_STOPS
-
 _STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
 ORACLES_LM["rake_keywords"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -526,8 +533,6 @@ ORACLES_LM["session_interval_overlap"] = """
 # chi-square tree. First digit via the string head of the decimal
 # rendering — identical for the leading digit in any shortest-round-
 # trip rendering of values >= 1.
-from kickstarter_etl_pipeline_spark.operators.lm_queries import BENFORD_P as _BENFORD_P
-
 # CAST each literal to DOUBLE: DuckDB would otherwise bind them as
 # DECIMAL(18,17) — which both overflows the grid multiply and departs
 # from the IEEE-double tree Spark evaluates.
@@ -535,11 +540,16 @@ _BENFORD_CASE = "CASE digit " + " ".join(
     f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in enumerate(_BENFORD_P, start=1)
 ) + " END"
 ORACLES_LM["benford_price_audit"] = f"""
-    WITH counts AS (
+    WITH observed AS (
       SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER)
                AS digit,
              CAST(count(*) AS BIGINT) AS n_obs
       FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    counts AS (
+      SELECT CAST(d.digit AS INTEGER) AS digit,
+             CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs
+      FROM (SELECT unnest(range(1, 10)) AS digit) d
+      LEFT JOIN observed o ON o.digit = d.digit),
     t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
     SELECT digit, n_obs,
            floor(n_obs / t.n * 1000000 + 0.5) / 1000000.0 AS obs_share,
