@@ -219,3 +219,57 @@ def test_benford_reports_absent_digits(spark):
     assert out[9]["chi2_contrib"] == 0.91515
     total_chi2 = sum(r["chi2_contrib"] for r in out.values())
     assert total_chi2 > 15.51  # all-ones is decisively non-Benford
+
+
+def test_interval_overlap_handcrafted(spark):
+    """Three users: A and B overlap for 10 min; C is disjoint. The pair
+    must appear exactly once (canonical-bucket dedup) even though the
+    sessions share several 30-min buckets."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import (
+        q_session_interval_overlap,
+    )
+    import os
+    import tempfile
+
+    rows = [
+        # user 1: one session 10:00-11:00 (events every 20 min)
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:20:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 10:40:00", 1, "view", 1.0, "{}"),
+        (4, "2024-01-01 11:00:00", 1, "view", 1.0, "{}"),
+        # user 2: one session 10:50-11:30 -> overlaps user 1 by 10 min
+        (5, "2024-01-01 10:50:00", 2, "click", 1.0, "{}"),
+        (6, "2024-01-01 11:10:00", 2, "click", 1.0, "{}"),
+        (7, "2024-01-01 11:30:00", 2, "click", 1.0, "{}"),
+        # user 3: disjoint session in the evening
+        (8, "2024-01-01 20:00:00", 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        out = q_session_interval_overlap(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert r["overlap_us"] == 10 * 60 * 1_000_000
+
+
+def test_token_coverage_smaller_vocab_than_k(spark):
+    """A corpus with fewer than 25 distinct tokens emits one row per
+    token and the final cumulative share is exactly 1.0."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import q_token_coverage_topk
+    import os
+    import tempfile
+
+    rows = [(1, "aa bb aa cc aa bb", "en", "s", 17)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = sorted(q_token_coverage_topk(spark, tmp).collect(), key=lambda r: r["rank"])
+    assert [r["token"] for r in out] == ["aa", "bb", "cc"]
+    assert out[-1]["cum_share"] == 1.0
+    assert out[0]["cum_occurrences"] == 3 and out[-1]["cum_occurrences"] == 6
