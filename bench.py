@@ -71,12 +71,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
-    # min-of-3 default: this host carries unrelated tenant load (loadavg
-    # is recorded below), and with 2 runs a single contended run per
-    # query leaks straight into the reported min — observed r4→r5 swings
-    # of 2× on identical code. Three samples make the min the
-    # reproducible plan cost; the policy is recorded in the output.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # min-of-5 default (r7; was 3, was 2): the min over N samples is the
+    # reproducible plan cost on a host with unrelated tenant load
+    # (loadavg recorded below) — with too few samples, contended runs
+    # leak into the min (r4→r5 saw 2× swings on identical code) and C2
+    # JIT is still deepening (q7 decays 2.09 → 1.21 s across six runs);
+    # five samples land within a few percent of steady state. Policy is
+    # recorded in the output.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
     load_start = os.getloadavg()
     spark = get_spark("kickstarter-etl-bench")
