@@ -1111,3 +1111,113 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution — the one-page summary of a
+    dedup run (how much of the corpus sits in 2-doc pairs vs big
+    boilerplate blobs, and what fraction survives canonicalization):
+    connected components over the near-dup graph (the dedup_components
+    pipeline) rolled up to clusters, then a histogram keyed by cluster
+    size with each size's share of all documents.
+
+    Composes the verified CC pipeline, so the oracle composes its
+    recursive-CTE twin — the ann_recall_report verified-composition
+    device. Shuffles beyond CC: one cluster rollup + one ≤max-size-key
+    histogram aggregate + a one-row broadcast total."""
+    from kickstarter_etl_pipeline_spark.qdefs_embeddings import q_dedup_components
+
+    comp = q_dedup_components(spark, sf_dir)
+    clusters = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    total = F.broadcast(comp.agg(F.count("*").cast("long").alias("_n_docs")))
+    return (
+        hist.crossJoin(total)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            round_det(
+                F.col("cluster_size") * F.col("n_clusters") / F.col("_n_docs"), 6
+            ).alias("doc_share"),
+        )
+    )
+
+
+def q_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram entropy rate H(w2|w1) = −Σ p(w1w2)·ln p(w2|w1) —
+    the information-theoretic redundancy scalar next to zipf_slope in
+    every corpus-health report (low entropy = templated/repetitive
+    text), with its exp as the bigram-model perplexity.
+
+    Determinism (two-level grid over an exact-integer spine): each
+    bigram contributes c12 · floor(ln(c12/c1)·1e9 + 0.5) — an exact
+    BIGINT product — and the global sum runs in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB), both exact, so aggregation order is
+    irrelevant; H divides that one integer by N·1e9 and snaps at 6 dp,
+    then exp(H) snaps at 2 dp (the perplexity_proxy device). BIGINT
+    per-term ceiling: |term| ≤ c12·ln(V)·1e9 — fine to ~10⁸ occurrences
+    of a single bigram; the 128-bit sum has no practical ceiling.
+    Shape: one explode + one uniform bigram count + one grouped c1
+    table joined back (AQE broadcasts it when small) + a scalar
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens("text").alias("_t")).filter(F.expr("size(_t) >= 2"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("_c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").cast("long").alias("_c1"))
+    terms = c12.join(c1, "w1").select(
+        "_c12",
+        (
+            F.col("_c12")
+            * F.floor(F.log(F.col("_c12") / F.col("_c1")) * 1e9 + 0.5).cast("long")
+        ).cast("decimal(38,0)").alias("_term9"),
+    )
+    agg = terms.agg(
+        F.sum("_c12").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_bigram_types"),
+        F.sum("_term9").alias("_sum9"),
+    )
+    h = round_det(
+        -(F.col("_sum9").cast("double")) / (F.col("n_bigrams") * F.lit(1e9)), 6
+    )
+    return agg.select(
+        "n_bigrams",
+        "n_bigram_types",
+        h.alias("entropy_nats"),
+        round_det(F.exp(h), 2).alias("bigram_perplexity"),
+    )
+
+
+def q_lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and Guiraud's
+    root TTR (types/√tokens — the length-corrected variant, Guiraud
+    1954) — the vocabulary-richness screen that separates genuinely
+    diverse sources from keyword-stuffed ones before mixing weights
+    are assigned.
+
+    Exact integers + one fixed division tree; IEEE sqrt is correctly
+    rounded (NOTES determinism rule), so no grid is needed before the
+    6-dp snap. One explode + one (source, token) aggregate + one
+    per-source rollup — uniform keys, map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+    per_tok = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    return per_tok.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        round_det(F.count("*") / F.sum("_n"), 6).alias("ttr"),
+        round_det(F.count("*") / F.sqrt(F.sum("_n")), 6).alias("root_ttr"),
+    )

@@ -560,3 +560,67 @@ ORACLES_LM["benford_price_audit"] = f"""
              AS chi2_contrib
     FROM counts CROSS JOIN t
 """
+
+# FULL twin of q_dedup_cluster_histogram: composes the verified
+# recursive-CTE connected-components twin (imported from the analytics
+# ledger — one definition, zero drift) as a derived table, then the
+# identical histogram rollup.
+from kickstarter_etl_pipeline_spark.oracles_analytics import (  # noqa: E402
+    ORACLES_ANALYTICS as _OA,
+)
+
+ORACLES_LM["dedup_cluster_histogram"] = f"""
+    WITH comp AS ({_OA["dedup_components"]}),
+    clusters AS (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM comp GROUP BY component_id),
+    hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+             FROM clusters GROUP BY cluster_size),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM comp)
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           floor(cluster_size * n_clusters / t.n_docs * 1000000 + 0.5)
+             / 1000000.0 AS doc_share
+    FROM hist CROSS JOIN t
+"""
+
+# FULL twin of q_bigram_entropy_rate: exact-integer term spine
+# (c12 · nano-nat ln), 128-bit exact sum (DuckDB sums BIGINT into
+# HUGEINT), identical final divisions and grids.
+ORACLES_LM["bigram_entropy_rate"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents
+                  WHERE len({_TOKS}) >= 2),
+    bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(range(1, len(t))) AS r(i)),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    terms AS (SELECT c12.c12,
+                     c12.c12 * CAST(floor(ln(c12.c12 / c1.c1) * 1000000000 + 0.5)
+                                    AS BIGINT) AS term9
+              FROM c12 JOIN c1 USING (w1)),
+    agg AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams,
+                   CAST(count(*) AS BIGINT) AS n_bigram_types,
+                   sum(term9) AS sum9
+            FROM terms)
+    SELECT n_bigrams, n_bigram_types,
+           floor(-(CAST(sum9 AS DOUBLE)) / (n_bigrams * 1000000000.0)
+                 * 1000000 + 0.5) / 1000000.0 AS entropy_nats,
+           floor(exp(floor(-(CAST(sum9 AS DOUBLE)) / (n_bigrams * 1000000000.0)
+                           * 1000000 + 0.5) / 1000000.0) * 100 + 0.5) / 100.0
+             AS bigram_perplexity
+    FROM agg
+"""
+
+# FULL twin of q_lexical_diversity_by_source (sqrt is IEEE-correctly
+# rounded on both engines — no grid needed pre-snap).
+ORACLES_LM["lexical_diversity_by_source"] = f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    pt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY source, token)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           floor(count(*) / sum(n) * 1000000 + 0.5) / 1000000.0 AS ttr,
+           floor(count(*) / sqrt(sum(n)) * 1000000 + 0.5) / 1000000.0 AS root_ttr
+    FROM pt GROUP BY source
+"""
