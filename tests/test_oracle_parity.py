@@ -160,3 +160,22 @@ def test_grading_window_invariants():
             f"never-graded queries below the fold {stranded} while "
             f"already-graded entries occupy window slots: {regraded_in_window}"
         )
+
+
+def test_coverage_inventory_is_complete():
+    """COVERAGE.md is the judge-facing operator inventory — every
+    registry entry must appear in it by backticked name (13 pre-r6
+    entries had silently dropped out; found in the r7 close-out
+    audit)."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(root, "kickstarter_etl_pipeline_spark", "queries.py")
+    ).read()
+    body = re.search(r"_QUERIES: dict\[str, QueryFn\] = \{(.*?)\n\}", src, re.S).group(1)
+    keys = re.findall(r'^\s*"([a-z0-9_]+)":', body, re.M)
+    cov = open(os.path.join(root, "COVERAGE.md")).read()
+    missing = [k for k in keys if f"`{k}`" not in cov]
+    assert not missing, f"registry entries absent from COVERAGE.md: {missing}"
