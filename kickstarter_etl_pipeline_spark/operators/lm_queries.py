@@ -1221,3 +1221,52 @@ def q_lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         round_det(F.count("*") / F.sum("_n"), 6).alias("ttr"),
         round_det(F.count("*") / F.sqrt(F.sum("_n")), 6).alias("root_ttr"),
     )
+
+
+def q_char_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER entropy — the classic gibberish/encoded-
+    blob detector in a crawl-filter cascade (natural language sits
+    ~2.5–4.5 bits/char; base64 blobs and key-mash noise push 5+;
+    single-char spam collapses toward 0). Reported in bits with the
+    doc's distinct-char count.
+
+    Determinism: per-(doc, char) counts are exact; each char
+    contributes c·floor(ln(c/n)·1e9 + 0.5) — an exact BIGINT product —
+    summed per doc (exact, order-free), then ONE division, a
+    nats→bits multiply by the verbatim-shared double literal
+    1/ln(2), and a 6-dp grid. Shape: explode to characters (the
+    dominant scan), one uniform (doc, char) aggregate, one per-doc
+    rollup — linear, map-side combined, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count("*").cast("long").alias("_c"))
+    # per-doc totals ride a window over the (doc, char) rows — groups
+    # are charset-bounded, tiny
+    staged = cc.withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy("doc_id")).cast("long")
+    ).withColumn(
+        "_t9",
+        (
+            F.col("_c")
+            * F.floor(F.log(F.col("_c") / F.col("_n")) * 1e9 + 0.5).cast("long")
+        ).cast("long"),
+    )
+    per_doc = staged.groupBy("doc_id").agg(
+        F.max("_n").alias("n_chars_counted"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.sum("_t9").cast("long").alias("_sum9"),
+    )
+    inv_ln2 = 1.4426950408889634  # 1/ln(2), shared verbatim with the SQL twin
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        round_det(
+            -(F.col("_sum9").cast("double"))
+            / (F.col("n_chars_counted") * F.lit(1e9))
+            * F.lit(inv_ln2),
+            6,
+        ).alias("char_entropy_bits"),
+    )

@@ -624,3 +624,27 @@ ORACLES_LM["lexical_diversity_by_source"] = f"""
            floor(count(*) / sqrt(sum(n)) * 1000000 + 0.5) / 1000000.0 AS root_ttr
     FROM pt GROUP BY source
 """
+
+# FULL twin of q_char_entropy_per_doc: exact (doc, char) counts, the
+# same nano-nat term spine, the same verbatim 1/ln(2) literal
+# (CAST to DOUBLE — the Benford DECIMAL-binding lesson).
+ORACLES_LM["char_entropy_per_doc"] = """
+    WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                   FROM documents),
+    cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+           FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+    staged AS (SELECT doc_id, c,
+                      CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+               FROM cc),
+    pd AS (SELECT doc_id,
+                  CAST(max(n) AS BIGINT) AS n_chars_counted,
+                  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                  CAST(sum(c * CAST(floor(ln(c / n) * 1000000000 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS sum9
+           FROM staged GROUP BY doc_id)
+    SELECT doc_id, n_chars_counted, n_distinct_chars,
+           floor(-(CAST(sum9 AS DOUBLE)) / (n_chars_counted * 1000000000.0)
+                 * CAST(1.4426950408889634 AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS char_entropy_bits
+    FROM pd
+"""
