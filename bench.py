@@ -129,6 +129,26 @@ def main() -> None:
         all_runs[name] = samples
         timings[name] = min(samples)
 
+    # Round-8 capture fix (VERDICT r7 finding 2): the r7 stdout blob
+    # (per-query min-of-5 `runs` lists) overflowed the driver's capture
+    # window and BENCH_r07 recorded `parsed: null`. stdout now carries
+    # ONLY the compact contract line (per-query min + total); the full
+    # sample lists and loadavg go to BENCH_DETAIL.json next to this
+    # script for human/judge inspection.
+    detail = {
+        "policy": f"min_of_{runs}",
+        "runs": all_runs,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # detail file is best-effort; the contract line below is not
     print(
         json.dumps(
             {
@@ -138,9 +158,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "policy": f"min_of_{runs}",
-                "runs": all_runs,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -20,7 +20,7 @@ from kickstarter_etl_pipeline_spark.sources.readers import load_table
 
 def two_phase_rank(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     cum_col: str | None = None,
     n_parts: int | None = None,
 ) -> DataFrame:
@@ -58,7 +58,11 @@ def two_phase_rank(
         f"_cnt_{suffix}",
         f"_psum_{suffix}",
     )
-    order = [F.asc(c) for c in order_cols]
+    # A str entry means ascending; a Column entry is taken as-is, so
+    # callers can rank descending (F.desc("metric")) — the range
+    # partitioner and the local window share whatever direction is
+    # given, which is all the correctness argument needs.
+    order = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     parts = df.repartitionByRange(n_parts, *order).withColumn(
         pid, F.spark_partition_id()
     )

@@ -273,3 +273,24 @@ def test_token_coverage_smaller_vocab_than_k(spark):
     assert [r["token"] for r in out] == ["aa", "bb", "cc"]
     assert out[-1]["cum_share"] == 1.0
     assert out[0]["cum_occurrences"] == 3 and out[-1]["cum_occurrences"] == 6
+
+
+def test_ntile_exact_matches_ntile_all_remainders(spark):
+    """_ntile_exact must reproduce SQL-standard ntile(4) for EVERY
+    n % 4 — the equal-width floor formula silently diverges at e.g.
+    n=6 rank 4 (tile 2 vs 3), which is exactly the bug class this
+    helper exists to avoid. One frame, one group per n."""
+    from kickstarter_etl_pipeline_spark.operators.analytics_queries import _ntile_exact
+    from pyspark.sql import Window
+
+    rows = [(n, r) for n in range(1, 14) for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, rank long")
+    w = Window.partitionBy("n").orderBy("rank")
+    got = df.select(
+        "n",
+        "rank",
+        _ntile_exact(F.col("rank"), F.col("n"), 4).alias("arith"),
+        F.ntile(4).over(w).cast("int").alias("builtin"),
+    ).collect()
+    bad = [(r["n"], r["rank"], r["arith"], r["builtin"]) for r in got if r["arith"] != r["builtin"]]
+    assert not bad, bad
