@@ -213,10 +213,14 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduler consumes to up-sample tail sources.
 
     Determinism (two-level grid, NOTES.md): p^0.7 = exp(0.7·ln p);
-    ln p is snapped to an exact 1e-9 integer grid, scaled by 7/10 in
-    integer arithmetic, exp'd, and the weight snapped to an exact 1e-6
-    integer grid — integer SUMS are then exact, and the final share is
-    one IEEE division + 6-dp grid, identical on both engines.
+    ln p is snapped to an exact 1e-9 integer grid L, the scaled value
+    is floor of the IEEE double quotient 7·L/10 (7·L stays below 2^53
+    so the product is exact and the correctly-rounded division gives
+    the same floor on both engines — NOT an integer division, which
+    would truncate negative L toward zero and change values), exp'd,
+    and the weight snapped to an exact 1e-6 integer grid — integer
+    SUMS are then exact, and the final share is one IEEE division +
+    6-dp grid, identical on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
@@ -591,8 +595,9 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling share over the FULL vocabulary normalizer.
 
     Determinism: count^0.75 = exp(0.75·ln count) on the two-level grid
-    (ln at 1e-9 integer nano-nats, exact 3/4 integer scaling, exp
-    snapped to 1e-6 integer micro-units); the normalizer sums exact
+    (ln at 1e-9 integer nano-nats L, then floor of the IEEE double
+    quotient 3·L/4 — identical tree on both engines, not an integer
+    division; exp snapped to 1e-6 integer micro-units); the normalizer sums exact
     BIGINTs over the whole vocabulary, then one IEEE division + 6-dp
     grid per emitted row. One uniform-key aggregate + TakeOrdered(50)
     + a one-row broadcast sum."""
@@ -1103,14 +1108,20 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n_obs",
-            round_det(F.col("n_obs") / F.col("_n"), 6).alias("obs_share"),
+            # try_divide (mirrored by NULLIF in the oracle): an orders
+            # fixture with no rows >= 1 makes _n = 0, which must yield
+            # NULL shares, not the session's ANSI divide-by-zero
+            # (ADVICE r7).
+            round_det(F.try_divide(F.col("n_obs"), F.col("_n")), 6).alias("obs_share"),
             round_det(F.element_at(expected, F.col("digit")), 6).alias(
                 "benford_share"
             ),
             round_det(
-                (F.col("n_obs") - F.col("_n") * F.element_at(expected, F.col("digit")))
-                * (F.col("n_obs") - F.col("_n") * F.element_at(expected, F.col("digit")))
-                / (F.col("_n") * F.element_at(expected, F.col("digit"))),
+                F.try_divide(
+                    (F.col("n_obs") - F.col("_n") * F.element_at(expected, F.col("digit")))
+                    * (F.col("n_obs") - F.col("_n") * F.element_at(expected, F.col("digit"))),
+                    F.col("_n") * F.element_at(expected, F.col("digit")),
+                ),
                 6,
             ).alias("chi2_contrib"),
         )

@@ -574,6 +574,158 @@ def ivf_anchor_topk(
     )
 
 
+def ivf_lloyd_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF ANN over a TRAINED k-means index whose training is fully
+    deterministic and SQL-replayable — the round-8 replacement for the
+    seeded ``pyspark.ml`` fit that kept ``ann_ivf_topk`` rows-only.
+
+    The whole Lloyd recurrence runs on an integer grid, so there is no
+    cross-engine float noise anywhere in the index build:
+
+    - vectors are snapped once to a 1e-6 grid (``floor(x·1e6 + 0.5)``
+      as BIGINT — the module's round-before-compare discipline);
+    - init: centroids = the ``n_clusters`` corpus vectors with the
+      lexically-smallest ``(md5(id), id)`` (the ivf_anchor_topk
+      device — an unbiased deterministic sample);
+    - each of ``n_iters`` Lloyd steps assigns every vector to its
+      nearest centroid by EXACT integer squared-L2 (cell-index
+      tie-break) and recomputes each centroid dimension-wise as
+      ``floor(Σx / n)`` — integer sums are order-independent, so the
+      parallel aggregation is bit-stable, and the floor of the
+      correctly-rounded double quotient equals the exact floor for
+      every magnitude in range (|Σx| < 2^53, non-integer quotients
+      ≥ 1/n away from integers). Cells that lose all members keep
+      their previous centroid.
+
+    Candidate generation (n_probe nearest cells) and the exact
+    rounded-cosine re-rank over the ORIGINAL float vectors mirror
+    :func:`ivf_anchor_topk` verbatim. The DuckDB twin unrolls the
+    ``n_iters`` assignment/update rounds as CTEs — the same device as
+    the PageRank/LPA/MMR oracles.
+
+    Scale posture (100 TB): each Lloyd step is one corpus map
+    (broadcast centroid matrix, per-row integer mul-adds, no shuffle)
+    plus one (cell, dim) aggregate whose result — ≤ n_clusters × dim
+    rows — is the ONLY driver-side state (control data, the CC-fixpoint
+    posture). The corpus frame is checkpointed once so the loop rescans
+    the materialized integer vectors, not the parquet lineage. The
+    probe join is an equi-join on cell id: shuffle volume O(corpus),
+    never a per-query scan.
+    """
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    spark = corpus.sparkSession
+    int_vec = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            int_vec.alias("_iv"),
+        ),
+        barrier=False,
+    ).localCheckpoint(eager=True)
+
+    init_rows = (
+        base.select(
+            F.md5(F.col("neighbor_id").cast("string")).alias("_h"),
+            "neighbor_id",
+            "_iv",
+        )
+        .orderBy("_h", "neighbor_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r["_iv"]) for r in init_rows]
+
+    def _cell_dists(cents: list) -> "tuple[DataFrame, str]":
+        mat = spark.createDataFrame([(cents,)], "_cmat: array<array<bigint>>")
+        expr = (
+            "transform(_cmat, (cv, ci) -> named_struct("
+            "'d', aggregate(zip_with({vcol}, cv, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, x) -> acc + x), 'c', ci))"
+        )
+        return mat, expr
+
+    def _assign(df: DataFrame, cents: list) -> DataFrame:
+        mat, expr = _cell_dists(cents)
+        return (
+            df.join(F.broadcast(mat), how="cross")
+            .withColumn("_cd", F.expr(expr.format(vcol="_iv")))
+            .withColumn("_cell", F.array_sort("_cd").getItem(0).getField("c"))
+            .drop("_cmat", "_cd")
+        )
+
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        stats = (
+            _assign(base, centroids)
+            .select("_cell", F.posexplode("_iv").alias("_d", "_x"))
+            .groupBy("_cell", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(r["_cell"], {})[r["_d"]] = (r["_s"], r["_n"])
+        centroids = [
+            [by_cell[ci][d][0] // by_cell[ci][d][1] for d in range(dim)]
+            if ci in by_cell
+            else prev
+            for ci, prev in enumerate(centroids)
+        ]
+
+    cass = _assign(base, centroids).withColumn("_cnorm", norm(F.col("_cvec")))
+    qmat, qexpr = _cell_dists(centroids)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            int_vec.alias("_qiv"),
+        )
+        .withColumn("_qnorm", norm(F.col("_qvec")))
+        .join(F.broadcast(qmat), how="cross")
+        .withColumn("_cd", F.expr(qexpr.format(vcol="_qiv")))
+        .withColumn(
+            "_cell", F.explode(F.slice(F.array_sort("_cd"), 1, n_probe).getField("c"))
+        )
+        .drop("_cmat", "_cd", "_qiv")
+    )
+    scored = (
+        cass.join(F.broadcast(q), on="_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qvec"), F.col("_cvec")),
+                    F.col("_qnorm") * F.col("_cnorm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -158,6 +158,115 @@ def _ann_ivf_anchor_oracle_sql(k: int = 5, n_cells: int = 16, n_probe: int = 4) 
 
 _ORACLES["ann_ivf_anchor_topk"] = _ann_ivf_anchor_oracle_sql()
 
+
+def _ann_ivf_lloyd_oracle_sql(
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """FULL DuckDB twin of q_ann_ivf_topk (similarity.ivf_lloyd_topk):
+    the TRAINED k-means IVF, replayable because the whole Lloyd
+    recurrence is integer-exact — vectors snapped once to the 1e-6
+    grid, init = the n_clusters vectors with smallest (md5(id), id),
+    each round assigning by exact integer squared-L2 (cell tie-break)
+    and updating centroids dimension-wise as floor(Σx / n) (the double
+    quotient of in-range integer operands floors exactly; DuckDB's
+    ``//`` TRUNCATES and would diverge from Python's floor on negative
+    sums, hence the explicit floor). Empty cells keep their previous
+    centroid via the LEFT JOIN / COALESCE. The n_iters rounds unroll
+    as CTE pairs — the PageRank/LPA/MMR device — and the final probe +
+    exact rounded-cosine re-rank mirrors the anchor-IVF twin."""
+    dist = (
+        "list_reduce(list_transform(range(1, {dim} + 1), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, x) -> acc + x)"
+    )
+    head = f"""
+        WITH iv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {float(scale)!r} + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        dims AS (SELECT unnest(range(1, {dim} + 1)) AS d),
+        c0 AS (
+          SELECT rn - 1 AS ci, v AS cv FROM (
+            SELECT v, row_number() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM iv)
+          WHERE rn <= {n_clusters})"""
+    steps = []
+    for t in range(1, n_iters + 1):
+        d_expr = dist.format(dim=dim, v="iv.v", c="c.cv")
+        steps.append(
+            f""",
+        a{t} AS (
+          SELECT vec_id, v, ci AS cell FROM (
+            SELECT iv.vec_id, iv.v, c.ci,
+                   row_number() OVER (PARTITION BY iv.vec_id
+                                      ORDER BY {d_expr}, c.ci) AS rn
+            FROM iv CROSS JOIN c{t - 1} c)
+          WHERE rn = 1),
+        m{t} AS (
+          SELECT cell, list(m ORDER BY d) AS cv FROM (
+            SELECT cell, d,
+                   CAST(floor(CAST(sum(v[d]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+            FROM a{t} CROSS JOIN dims
+            GROUP BY cell, d)
+          GROUP BY cell),
+        c{t} AS (
+          SELECT p.ci, COALESCE(m.cv, p.cv) AS cv
+          FROM c{t - 1} p LEFT JOIN m{t} m ON m.cell = p.ci)"""
+        )
+    cd = dist.format(dim=dim, v="i2.v", c="c.cv")
+    qd = dist.format(dim=dim, v="i2.v", c="c.cv")
+    tail = f""",
+        cass AS (
+          SELECT vec_id AS neighbor_id, fv AS cv, ci AS cell FROM (
+            SELECT i2.vec_id, i2.fv, c.ci,
+                   row_number() OVER (PARTITION BY i2.vec_id
+                                      ORDER BY {cd}, c.ci) AS rn
+            FROM iv i2 CROSS JOIN c{n_iters} c)
+          WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id AS query_id, fv AS qv, ci AS cell FROM (
+            SELECT i2.vec_id, i2.fv, c.ci,
+                   row_number() OVER (PARTITION BY i2.vec_id
+                                      ORDER BY {qd}, c.ci) AS rn
+            FROM iv i2 CROSS JOIN c{n_iters} c
+            WHERE i2.vec_id < 20)
+          WHERE rn <= {n_probe}),
+        scored AS (
+          SELECT qp.query_id, ca.neighbor_id,
+                 round(list_cosine_similarity(qp.qv, ca.cv), 6) AS cosine_sim
+          FROM qprobe qp JOIN cass ca ON qp.cell = ca.cell
+          WHERE ca.neighbor_id <> qp.query_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["ann_ivf_topk"] = _ann_ivf_lloyd_oracle_sql()
+
+# FULL twin of q_ivf_recall_report: the two verified pipelines
+# (embedding_topk exact, ann_ivf_topk trained-IVF — identical query
+# set and k) composed; recall@5 = hits / 5 per query. Same device as
+# ann_recall_report / pq_recall_report.
+_ORACLES["ivf_recall_report"] = f"""
+    SELECT ex.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           floor(count(l.neighbor_id) / 5.0 * 1000000 + 0.5) / 1000000.0 AS recall_at_5
+    FROM ({ORACLES_CORE['embedding_topk']}) ex
+    LEFT JOIN ({_ann_ivf_lloyd_oracle_sql()}) l
+      ON ex.query_id = l.query_id AND ex.neighbor_id = l.neighbor_id
+    GROUP BY ex.query_id
+"""
+
 # FULL twin of q_simhash_md5_candidates (dedup.with_simhash with
 # md5_token_hash/60 bits): token hash = first 15 md5 hex chars as a
 # 60-bit integer, per-bit ±1 sums over every token occurrence, sign
@@ -190,6 +299,22 @@ _ORACLES["simhash_md5_candidates"] = r"""
     FROM pairs
 """
 
+
+# FULL twin of q_simhash_twin_containment: n_twin_pairs is the real
+# SQL-computed doc count; n_missing = 0 and max_twin_hamming = 0 are
+# THEOREM constants — a whitespace perturbation cannot change the
+# token sequence, hence not the SimHash under ANY hash function, so
+# every (doc, twin) pair must band-collide with Hamming 0. (The
+# max_twin_hamming = -1 arm covers an empty documents fixture, the
+# query's coalesce(-1) twin.) See the query docstring for why the
+# r7-proposed "md5 pairs ⊆ xxhash pairs" relation is NOT a theorem and
+# measurably fails on the fixtures.
+_ORACLES["simhash_twin_containment"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs,
+           CAST(0 AS BIGINT) AS n_missing,
+           CAST(CASE WHEN count(*) > 0 THEN 0 ELSE -1 END AS INTEGER) AS max_twin_hamming
+    FROM documents
+"""
 
 # Round-5 curation/graph/layout oracle twins live in oracles_ext.py
 # (VERDICT r04 #8: registry module stays lean); merged here so the

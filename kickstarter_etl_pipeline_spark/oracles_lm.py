@@ -303,10 +303,12 @@ ORACLES_LM["tokenizer_fertility"] = f"""
            CAST(sum(len({_TOKS})) AS BIGINT) AS n_ws_tokens,
            CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
              AS BIGINT) AS n_bpeish_tokens,
+           -- NULLIF mirrors Spark's try_divide (ADVICE r7): empty or
+           -- whitespace-only docs can zero either token denominator.
            floor(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
-                 / sum(len({_TOKS})) * 1000000 + 0.5) / 1000000.0 AS fertility,
+                 / NULLIF(sum(len({_TOKS})), 0) * 1000000 + 0.5) / 1000000.0 AS fertility,
            floor(sum(n_chars)
-                 / sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                 / NULLIF(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 0)
                  * 1000000 + 0.5) / 1000000.0 AS chars_per_token
     FROM documents GROUP BY lang
 """
@@ -329,10 +331,14 @@ ORACLES_LM["daily_trend_by_type"] = """
                  CAST(sum(x * x) AS BIGINT) AS sxx,
                  CAST(sum(x * y) AS BIGINT) AS sxy
           FROM g GROUP BY event_type)
+    -- NULLIF mirrors Spark's try_divide (ADVICE r7): a single-day
+    -- event type zeroes the OLS denominator and must yield NULL on
+    -- both engines — relying on DuckDB's integer x/0 -> NULL is
+    -- version-dependent (same guard as the traffic_burstiness twin).
     SELECT event_type, n_days,
-           floor((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)
+           floor((n_days * sxy - sx * sy) / NULLIF(n_days * sxx - sx * sx, 0)
                  * 1000000 + 0.5) / 1000000.0 AS slope_per_day,
-           floor((sy - (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx) * sx)
+           floor((sy - (n_days * sxy - sx * sy) / NULLIF(n_days * sxx - sx * sx, 0) * sx)
                  / n_days * 1000000 + 0.5) / 1000000.0 AS intercept
     FROM s
 """
@@ -551,12 +557,15 @@ ORACLES_LM["benford_price_audit"] = f"""
       FROM (SELECT unnest(range(1, 10)) AS digit) d
       LEFT JOIN observed o ON o.digit = d.digit),
     t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+    -- NULLIF mirrors Spark's try_divide (ADVICE r7): an orders fixture
+    -- with no rows >= 1 gives n = 0 and must yield NULL shares on both
+    -- engines, never an engine-specific divide-by-zero behavior.
     SELECT digit, n_obs,
-           floor(n_obs / t.n * 1000000 + 0.5) / 1000000.0 AS obs_share,
+           floor(n_obs / NULLIF(t.n, 0) * 1000000 + 0.5) / 1000000.0 AS obs_share,
            floor(({_BENFORD_CASE}) * 1000000 + 0.5) / 1000000.0 AS benford_share,
            floor((n_obs - t.n * ({_BENFORD_CASE}))
                  * (n_obs - t.n * ({_BENFORD_CASE}))
-                 / (t.n * ({_BENFORD_CASE})) * 1000000 + 0.5) / 1000000.0
+                 / (NULLIF(t.n, 0) * ({_BENFORD_CASE})) * 1000000 + 0.5) / 1000000.0
              AS chi2_contrib
     FROM counts CROSS JOIN t
 """

@@ -70,13 +70,53 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means cells + n_probe) approximate top-k (rows-only).
-    Partial DuckDB oracle in tests/test_ann_partial_oracle.py: emitted
-    pairs ⊆ exact top-2k, exact-rescored bit-equal, recall ≥ 0.5."""
-    from kickstarter_etl_pipeline_spark.operators.similarity import ivf_topk
+    """IVF (TRAINED k-means cells + n_probe) approximate top-k — FULLY
+    oracle'd since round 8: the Lloyd training runs on an integer grid
+    (deterministic md5-anchor init, exact integer distances and
+    dimension-wise floor-mean updates — similarity.ivf_lloyd_topk), so
+    the DuckDB twin unrolls the 5 assignment/update rounds as CTEs and
+    replays the identical index, probe fan-out and rounded-cosine
+    re-rank. The seeded pyspark.ml variant (similarity.ivf_topk) stays
+    as the alternative production path, contract-tested in
+    tests/test_ann_partial_oracle.py."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import ivf_lloyd_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_clusters=8, n_probe=4)
+    return ivf_lloyd_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_clusters=8, n_probe=4, n_iters=5
+    )
+
+
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the trained-IVF tier against exact brute-force
+    cosine, per query — the index-quality monitor graded the same way
+    PQ's is (q_pq_recall_report): both pipelines are individually
+    deterministic and fully oracle'd (ann_ivf_topk since r8,
+    embedding_topk's exact scorer), so the composed report carries a
+    full oracle too. n_probe=4 of 8 trained cells; misses are the
+    cell-boundary neighbors IVF trades for the pruned scan."""
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+    from kickstarter_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_lloyd_topk(
+        emb, queries, k=5, n_clusters=8, n_probe=4, n_iters=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            round_det(F.col("n_hits") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
 
 
 def q_ann_ivf_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

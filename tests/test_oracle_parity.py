@@ -179,3 +179,17 @@ def test_coverage_inventory_is_complete():
     cov = open(os.path.join(root, "COVERAGE.md")).read()
     missing = [k for k in keys if f"`{k}`" not in cov]
     assert not missing, f"registry entries absent from COVERAGE.md: {missing}"
+    # r7 verdict task 8: the doc-count line must track the registry so
+    # the r6-style drift (inventory rows silently diverging from the
+    # registry, fixed twice that round) can't recur — a deliberate
+    # off-by-one in either place fails here.
+    m = re.search(r"Registered `queries\(\)` entries: \*\*(\d+)\*\* \((\d+) with", cov)
+    assert m, "COVERAGE.md count footer missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"COVERAGE.md claims {m.group(1)} registry entries, "
+        f"queries() has {len(QUERIES)}"
+    )
+    assert int(m.group(2)) == len(set(QUERIES) & set(ORACLES)), (
+        f"COVERAGE.md claims {m.group(2)} oracle'd entries, "
+        f"actual {len(set(QUERIES) & set(ORACLES))}"
+    )

@@ -346,3 +346,95 @@ def test_chained_rollup_append_sink_exactly_once(spark, sf_dir, tmp_path):
     # restart: same checkpoint, same source — nothing new to emit
     again = stream_hourly_daily_append_parquet(spark, sf_dir, out, ckpt).collect()
     assert len(again) == len(got)
+
+
+def test_ivf_lloyd_deterministic_and_recall(spark, sf_dir):
+    """The integer-grid Lloyd IVF must be bit-deterministic across
+    independent builds (the whole point of replacing the seeded ml
+    fit) and keep useful recall vs exact brute force (measured 0.81
+    at sf0.01 with n_probe=4 of 8 cells)."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_lloyd_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+    run1 = sorted(map(key, ivf_lloyd_topk(emb, queries, k=5).collect()))
+    run2 = sorted(map(key, ivf_lloyd_topk(emb, queries, k=5).collect()))
+    assert run1 == run2  # bit-identical across independent index builds
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(q, n) for q, n, _, _ in run1}
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_q18_bucketed_no_fact_shuffle(spark, sf_dir):
+    """The q18 HAVING join-back shape on PRE-BUCKETED lineitem/orders —
+    the hardest fact-to-fact shape SCALE.md claims goes shuffle-free on
+    orderkey buckets (r7 verdict task 6: only q7 had the plan proof).
+    Bucketing must satisfy BOTH the pre-join aggregate's distribution
+    (groupBy l_orderkey needs no exchange) and the agg⋈orders join-back
+    (bucketed sort-merge join); the customer dim rides a broadcast. At
+    fixture scale we pin ZERO shuffle exchanges; results must equal the
+    plain query's."""
+    import re
+
+    from kickstarter_etl_pipeline_spark.queries import q_q18_large_orders
+
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for t in ("b18_lineitem", "b18_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse_dir}/{t}", ignore_errors=True)
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "b18_lineitem",
+        "l_orderkey",
+        num_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        "b18_orders",
+        "o_orderkey",
+        num_buckets=8,
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    li, orders = spark.table("b18_lineitem"), spark.table("b18_orders")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Auto-broadcast off: at 100 TB neither fact side fits a broadcast,
+    # so the plan must stand on bucketing alone (dim keeps its hint).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+            .filter(F.col("_qty") > 250)
+        )
+        result = (
+            big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .select(
+                "c_custkey",
+                "c_name",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                "o_totalprice",
+                F.col("_qty").cast("double").alias("sum_qty"),
+            )
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            result.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan  # the bucket-co-located join-back
+        shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert shuffles == 0, f"expected a shuffle-free plan, got {shuffles}:\n{plan}"
+        expected = {tuple(r) for r in q_q18_large_orders(spark, sf_dir).collect()}
+        got = {tuple(r) for r in result.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
