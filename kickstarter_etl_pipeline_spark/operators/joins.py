@@ -113,6 +113,97 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    left_id: str,
+    right_id: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row of the same key
+    with right_ts >= left_ts (forward as-of, tie → right wins), nulled
+    out when the gap exceeds ``tolerance_us`` — the "next purchase
+    within the attribution window" shape, the time-mirror of
+    :func:`asof_join_backward` and the same single-shuffle union +
+    running-carry device: one window pass per key, never a per-row
+    range probe.
+
+    The carry runs over DESCENDING time, so "last non-null seen" is
+    the nearest following right row; at equal ts the right row sorts
+    before the left (>= semantics) and simultaneous right rows iterate
+    id-descending so the carried winner is the SMALLEST id — matching
+    the (ts, id) ascending argmin any SQL twin computes.
+
+    Output: key, left id/ts + ``asof_<col>``/``asof_right_id``/
+    ``asof_ts_us``/``gap_us`` (all null when no following right row
+    exists inside the tolerance).
+    """
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    tagged_right = right.select(
+        F.col(on).alias("_key"),
+        r_us.alias("_us"),
+        F.lit(0).alias("_tag"),  # right before left at equal ts → >= semantics
+        F.col(right_id).cast("long").alias("_rid"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        F.lit(None).cast("long").alias("_lid"),
+    )
+    tagged_left = left.select(
+        F.col(on).alias("_key"),
+        l_us.alias("_us"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_rid"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in right_value_cols],
+        F.col(left_id).cast("long").alias("_lid"),
+    )
+    merged = tagged_right.unionByName(tagged_left)
+    w = (
+        Window.partitionBy("_key")
+        .orderBy(F.desc("_us"), F.asc("_tag"), F.desc(F.coalesce("_rid", "_lid")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "_key",
+        "_us",
+        "_tag",
+        "_lid",
+        F.last("_rid", ignorenulls=True).over(w).alias("asof_right_id"),
+        F.last(F.when(F.col("_tag") == 0, F.col("_us")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts_us"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        F.col("_key").alias(on),
+        F.col("_lid").alias(left_id),
+        F.col("_us").alias("left_ts_us"),
+        "asof_right_id",
+        "asof_ts_us",
+        *[f"asof_{c}" for c in right_value_cols],
+    )
+    gap = F.col("asof_ts_us") - F.col("left_ts_us")
+    if tolerance_us is not None:
+        inside = gap <= F.lit(tolerance_us)
+        out = out.select(
+            on,
+            left_id,
+            "left_ts_us",
+            F.when(inside, F.col("asof_right_id")).alias("asof_right_id"),
+            F.when(inside, F.col("asof_ts_us")).alias("asof_ts_us"),
+            *[F.when(inside, F.col(f"asof_{c}")).alias(f"asof_{c}") for c in right_value_cols],
+        )
+        gap = F.col("asof_ts_us") - F.col("left_ts_us")
+    return out.withColumn("gap_us", gap)
+
+
 def bloom_prefilter(
     fact: DataFrame,
     keys: DataFrame,

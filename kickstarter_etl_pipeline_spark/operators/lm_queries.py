@@ -109,6 +109,40 @@ def two_phase_rank(
     return out.drop(pid, lrank, lcum, roff, coff)
 
 
+def q_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile banding at scale: every order assigned its
+    ntile(100) price percentile band WITHOUT a single-task global sort
+    — global rank via :func:`two_phase_rank` (balanced range
+    exchanges), band via the exact front-loaded tile rule
+    (analytics_queries._ntile_exact, bit-identical to the oracle's
+    ntile(100)), n from a one-row broadcast of the max rank. Per band:
+    order count, min/max price (raw stored doubles — bit-equal on both
+    engines) and the exact-decimal price sum. The distributed twin of
+    the quantile table every data-quality / pricing dashboard wants,
+    at the cardinality (100 bands) a 100 TB fact still supports."""
+    from kickstarter_etl_pipeline_spark.operators.analytics_queries import _ntile_exact
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = two_phase_rank(orders, ["o_totalprice", "o_orderkey"])
+    n_row = F.broadcast(ranked.agg(F.max("rank").alias("_n")))
+    return (
+        ranked.crossJoin(n_row)
+        .select(
+            _ntile_exact(F.col("rank"), F.col("_n"), 100).alias("band"),
+            "o_totalprice",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
 def q_scalable_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every user's event-count rank ascending (count, then user_id)
     via :func:`two_phase_rank` — bit-identical to a plain global

@@ -726,6 +726,112 @@ def ivf_lloyd_topk(
     )
 
 
+def pca_top_component(
+    corpus: DataFrame,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by power
+    iteration — the embedding-drift / whitening / anisotropy monitor an
+    LM-data pipeline runs over its vector tables — made bit-deterministic
+    (and therefore fully DuckDB-oracle-able via unrolled CTEs, the
+    PageRank device) by keeping every cross-row reduction on an integer
+    grid:
+
+    - vectors snap once to 1e-6 BIGINTs; the mean is the dimension-wise
+      ``floor(Σv / n)`` (exact longs), centering is exact;
+    - each iteration computes per-row projections s_i = c_i·w (a
+      SEQUENTIAL fold in array order — deterministic), snaps them to
+      integers q_i = floor(s_i + 0.5), and accumulates the matrix-vector
+      product per dimension as Σ c_i[d]·q_i in DECIMAL(38,0) — integer
+      sums are order-independent, so the parallel aggregation is
+      bit-stable (and overflow-proof at any corpus size);
+    - the 64 per-dimension sums are CONTROL DATA: collected, normalized
+      driver-side with a fixed left-fold order, and the next w snapped
+      to a 1e-9 grid — the identical expression tree the SQL twin runs
+      with ``list_reduce``.
+
+    Starting vector = uniform 1/8 per dimension (0.125 is an exact
+    double), so the converged sign is itself deterministic. Output: one
+    row per dimension with the integer-grid mean, the unit PC1 weight
+    (9 dp grid) and the PC1 variance in original units (6 dp).
+
+    Scale posture (100 TB): per iteration ONE corpus map (broadcast
+    64-double w) + one 64-group integer aggregate; driver state is 64
+    numbers per round. n_iters passes over a once-checkpointed integer
+    frame — the classic distributed power iteration, with determinism
+    as the only addition.
+    """
+    import math
+
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    int_vec = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("_id"), int_vec.alias("_iv")), barrier=False
+    ).localCheckpoint(eager=True)
+
+    mean_rows = (
+        base.select(F.posexplode("_iv").alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+        .collect()
+    )
+    n_rows = mean_rows[0]["_n"]
+    dim = len(mean_rows)
+    mu = [0] * dim
+    for r in mean_rows:
+        mu[r["_d"]] = math.floor(r["_s"] / r["_n"])
+
+    mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    centered = base.select(
+        "_id", F.zip_with("_iv", mu_arr, lambda v, m: v - m).alias("_cv")
+    ).localCheckpoint(eager=True)
+
+    w = [0.125] * dim
+    for _ in range(n_iters):
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        proj = F.floor(
+            F.aggregate(
+                F.zip_with("_cv", w_arr, lambda c, ww: c.cast("double") * ww),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.lit(0.5)
+        ).cast("long")
+        sums = (
+            centered.select(proj.alias("_q"), "_cv")
+            .select("_q", F.posexplode("_cv").alias("_d", "_c"))
+            .groupBy("_d")
+            .agg(
+                F.sum((F.col("_c") * F.col("_q")).cast("decimal(38,0)")).alias("_ax")
+            )
+            .collect()
+        )
+        x = [0.0] * dim
+        for r in sums:
+            x[r["_d"]] = float(r["_ax"])
+        acc = 0.0
+        for v in x:  # fixed left fold in dimension order = the SQL list_reduce
+            acc = acc + v * v
+        nrm = math.sqrt(acc)
+        w = [math.floor(v / nrm * 1e9 + 0.5) / 1e9 for v in x]
+
+    var_units = math.floor(nrm / n_rows / 1e12 * 1e6 + 0.5) / 1e6
+    spark = corpus.sparkSession
+    out = [
+        (d, int(mu[d]), float(w[d]), float(var_units)) for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        out, "dim_idx int, mu_unit long, pc1_weight double, pc1_variance double"
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,

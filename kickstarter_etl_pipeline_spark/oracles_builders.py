@@ -316,6 +316,125 @@ _ORACLES["simhash_twin_containment"] = """
     FROM documents
 """
 
+# FULL twin of q_price_percentile_bands: the two-phase rank + exact
+# tile arithmetic must reproduce a plain ntile(100) over the same
+# deterministic (price, orderkey) total order; band rollups are exact
+# (counts, raw stored doubles, decimal sums).
+_ORACLES["price_percentile_bands"] = """
+    WITH r AS (
+      SELECT o_totalprice,
+             ntile(100) OVER (ORDER BY o_totalprice, o_orderkey) AS band
+      FROM orders)
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+    FROM r GROUP BY band
+"""
+
+# FULL twin of q_events_asof_next_purchase (joins.asof_join_forward):
+# earliest following purchase per click — (ts, id) ascending argmin
+# with >= semantics — nulled outside the 1 h attribution window. The
+# union + descending-carry device must equal this per-click argmin.
+_ORACLES["events_asof_next_purchase"] = """
+    WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+          FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT c.user_id, c.event_id AS click_event_id, c.us AS cus,
+                 p.event_id AS pid, p.us AS pus, p.value AS pval,
+                 row_number() OVER (PARTITION BY c.user_id, c.event_id
+                                    ORDER BY p.us, p.event_id) AS rn
+          FROM c JOIN p ON p.user_id = c.user_id AND p.us >= c.us),
+    best AS (SELECT * FROM m WHERE rn = 1)
+    SELECT c.user_id, c.event_id AS click_event_id,
+           CASE WHEN b.pus - b.cus <= 3600000000 THEN b.pid END AS purchase_event_id,
+           CASE WHEN b.pus - b.cus <= 3600000000 THEN b.pus - b.cus END AS gap_us,
+           CASE WHEN b.pus - b.cus <= 3600000000 THEN round(b.pval, 4) END AS purchase_value
+    FROM c LEFT JOIN best b
+      ON b.user_id = c.user_id AND b.click_event_id = c.event_id
+"""
+
+# FULL twin of q_simhash_near_dup_clusters: the verified md5-SimHash
+# candidate CTE (Hamming <= 8 edge rule) feeding the verified
+# recursive-CTE connected-components device — composition of two
+# already-graded pipelines, the dedup_components pattern.
+_ORACLES["simhash_near_dup_clusters"] = f"""
+    WITH RECURSIVE
+    cand AS (SELECT id_a, id_b
+             FROM ({_ORACLES['simhash_md5_candidates']})
+             WHERE hamming <= 8),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION ALL SELECT id_b, id_a FROM cand),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
+    szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
+    SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
+"""
+
+def _pca_power_oracle_sql(n_iters: int = 8, dim: int = 64, scale: int = 1_000_000) -> str:
+    """FULL DuckDB twin of q_embedding_pca_top
+    (similarity.pca_top_component): the power iteration unrolls as CTE
+    pairs (projection snap → per-dim integer accumulation → driver-free
+    normalize), replayable because every cross-row reduction is an
+    integer sum (HUGEINT here, DECIMAL(38,0) on the Spark side) and
+    every float stage is a fixed expression tree: the projection fold
+    and the norm fold run in array order via ``list_reduce`` — the same
+    left fold the engine runs (F.aggregate / driver loop)."""
+    dd = f"range(1, {dim} + 1)"
+    head = f"""
+        WITH iv AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {float(scale)!r} + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        dims AS (SELECT unnest({dd}) AS d),
+        mu0 AS (
+          SELECT d, CAST(floor(CAST(sum(v[d]) AS DOUBLE) / count(*)) AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM iv CROSS JOIN dims GROUP BY d),
+        mu AS (SELECT list(m ORDER BY d) AS mv, max(n) AS n FROM mu0),
+        cv AS (SELECT vec_id,
+                      list_transform({dd}, i -> iv.v[i] - mu.mv[i]) AS c
+               FROM iv CROSS JOIN mu),
+        w0 AS (SELECT list_transform({dd}, i -> 0.125) AS wv)"""
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(
+            f""",
+        q{t} AS (
+          SELECT c, CAST(floor(list_reduce(
+                   list_transform({dd}, i -> CAST(c[i] AS DOUBLE) * w.wv[i]),
+                   (a, b) -> a + b) + 0.5) AS BIGINT) AS q
+          FROM cv CROSS JOIN w{t - 1} w),
+        x{t} AS (
+          SELECT list(CAST(ax AS DOUBLE) ORDER BY d) AS xs FROM (
+            SELECT d, sum(CAST(c[d] AS HUGEINT) * q) AS ax
+            FROM q{t} CROSS JOIN dims GROUP BY d)),
+        w{t} AS (
+          SELECT list_transform(xs,
+                   x -> floor(x / sqrt(list_reduce(list_transform(xs, v -> v * v),
+                                                   (a, b) -> a + b)) * 1e9 + 0.5) / 1e9) AS wv
+          FROM x{t})"""
+        )
+    tail = f"""
+        SELECT CAST(d - 1 AS INTEGER) AS dim_idx,
+               mu.mv[d] AS mu_unit,
+               w.wv[d] AS pc1_weight,
+               floor(sqrt(list_reduce(list_transform(x.xs, v -> v * v), (a, b) -> a + b))
+                     / mu.n / 1e12 * 1e6 + 0.5) / 1e6 AS pc1_variance
+        FROM dims CROSS JOIN mu CROSS JOIN w{n_iters} w CROSS JOIN x{n_iters} x
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["embedding_pca_top"] = _pca_power_oracle_sql()
+
 # Round-5 curation/graph/layout oracle twins live in oracles_ext.py
 # (VERDICT r04 #8: registry module stays lean); merged here so the
 # driver contract is unchanged.

@@ -119,6 +119,20 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by
+    DETERMINISTIC power iteration (similarity.pca_top_component) — the
+    anisotropy / drift / whitening monitor over a vector table, fully
+    oracle'd: integer-grid centering, integer matrix-vector
+    accumulation (order-independent), fixed-fold normalization on a
+    1e-9 grid; the DuckDB twin unrolls the 8 rounds as CTEs. Output:
+    per-dimension mean (1e-6 units), unit PC1 weight, and the PC1
+    variance in original units."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import pca_top_component
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_ann_ivf_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic anchor-IVF approximate top-k — FULLY oracle'd: the
     index build (anchors = n_cells corpus vectors with smallest

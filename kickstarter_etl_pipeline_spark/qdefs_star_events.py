@@ -555,6 +555,68 @@ def q_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with an attribution window: each click
+    matched to the user's EARLIEST following purchase within 1 hour
+    (ties at the same microsecond → purchase wins; simultaneous
+    purchases → smallest event id), nulls when no purchase follows in
+    time. The time-mirror of events_asof_purchase_click, via
+    operators.joins.asof_join_forward — one union + one per-user
+    window pass, never a per-row range probe."""
+    from kickstarter_etl_pipeline_spark.operators.joins import asof_join_forward
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    res = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+        left_id="event_id",
+        right_id="event_id",
+        tolerance_us=3_600_000_000,
+    )
+    return res.select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("asof_right_id").alias("purchase_event_id"),
+        F.col("gap_us"),
+        F.round("asof_value", 4).alias("purchase_value"),
+    )
+
+
+def q_simhash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLUSTER resolution — the step that turns the
+    banded candidate pairs into keep/drop groups: md5-tier candidates
+    with Hamming ≤ 8 (of 60 bits) become edges, connected components
+    assign every document its min-id cluster, singletons keep their
+    own id. Composes two individually-verified pipelines
+    (simhash_md5_candidates, the dedup_components CC machinery), so
+    the recursive-CTE oracle replays both. Per-doc output with the
+    cluster size, mirroring dedup_components."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        md5_token_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_candidates(docs, hash_fn=md5_token_hash, bits=60).filter(
+        F.col("hamming") <= 8
+    )
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, on="component_id").select(
+        "doc_id", "component_id", "n_members"
+    )
+
+
 def q_simhash_twin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded containment contract for the xxhash64 SimHash tier
     (r7 verdict task 7, corrected): the verdict proposed grading

@@ -415,3 +415,50 @@ def test_two_phase_rank_matches_row_number(rows):
     assert sorted(map(tuple, got.select("k", "v", "rank", "cum").collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user/key
+            st.integers(0, 10_000),     # ts seconds
+            st.sampled_from(["l", "r"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    tol=st.sampled_from([None, 0, 1_000_000, 3_000_000_000]),
+)
+def test_asof_forward_matches_bruteforce(events, tol):
+    from kickstarter_etl_pipeline_spark.operators.joins import asof_join_forward
+
+    spark = _get_spark()
+    rows = [
+        (i, key, ts, side) for i, (key, ts, side) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "sec", "side"]).withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    ).withColumn("value", F.col("event_id") * 1.0)
+    left = df.filter(F.col("side") == "l")
+    right = df.filter(F.col("side") == "r")
+    got = {
+        (r["user_id"], r["event_id"]): (r["asof_right_id"], r["gap_us"])
+        for r in asof_join_forward(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            right_value_cols=["value"], left_id="event_id", right_id="event_id",
+            tolerance_us=tol,
+        ).collect()
+    }
+    # Brute force: earliest right with ts >= left ts; tie -> MIN id at
+    # that ts; dropped when outside the tolerance.
+    rights = [(k, t, i) for i, (k, t, s) in enumerate(events) if s == "r"]
+    for i, (k, t, s) in enumerate(events):
+        if s != "l":
+            continue
+        candidates = [(rt, ri) for rk, rt, ri in rights if rk == k and rt >= t]
+        expected = min(candidates) if candidates else None
+        if expected is not None and tol is not None and (expected[0] - t) * 1_000_000 > tol:
+            expected = None
+        want = (expected[1], (expected[0] - t) * 1_000_000) if expected else (None, None)
+        assert got[(k, i)] == want, (i, k, t, tol, candidates)
