@@ -305,6 +305,38 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.with_text_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability (Flesch reading ease on the classic
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) scale) —
+    the curriculum/difficulty signal an LM-data pipeline bins training
+    text by. Proxies chosen for engine parity: sentences = runs of
+    [.!?] (min 1 so fragments count as one sentence), syllables =
+    [aeiouy]+ vowel groups of the lowercased text — both RE2/Java-safe
+    character classes (the bpe_token_counts discipline). n_words ≥ 1 by
+    the tokenizer's contract (empty text → one empty token), sentence
+    count is floored at 1, so no division can hit zero; the score is
+    one fixed IEEE tree over exact integer counts, 4-dp grid. Pure
+    Column expressions, one pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(TX.tokens("text")).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    w_per_s = n_words.cast("double") / n_sentences.cast("double")
+    syl_per_w = n_syllables.cast("double") / n_words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * w_per_s - F.lit(84.6) * syl_per_w
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        round_det(flesch, 4).alias("flesch_score"),
+    )
+
+
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification tier over set-similarity candidates:
     word-3-gram Jaccard >= 0.5 prunes the pair space (never all-pairs),

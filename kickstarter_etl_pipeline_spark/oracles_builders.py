@@ -435,6 +435,24 @@ def _pca_power_oracle_sql(n_iters: int = 8, dim: int = 64, scale: int = 1_000_00
 
 _ORACLES["embedding_pca_top"] = _pca_power_oracle_sql()
 
+# FULL twin of q_readability_scores: exact integer counts (RE2/Java-
+# safe character classes), one fixed IEEE tree — same parse
+# 206.835 − (1.015·a) − (84.6·b) left-associated — on a 4-dp grid.
+_ORACLES["readability_scores"] = r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                 * 10000 + 0.5) / 10000.0 AS flesch_score
+    FROM c
+"""
+
 # Round-5 curation/graph/layout oracle twins live in oracles_ext.py
 # (VERDICT r04 #8: registry module stays lean); merged here so the
 # driver contract is unchanged.
