@@ -59,6 +59,18 @@ BENCH_QUERIES = [
     "duplicate_ngram_spans",
     "mmr_diversified_topk",
     "table_diff_report",
+    # round 8: the de-ceilinged two-phase quantile path (rfm was the r7
+    # verdict's one `weak` — its cost is now a regression canary), the
+    # ntile(100) banding built on the same machinery, and the forward
+    # as-of window shape. The round's other new tiers (Lloyd IVF, PCA
+    # power iteration, SimHash CC clusters) are deliberately NOT benched:
+    # their wall-clock is iteration-count × job-scheduling overhead, a
+    # regime graph_pagerank already represents in this list — adding
+    # three more control-loop queries would double bench time without
+    # adding signal about data-plane throughput.
+    "rfm_segments",
+    "price_percentile_bands",
+    "events_asof_next_purchase",
 ]
 
 

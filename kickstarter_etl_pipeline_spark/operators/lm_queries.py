@@ -109,6 +109,76 @@ def two_phase_rank(
     return out.drop(pid, lrank, lcum, roff, coff)
 
 
+def q_embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension EXACT median and MAD (median absolute deviation)
+    of the embedding corpus — the robust-scaling / outlier-resistant
+    normalization profile (the companion to embedding_dim_stats'
+    mean/variance, which one corrupted vector can drag arbitrarily).
+
+    Scalable exact GROUPED median: instead of a per-group window sort
+    (one task per dimension holding corpus/64 rows — the ceiling the
+    exact_median_by_group tier documents), rows range-partition
+    GLOBALLY on (dim, value, id) via :func:`two_phase_rank`; the
+    per-dim rank is the global rank minus a broadcast per-dim offset
+    (64-row control frame), and the median is the classic middle-rank
+    selection. MAD repeats the same machinery on |2x − median·2| —
+    kept integer by carrying the median as min+max of the middle pair
+    (×2) and deviations ×2, so every cross-engine comparison is exact
+    long arithmetic; the only doubles are the final display divisions.
+    Everything on the 1e-6 embedding grid.
+
+    At 100 TB: two balanced range exchanges + two 64-row control
+    windows — no task ever holds a dimension's full column."""
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("_d", "_x"),
+    )
+
+    def med2(df: DataFrame, vcol: str) -> DataFrame:
+        """Per-dim (n, min+max of the middle one-or-two values)."""
+        r = two_phase_rank(df, ["_d", vcol, "vec_id"])
+        cnt = r.groupBy("_d").agg(F.count("*").alias("_n"))
+        woff = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, -1)
+        off = cnt.withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
+        j = r.join(F.broadcast(off), "_d")
+        lr = F.col("rank") - F.col("_off")
+        mid = j.filter(
+            (lr == F.floor((F.col("_n") + 1) / 2))
+            | (lr == F.floor((F.col("_n") + 2) / 2))
+        )
+        return mid.groupBy("_d").agg(
+            F.max("_n").cast("long").alias("n"),
+            (F.min(vcol) + F.max(vcol)).cast("long").alias("m2"),
+        )
+
+    meds = med2(pts, "_x")
+    dev = pts.join(F.broadcast(meds.select("_d", "m2")), "_d").select(
+        "vec_id",
+        "_d",
+        F.abs(F.lit(2) * F.col("_x") - F.col("m2")).cast("long").alias("_dev2"),
+    )
+    mads = med2(dev, "_dev2").select(F.col("_d"), F.col("m2").alias("mad4"))
+    return (
+        meds.join(mads, "_d")
+        .select(
+            F.col("_d").cast("int").alias("dim_idx"),
+            F.col("n").alias("n_vectors"),
+            F.col("m2").alias("median_x2"),
+            F.col("mad4").alias("mad_x4"),
+            (F.col("m2").cast("double") / 2.0 / 1e6).alias("median_value"),
+            (F.col("mad4").cast("double") / 4.0 / 1e6).alias("mad_value"),
+        )
+    )
+
+
 def q_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile banding at scale: every order assigned its
     ntile(100) price percentile band WITHOUT a single-task global sort

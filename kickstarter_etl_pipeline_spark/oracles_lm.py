@@ -657,3 +657,45 @@ ORACLES_LM["char_entropy_per_doc"] = """
              / 1000000.0 AS char_entropy_bits
     FROM pd
 """
+
+# FULL twin of q_embedding_dim_robust_stats: per-dim middle-rank
+# median + MAD, all comparisons exact long arithmetic on the 1e-6
+# embedding grid (median carried as min+max of the middle pair ×2,
+# deviations ×2 → mad4 = 4·MAD in grid units); the display divisions
+# are single fixed IEEE chains. The engine side ranks GLOBALLY with
+# two_phase_rank minus per-dim offsets; this per-dim window replay
+# must agree rank-for-rank.
+ORACLES_LM["embedding_dim_robust_stats"] = """
+    WITH pts AS (
+      SELECT vec_id, d,
+             CAST(floor(e[d] * 1000000.0 + 0.5) AS BIGINT) AS x
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS d)),
+    r1 AS (SELECT vec_id, d, x,
+                  row_number() OVER (PARTITION BY d ORDER BY x, vec_id) AS rn,
+                  count(*) OVER (PARTITION BY d) AS n
+           FROM pts),
+    m1 AS (SELECT d, CAST(max(n) AS BIGINT) AS n,
+                  CAST(min(x) + max(x) AS BIGINT) AS m2
+           FROM r1
+           WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+           GROUP BY d),
+    dev AS (SELECT p.vec_id, p.d,
+                   CAST(abs(2 * p.x - m1.m2) AS BIGINT) AS dev2
+            FROM pts p JOIN m1 ON m1.d = p.d),
+    r2 AS (SELECT d, dev2,
+                  row_number() OVER (PARTITION BY d ORDER BY dev2, vec_id) AS rn,
+                  count(*) OVER (PARTITION BY d) AS n
+           FROM dev),
+    m2t AS (SELECT d, CAST(min(dev2) + max(dev2) AS BIGINT) AS mad4
+            FROM r2
+            WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+            GROUP BY d)
+    SELECT CAST(m1.d - 1 AS INTEGER) AS dim_idx,
+           m1.n AS n_vectors,
+           m1.m2 AS median_x2,
+           m2t.mad4 AS mad_x4,
+           CAST(m1.m2 AS DOUBLE) / 2.0 / 1000000.0 AS median_value,
+           CAST(m2t.mad4 AS DOUBLE) / 4.0 / 1000000.0 AS mad_value
+    FROM m1 JOIN m2t USING (d)
+"""
