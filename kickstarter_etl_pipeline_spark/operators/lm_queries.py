@@ -109,6 +109,48 @@ def two_phase_rank(
     return out.drop(pid, lrank, lcum, roff, coff)
 
 
+def _embedding_dim_m2_mad4(emb: DataFrame) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Shared spine of the robust-scaling family: integer-grid points
+    (vec_id, _d, _x), per-dim ``(n, m2 = min+max of the middle values)``
+    medians, and per-dim ``mad4 = 4·MAD`` in grid units — all exact
+    longs via the grouped two-phase-rank middle-selection described in
+    :func:`q_embedding_dim_robust_stats`. Returns (meds, mads, pts)."""
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("_d", "_x"),
+    )
+
+    def med2(df: DataFrame, vcol: str) -> DataFrame:
+        r = two_phase_rank(df, ["_d", vcol, "vec_id"])
+        cnt = r.groupBy("_d").agg(F.count("*").alias("_n"))
+        woff = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, -1)
+        off = cnt.withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
+        j = r.join(F.broadcast(off), "_d")
+        lr = F.col("rank") - F.col("_off")
+        mid = j.filter(
+            (lr == F.floor((F.col("_n") + 1) / 2))
+            | (lr == F.floor((F.col("_n") + 2) / 2))
+        )
+        return mid.groupBy("_d").agg(
+            F.max("_n").cast("long").alias("n"),
+            (F.min(vcol) + F.max(vcol)).cast("long").alias("m2"),
+        )
+
+    meds = med2(pts, "_x")
+    dev = pts.join(F.broadcast(meds.select("_d", "m2")), "_d").select(
+        "vec_id",
+        "_d",
+        F.abs(F.lit(2) * F.col("_x") - F.col("m2")).cast("long").alias("_dev2"),
+    )
+    mads = med2(dev, "_dev2").select(F.col("_d"), F.col("m2").alias("mad4"))
+    return meds, mads, pts
+
+
 def q_embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension EXACT median and MAD (median absolute deviation)
     of the embedding corpus — the robust-scaling / outlier-resistant
@@ -132,40 +174,7 @@ def q_embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det  # noqa: F401
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                "embedding",
-                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
-            )
-        ).alias("_d", "_x"),
-    )
-
-    def med2(df: DataFrame, vcol: str) -> DataFrame:
-        """Per-dim (n, min+max of the middle one-or-two values)."""
-        r = two_phase_rank(df, ["_d", vcol, "vec_id"])
-        cnt = r.groupBy("_d").agg(F.count("*").alias("_n"))
-        woff = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, -1)
-        off = cnt.withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
-        j = r.join(F.broadcast(off), "_d")
-        lr = F.col("rank") - F.col("_off")
-        mid = j.filter(
-            (lr == F.floor((F.col("_n") + 1) / 2))
-            | (lr == F.floor((F.col("_n") + 2) / 2))
-        )
-        return mid.groupBy("_d").agg(
-            F.max("_n").cast("long").alias("n"),
-            (F.min(vcol) + F.max(vcol)).cast("long").alias("m2"),
-        )
-
-    meds = med2(pts, "_x")
-    dev = pts.join(F.broadcast(meds.select("_d", "m2")), "_d").select(
-        "vec_id",
-        "_d",
-        F.abs(F.lit(2) * F.col("_x") - F.col("m2")).cast("long").alias("_dev2"),
-    )
-    mads = med2(dev, "_dev2").select(F.col("_d"), F.col("m2").alias("mad4"))
+    meds, mads, _ = _embedding_dim_m2_mad4(emb)
     return (
         meds.join(mads, "_d")
         .select(
@@ -175,6 +184,47 @@ def q_embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad4").alias("mad_x4"),
             (F.col("m2").cast("double") / 2.0 / 1e6).alias("median_value"),
             (F.col("mad4").cast("double") / 4.0 / 1e6).alias("mad_value"),
+        )
+    )
+
+
+def q_embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-vector outlier screening — the corrupted-embedding
+    detector run before ANN indexing / centroid training (mean/σ
+    screens fail exactly when outliers are present; median/MAD do
+    not). A dimension flags when |x − median| > 3.5·MAD, evaluated in
+    EXACT integer arithmetic on the grid spine: with m2 = 2·median and
+    mad4 = 4·MAD (both exact longs from the robust-stats pass), the
+    test |x − med| > 3.5·MAD ⇔ 4·|2x − m2| > 7·mad4 — no float ever
+    decides a flag. Per vector: flagged-dimension count, an is_outlier
+    verdict (≥ 8 of 64 dims), and the max robust z (2·dev2/mad4, one
+    IEEE division per dim, 6-dp grid; degenerate mad4 = 0 dims yield
+    NULL via try_divide and drop out of the max). One broadcast join
+    of the 64-row stats onto the point frame + one per-vector
+    aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    meds, mads, pts = _embedding_dim_m2_mad4(emb)
+    stats = meds.select("_d", "m2").join(mads, "_d")
+    dev2 = F.abs(F.lit(2) * F.col("_x") - F.col("m2")).cast("long")
+    flagged = pts.join(F.broadcast(stats), "_d").select(
+        "vec_id",
+        dev2.alias("_dev2"),
+        "mad4",
+    )
+    is_out = (F.lit(4) * F.col("_dev2") > F.lit(7) * F.col("mad4")).cast("int")
+    return (
+        flagged.groupBy("vec_id")
+        .agg(
+            F.sum(is_out).cast("long").alias("n_outlier_dims"),
+            round_det(
+                F.max(F.try_divide(F.lit(2.0) * F.col("_dev2"), F.col("mad4"))), 6
+            ).alias("max_robust_z"),
+        )
+        .select(
+            "vec_id",
+            "n_outlier_dims",
+            (F.col("n_outlier_dims") >= 8).cast("int").alias("is_outlier"),
+            "max_robust_z",
         )
     )
 

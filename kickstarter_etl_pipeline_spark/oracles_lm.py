@@ -665,8 +665,8 @@ ORACLES_LM["char_entropy_per_doc"] = """
 # are single fixed IEEE chains. The engine side ranks GLOBALLY with
 # two_phase_rank minus per-dim offsets; this per-dim window replay
 # must agree rank-for-rank.
-ORACLES_LM["embedding_dim_robust_stats"] = """
-    WITH pts AS (
+_ROBUST_SPINE = """
+    pts AS (
       SELECT vec_id, d,
              CAST(floor(e[d] * 1000000.0 + 0.5) AS BIGINT) AS x
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -690,7 +690,10 @@ ORACLES_LM["embedding_dim_robust_stats"] = """
     m2t AS (SELECT d, CAST(min(dev2) + max(dev2) AS BIGINT) AS mad4
             FROM r2
             WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
-            GROUP BY d)
+            GROUP BY d)"""
+
+ORACLES_LM["embedding_dim_robust_stats"] = f"""
+    WITH {_ROBUST_SPINE}
     SELECT CAST(m1.d - 1 AS INTEGER) AS dim_idx,
            m1.n AS n_vectors,
            m1.m2 AS median_x2,
@@ -698,4 +701,24 @@ ORACLES_LM["embedding_dim_robust_stats"] = """
            CAST(m1.m2 AS DOUBLE) / 2.0 / 1000000.0 AS median_value,
            CAST(m2t.mad4 AS DOUBLE) / 4.0 / 1000000.0 AS mad_value
     FROM m1 JOIN m2t USING (d)
+"""
+
+# FULL twin of q_embedding_outlier_report: a dimension flags iff
+# 4*|2x - m2| > 7*mad4 (the exact-integer form of |x - med| >
+# 3.5*MAD); the max robust z is one IEEE division per dim with
+# NULLIF/try_divide parity on degenerate (mad4 = 0) dimensions.
+ORACLES_LM["embedding_outlier_report"] = f"""
+    WITH {_ROBUST_SPINE},
+    fl AS (SELECT p.vec_id,
+                  CAST(abs(2 * p.x - m1.m2) AS BIGINT) AS dev2,
+                  m2t.mad4
+           FROM pts p JOIN m1 ON m1.d = p.d JOIN m2t ON m2t.d = p.d)
+    SELECT vec_id,
+           CAST(sum(CASE WHEN 4 * dev2 > 7 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outlier_dims,
+           CAST(CASE WHEN sum(CASE WHEN 4 * dev2 > 7 * mad4 THEN 1 ELSE 0 END) >= 8
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_outlier,
+           floor(max(2.0 * dev2 / NULLIF(mad4, 0)) * 1000000 + 0.5) / 1000000.0
+             AS max_robust_z
+    FROM fl GROUP BY vec_id
 """

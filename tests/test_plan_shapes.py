@@ -349,3 +349,29 @@ def test_rfm_segments_no_global_ntile_funnel(spark, sf_dir):
         idx += 1
     assert found >= 1
     assert "BroadcastHashJoin" in plan  # the _pid offset joins
+
+
+def test_two_phase_consumers_no_data_sized_funnel(spark, sf_dir):
+    """The round-8 two_phase_rank consumers (exact ntile(100) banding,
+    grouped median/MAD) must inherit the no-funnel property: any
+    SinglePartition exchange in the visible plan sits directly above a
+    HashAggregate (P-row offsets / 64-row dim counts — control data),
+    never above raw data rows, and no ntile window appears."""
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_embedding_dim_robust_stats,
+        q_price_percentile_bands,
+    )
+
+    for q in (q_price_percentile_bands, q_embedding_dim_robust_stats):
+        plan = explain_str(q(spark, sf_dir), mode="simple")
+        assert "ntile" not in plan.lower(), q.__name__
+        idx = 0
+        while True:
+            idx = plan.find("Exchange SinglePartition", idx)
+            if idx == -1:
+                break
+            tail = plan[idx : idx + 400]
+            assert "HashAggregate" in tail, (
+                f"{q.__name__}: data-sized single-partition funnel:\n{tail}"
+            )
+            idx += 1
