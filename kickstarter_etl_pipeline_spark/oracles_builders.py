@@ -316,6 +316,20 @@ _ORACLES["simhash_twin_containment"] = """
     FROM documents
 """
 
+# FULL twin of q_events_stream_static_enrich: the finite AvailableNow
+# replay of the per-micro-batch broadcast enrichment must equal the
+# plain batch join + rollup (same category dim inlined as VALUES).
+_ORACLES["events_stream_static_enrich"] = """
+    WITH dim(event_type, category) AS (VALUES
+      ('click', 'engagement'), ('view', 'engagement'),
+      ('purchase', 'revenue'), ('add_to_cart', 'revenue'),
+      ('search', 'intent'))
+    SELECT category, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY category
+"""
+
 # FULL twin of q_price_percentile_bands: the two-phase rank + exact
 # tile arithmetic must reproduce a plain ntile(100) over the same
 # deterministic (price, orderkey) total order; band rollups are exact

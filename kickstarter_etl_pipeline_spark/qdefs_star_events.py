@@ -555,6 +555,31 @@ def q_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join, graded (was pytest-only before r8): the
+    event stream enriched per micro-batch against a broadcast
+    reference dimension (event_type → business category; the static
+    side never becomes state — the pattern for joining a 100 TB/day
+    stream against reference data), rolled up per category. Over the
+    finite AvailableNow replay the result equals the batch join, which
+    is exactly what the oracle computes."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        streaming_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("add_to_cart", "revenue"),
+            ("search", "intent"),
+        ],
+        ["event_type", "category"],
+    )
+    return streaming_static_enrich(spark, sf_dir, dim)
+
+
 def q_events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join with an attribution window: each click
     matched to the user's EARLIEST following purchase within 1 hour
