@@ -330,6 +330,21 @@ _ORACLES["events_stream_static_enrich"] = """
     GROUP BY category
 """
 
+# FULL twin of q_schema_evolution_agg: v1 files (odd doc_ids) carry no
+# n_chars column and must surface NULL under mergeSchema — so n_chars
+# aggregates run only over the even (v2) half.
+_ORACLES["schema_evolution_agg"] = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_v2,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT)
+             AS v2_chars_sum
+    FROM documents
+    GROUP BY source
+"""
+
 # FULL twin of q_price_percentile_bands: the two-phase rank + exact
 # tile arithmetic must reproduce a plain ntile(100) over the same
 # deterministic (price, orderkey) total order; band rollups are exact

@@ -389,6 +389,33 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(spark.read.schema(schema).json(path))
 
 
+def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read end-to-end, graded (was pytest-only before
+    r8): half the documents are written under the v1 schema (doc_id,
+    source), the other half under v2 (+ n_chars) — the append-only
+    column-add a long-lived table accrues — then read back with
+    ``mergeSchema`` (sources.readers.read_parquet_evolved) and
+    aggregated. v1 rows must surface n_chars as NULL, not 0 and not an
+    error: the oracle computes the same per-source counts with
+    n_chars summed ONLY over the v2 half (even doc_ids), so a reader
+    that drops old files, nulls the wrong side, or coalesces NULL to 0
+    flips the grade."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.readers import read_parquet_evolved
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = run_scratch_dir("schema_evo_") + "/t"
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source").write.parquet(path)
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(path)
+    merged = read_parquet_evolved(spark, path)
+    return merged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("n_chars").cast("long").alias("n_docs_v2"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("v2_chars_sum"),
+    )
+
+
 def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink: the other columnar format a warehouse migration
     encounters; write orders as ORC, read back, aggregate."""
