@@ -179,34 +179,49 @@ def pagerank(
     """
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
-    directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
-        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
-    )
-    deg = directed.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
-    directed = directed.join(deg, "src").localCheckpoint(eager=True)
-    verts = directed.select(F.col("src").alias("id")).distinct()
-    n_df = F.broadcast(verts.agg(F.count("*").cast("long").alias("_n")))
-    pr = (
-        verts.crossJoin(n_df)
-        .select("id", round_det(F.lit(1.0) / F.col("_n"), 9).alias("pr"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(iterations):
-        contribs = (
-            directed.join(pr.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
+    spark = edges.sparkSession
+    # Control-loop partition sizing (the ivf_lloyd_topk / PCA device,
+    # round 8): every per-round exchange here is keyed by vertex id
+    # over the RANK VECTOR's cardinality, and each eager checkpoint
+    # schedules a full job — 10 rounds × 32-partition shuffles was
+    # mostly task overhead at bench scale. 8 partitions cuts it
+    # (measured below in bench notes) without touching results: the
+    # per-iteration 1e-9 grid absorbs ANY contribution-sum order, so
+    # partitioning — like the oracle engine's own order — cannot move
+    # an iterate. Restored before the returned projection is planned.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
+            edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
         )
+        deg = directed.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
+        directed = directed.join(deg, "src").localCheckpoint(eager=True)
+        verts = directed.select(F.col("src").alias("id")).distinct()
+        n_df = F.broadcast(verts.agg(F.count("*").cast("long").alias("_n")))
         pr = (
-            contribs.crossJoin(n_df)
-            .select(
-                "id",
-                round_det(
-                    (1.0 - damping) / F.col("_n") + damping * F.col("_in"), 9
-                ).alias("pr"),
-            )
+            verts.crossJoin(n_df)
+            .select("id", round_det(F.lit(1.0) / F.col("_n"), 9).alias("pr"))
             .localCheckpoint(eager=True)
         )
+        for _ in range(iterations):
+            contribs = (
+                directed.join(pr.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
+            )
+            pr = (
+                contribs.crossJoin(n_df)
+                .select(
+                    "id",
+                    round_det(
+                        (1.0 - damping) / F.col("_n") + damping * F.col("_in"), 9
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return pr.select("id", round_det(F.col("pr") * 1000, 6).alias("pr_permille"))
 
 

@@ -276,21 +276,27 @@ def test_token_coverage_smaller_vocab_than_k(spark):
 
 
 def test_ntile_exact_matches_ntile_all_remainders(spark):
-    """_ntile_exact must reproduce SQL-standard ntile(4) for EVERY
-    n % 4 — the equal-width floor formula silently diverges at e.g.
+    """_ntile_exact must reproduce SQL-standard ntile(k) for EVERY
+    n % k — the equal-width floor formula silently diverges at e.g.
     n=6 rank 4 (tile 2 vs 3), which is exactly the bug class this
-    helper exists to avoid. One frame, one group per n."""
+    helper exists to avoid. k=4 sweeps every remainder exhaustively;
+    k=100 covers the price_percentile_bands configuration at n values
+    spanning n < k, n % 100 ∉ {0, 99}, and the fixture-like n % 100
+    == 0 case (the sf0.01 orders count is a multiple of 100, so the
+    driver grade alone could never catch a remainder-rule bug)."""
     from kickstarter_etl_pipeline_spark.operators.analytics_queries import _ntile_exact
     from pyspark.sql import Window
 
-    rows = [(n, r) for n in range(1, 14) for r in range(1, n + 1)]
-    df = spark.createDataFrame(rows, "n long, rank long")
-    w = Window.partitionBy("n").orderBy("rank")
-    got = df.select(
-        "n",
-        "rank",
-        _ntile_exact(F.col("rank"), F.col("n"), 4).alias("arith"),
-        F.ntile(4).over(w).cast("int").alias("builtin"),
-    ).collect()
-    bad = [(r["n"], r["rank"], r["arith"], r["builtin"]) for r in got if r["arith"] != r["builtin"]]
-    assert not bad, bad
+    for k, ns in ((4, range(1, 14)), (100, (7, 100, 101, 137, 250, 300, 523))):
+        rows = [(n, r) for n in ns for r in range(1, n + 1)]
+        df = spark.createDataFrame(rows, "n long, rank long")
+        w = Window.partitionBy("n").orderBy("rank")
+        got = df.select(
+            "n",
+            "rank",
+            _ntile_exact(F.col("rank"), F.col("n"), k).alias("arith"),
+            F.ntile(k).over(w).cast("int").alias("builtin"),
+        ).collect()
+        bad = [(k, r["n"], r["rank"], r["arith"], r["builtin"])
+               for r in got if r["arith"] != r["builtin"]]
+        assert not bad, bad[:10]
