@@ -620,3 +620,149 @@ def q_lorenz_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("event_share"),
         )
     )
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter estimation, FULLY graded — unlike
+    library sketches (approx_count_distinct / datasketches), this CM is
+    built from md5-derived hash rows, so the whole sketch is a
+    deterministic pure function of the data that ANY engine replays
+    bit-for-bit: d=4 rows x w=1024 buckets, row hashes
+    h_j(t) = md5_60bit(j || ':' || t) % w, cell = exact SUM of token
+    counts colliding there, estimate(t) = min_j cell[j][h_j(t)] — the
+    Cormode-Muthukrishnan guarantee (estimate >= truth always;
+    overestimate <= eps*N w.h.p.) becomes an exactly-checkable table:
+    the top-50 true tokens with true count, CM estimate and the
+    overestimate (collision mass), which the oracle reproduces
+    exactly.
+
+    Scale shape: token counts (one uniform aggregate) fan out x4 to
+    (row, bucket) cells — a 4096-key aggregate — and the estimate join
+    is keyed by (row, bucket). Sketch size is CONSTANT in corpus size;
+    at 100 TB only the token-count aggregate grows."""
+    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
+
+    d_rows, w_buckets = 4, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    freq = token_frequency(docs).select(
+        "token", F.col("n_occurrences").cast("long").alias("n")
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(d_rows)])).alias("j")
+    hashed = freq.select("token", "n", j).withColumn(
+        "bucket",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("token"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % w_buckets
+        ),
+    )
+    cells = hashed.groupBy("j", "bucket").agg(F.sum("n").alias("_cell"))
+    est = (
+        hashed.join(cells, ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("_cell").cast("long").alias("cm_estimate"))
+    )
+    top = (
+        freq.orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("token")))
+            .cast("int"),
+        )
+    )
+    return top.join(est, "token").select(
+        "rank",
+        "token",
+        F.col("n").alias("true_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n")).cast("long").alias("overestimate"),
+    )
+
+
+def q_hll_manual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from scratch on md5 — the deterministic,
+    fully-graded sibling of the rows-only library sketch
+    (approx_aggregates): with the hash fixed, every stage of HLL is a
+    pure function both engines replay exactly. m=256 registers; each
+    distinct user's 60-bit md5 splits into (register = low 8 bits,
+    w = high 52 bits); register value = max over its users of
+    rank = 53 - bitlen(w) (leading zeros + 1, bitlen via the binary
+    string length — exact on both engines; w = 0 -> rank 53). The
+    harmonic denominator is computed in EXACT integer arithmetic
+    (S = sum of 2^(54 - M_r) as BIGINT — at most 256*2^53 < 2^63), so
+    no float sum order exists; the estimate
+    alpha_256 * m^2 * 2^54 / S is one fixed IEEE tree with alpha
+    written as the same double literal on both sides, and the
+    small-range linear-counting correction (E <= 2.5m and empty
+    registers present -> m * ln(m / V)) snaps ln to the nano-nat grid
+    first. Output: one row — true distinct users (exact), the HLL
+    estimate, relative error, and the register-occupancy stats.
+
+    Scale shape: one distinct + one 256-group max aggregate; the
+    256-row register table is the only state, constant in corpus
+    size."""
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # 0.7182725932495458, same literal in SQL
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    regs = (
+        users.select(
+            (h % m).alias("reg"),
+            # shiftright, NOT h/m: the 60-bit hash exceeds 2^53, so a
+            # double division would silently round w
+            F.shiftright(h, 8).alias("_w"),
+        )
+        .withColumn(
+            "_rank",
+            F.when(F.col("_w") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.bin(F.col("_w")))
+            ),
+        )
+        .groupBy("reg")
+        .agg(F.max("_rank").cast("long").alias("_m"))
+    )
+    # exact integer harmonic spine: empty registers contribute 2^54
+    folded = regs.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - _m AS INT))"))
+        .cast("long")
+        .alias("_s_occ"),
+        F.count("*").cast("long").alias("_n_occ"),
+    )
+    truth = users.agg(F.count("*").cast("long").alias("true_distinct"))
+    joined = folded.crossJoin(F.broadcast(truth)).select(
+        "true_distinct",
+        "_n_occ",
+        (F.lit(m) - F.col("_n_occ")).cast("long").alias("n_empty_registers"),
+        (
+            F.col("_s_occ")
+            + (F.lit(m) - F.col("_n_occ")) * F.lit(1 << 54).cast("long")
+        ).alias("_s"),
+    )
+    raw_e = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << 54)) / F.col("_s")
+    ln_ratio = (
+        F.floor(
+            F.log(F.lit(float(m)) / (F.lit(m) - F.col("_n_occ"))) * 1e9 + F.lit(0.5)
+        )
+        / F.lit(1e9)
+    )
+    corrected = F.when(
+        (raw_e <= F.lit(2.5 * m)) & (F.col("n_empty_registers") > 0),
+        F.lit(float(m)) * ln_ratio,
+    ).otherwise(raw_e)
+    return joined.select(
+        "true_distinct",
+        round_det(corrected, 6).alias("hll_estimate"),
+        round_det(
+            (corrected - F.col("true_distinct")) / F.col("true_distinct"), 6
+        ).alias("rel_error"),
+        F.col("_n_occ").alias("n_occupied_registers"),
+        "n_empty_registers",
+    )

@@ -393,3 +393,71 @@ ORACLES_MINING["lorenz_curve_events"] = """
              / 1000000.0 AS event_share
     FROM thr LEFT JOIN cum c ON c.rank = thr.thr
 """
+
+# FULL twin of q_countmin_heavy_hitters: the md5-rowed Count-Min is a
+# pure function of the data — the oracle rebuilds the identical 4x1024
+# sketch and reads the same min-of-rows estimates.
+ORACLES_MINING["countmin_heavy_hitters"] = f"""
+    WITH freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+                  GROUP BY token),
+    hashed AS (
+      SELECT token, n, j,
+             CAST(concat('0x', substr(md5(concat(j, ':', token)), 1, 15))
+                  AS BIGINT) % 1024 AS bucket
+      FROM freq CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    cells AS (SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cell
+              FROM hashed GROUP BY j, bucket),
+    est AS (SELECT token, CAST(min(cell) AS BIGINT) AS cm_estimate
+            FROM hashed JOIN cells USING (j, bucket) GROUP BY token),
+    top AS (SELECT token, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+                     AS rank
+            FROM freq ORDER BY n DESC, token LIMIT 50)
+    SELECT rank, top.token, n AS true_count, cm_estimate,
+           CAST(cm_estimate - n AS BIGINT) AS overestimate
+    FROM top JOIN est ON est.token = top.token
+"""
+
+# FULL twin of q_hll_manual_report: md5-based HLL is deterministic end
+# to end — integer register maxima, an EXACT integer harmonic spine
+# (sum of 2^(54-M) as BIGINT), one fixed IEEE estimate tree with alpha
+# as the identical double literal, and the linear-counting ln snapped
+# to the nano-nat grid.
+ORACLES_MINING["hll_manual_report"] = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    h AS (SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM users),
+    regs AS (SELECT h % 256 AS reg,
+                    CASE WHEN (h >> 8) = 0 THEN 53
+                         ELSE 53 - length(bin(h >> 8)) END AS rnk
+             FROM h),
+    mx AS (SELECT reg, CAST(max(rnk) AS BIGINT) AS m FROM regs GROUP BY reg),
+    f AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(54 - m AS INTEGER)) AS BIGINT)
+                   AS s_occ,
+                 CAST(count(*) AS BIGINT) AS n_occ
+          FROM mx),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM users),
+    joined AS (
+      SELECT true_distinct, n_occ,
+             CAST(256 - n_occ AS BIGINT) AS n_empty,
+             s_occ + (256 - n_occ) * (CAST(1 AS BIGINT) << 54) AS s
+      FROM f CROSS JOIN t),
+    scored AS (
+      SELECT *,
+             CAST(0.7182725932495458 AS DOUBLE) * 65536.0 * 18014398509481984.0 / s AS raw_e,
+             CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 65536.0 * 18014398509481984.0 / s <= 640.0
+                       AND n_empty > 0
+                  THEN 256.0 * (floor(ln(256.0 / (256 - n_occ)) * 1000000000 + 0.5)
+                                / 1000000000.0)
+                  ELSE CAST(0.7182725932495458 AS DOUBLE) * 65536.0 * 18014398509481984.0 / s END AS est
+      FROM joined)
+    SELECT true_distinct,
+           floor(est * 1000000 + 0.5) / 1000000.0 AS hll_estimate,
+           floor((est - true_distinct) / true_distinct * 1000000 + 0.5)
+             / 1000000.0 AS rel_error,
+           n_occ AS n_occupied_registers,
+           n_empty AS n_empty_registers
+    FROM scored
+"""

@@ -233,3 +233,33 @@ def test_link_prediction_tolerates_duplicate_edges(spark):
     a = sorted(map(tuple, common_neighbor_link_prediction(clean).collect()))
     b = sorted(map(tuple, common_neighbor_link_prediction(noisy).collect()))
     assert a == b
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The Cormode–Muthukrishnan guarantee is one-sided: a Count-Min
+    estimate can only overcount (colliding mass adds). Any negative
+    overestimate means the sketch construction is broken."""
+    from kickstarter_etl_pipeline_spark.operators.mining_queries import (
+        q_countmin_heavy_hitters,
+    )
+
+    rows = q_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    assert all(r["overestimate"] >= 0 for r in rows), [
+        (r["token"], r["overestimate"]) for r in rows if r["overestimate"] < 0
+    ][:5]
+
+
+def test_hll_manual_within_5_sigma(spark, sf_dir):
+    """m=256 registers → rsd ≈ 1.04/√256 = 6.5%; grade at 5σ (±32.5%)
+    per the sketch-tolerance discipline (NOTES: tolerances in sigma,
+    not gut feel). The fixture lands in the linear-counting regime
+    where the error is far smaller — the bound is the contract, the
+    parity grade pins the exact value."""
+    from kickstarter_etl_pipeline_spark.operators.mining_queries import (
+        q_hll_manual_report,
+    )
+
+    row = q_hll_manual_report(spark, sf_dir).collect()[0]
+    assert row["true_distinct"] > 0
+    assert abs(row["rel_error"]) <= 0.325, row
