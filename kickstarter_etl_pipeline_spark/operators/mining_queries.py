@@ -766,3 +766,87 @@ def q_hll_manual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n_occ").alias("n_occupied_registers"),
         "n_empty_registers",
     )
+
+
+def q_bloom_fpr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit, completing the
+    deterministic sketch tier (Count-Min, HLL, Bloom — all md5-derived
+    pure functions of the data, all VALUE-graded): the ordering
+    customers build an m=65536-bit / k=4 Bloom set; 2000 synthetic
+    NON-member keys (max custkey + 1..2000 — guaranteed absent) probe
+    it, and a probe is a false positive iff ALL four of its bits are
+    set. The measured FP count is exact on both engines; the
+    theoretical rate (1 − e^{−kn/m})^k rides the nano-grid exp and the
+    same fixed multiply tree, so the comparison the operator exists
+    for — measured vs theory — is itself graded.
+
+    Scale shape: the bit set is ≤ m distinct integers regardless of
+    member count (constant sketch size); membership is an equi-join of
+    (probe, j, bit) against it — at production scale the bitset side
+    broadcasts. No driver-side state beyond the max-key scalar."""
+    m_bits, k_hashes, n_probes = 65536, 4, 2000
+    orders = load_table(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").cast("long").alias("key")).distinct()
+    jarr = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("j")
+
+    def bloom_bit(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j"), key_col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    bits = (
+        members.select("key", jarr)
+        .select(bloom_bit(F.col("key")).alias("bit"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    maxk = F.broadcast(members.agg(F.max("key").alias("_maxk")))
+    probes = (
+        spark.range(1, n_probes + 1)
+        .crossJoin(maxk)
+        .select((F.col("id") + F.col("_maxk")).alias("key"))
+    )
+    probe_hits = (
+        probes.select("key", jarr)
+        .select("key", bloom_bit(F.col("key")).alias("bit"))
+        .join(bits, "bit")
+        .groupBy("key")
+        .agg(F.count("*").alias("_n_set"))
+        .filter(F.col("_n_set") == k_hashes)
+    )
+    n_fp = F.broadcast(probe_hits.agg(F.count("*").cast("long").alias("n_false_positives")))
+    n_mem = F.broadcast(members.agg(F.count("*").cast("long").alias("n_members")))
+    n_bits_set = F.broadcast(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
+    e9 = (
+        F.floor(
+            F.exp(
+                F.lit(-float(k_hashes)) * F.col("n_members") / F.lit(float(m_bits))
+            )
+            * 1e9
+            + F.lit(0.5)
+        )
+        / F.lit(1e9)
+    )
+    t = F.lit(1.0) - e9
+    theory = t * t * t * t
+    return (
+        n_mem.crossJoin(n_bits_set)
+        .crossJoin(n_fp)
+        .select(
+            "n_members",
+            "n_bits_set",
+            F.lit(n_probes).cast("long").alias("n_probes"),
+            "n_false_positives",
+            round_det(F.col("n_false_positives") / F.lit(float(n_probes)), 6).alias(
+                "measured_fp_rate"
+            ),
+            round_det(theory, 6).alias("theoretical_fp_rate"),
+        )
+    )

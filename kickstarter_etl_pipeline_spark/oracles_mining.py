@@ -461,3 +461,43 @@ ORACLES_MINING["hll_manual_report"] = """
            n_empty AS n_empty_registers
     FROM scored
 """
+
+# FULL twin of q_bloom_fpr_report: the md5 Bloom bit set is a pure
+# function of the member keys, probes are the guaranteed-absent
+# max+1..max+2000 range, and a false positive is exactly "all 4 bits
+# set"; the theoretical rate rides the nano-grid exp and the same
+# left-associated multiply tree as the engine side.
+ORACLES_MINING["bloom_fpr_report"] = """
+    WITH members AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS key FROM orders),
+    js AS (SELECT unnest(range(0, 4)) AS j),
+    bits AS (SELECT DISTINCT
+               CAST(concat('0x', substr(md5(concat(j, ':', CAST(key AS VARCHAR))), 1, 15))
+                    AS BIGINT) % 65536 AS bit
+             FROM members CROSS JOIN js),
+    mk AS (SELECT max(key) AS maxk FROM members),
+    probes AS (SELECT unnest(range(1, 2001)) + mk.maxk AS key FROM mk),
+    ph AS (SELECT p.key, j,
+                  CAST(concat('0x', substr(md5(concat(j, ':', CAST(p.key AS VARCHAR))), 1, 15))
+                       AS BIGINT) % 65536 AS bit
+           FROM probes p CROSS JOIN js),
+    fp AS (SELECT key FROM ph JOIN bits USING (bit) GROUP BY key HAVING count(*) = 4),
+    counts AS (SELECT
+                 (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+                 (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+                 (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_false_positives)
+    SELECT n_members, n_bits_set,
+           CAST(2000 AS BIGINT) AS n_probes,
+           n_false_positives,
+           floor(n_false_positives / 2000.0 * 1000000 + 0.5) / 1000000.0
+             AS measured_fp_rate,
+           floor((1.0 - floor(exp(-4.0 * n_members / 65536.0) * 1000000000 + 0.5)
+                        / 1000000000.0)
+                 * (1.0 - floor(exp(-4.0 * n_members / 65536.0) * 1000000000 + 0.5)
+                          / 1000000000.0)
+                 * (1.0 - floor(exp(-4.0 * n_members / 65536.0) * 1000000000 + 0.5)
+                          / 1000000000.0)
+                 * (1.0 - floor(exp(-4.0 * n_members / 65536.0) * 1000000000 + 0.5)
+                          / 1000000000.0)
+                 * 1000000 + 0.5) / 1000000.0 AS theoretical_fp_rate
+    FROM counts
+"""
