@@ -155,6 +155,7 @@ def pagerank(
     damping: float = 0.85,
     u: str = "u",
     v: str = "v",
+    loop_partitions: int = 8,
 ) -> DataFrame:
     """PageRank over an undirected edge list (each edge contributes in
     both directions), FULLY oracle-able despite being iterative.
@@ -180,17 +181,23 @@ def pagerank(
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
     spark = edges.sparkSession
-    # Control-loop partition sizing (the ivf_lloyd_topk / PCA device,
-    # round 8): every per-round exchange here is keyed by vertex id
-    # over the RANK VECTOR's cardinality, and each eager checkpoint
-    # schedules a full job — 10 rounds × 32-partition shuffles was
-    # mostly task overhead at bench scale. 8 partitions cuts it
-    # (measured below in bench notes) without touching results: the
-    # per-iteration 1e-9 grid absorbs ANY contribution-sum order, so
-    # partitioning — like the oracle engine's own order — cannot move
-    # an iterate. Restored before the returned projection is planned.
+    # Loop partition sizing: unlike the IVF/PCA control loops (whose
+    # per-round aggregates land on ≤ clusters×dim control-sized
+    # groups), pagerank's per-iteration exchange is keyed by VERTEX ID
+    # over the full rank vector — it is DATA-sized. ``loop_partitions``
+    # must therefore be sized to vertex cardinality: the default 8 fits
+    # the bench fixtures (where 10 rounds × 32-partition shuffles were
+    # mostly task-scheduling overhead, measured in NOTES), but a
+    # billion-vertex graph needs thousands. Partition count does not
+    # move results in the shipped configs: the per-iteration 1e-9 grid
+    # sits ~10 orders above the ulp-level contribution-sum order noise,
+    # and every partition-count change is re-verified by driver
+    # re-grade (the grid argument is an engineering margin, not a
+    # theorem — a sum landing within one ulp of a grid boundary could
+    # in principle flip a snap). Restored before the returned
+    # projection is planned.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
     try:
         directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
             edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))

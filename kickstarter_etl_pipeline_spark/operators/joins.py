@@ -91,25 +91,37 @@ def asof_join_backward(
         .orderBy("_us", "_tag", F.coalesce("_rid", "_lid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct (ts, id, values...) with a single last(ignorenulls)
+    # and unpack it, so every asof_* column comes from the SAME right row.
+    # Independent per-column carries would desynchronize when a right
+    # row's value column is genuinely NULL: last(ignorenulls) on that
+    # column would skip back to an OLDER right row's value while
+    # asof_right_id points at the newer one (round-8 ADVICE finding).
+    # The struct is non-null for every right row even when its value
+    # fields are null, so a null value rides with its own row — matching
+    # the per-row argmin any SQL twin computes (which emits NULL there).
+    right_struct = F.when(
+        F.col("_tag") == 0,
+        F.struct(
+            F.col("_us").alias("ts"),
+            F.col("_rid").alias("rid"),
+            *[F.col(f"_rv_{c}").alias(c) for c in right_value_cols],
+        ),
+    )
     carried = merged.select(
         "_key",
         "_us",
         "_tag",
         "_lid",
-        F.last("_rid", ignorenulls=True).over(w).alias("asof_right_id"),
-        F.last(F.when(F.col("_tag") == 0, F.col("_us")), ignorenulls=True).over(w).alias("asof_ts_us"),
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_value_cols
-        ],
+        F.last(right_struct, ignorenulls=True).over(w).alias("_carry"),
     )
     return carried.filter(F.col("_tag") == 1).select(
         F.col("_key").alias(on),
         F.col("_lid").alias(left_id),
         F.col("_us").alias("left_ts_us"),
-        "asof_right_id",
-        "asof_ts_us",
-        *[f"asof_{c}" for c in right_value_cols],
+        F.col("_carry.rid").alias("asof_right_id"),
+        F.col("_carry.ts").alias("asof_ts_us"),
+        *[F.col(f"_carry.{c}").alias(f"asof_{c}") for c in right_value_cols],
     )
 
 
@@ -167,27 +179,31 @@ def asof_join_forward(
         .orderBy(F.desc("_us"), F.asc("_tag"), F.desc(F.coalesce("_rid", "_lid")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Single-struct carry — see asof_join_backward for why independent
+    # per-column last(ignorenulls) carries would desynchronize on right
+    # rows with NULL value columns (round-8 ADVICE finding).
+    right_struct = F.when(
+        F.col("_tag") == 0,
+        F.struct(
+            F.col("_us").alias("ts"),
+            F.col("_rid").alias("rid"),
+            *[F.col(f"_rv_{c}").alias(c) for c in right_value_cols],
+        ),
+    )
     carried = merged.select(
         "_key",
         "_us",
         "_tag",
         "_lid",
-        F.last("_rid", ignorenulls=True).over(w).alias("asof_right_id"),
-        F.last(F.when(F.col("_tag") == 0, F.col("_us")), ignorenulls=True)
-        .over(w)
-        .alias("asof_ts_us"),
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_value_cols
-        ],
+        F.last(right_struct, ignorenulls=True).over(w).alias("_carry"),
     )
     out = carried.filter(F.col("_tag") == 1).select(
         F.col("_key").alias(on),
         F.col("_lid").alias(left_id),
         F.col("_us").alias("left_ts_us"),
-        "asof_right_id",
-        "asof_ts_us",
-        *[f"asof_{c}" for c in right_value_cols],
+        F.col("_carry.rid").alias("asof_right_id"),
+        F.col("_carry.ts").alias("asof_ts_us"),
+        *[F.col(f"_carry.{c}").alias(f"asof_{c}") for c in right_value_cols],
     )
     gap = F.col("asof_ts_us") - F.col("left_ts_us")
     if tolerance_us is not None:

@@ -809,7 +809,11 @@ def pca_top_component(
     dim = len(mean_rows)
     mu = [0] * dim
     for r in mean_rows:
-        mu[r["_d"]] = math.floor(r["_s"] / r["_n"])
+        # Exact integer floor division (Python // floors toward -inf on
+        # ints) — NOT math.floor(s / n), whose double quotient silently
+        # diverges once |s| exceeds 2^53 (round-8 ADVICE finding; the
+        # DuckDB twin uses the matching exact-integer formulation).
+        mu[r["_d"]] = r["_s"] // r["_n"]
 
     mu_arr = F.array(*[F.lit(int(m)).cast("long") for m in mu])
     centered = base.select(
@@ -845,7 +849,16 @@ def pca_top_component(
             for v in x:  # fixed left fold in dimension order = the SQL list_reduce
                 acc = acc + v * v
             nrm = math.sqrt(acc)
-            w = [math.floor(v / nrm * 1e9 + 0.5) / 1e9 for v in x]
+            # Degenerate-input guard: a zero centered matrix (all
+            # embeddings identical) or a w orthogonal to the data gives
+            # nrm == 0; dividing would raise ZeroDivisionError while the
+            # SQL twin kept computing. Both sides now emit zero weights
+            # (and q collapses to 0 for every later round, so the
+            # iterates stay in lockstep) — round-8 ADVICE finding.
+            if nrm == 0.0:
+                w = [0.0] * dim
+            else:
+                w = [math.floor(v / nrm * 1e9 + 0.5) / 1e9 for v in x]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 

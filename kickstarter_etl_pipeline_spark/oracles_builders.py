@@ -172,10 +172,13 @@ def _ann_ivf_lloyd_oracle_sql(
     recurrence is integer-exact — vectors snapped once to the 1e-6
     grid, init = the n_clusters vectors with smallest (md5(id), id),
     each round assigning by exact integer squared-L2 (cell tie-break)
-    and updating centroids dimension-wise as floor(Σx / n) (the double
-    quotient of in-range integer operands floors exactly; DuckDB's
-    ``//`` TRUNCATES and would diverge from Python's floor on negative
-    sums, hence the explicit floor). Empty cells keep their previous
+    and updating centroids dimension-wise as floor(Σx / n), computed
+    with EXACT integer arithmetic on both sides: the numerator is
+    adjusted to the next lower multiple of n ((s − ((s % n) + n) % n)),
+    after which DuckDB's truncating ``//`` is exact — matching Python's
+    int floor division regardless of |Σx| (a floor of the DOUBLE
+    quotient would silently diverge past 2^53; round-8 ADVICE finding).
+    Empty cells keep their previous
     centroid via the LEFT JOIN / COALESCE. The n_iters rounds unroll
     as CTE pairs — the PageRank/LPA/MMR device — and the final probe +
     exact rounded-cosine re-rank mirrors the anchor-IVF twin."""
@@ -211,7 +214,8 @@ def _ann_ivf_lloyd_oracle_sql(
         m{t} AS (
           SELECT cell, list(m ORDER BY d) AS cv FROM (
             SELECT cell, d,
-                   CAST(floor(CAST(sum(v[d]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+                   CAST((sum(v[d]) - ((sum(v[d]) % count(*)) + count(*)) % count(*))
+                        // count(*) AS BIGINT) AS m
             FROM a{t} CROSS JOIN dims
             GROUP BY cell, d)
           GROUP BY cell),
@@ -424,7 +428,8 @@ def _pca_power_oracle_sql(n_iters: int = 8, dim: int = 64, scale: int = 1_000_00
           FROM embeddings),
         dims AS (SELECT unnest({dd}) AS d),
         mu0 AS (
-          SELECT d, CAST(floor(CAST(sum(v[d]) AS DOUBLE) / count(*)) AS BIGINT) AS m,
+          SELECT d, CAST((sum(v[d]) - ((sum(v[d]) % count(*)) + count(*)) % count(*))
+                         // count(*) AS BIGINT) AS m,
                  CAST(count(*) AS BIGINT) AS n
           FROM iv CROSS JOIN dims GROUP BY d),
         mu AS (SELECT list(m ORDER BY d) AS mv, max(n) AS n FROM mu0),
@@ -447,9 +452,11 @@ def _pca_power_oracle_sql(n_iters: int = 8, dim: int = 64, scale: int = 1_000_00
             FROM q{t} CROSS JOIN dims GROUP BY d)),
         w{t} AS (
           SELECT list_transform(xs,
-                   x -> floor(x / sqrt(list_reduce(list_transform(xs, v -> v * v),
-                                                   (a, b) -> a + b)) * 1e9 + 0.5) / 1e9) AS wv
-          FROM x{t})"""
+                   x -> CASE WHEN nrm = 0 THEN 0.0
+                             ELSE floor(x / nrm * 1e9 + 0.5) / 1e9 END) AS wv
+          FROM (SELECT xs, sqrt(list_reduce(list_transform(xs, v -> v * v),
+                                            (a, b) -> a + b)) AS nrm
+                FROM x{t}))"""
         )
     tail = f"""
         SELECT CAST(d - 1 AS INTEGER) AS dim_idx,

@@ -162,6 +162,17 @@ def test_grading_window_invariants():
         )
 
 
+def test_no_orphan_oracles():
+    """Inverse of the rows-only check: every oracle key must have a
+    registered query. Round 8 landed ``bloom_fpr_report``'s DuckDB twin
+    without wiring the query into ``queries()``; the parity suite (which
+    parameterizes over oracle keys) then died mid-run with a bare
+    ``KeyError`` instead of a named assertion. This guard fails fast on
+    any future orphan oracle."""
+    orphans = sorted(set(ORACLES) - set(QUERIES))
+    assert not orphans, f"oracle keys without a registered query: {orphans}"
+
+
 def test_coverage_inventory_is_complete():
     """COVERAGE.md is the judge-facing operator inventory — every
     registry entry must appear in it by backticked name (13 pre-r6

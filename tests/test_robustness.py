@@ -87,6 +87,40 @@ def test_asof_with_no_right_rows(spark):
     assert len(out) == 1 and out[0]["asof_right_id"] is None
 
 
+def test_asof_null_value_rides_with_its_own_row(spark):
+    """A right row whose VALUE column is NULL must still win the as-of
+    match as a unit: asof_right_id points at it AND asof_value is NULL.
+    With independent per-column last(ignorenulls) carries (the pre-r9
+    implementation), the value would be carried from a DIFFERENT right
+    row than the id — backward would resurrect an older row's value,
+    forward a later row's — desynchronizing the output from the per-row
+    argmin any SQL twin computes (round-8 ADVICE finding)."""
+    from kickstarter_etl_pipeline_spark.operators.joins import asof_join_forward
+
+    def ev(rows):
+        return (
+            spark.createDataFrame(rows, ["event_id", "sec", "value"])
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .withColumn("user_id", F.lit(1))
+        )
+
+    left = ev([(100, 50, 0.0)])
+    # backward: nearest prior right row (id=2, ts=40) has NULL value;
+    # an older row (id=1, ts=30) has a non-null value that must NOT leak.
+    right_b = ev([(1, 30, 7.0), (2, 40, None)])
+    out = asof_join_backward(
+        left, right_b, "user_id", "ts", "ts", ["value"], "event_id", "event_id"
+    ).collect()[0]
+    assert out["asof_right_id"] == 2 and out["asof_value"] is None
+    # forward: nearest following right row (id=3, ts=60) has NULL value;
+    # a later row (id=4, ts=70) has a non-null value that must NOT leak.
+    right_f = ev([(3, 60, None), (4, 70, 9.0)])
+    out = asof_join_forward(
+        left, right_f, "user_id", "ts", "ts", ["value"], "event_id", "event_id"
+    ).collect()[0]
+    assert out["asof_right_id"] == 3 and out["asof_value"] is None
+
+
 def test_quality_checks_catch_seeded_violations(spark):
     """The DQ checks must COUNT violations, not just pass on clean data:
     seed duplicates, nulls, and orphans and assert exact counts."""

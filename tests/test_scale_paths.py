@@ -371,6 +371,22 @@ def test_ivf_lloyd_deterministic_and_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_pca_power_degenerate_zero_matrix(spark):
+    """All-identical embeddings → the centered matrix is zero, the
+    power-iteration norm is 0.0, and the pre-r9 code raised
+    ZeroDivisionError while the DuckDB twin kept computing (round-8
+    ADVICE finding). Both sides now emit zero weights; assert the
+    operator completes and reports pc1_weight = 0.0 / variance 0.0."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import pca_top_component
+
+    emb = spark.createDataFrame(
+        [(i, [0.25] * 8) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    rows = pca_top_component(emb, n_iters=3).collect()
+    assert len(rows) == 8
+    assert all(r["pc1_weight"] == 0.0 and r["pc1_variance"] == 0.0 for r in rows)
+
+
 def test_q18_bucketed_no_fact_shuffle(spark, sf_dir):
     """The q18 HAVING join-back shape on PRE-BUCKETED lineitem/orders —
     the hardest fact-to-fact shape SCALE.md claims goes shuffle-free on
