@@ -62,15 +62,20 @@ BENCH_QUERIES = [
     # round 8: the de-ceilinged two-phase quantile path (rfm was the r7
     # verdict's one `weak` — its cost is now a regression canary), the
     # ntile(100) banding built on the same machinery, and the forward
-    # as-of window shape. The round's other new tiers (Lloyd IVF, PCA
-    # power iteration, SimHash CC clusters) are deliberately NOT benched:
-    # their wall-clock is iteration-count × job-scheduling overhead, a
-    # regime graph_pagerank already represents in this list — adding
-    # three more control-loop queries would double bench time without
-    # adding signal about data-plane throughput.
+    # as-of window shape.
     "rfm_segments",
     "price_percentile_bands",
     "events_asof_next_purchase",
+    # round 9 (r8 verdict task 8): the three heaviest iterative tiers.
+    # r8 had left them out on the argument that graph_pagerank already
+    # represents the control-loop regime, but these are the most
+    # expensive queries in the registry — a regression in the Lloyd
+    # trainer, the power iteration, or the SimHash CC composition is
+    # exactly the kind min-of-5 exists to catch, and iteration-count ×
+    # scheduling overhead IS their production cost model.
+    "ann_ivf_topk",
+    "embedding_pca_top",
+    "simhash_near_dup_clusters",
 ]
 
 

@@ -684,6 +684,44 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_registers(keys: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """The HLL register table: (reg, _m) with register = low 8 md5 bits
+    and _m = max rank over the register's keys. Factored out of
+    :func:`q_hll_manual_report` so the merge semantics are testable in
+    isolation: a MAX per register is associative/commutative, so the
+    table — and hence the estimate — is invariant under input
+    partitioning and under merging independently-built sketches
+    (union → groupBy max), the property that makes HLL shardable at
+    100 TB. ``tests/test_mining_ops.py`` pins both invariances on this
+    exact code path.
+
+    ``m`` must be a power of two (register index = low log2(m) hash
+    bits); rank runs over the remaining 60 − log2(m) hash bits."""
+    shift = m.bit_length() - 1
+    if m != (1 << shift):
+        raise ValueError(f"m must be a power of two, got {m}")
+    max_rank = 60 - shift + 1  # all-zero w ranks one past the top bit
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        keys.select(
+            (h % m).alias("reg"),
+            # shiftright, NOT h/m: the 60-bit hash exceeds 2^53, so a
+            # double division would silently round w
+            F.shiftright(h, shift).alias("_w"),
+        )
+        .withColumn(
+            "_rank",
+            F.when(F.col("_w") == 0, F.lit(max_rank)).otherwise(
+                F.lit(max_rank) - F.length(F.bin(F.col("_w")))
+            ),
+        )
+        .groupBy("reg")
+        .agg(F.max("_rank").cast("long").alias("_m"))
+    )
+
+
 def q_hll_manual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog built from scratch on md5 — the deterministic,
     fully-graded sibling of the rows-only library sketch
@@ -710,25 +748,7 @@ def q_hll_manual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = 0.7213 / (1.0 + 1.079 / m)  # 0.7182725932495458, same literal in SQL
     events = load_table(spark, sf_dir, "events")
     users = events.select("user_id").distinct()
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    regs = (
-        users.select(
-            (h % m).alias("reg"),
-            # shiftright, NOT h/m: the 60-bit hash exceeds 2^53, so a
-            # double division would silently round w
-            F.shiftright(h, 8).alias("_w"),
-        )
-        .withColumn(
-            "_rank",
-            F.when(F.col("_w") == 0, F.lit(53)).otherwise(
-                F.lit(53) - F.length(F.bin(F.col("_w")))
-            ),
-        )
-        .groupBy("reg")
-        .agg(F.max("_rank").cast("long").alias("_m"))
-    )
+    regs = hll_registers(users, "user_id", m)
     # exact integer harmonic spine: empty registers contribute 2^54
     folded = regs.agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - _m AS INT))"))
