@@ -1,0 +1,287 @@
+"""Round-9 evaluation / monitoring tier: classifier-quality and
+distribution-drift reports over the corpus pipeline's own signals.
+
+A training-data pipeline doesn't just COMPUTE quality scores and
+blocking candidates — it has to evaluate them: is the quality score a
+useful ranker (AUC), is it calibrated (reliability bins), has a
+source's score distribution drifted (KS statistic), does the cheap
+blocking stage actually find the true near-dup pairs (pairs
+completeness / reduction ratio)?  Each report here is built from
+already-verified pipeline signals, fully deterministic, and carries a
+full DuckDB oracle twin (oracles_eval.py), following the repo's rules:
+exact integer spines, one fixed IEEE tree per float output, rankings
+totally ordered with id tie-breaks.
+
+Scale posture, shared by the score-distribution reports: scores live
+on the 1e-6 rounding grid, so the per-score aggregate has GRID-bounded
+cardinality (≤ ~2M distinct values, realistically thousands) — the raw
+corpus is reduced by one uniform-key aggregate before any window runs,
+and every window after that is over the bounded score table, never the
+data. That is the ECDF-at-scale recipe: aggregate to the value grid,
+then sweep the grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import text as TX
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, q) with q = the verified 6-dp quality
+    score; null-score docs (no tokens) excluded on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        TX.quality_score("text").alias("q"),
+    ).filter(F.col("q").isNotNull())
+
+
+def q_quality_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality score as a ranker for the
+    deterministic label lang = 'en' — the Mann-Whitney U identity with
+    midrank tie handling, computed WITHOUT materializing pairs or a
+    global sort of the corpus:
+
+    group by score value (uniform 1e-6-grid keys) → per-score positive/
+    negative counts → one cumulative sweep of the grid-bounded score
+    table. 2·U = Σ_s p_s·(2·cumneg_<s + n_s) is an EXACT integer (ties
+    contribute the n_s/2 midrank term without any halves appearing),
+    so AUC = 2U / (2·P·N) is one fixed IEEE division both engines
+    replay. Gini = 2·AUC − 1 from the ROUNDED AUC.
+
+    Scale: one corpus aggregate + a window over ≤ grid-cardinality
+    rows. No pair blow-up (the naive U is P×N comparisons)."""
+    per = (
+        _scored_docs(spark, sf_dir)
+        .select("q", (F.col("lang") == "en").cast("int").alias("pos"))
+        .groupBy("q")
+        .agg(
+            F.sum("pos").cast("long").alias("p"),
+            F.sum(1 - F.col("pos")).cast("long").alias("n"),
+        )
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("cneg")
+    )
+    agg = cum.agg(
+        F.sum(F.col("p") * (2 * F.col("cneg") + F.col("n"))).cast("long").alias("u2"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+    )
+    auc = round_det(
+        F.col("u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc")).select(
+        "n_pos",
+        "n_neg",
+        "auc",
+        round_det(2 * F.col("auc") - 1, 6).alias("gini"),
+    )
+
+
+def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the quality score against lang = 'en':
+    scores clamp-binned to deciles (floor(q·10) clamped to [−5, 9] —
+    the score can go mildly negative via the punctuation penalty), per
+    bin the doc count, positive count, positive fraction and mean
+    score. The mean is exact: 6-dp scores are integers in micro-units,
+    summed as longs, divided once.
+
+    Scale: one corpus aggregate onto ≤ 15 bins."""
+    scored = _scored_docs(spark, sf_dir).select(
+        F.least(F.greatest(F.floor(F.col("q") * 10), F.lit(-5)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.floor(F.col("q") * 1e6 + F.lit(0.5)).cast("long").alias("q_micro"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        round_det(F.sum("pos") / F.count("*"), 6).alias("frac_pos"),
+        round_det(F.sum("q_micro") / F.count("*") / F.lit(1e6), 6).alias(
+            "mean_quality"
+        ),
+    )
+
+
+def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov-Smirnov drift statistic: for each source,
+    D = max_t |ECDF_source(t) − ECDF_rest(t)| of the quality-score
+    distribution vs the REST of the corpus — the standard
+    distribution-shift monitor for a multi-source ingest pipeline.
+
+    Exact and engine-portable: the sweep runs over the full grid of
+    (source × distinct score) points (the max is attained at a data
+    score point of EITHER side, so a source's own score points alone
+    are insufficient); the comparison is the cross-multiplied INTEGER
+    form |cum_s·N_r − cum_r·N_s| in decimal(38,0), so no float ever
+    decides the argmax, and ties break toward the smallest score. Only
+    the final D/(N_s·N_r) is a float — one division tree.
+
+    Scale: per-source cumulative windows over grid-bounded score
+    tables (sources × grid rows total); the corpus is touched by one
+    aggregate."""
+    scored = _scored_docs(spark, sf_dir)
+    per_sq = scored.groupBy("source", "q").agg(F.count("*").cast("long").alias("c"))
+    per_q = scored.groupBy("q").agg(F.count("*").cast("long").alias("c_all"))
+    totals = scored.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    n_total = F.broadcast(scored.agg(F.count("*").cast("long").alias("n_tot")))
+
+    grid = totals.select("source").crossJoin(per_q.select("q"))
+    w_all = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cum_all = per_q.select(
+        "q", F.sum("c_all").over(w_all).cast("long").alias("cum_all")
+    )
+    w_s = Window.partitionBy("source").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        grid.join(per_sq, ["source", "q"], "left")
+        .select("source", "q", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .select(
+            "source", "q", F.sum("c").over(w_s).cast("long").alias("cum_s")
+        )
+        .join(cum_all, "q")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(n_total)
+    )
+    d_num = F.abs(
+        F.col("cum_s").cast("decimal(38,0)") * (F.col("n_tot") - F.col("n_s"))
+        - (F.col("cum_all") - F.col("cum_s")).cast("decimal(38,0)") * F.col("n_s")
+    )
+    sweep = cum.select(
+        "source", "q", "n_s", "n_tot", d_num.alias("d_num")
+    )
+    w_pick = Window.partitionBy("source").orderBy(F.desc("d_num"), F.asc("q"))
+    best = sweep.select(
+        "source", "q", "n_s", "n_tot", "d_num",
+        F.row_number().over(w_pick).alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    return best.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        round_det(
+            F.col("d_num").cast("double")
+            / (
+                F.col("n_s").cast("double")
+                * (F.col("n_tot") - F.col("n_s")).cast("double")
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.col("q").alias("at_quality"),
+    )
+
+
+def q_blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking audit: does the cheap SimHash banding
+    stage (the 100-TB-scale candidate generator) actually surface the
+    true near-duplicate pairs?  Composes two already-verified
+    pipelines — md5-SimHash band candidates and the exact n-gram
+    Jaccard ≥ 0.8 truth set — into the two standard blocking metrics:
+
+    - pairs completeness = |candidates ∩ truth| / |truth|  (recall of
+      the blocker; the S-curve analog for SimHash banding);
+    - reduction ratio = 1 − |candidates| / C(n,2)  (how much of the
+      quadratic pair space the blocker prunes).
+
+    All counts are exact longs; the two ratios are single divisions.
+    One row out. Scale: both inputs are banded/bucketed pipelines —
+    nothing here is all-pairs; C(n,2) is arithmetic, not a join."""
+    from kickstarter_etl_pipeline_spark.qdefs_star_events import (
+        q_ngram_jaccard_pairs,
+        q_simhash_md5_candidates,
+    )
+
+    cands = q_simhash_md5_candidates(spark, sf_dir).select("id_a", "id_b")
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    n_docs = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
+    )
+    n_cand = F.broadcast(cands.agg(F.count("*").cast("long").alias("n_candidates")))
+    n_true = F.broadcast(truth.agg(F.count("*").cast("long").alias("n_true_pairs")))
+    n_hit = F.broadcast(
+        cands.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").cast("long").alias("n_candidates_true")
+        )
+    )
+    return (
+        n_docs.crossJoin(n_cand)
+        .crossJoin(n_true)
+        .crossJoin(n_hit)
+        .select(
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+            .cast("long")
+            .alias("n_possible_pairs"),
+            "n_candidates",
+            "n_true_pairs",
+            "n_candidates_true",
+            round_det(
+                F.try_divide(F.col("n_candidates_true"), F.col("n_true_pairs")), 6
+            ).alias("pairs_completeness"),
+            round_det(
+                1
+                - F.try_divide(
+                    F.col("n_candidates"),
+                    (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long"),
+                ),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily event volume: the median
+    of all pairwise slopes (c_j − c_i)/(d_j − d_i) over day pairs —
+    the estimator that shrugs off the outlier days a least-squares
+    slope chases. Slopes snap to the 6-dp grid before the median so
+    both engines select the identical element; median = exact middle
+    selection over (slope, day_i, day_j) total order, averaging the
+    two middles on even counts.
+
+    Scale: the pair space is CALENDAR-bounded (days², not data²) —
+    365 days is 66k pairs regardless of corpus size; the only
+    data-sized stage is the daily count aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias("d"), "c"
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        "da",
+        "db",
+        round_det(
+            (F.col("cb") - F.col("ca")) / (F.col("db") - F.col("da")), 6
+        ).alias("slope"),
+    )
+    n_days = F.broadcast(daily.agg(F.count("*").cast("long").alias("n_days")))
+    cnt = F.broadcast(pairs.agg(F.count("*").cast("long").alias("n_pairs")))
+    w = Window.orderBy("slope", "da", "db")
+    mids = (
+        pairs.select("slope", F.row_number().over(w).alias("rn"))
+        .crossJoin(cnt)
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        )
+    )
+    med = mids.groupBy("n_pairs").agg(
+        round_det(F.sum("slope") / F.count("*"), 6).alias("ts_slope")
+    )
+    return n_days.crossJoin(med).select("n_days", "n_pairs", "ts_slope")

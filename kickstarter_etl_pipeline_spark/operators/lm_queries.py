@@ -1439,3 +1439,92 @@ def q_char_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_entropy_bits"),
     )
+
+
+def q_good_turing_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts table with the adjusted counts
+    r* = (r+1)·N_{r+1}/N_r — the smoother that reallocates probability
+    mass to unseen events from the singleton count (N_1), the classic
+    companion to the Kneser-Ney bigram tier (kneser_ney_bigrams). N_r
+    tables underpin vocabulary-size and OOV-rate planning for tokenizer
+    training.
+
+    Exact: token counts and count-of-counts are integer aggregates; the
+    LEFT self-join on r+1 (NOT a lead() over present r values — N_{r+1}
+    must be the count at EXACTLY r+1, which may be absent) yields NULL
+    r* where Good-Turing is undefined. Reported for the 30 SMALLEST
+    distinct r values (the head of the count-of-counts table, where GT
+    matters; an absolute r cap would return almost nothing on a corpus
+    whose rarest token already occurs hundreds of times).
+
+    Scale: one uniform-key token aggregate, then a count-of-counts
+    aggregate whose cardinality is ≤ max token count — sketch-sized;
+    the head-rank window runs over that sketch-sized table."""
+    from kickstarter_etl_pipeline_spark.operators.text import token_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = token_frequency(docs).select(F.col("n_occurrences").cast("long").alias("r"))
+    cc = freq.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    nxt = cc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_r1"))
+    head = Window.orderBy("r")
+    return (
+        cc.join(nxt, "r", "left")
+        .withColumn("_hr", F.row_number().over(head))
+        .filter(F.col("_hr") <= 30)
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("_n_r1").isNotNull(),
+                round_det((F.col("r") + 1) * F.col("_n_r1") / F.col("n_r"), 6),
+            ).alias("r_star"),
+        )
+    )
+
+
+def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median price per return flag (weight = quantity)
+    at scale: the grouped two-phase selection device
+    (embedding_dim_robust_stats) extended to weighted quantiles —
+    :func:`two_phase_rank` with ``cum_col`` carries the GLOBAL running
+    weight over the (group, value, id) total order in balanced range
+    exchanges; subtracting each group's broadcast offset (the exact sum
+    of preceding groups' weights) turns it into the per-group
+    cumulative weight, and the lower weighted median is the first row
+    where 2·cum ≥ W — an INTEGER comparison (quantities are integral),
+    so no float decides the selection. min() over the crossing suffix
+    recovers the crossing row's price (prices are non-decreasing along
+    the order).
+
+    No per-group window ever sees a group's full column; the only
+    single-task stage is the G-row offset frame. Oracle = the plain
+    per-group window formulation, proving bit-equality of the
+    distributed shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("_wt"),
+    )
+    ranked = two_phase_rank(
+        li,
+        ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
+        cum_col="_wt",
+    )
+    gt = li.groupBy("l_returnflag").agg(F.sum("_wt").cast("long").alias("_w"))
+    w_off = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = gt.select(
+        "l_returnflag",
+        "_w",
+        F.coalesce(F.sum("_w").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    crossed = ranked.join(F.broadcast(offs), "l_returnflag").filter(
+        2 * (F.col("cum") - F.col("_off")) >= F.col("_w")
+    )
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("_w").cast("long").alias("total_weight"),
+        F.min("l_extendedprice").alias("weighted_median_price"),
+    )

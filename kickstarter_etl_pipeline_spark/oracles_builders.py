@@ -6,6 +6,7 @@ queries.py in round 6.
 
 from kickstarter_etl_pipeline_spark.oracles_analytics import ORACLES_ANALYTICS
 from kickstarter_etl_pipeline_spark.oracles_core import ORACLES_CORE
+from kickstarter_etl_pipeline_spark.oracles_eval import ORACLES_EVAL
 from kickstarter_etl_pipeline_spark.oracles_ext import ORACLES_EXT
 from kickstarter_etl_pipeline_spark.oracles_lm import ORACLES_LM
 from kickstarter_etl_pipeline_spark.oracles_mining import ORACLES_MINING
@@ -15,6 +16,7 @@ _ORACLES.update(ORACLES_CORE)
 _ORACLES.update(ORACLES_ANALYTICS)
 _ORACLES.update(ORACLES_MINING)
 _ORACLES.update(ORACLES_LM)
+_ORACLES.update(ORACLES_EVAL)
 
 _ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
 # Star-rewriting CC must produce the exact same groups as min-label CC.
@@ -409,6 +411,31 @@ _ORACLES["simhash_near_dup_clusters"] = f"""
     szs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
     SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
 """
+
+# FULL twin of q_blocking_quality_report (round 9): the two standard
+# entity-resolution blocking metrics, composed from the verified
+# md5-SimHash candidate twin (above) and the exact n-gram Jaccard >= 0.8
+# truth twin (ORACLES_CORE['ngram_jaccard_pairs']). All counts exact;
+# C(n,2) is arithmetic (n(n-1) is always even, so /2 is an exact-valued
+# double on both engines before the BIGINT cast).
+_ORACLES["blocking_quality_report"] = f"""
+    WITH cand AS (SELECT id_a, id_b FROM ({_ORACLES['simhash_md5_candidates']})),
+    truth AS (SELECT id_a, id_b FROM ({ORACLES_CORE['ngram_jaccard_pairs']})),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+    nh AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates_true
+           FROM cand JOIN truth USING (id_a, id_b))
+    SELECT n_docs,
+           CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_possible_pairs,
+           n_candidates, n_true_pairs, n_candidates_true,
+           floor(n_candidates_true / nullif(n_true_pairs, 0) * 1000000 + 0.5)
+             / 1000000.0 AS pairs_completeness,
+           floor((1 - n_candidates / CAST(n_docs * (n_docs - 1) / 2 AS BIGINT))
+                 * 1000000 + 0.5) / 1000000.0 AS reduction_ratio
+    FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh
+"""
+
 
 def _pca_power_oracle_sql(n_iters: int = 8, dim: int = 64, scale: int = 1_000_000) -> str:
     """FULL DuckDB twin of q_embedding_pca_top

@@ -1,0 +1,188 @@
+"""DuckDB oracle SQL, part 5 (round 9): evaluation / monitoring tier —
+classifier AUC & calibration, KS drift, robust trend — plus the
+round's LM/embedding additions (Good-Turing, weighted median,
+Matryoshka recall). Values stay bit-comparable with the Spark twins:
+exact integer spines, one fixed IEEE tree per float output.
+
+(The blocking-quality oracle lives in oracles_builders — it composes
+the simhash_md5_candidates twin defined there.)
+"""
+
+from kickstarter_etl_pipeline_spark.oracles_core import _TOKS  # noqa: F401
+
+# (doc_id, lang, source, q) with q = the 6-dp quality score — the same
+# expression the verified quality_scores oracle uses, carried with the
+# label/source columns the eval tier needs.
+_QUAL = f"""
+  SELECT doc_id, lang, source,
+         floor((
+           (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END)
+           * (0.5 + 0.5 * (len(list_distinct(toks)) / nullif(len(toks), 0)))
+           - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   / greatest(length(text), 1) * 5, 0.5)
+         ) * 1000000 + 0.5) / 1000000.0 AS q
+  FROM (SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM documents)
+"""
+
+ORACLES_EVAL: dict[str, str] = {
+    "quality_auc_report": f"""
+        WITH s AS ({_QUAL}),
+        f AS (SELECT q, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM s WHERE q IS NOT NULL),
+        per AS (SELECT q, CAST(sum(pos) AS BIGINT) AS p,
+                       CAST(sum(1 - pos) AS BIGINT) AS n
+                FROM f GROUP BY q),
+        cumt AS (SELECT p, n,
+                        CAST(coalesce(sum(n) OVER (ORDER BY q
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS cneg
+                 FROM per),
+        agg AS (SELECT CAST(sum(p * (2 * cneg + n)) AS BIGINT) AS u2,
+                       CAST(sum(p) AS BIGINT) AS n_pos,
+                       CAST(sum(n) AS BIGINT) AS n_neg
+                FROM cumt),
+        a AS (SELECT n_pos, n_neg,
+                     floor(u2 / (2.0 * n_pos * n_neg) * 1000000 + 0.5) / 1000000.0 AS auc
+              FROM agg)
+        SELECT n_pos, n_neg, auc,
+               floor((2 * auc - 1) * 1000000 + 0.5) / 1000000.0 AS gini
+        FROM a
+    """,
+    "quality_calibration_report": f"""
+        WITH s AS ({_QUAL}),
+        f AS (SELECT CAST(least(greatest(floor(q * 10), -5), 9) AS INTEGER) AS bin,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                     CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+              FROM s WHERE q IS NOT NULL)
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               floor(sum(pos) / count(*) * 1000000 + 0.5) / 1000000.0 AS frac_pos,
+               floor(sum(q_micro) / count(*) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+                 AS mean_quality
+        FROM f GROUP BY bin
+    """,
+    "source_ks_drift": f"""
+        WITH s AS ({_QUAL}),
+        f AS (SELECT source, q FROM s WHERE q IS NOT NULL),
+        per_sq AS (SELECT source, q, CAST(count(*) AS BIGINT) AS c
+                   FROM f GROUP BY 1, 2),
+        per_q AS (SELECT q, CAST(count(*) AS BIGINT) AS c_all FROM f GROUP BY 1),
+        totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                   FROM f GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM f),
+        grid AS (SELECT t.source, p.q FROM totals t CROSS JOIN per_q p),
+        cum_all AS (SELECT q, CAST(sum(c_all) OVER (ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_all
+                    FROM per_q),
+        cums AS (SELECT g.source, g.q,
+                        CAST(sum(coalesce(ps.c, 0)) OVER (PARTITION BY g.source
+                          ORDER BY g.q
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum_s
+                 FROM grid g
+                 LEFT JOIN per_sq ps ON ps.source = g.source AND ps.q = g.q),
+        sweep AS (SELECT c.source, c.q, t.n_s, x.n_tot,
+                         abs(CAST(c.cum_s AS HUGEINT) * (x.n_tot - t.n_s)
+                             - CAST(a.cum_all - c.cum_s AS HUGEINT) * t.n_s)
+                           AS d_num
+                  FROM cums c
+                  JOIN cum_all a USING (q)
+                  JOIN totals t USING (source)
+                  CROSS JOIN tot x),
+        best AS (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY d_num DESC, q ASC) AS rn
+                 FROM sweep)
+        SELECT source, n_s AS n_docs,
+               floor(CAST(d_num AS DOUBLE)
+                     / (CAST(n_s AS DOUBLE) * CAST(n_tot - n_s AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000.0 AS ks_stat,
+               q AS at_quality
+        FROM best WHERE rn = 1
+    """,
+    "theil_sen_daily_trend": """
+        WITH daily AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+        pairs AS (SELECT a.d AS da, b.d AS db,
+                         floor((b.c - a.c) / (b.d - a.d) * 1000000 + 0.5) / 1000000.0
+                           AS slope
+                  FROM daily a JOIN daily b ON a.d < b.d),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+        ranked AS (SELECT slope, row_number() OVER (ORDER BY slope, da, db) AS rn
+                   FROM pairs),
+        mids AS (SELECT r.slope, p.n_pairs
+                 FROM ranked r CROSS JOIN np p
+                 WHERE r.rn = floor((p.n_pairs + 1) / 2)
+                    OR r.rn = floor(p.n_pairs / 2) + 1),
+        med AS (SELECT n_pairs,
+                       floor(sum(slope) / count(*) * 1000000 + 0.5) / 1000000.0
+                         AS ts_slope
+                FROM mids GROUP BY n_pairs)
+        SELECT n_days, n_pairs, ts_slope FROM nd CROSS JOIN med
+    """,
+    "good_turing_unigrams": f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+        freq AS (SELECT token, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY token),
+        cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq GROUP BY r),
+        gt AS (SELECT c1.r, c1.n_r,
+                      CASE WHEN c2.n_r IS NOT NULL THEN
+                        floor((c1.r + 1) * c2.n_r / c1.n_r * 1000000 + 0.5) / 1000000.0
+                      END AS r_star,
+                      row_number() OVER (ORDER BY c1.r) AS hr
+               FROM cc c1 LEFT JOIN cc c2 ON c2.r = c1.r + 1)
+        SELECT r, n_r, r_star FROM gt WHERE hr <= 30
+    """,
+    "weighted_median_by_group": """
+        WITH t AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                          CAST(l_quantity AS BIGINT) AS wt
+                   FROM lineitem),
+        c AS (SELECT l_returnflag, l_extendedprice,
+                     sum(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gc,
+                     sum(wt) OVER (PARTITION BY l_returnflag) AS w
+              FROM t)
+        SELECT l_returnflag,
+               CAST(min(w) AS BIGINT) AS total_weight,
+               min(l_extendedprice) AS weighted_median_price
+        FROM c WHERE 2 * gc >= w
+        GROUP BY l_returnflag
+    """,
+    "matryoshka_recall_report": """
+        WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+        cf AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+        sf AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+               FROM qf, cf WHERE neighbor_id <> query_id),
+        exact AS (SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+                    FROM sf)
+                  WHERE rank <= 5),
+        q16 AS (SELECT vec_id AS query_id, (CAST(embedding AS DOUBLE[]))[1:16] AS qv
+                FROM embeddings WHERE vec_id < 20),
+        c16 AS (SELECT vec_id AS neighbor_id, (CAST(embedding AS DOUBLE[]))[1:16] AS cv
+                FROM embeddings),
+        s16 AS (SELECT query_id, neighbor_id,
+                       round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+                FROM q16, c16 WHERE neighbor_id <> query_id),
+        trunc AS (SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+                    FROM s16)
+                  WHERE rank <= 5)
+        SELECT ex.query_id,
+               CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+               floor(count(t.neighbor_id) / 5.0 * 1000000 + 0.5) / 1000000.0
+                 AS recall_at_5
+        FROM exact ex
+        LEFT JOIN trunc t
+          ON ex.query_id = t.query_id AND ex.neighbor_id = t.neighbor_id
+        GROUP BY ex.query_id
+    """,
+}

@@ -470,3 +470,38 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_profile(emb)
 
 
+
+
+def q_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@5 of exact cosine search on
+    the FIRST 16 of 64 embedding dimensions against full-dimension
+    exact search — the measurement behind the
+    truncate-the-embedding-table storage play (Kusupati et al. 2022,
+    arXiv:2205.13147): if prefix-dim recall holds, the 100 TB ANN tier
+    can run on a 4× smaller table. Composes two runs of the verified
+    exact scorer (brute_force_topk) — full vectors and F.slice(·,1,16)
+    prefixes — into the per-query hit table, the ivf_recall_report
+    device, so the whole report carries a full oracle.
+
+    Scale: both sides are the brute-force tier (query set broadcast,
+    corpus scanned once each); the production path would swap in the
+    IVF tier per dimension budget — the report's job is to justify
+    that swap with a graded number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    t16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = brute_force_topk(t16, t16.filter(F.col("vec_id") < 20), k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            round_det(F.col("n_hits") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
