@@ -1328,3 +1328,21 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.sum(F.col("_sh") * F.col("_sh")), 4).alias("hhi"),
         round_det(F.max("_sh"), 4).alias("top_share_pct"),
     )
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the bipartite customer→supplier
+    graph (distinct (o_custkey, l_suppkey) pairs through lineitem):
+    hub customers buy from many authoritative suppliers, authoritative
+    suppliers serve many hub customers — the mutually-recursive
+    centrality pair. 4 exact-integer-spine iterations; see graph.hits
+    for the determinism contract and _hits_oracle_sql for the unrolled
+    SQL twin."""
+    from kickstarter_etl_pipeline_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    return hits(edges, iterations=4)

@@ -334,3 +334,93 @@ def common_neighbor_link_prediction(
             ).alias("jaccard_score"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    c: str = "c",
+    s: str = "s",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a bipartite
+    edge list (hub side ``c`` → authority side ``s``), fully
+    oracle-able with an EXACT integer spine — a strictly stronger
+    determinism story than pagerank's grid-margin argument:
+
+    scores live in nano-units (longs). Each half-round is (1) an exact
+    LONG sum of nano-scores over edges — order-free by integer
+    associativity, so partitioning provably cannot move it — then
+    (2) one fixed IEEE normalization: the squared norm is an exact
+    decimal(38,0) sum of squared raws, its double cast + sqrt + the
+    floor(raw/norm·1e9 + 0.5) snap are the identical expression tree
+    the SQL twin runs. NO float accumulation exists anywhere, so
+    cross-engine equality is arithmetic identity, not an engineering
+    margin. Fixed iteration count keeps the SQL replay finite.
+
+    ``loop_partitions`` sizes the per-round vertex-keyed exchanges —
+    DATA-sized (the score vectors), like pagerank's, unlike the
+    IVF/PCA control loops; default 8 fits bench fixtures, size to
+    vertex cardinality on a real cluster. The per-round driver state
+    is ONE scalar (the squared norm) — control data.
+
+    Returns (role ∈ {'hub','authority'}, id, score) with score = the
+    9-dp unit-norm value rounded to 6 dp.
+    """
+    import math
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(c).cast("long").alias("_c"), F.col(s).cast("long").alias("_s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    NANO = 1_000_000_000
+
+    def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        s2 = raw.agg(
+            F.sum(F.col("_raw").cast("decimal(38,0)") * F.col("_raw")).alias("_s2")
+        ).collect()[0]["_s2"]
+        nrm = math.sqrt(float(s2))  # float(int) == DuckDB CAST(HUGEINT AS DOUBLE)
+        return raw.select(
+            key,
+            F.floor(F.col("_raw").cast("double") / F.lit(nrm) * F.lit(float(NANO)) + F.lit(0.5))
+            .cast("long")
+            .alias(out),
+        ).localCheckpoint(eager=True)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
+    try:
+        h = e.select("_c").distinct().select("_c", F.lit(NANO).cast("long").alias("_hn"))
+        h = h.localCheckpoint(eager=True)
+        a = None
+        for _ in range(iterations):
+            a_raw = (
+                e.join(h, "_c")
+                .groupBy("_s")
+                .agg(F.sum("_hn").cast("long").alias("_raw"))
+            )
+            a = _normalize(a_raw, "_s", "_an")
+            h_raw = (
+                e.join(a, "_s")
+                .groupBy("_c")
+                .agg(F.sum("_an").cast("long").alias("_raw"))
+            )
+            h = _normalize(h_raw, "_c", "_hn")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
+    hubs = h.select(
+        F.lit("hub").alias("role"),
+        F.col("_c").alias("id"),
+        round_det(F.col("_hn") / F.lit(float(NANO)), 6).alias("score"),
+    )
+    auths = a.select(
+        F.lit("authority").alias("role"),
+        F.col("_s").alias("id"),
+        round_det(F.col("_an") / F.lit(float(NANO)), 6).alias("score"),
+    )
+    return hubs.unionByName(auths)

@@ -412,6 +412,52 @@ _ORACLES["simhash_near_dup_clusters"] = f"""
     SELECT doc_id, component_id, n_members FROM comp JOIN szs USING (component_id)
 """
 
+def _hits_oracle_sql(iterations: int = 4) -> str:
+    """FULL DuckDB twin of q_graph_hits (graph.hits): the
+    hubs-and-authorities recurrence unrolls as CTE pairs — possible
+    because the implementation keeps an EXACT integer spine: scores in
+    nano-unit BIGINTs, per-half-round edge sums exact (HUGEINT here,
+    long/decimal on the Spark side), squared norms exact, and the only
+    float stage per half-round is the fixed tree
+    floor(raw / sqrt(S2) · 1e9 + 0.5). Cross-engine equality is
+    arithmetic identity — no float accumulation exists to disagree
+    about (a stronger contract than the PageRank grid-margin device)."""
+    head = """
+        WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                                   CAST(l_suppkey AS BIGINT) AS s
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS (SELECT DISTINCT c, CAST(1000000000 AS BIGINT) AS hn FROM e)"""
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(
+            f""",
+        ar{t} AS (SELECT s, sum(hn) AS arn FROM e JOIN h{t - 1} USING (c) GROUP BY s),
+        an{t} AS (SELECT sqrt(CAST(sum(CAST(arn AS HUGEINT) * arn) AS DOUBLE)) AS na
+                  FROM ar{t}),
+        a{t} AS (SELECT s, CAST(floor(CAST(arn AS DOUBLE) / na * 1000000000 + 0.5)
+                                AS BIGINT) AS an
+                 FROM ar{t} CROSS JOIN an{t}),
+        hr{t} AS (SELECT c, sum(an) AS hrn FROM e JOIN a{t} USING (s) GROUP BY c),
+        hn{t} AS (SELECT sqrt(CAST(sum(CAST(hrn AS HUGEINT) * hrn) AS DOUBLE)) AS nh
+                  FROM hr{t}),
+        h{t} AS (SELECT c, CAST(floor(CAST(hrn AS DOUBLE) / nh * 1000000000 + 0.5)
+                                AS BIGINT) AS hn
+                 FROM hr{t} CROSS JOIN hn{t})"""
+        )
+    tail = f"""
+        SELECT 'hub' AS role, c AS id,
+               floor(hn / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS score
+        FROM h{iterations}
+        UNION ALL
+        SELECT 'authority' AS role, s AS id,
+               floor(an / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS score
+        FROM a{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_hits"] = _hits_oracle_sql()
+
 # FULL twin of q_blocking_quality_report (round 9): the two standard
 # entity-resolution blocking metrics, composed from the verified
 # md5-SimHash candidate twin (above) and the exact n-gram Jaccard >= 0.8

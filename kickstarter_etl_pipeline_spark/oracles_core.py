@@ -242,6 +242,24 @@ ORACLES_CORE: dict[str, str] = {
         WHERE click_id IS NOT NULL
            OR CAST(floor(p_us / 1000) AS BIGINT) < (SELECT wm_ms FROM wm)
     """,
+    # The anti-join pattern: the left-join oracle's NULL rows only —
+    # an unmatched purchase emits iff the global watermark passed its
+    # event time (same eviction replay as the outer-join twin above).
+    "events_stream_unattributed": """
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        wm AS (SELECT least(
+                 (SELECT CAST(floor(max(us) / 1000) AS BIGINT) FROM e WHERE event_type = 'purchase'),
+                 (SELECT CAST(floor(max(us) / 1000) AS BIGINT) FROM e WHERE event_type = 'click')
+               ) - 7200000 AS wm_ms),
+        p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user_id, event_id AS click_id, us AS c_us FROM e WHERE event_type = 'click'),
+        m AS (SELECT p.user_id, p.purchase_id, c.click_id, p.p_us
+              FROM p LEFT JOIN c ON c.c_user_id = p.user_id
+                AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 3600000000)
+        SELECT user_id, purchase_id FROM m
+        WHERE click_id IS NULL
+          AND CAST(floor(p_us / 1000) AS BIGINT) < (SELECT wm_ms FROM wm)
+    """,
     # Full-outer adds the click side: an orphaned click emits iff the
     # watermark passed the END of its forward match window
     # (c_us + lookback) — after that no purchase can ever match it.

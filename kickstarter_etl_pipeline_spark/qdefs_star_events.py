@@ -730,3 +730,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: mapInPandas feature extraction."""
     return extract_features(documents_as_media(load_table(spark, sf_dir, "documents")))
 
+
+
+def q_events_stream_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream ANTI-join: purchases with NO click in
+    the preceding hour — the abandonment/attribution-gap stream.
+    Structured Streaming has no native stream-stream left_anti; the
+    documented pattern (implemented in streaming_purchase_click_join's
+    ``unmatched_only``) is the watermarked LEFT OUTER interval join
+    with an in-stream IS NULL filter, inheriting the outer join's
+    eviction rule: an unmatched purchase emits exactly once, after the
+    global watermark passes its event time. The SQL twin replays that
+    bookkeeping (the left-join oracle's NULL rows)."""
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        streaming_purchase_click_join,
+    )
+
+    return streaming_purchase_click_join(
+        spark, sf_dir, how="left_outer", unmatched_only=True
+    )

@@ -329,6 +329,7 @@ def streaming_purchase_click_join(
     watermark: str = "2 hours",
     lookback: str = "1 hour",
     how: str = "inner",
+    unmatched_only: bool = False,
 ) -> DataFrame:
     """Stream-stream self-join: each purchase matched to the same
     user's clicks within the preceding ``lookback`` — the attribution
@@ -343,6 +344,15 @@ def streaming_purchase_click_join(
     matching click could still arrive); purchases inside the final
     watermark window at end-of-replay stay buffered, unemitted. That
     eviction arithmetic is replayed in the SQL oracle.
+
+    ``unmatched_only=True`` (with ``how="left_outer"``) is the
+    stream-stream ANTI-join pattern: Structured Streaming has no
+    native left_anti between two streams, and the documented lift is
+    exactly this — outer join, then filter the null-matched rows IN
+    THE STREAM (before the sink), so only abandonment rows ever reach
+    it. Emission timing is inherited from the outer join: an
+    unmatched purchase surfaces once the global watermark passes its
+    event time, never before.
 
     FIXTURE-VERIFICATION TIER (memory sink); equality with the batch
     interval join is asserted in tests."""
@@ -378,6 +388,10 @@ def streaming_purchase_click_join(
         "purchase_id",
         "click_id",
     )
+    if unmatched_only:
+        joined = joined.filter(F.col("click_id").isNull()).select(
+            "user_id", "purchase_id"
+        )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
     checkpoint = _checkpoint_dir("ks_stream_ssj_")
     query = (
