@@ -285,3 +285,72 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.sum("slope") / F.count("*"), 6).alias("ts_slope")
     )
     return n_days.crossJoin(med).select("n_days", "n_pairs", "ts_slope")
+
+
+def q_rank_correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman (midrank) and Pearson correlation between
+    document length (n_chars) and the quality score — the "is the
+    quality signal just a length proxy?" audit every curation pipeline
+    owes itself.
+
+    Both coefficients come out of ONE pass of exact integer aggregates
+    via the Pearson-on-X formula r = (nΣXY − ΣXΣY) /
+    √((nΣX² − (ΣX)²)(nΣY² − (ΣY)²)):
+
+    - Pearson: X = n_chars, Y = the score in micro-units (longs).
+    - Spearman: X, Y = DOUBLED midranks — 2·rank = 2·cum_before + c + 1
+      is always an INTEGER (the ·2 clears the tie-average half), and
+      the formula is scale-invariant, so doubling changes nothing.
+      Midranks come from per-value counts + a cumulative window over
+      the value-grid table (grid/charset-bounded, never a corpus
+      sort), broadcast-joined back by value — no global row ranking.
+
+    Every aggregate is decimal(38,0)-exact; the single float stage is
+    the shared division tree, identical in the SQL twin. Exactness
+    bound: nΣXY ≤ 4n⁴ stays inside decimal(38,0) to n ≈ 2·10⁹ rows;
+    beyond that, rescale the rank units (the formula is invariant).
+
+    Scale: two value-grid aggregates + one corpus aggregate of six
+    sums. Output: one row (n_docs, pearson_r, spearman_rho)."""
+    scored = _scored_docs(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    base = scored.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.floor(F.col("q") * 1e6 + F.lit(0.5)).cast("long").alias("y"),
+    )
+
+    def doubled_midranks(col: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count("*").cast("long").alias("_c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + 1
+            ).cast("long").alias(f"_r2{col}"),
+        )
+
+    ranked = (
+        base.join(F.broadcast(doubled_midranks("x")), "x")
+        .join(F.broadcast(doubled_midranks("y")), "y")
+    )
+
+    def corr_expr(xc, yc, out):
+        n = F.count("*").cast("decimal(38,0)")
+        sx = F.sum(F.col(xc).cast("decimal(38,0)"))
+        sy = F.sum(F.col(yc).cast("decimal(38,0)"))
+        sxy = F.sum(F.col(xc).cast("decimal(38,0)") * F.col(yc))
+        sxx = F.sum(F.col(xc).cast("decimal(38,0)") * F.col(xc))
+        syy = F.sum(F.col(yc).cast("decimal(38,0)") * F.col(yc))
+        num = (n * sxy - sx * sy).cast("double")
+        vx = (n * sxx - sx * sx).cast("double")
+        vy = (n * syy - sy * sy).cast("double")
+        return round_det(num / F.sqrt(vx * vy), 6).alias(out)
+
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        corr_expr("x", "y", "pearson_r"),
+        corr_expr("_r2x", "_r2y", "spearman_rho"),
+    )

@@ -1528,3 +1528,51 @@ def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_w").cast("long").alias("total_weight"),
         F.min("l_extendedprice").alias("weighted_median_price"),
     )
+
+
+def q_trimmed_mean_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean price per return flag at scale — the
+    robust-location stat that discards floor(n/10) rows from EACH tail
+    of the per-group (price, id) order before averaging, immunizing
+    the mean against outlier prices the way the median does without
+    giving up efficiency.
+
+    Same grouped two-phase selection shape as weighted_median: ONE
+    global range-partitioned rank over (group, value, id) minus
+    broadcast per-group offsets gives the per-group rank; the trim is
+    then a rank-band filter (k < rank ≤ n−k) — an integer rule — and
+    the mean is an exact DECIMAL(18,2) sum divided once. No per-group
+    window ever holds a group's full column."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = two_phase_rank(
+        li, ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    gt = li.groupBy("l_returnflag").agg(F.count("*").cast("long").alias("_n_g"))
+    w_off = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = gt.select(
+        "l_returnflag",
+        "_n_g",
+        F.coalesce(F.sum("_n_g").over(w_off), F.lit(0)).cast("long").alias("_off"),
+        F.floor(F.col("_n_g") / 10).cast("long").alias("_k"),
+    )
+    j = ranked.join(F.broadcast(offs), "l_returnflag").withColumn(
+        "_grank", F.col("rank") - F.col("_off")
+    )
+    kept = j.filter(
+        (F.col("_grank") > F.col("_k"))
+        & (F.col("_grank") <= F.col("_n_g") - F.col("_k"))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.max("_n_g").cast("long").alias("n_total"),
+        F.max("_k").cast("long").alias("n_trimmed_each_side"),
+        F.count("*").cast("long").alias("n_kept"),
+        round_det(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("trimmed_mean_price"),
+    )

@@ -135,6 +135,24 @@ ORACLES_EVAL: dict[str, str] = {
                FROM cc c1 LEFT JOIN cc c2 ON c2.r = c1.r + 1)
         SELECT r, n_r, r_star FROM gt WHERE hr <= 30
     """,
+    "trimmed_mean_by_group": """
+        WITH t AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+                   FROM lineitem),
+        r AS (SELECT l_returnflag, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n_g
+              FROM t),
+        b AS (SELECT *, CAST(floor(n_g / 10) AS BIGINT) AS k FROM r)
+        SELECT l_returnflag,
+               CAST(max(n_g) AS BIGINT) AS n_total,
+               CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) * 1000000 + 0.5) / 1000000.0 AS trimmed_mean_price
+        FROM b WHERE rn > k AND rn <= n_g - k
+        GROUP BY l_returnflag
+    """,
     "weighted_median_by_group": """
         WITH t AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
                           CAST(l_quantity AS BIGINT) AS wt
@@ -150,6 +168,44 @@ ORACLES_EVAL: dict[str, str] = {
                min(l_extendedprice) AS weighted_median_price
         FROM c WHERE 2 * gc >= w
         GROUP BY l_returnflag
+    """,
+    "rank_correlation_report": f"""
+        WITH s AS ({_QUAL}),
+        j AS (SELECT CAST(d.n_chars AS BIGINT) AS x,
+                     CAST(floor(s.q * 1000000.0 + 0.5) AS BIGINT) AS y
+              FROM s JOIN documents d USING (doc_id) WHERE s.q IS NOT NULL),
+        rx AS (SELECT x, CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+                 AS BIGINT) AS r2x
+               FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY x)),
+        ry AS (SELECT y, CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+                 AS BIGINT) AS r2y
+               FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY y)),
+        r AS (SELECT j.x, j.y, rx.r2x, ry.r2y
+              FROM j JOIN rx USING (x) JOIN ry USING (y)),
+        agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(CAST(x AS HUGEINT)) AS sx,
+                       sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(y AS HUGEINT) * y) AS syy,
+                       sum(CAST(r2x AS HUGEINT)) AS srx,
+                       sum(CAST(r2y AS HUGEINT)) AS sry,
+                       sum(CAST(r2x AS HUGEINT) * r2y) AS srxy,
+                       sum(CAST(r2x AS HUGEINT) * r2x) AS srxx,
+                       sum(CAST(r2y AS HUGEINT) * r2y) AS sryy
+                FROM r)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000.0 AS pearson_r,
+               floor(CAST(n * srxy - srx * sry AS DOUBLE)
+                     / sqrt(CAST(n * srxx - srx * srx AS DOUBLE)
+                            * CAST(n * sryy - sry * sry AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000.0 AS spearman_rho
+        FROM agg
     """,
     "matryoshka_recall_report": """
         WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
