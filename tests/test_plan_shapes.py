@@ -375,3 +375,40 @@ def test_two_phase_consumers_no_data_sized_funnel(spark, sf_dir):
                 f"{q.__name__}: data-sized single-partition funnel:\n{tail}"
             )
             idx += 1
+
+
+def test_round9_tiers_no_data_sized_funnel(spark, sf_dir):
+    """Round-9 additions that promise the grid/aggregate-bounded shape
+    (SCALE.md): the weighted/trimmed grouped selections and the
+    ECDF-sweep eval reports. Every SinglePartition exchange in the
+    visible plan must sit directly above a HashAggregate — the P-row
+    offsets, the G-row group totals, or the grid-bounded per-score
+    table — never above raw corpus rows; and no ntile/global sort of
+    data appears."""
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_quality_auc_report,
+        q_rank_correlation_report,
+        q_source_ks_drift,
+        q_trimmed_mean_by_group,
+        q_weighted_median_by_group,
+    )
+
+    for q in (
+        q_weighted_median_by_group,
+        q_trimmed_mean_by_group,
+        q_quality_auc_report,
+        q_source_ks_drift,
+        q_rank_correlation_report,
+    ):
+        plan = explain_str(q(spark, sf_dir), mode="simple")
+        assert "ntile" not in plan.lower(), q.__name__
+        idx = 0
+        while True:
+            idx = plan.find("Exchange SinglePartition", idx)
+            if idx == -1:
+                break
+            tail = plan[idx : idx + 400]
+            assert "HashAggregate" in tail, (
+                f"{q.__name__}: data-sized single-partition funnel:\n{tail}"
+            )
+            idx += 1
