@@ -354,3 +354,106 @@ def q_rank_correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr_expr("x", "y", "pearson_r"),
         corr_expr("_r2x", "_r2y", "spearman_rho"),
     )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2, b=0.75):
+    top-10 documents for a deterministic query — the 5 corpus-wide
+    most-frequent tokens (count DESC, token ASC), so the query is a
+    pure function of the data and both engines derive it identically.
+    This is the scoring half of a search stack the inverted-index
+    operator (inverted_index) only stores.
+
+    Exactness: idf = ln((N − df + 0.5)/(df + 0.5) + 1) snaps to the
+    nano-nat grid per term; each (doc, term) partial score is ONE fixed
+    IEEE tree — idf⁹ · tf·(k1+1) / (tf + k1·(1−b + b·dl·N/T)) — snapped
+    to nano-units as a LONG, so the per-doc sum over matched terms is
+    an exact integer aggregate (float summation order never exists; the
+    classic BM25-at-scale pitfall). dl/avgdl is expanded to dl·N/T so
+    no precomputed float average is carried.
+
+    Scale: tf is the uniform-key explode aggregate; the 5-term query
+    rides a broadcast; top-10 is TakeOrdered. Shuffles are keyed by
+    (doc, term) and doc — never all-pairs."""
+    from kickstarter_etl_pipeline_spark.operators.text import tokens
+
+    k1, b, k = 1.2, 0.75, 10
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("_toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size("_toks").cast("long").alias("dl"))
+    n_row = F.broadcast(docs.agg(F.count("*").cast("long").alias("_n")))
+    t_row = F.broadcast(dl.agg(F.sum("dl").cast("long").alias("_t")))
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = F.broadcast(
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("term"))
+        .limit(5)
+        .select("term")
+        .join(df_tbl, "term")
+        .crossJoin(n_row)
+        .select(
+            "term",
+            "df",
+            F.floor(
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+            .alias("idf9"),
+        )
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(dl, "doc_id")
+        .crossJoin(n_row)
+        .crossJoin(t_row)
+        .select(
+            "doc_id",
+            F.floor(
+                # constants written as the same double literals the SQL
+                # twin uses — NOT derived (k1+1.0 at runtime lands one
+                # ulp off the 2.2 literal; the mmr lesson). 1−b = 0.25
+                # is exact but spelled literally for the same reason.
+                (F.col("idf9") / F.lit(1e9))
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * (F.col("dl") * F.col("_n") / F.col("_t"))
+                    )
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_s9"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        F.sum("_s9").cast("long").alias("_sum9"),
+    )
+    # TakeOrdered first (orderBy+limit → no data-sized single-partition
+    # window); the rank window then runs over k rows only.
+    top = per_doc.orderBy(F.desc("_sum9"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("_sum9"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            "doc_id",
+            "n_terms_matched",
+            round_det(F.col("_sum9") / F.lit(1e9), 6).alias("bm25_score"),
+        )
+    )

@@ -169,6 +169,37 @@ ORACLES_EVAL: dict[str, str] = {
         FROM c WHERE 2 * gc >= w
         GROUP BY l_returnflag
     """,
+    "bm25_topk": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        q AS (SELECT term FROM (SELECT term, sum(tf) AS cnt FROM tf
+                                GROUP BY term ORDER BY cnt DESC, term LIMIT 5)),
+        qi AS (SELECT q.term, dfr.df,
+                      CAST(floor(ln((n.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+                                 * 1000000000 + 0.5) AS BIGINT) AS idf9
+               FROM q JOIN dfr USING (term) CROSS JOIN n),
+        sc AS (SELECT tf.doc_id,
+                      CAST(floor((qi.idf9 / 1000000000.0)
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * n.n / tt.t)))
+                           * 1000000000 + 0.5) AS BIGINT) AS s9
+               FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN n CROSS JOIN tt),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                      CAST(sum(s9) AS BIGINT) AS sum9
+               FROM sc GROUP BY doc_id),
+        ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY sum9 DESC, doc_id)
+                     AS INTEGER) AS rank
+                   FROM pd)
+        SELECT rank, doc_id, n_terms_matched,
+               floor(sum9 / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS bm25_score
+        FROM ranked WHERE rank <= 10
+    """,
     "rank_correlation_report": f"""
         WITH s AS ({_QUAL}),
         j AS (SELECT CAST(d.n_chars AS BIGINT) AS x,
