@@ -454,3 +454,49 @@ def test_q18_bucketed_no_fact_shuffle(spark, sf_dir):
         assert got == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_hits_partition_invariant(spark, sf_dir):
+    """graph.hits claims an EXACT integer spine (edge sums are long
+    aggregates, the only float is the fixed normalize-and-snap tree) —
+    so unlike pagerank's grid-margin argument, partition count must
+    provably not move ANY score. Pin it: 3-partition vs 17-partition
+    edge inputs and a different loop_partitions must produce the
+    identical score table."""
+    from kickstarter_etl_pipeline_spark.operators.graph import hits
+    from kickstarter_etl_pipeline_spark.queries import q_graph_hits
+
+    base = {(r["role"], r["id"], r["score"])
+            for r in q_graph_hits(spark, sf_dir).collect()}
+    assert base
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    from pyspark.sql import functions as F2
+
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F2.col("o_custkey").alias("c"), F2.col("l_suppkey").alias("s"))
+        .repartition(17)
+    )
+    again = {(r["role"], r["id"], r["score"])
+             for r in hits(edges, iterations=4, loop_partitions=3).collect()}
+    assert again == base
+
+
+def test_bm25_partition_invariant(spark, sf_dir):
+    """bm25_topk's per-doc score is an exact integer sum of nano-unit
+    partial scores — partitioning must not move any rank or score."""
+    from kickstarter_etl_pipeline_spark.queries import q_bm25_topk
+
+    rows1 = [tuple(r) for r in q_bm25_topk(spark, sf_dir).collect()]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = [tuple(r) for r in q_bm25_topk(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows1 == rows2 and len(rows1) == 10
