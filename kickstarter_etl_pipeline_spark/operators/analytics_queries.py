@@ -1346,3 +1346,92 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
     return hits(edges, iterations=4)
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4, 6 peel rounds) of the error
+    co-occurrence graph (users connected iff both errored within the
+    same 10-minute bucket — a sparser graph than the triangle tier's
+    30-minute one, so the peel actually removes vertices at fixture
+    scale). The k-core is THE standard dense-subgraph screen for bot
+    rings / correlated-failure cohorts; see graph.kcore for the
+    fixed-round contract and scale posture. Pure integer arithmetic —
+    the DuckDB twin is the literal unrolled peel."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    return kcore(edges, k=4, rounds=6).select(
+        F.col("id").alias("user_id"), "core_degree"
+    )
+
+
+def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (recursive-CTE) rollup — the classic OLAP capability
+    the registry lacked: derive a 4-ary part taxonomy (child k → parent
+    (k−1) DIV 4, node 0 the root — a deterministic function of the key,
+    so both engines build the identical tree from the raw table), take
+    its ancestor-descendant transitive closure, and report, per part:
+    its depth and its SUBTREE rollup (descendant count and total retail
+    value including itself) — the BOM-explosion / org-chart aggregate
+    that needs WITH RECURSIVE in SQL.
+
+    Spark side: path-doubling closure (operators/graph.py
+    transitive_closure — ⌈log2 depth⌉ shuffles, not depth); 5 rounds
+    covers depth ≤ 2^5 = 32, i.e. every 4-ary tree below 4^32 ≈ 1.8e19
+    nodes — an arithmetic bound, not fixture luck. DuckDB twin: a
+    genuine WITH RECURSIVE walk of the same parent function (linear —
+    the recursive CTE is referenced once per step, the kcore
+    MATERIALIZED lesson does not bite).
+
+    Exactness: depth and counts are pure integers; money rolls up as
+    floor(p_retailprice·100 + 0.5) cents — identical IEEE snap on both
+    engines — and is emitted as an exact BIGINT cents sum (no float
+    aggregation anywhere).
+
+    Scale: closure size is Σ depth(v) ≈ N·log4 N rows; every exchange
+    is keyed by part id (uniform — keys are dense integers); the
+    rollup is one groupBy over the closure. No driver data, no global
+    sort; output is one row per part."""
+    from kickstarter_etl_pipeline_spark.operators.graph import transitive_closure
+
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("_cents"),
+    )
+    edges = part.filter(F.col("p_partkey") >= 1).select(
+        F.expr("CAST((p_partkey - 1) DIV 4 AS BIGINT)").alias("anc"),
+        F.col("p_partkey").cast("long").alias("des"),
+    )
+    clo = transitive_closure(edges, rounds=5)
+    depth = clo.groupBy(F.col("des").alias("id")).agg(
+        F.count("*").cast("long").alias("_depth")
+    )
+    sub = (
+        clo.join(nodes.withColumnRenamed("id", "des"), "des")
+        .groupBy(F.col("anc").alias("id"))
+        .agg(
+            F.count("*").cast("long").alias("_ndesc"),
+            F.sum("_cents").cast("long").alias("_dcents"),
+        )
+    )
+    return (
+        nodes.join(depth, "id", "left")
+        .join(sub, "id", "left")
+        .select(
+            F.col("id").alias("p_partkey"),
+            F.coalesce(F.col("_depth"), F.lit(0)).cast("long").alias("depth"),
+            (F.coalesce(F.col("_ndesc"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("subtree_count"),
+            (F.coalesce(F.col("_dcents"), F.lit(0)) + F.col("_cents"))
+            .cast("long")
+            .alias("subtree_value_cents"),
+        )
+    )

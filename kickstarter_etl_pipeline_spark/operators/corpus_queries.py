@@ -657,3 +657,88 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("_nv"), F.lit(0))).over(wcum).cast("long").alias("vocab_size"),
         )
     )
+
+
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    token distributions of every source pair — the standard symmetric,
+    bounded (≤ ln 2) distance behind corpus mixing / domain-shift
+    dashboards, complementing the set-overlap view of
+    q_source_overlap_report and the score-ECDF view of
+    q_source_ks_drift.
+
+    Exactness (the bm25 nano-nat device, extended): for a token shared
+    by sources A and B, p/m = 2·c_a·N_b / (c_a·N_b + c_b·N_a) is a
+    ratio of exact integers (decimal(38,0) / HUGEINT products — no
+    silent long overflow at any scale); its ln snaps to the nano-nat
+    grid BEFORE aggregation, so each pair's Σ c_a·ln9 is an exact
+    integer sum (float summation order never exists). Tokens exclusive
+    to one side contribute exactly p·ln 2 in total, folded in as
+    (N_a − shared_mass)·LN2_9 with the hardcoded grid constant
+    693147181 = floor(ln(2)·1e9 + 0.5) on BOTH engines. The only float
+    stages are the per-token ln (grid-snapped) and one fixed final
+    division tree.
+
+    Scale: the pair join is keyed by token (uniform); totals ride a
+    broadcast; output is source-pair cardinality (tiny). Per-token
+    fan-out is (sources containing it choose 2) — bounded by the
+    source taxonomy, which is small by construction."""
+    LN2_9 = 693147181  # floor(ln(2)·1e9 + 0.5); same literal in the twin
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+    counts = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = tok.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = counts.select(
+        F.col("source").alias("source_a"), "token", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("source_b"), "token", F.col("c").alias("cb")
+    )
+    ta = F.broadcast(
+        totals.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    )
+    tb = F.broadcast(
+        totals.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    )
+    j = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(ta, "source_a")
+        .join(tb, "source_b")
+    )
+
+    def dec(name: str):
+        return F.col(name).cast("decimal(38,0)")
+
+    den = (dec("ca") * F.col("nb") + dec("cb") * F.col("na")).cast("double")
+    ra = (dec("ca") * F.col("nb") * 2).cast("double") / den
+    rb = (dec("cb") * F.col("na") * 2).cast("double") / den
+    lna9 = F.floor(F.log(ra) * 1e9 + F.lit(0.5)).cast("long")
+    lnb9 = F.floor(F.log(rb) * 1e9 + F.lit(0.5)).cast("long")
+    g = (
+        j.select("source_a", "source_b", "ca", "cb", lna9.alias("_lna9"), lnb9.alias("_lnb9"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_tokens"),
+            F.sum(dec("ca") * F.col("_lna9")).alias("_sa"),
+            F.sum(dec("cb") * F.col("_lnb9")).alias("_sb"),
+            F.sum("ca").cast("long").alias("_ma"),
+            F.sum("cb").cast("long").alias("_mb"),
+        )
+        .join(ta, "source_a")
+        .join(tb, "source_b")
+    )
+    xa = (
+        F.col("_sa") + (F.col("na") - F.col("_ma")).cast("decimal(38,0)") * F.lit(LN2_9)
+    ).cast("double") / F.col("na").cast("double")
+    xb = (
+        F.col("_sb") + (F.col("nb") - F.col("_mb")).cast("decimal(38,0)") * F.lit(LN2_9)
+    ).cast("double") / F.col("nb").cast("double")
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_shared_tokens",
+        round_det((xa + xb) * F.lit(0.5) / F.lit(1e9), 6).alias("jsd_nats"),
+    )

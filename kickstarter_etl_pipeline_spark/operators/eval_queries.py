@@ -457,3 +457,96 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("_sum9") / F.lit(1e9), 6).alias("bm25_score"),
         )
     )
+
+
+def q_snm_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995, the
+    multi-pass merge/purge method) audited with the same two metrics
+    as q_blocking_quality_report — the OTHER classic candidate
+    generator next to SimHash banding: sort the records by a cheap
+    blocking key, slide a fixed window of w = 6 over the sort order,
+    and emit every in-window pair as a candidate; a second pass with
+    an independent key catches pairs the first key separates.
+
+    Keys (pass 1: 16-char prefix of the normalized text; pass 2:
+    zero-padded length then 8-char prefix) are pure expressions of the
+    row — both engines derive identical sort keys, and the global sort
+    order is totally determined by (key, doc_id).
+
+    Scale: the global sort is the two_phase_rank range exchange (no
+    single-task window — the r7 scale path); the windowed pairing is
+    an EQUI-join on rank+d for d ∈ 1..w−1 (a bounded 5× fan-out on
+    dense integer keys), never a range join or all-pairs. The truth
+    set and candidate set are both banded pipelines; every metric is
+    a ratio of exact longs. One row out."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+    from kickstarter_etl_pipeline_spark.qdefs_star_events import (
+        q_ngram_jaccard_pairs,
+    )
+
+    W = 6
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.normalized("text").alias("_norm"), "n_chars"
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring("_norm", 1, 16).alias("_k1"),
+        F.concat(
+            F.lpad(F.col("n_chars").cast("string"), 8, "0"),
+            F.substring("_norm", 1, 8),
+        ).alias("_k2"),
+    )
+
+    def _pass(key: str) -> DataFrame:
+        ranked = two_phase_rank(keyed.select("doc_id", key), [key, "doc_id"])
+        left = ranked.select(F.col("doc_id").alias("_ida"), F.col("rank").alias("_ra"))
+        offs = left.select(
+            "_ida",
+            F.explode(F.array(*[F.lit(d) for d in range(1, W)])).alias("_d"),
+            "_ra",
+        ).select("_ida", (F.col("_ra") + F.col("_d")).alias("_rb"))
+        right = ranked.select(F.col("doc_id").alias("_idb"), F.col("rank").alias("_rb"))
+        return offs.join(right, "_rb").select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+
+    cands = _pass("_k1").unionByName(_pass("_k2")).distinct()
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    n_docs = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
+    )
+    n_cand = F.broadcast(cands.agg(F.count("*").cast("long").alias("n_candidates")))
+    n_true = F.broadcast(truth.agg(F.count("*").cast("long").alias("n_true_pairs")))
+    n_hit = F.broadcast(
+        cands.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").cast("long").alias("n_candidates_true")
+        )
+    )
+    return (
+        n_docs.crossJoin(n_cand)
+        .crossJoin(n_true)
+        .crossJoin(n_hit)
+        .select(
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+            .cast("long")
+            .alias("n_possible_pairs"),
+            "n_candidates",
+            "n_true_pairs",
+            "n_candidates_true",
+            round_det(
+                F.col("n_candidates_true")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0)),
+                6,
+            ).alias("pairs_completeness"),
+            round_det(
+                F.lit(1)
+                - F.col("n_candidates")
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long"),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

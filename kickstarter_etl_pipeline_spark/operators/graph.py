@@ -424,3 +424,113 @@ def hits(
         round_det(F.col("_an") / F.lit(float(NANO)), 6).alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 6,
+    u: str = "u",
+    v: str = "v",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """k-core decomposition by bounded-round peeling (Seidman 1983;
+    the distributed formulation of Montresor et al.): repeat ``rounds``
+    times — compute degrees, drop every vertex with degree < ``k``,
+    drop edges touching a dropped vertex. The contract is FIXED-round
+    ("the subgraph after ``rounds`` peels"), not run-to-convergence,
+    so the DuckDB twin replays it as an unrolled CTE and the result is
+    well-defined even on fixtures where peeling hasn't reached the
+    fixpoint. Pure integer arithmetic end to end — no rounding device
+    is needed at all; cross-engine equality is set/count identity.
+
+    Scale: each round is one degree aggregate plus two left-semi joins,
+    every exchange keyed by vertex id — shuffle O(E) per round, never
+    all-pairs. ``loop_partitions`` sizes those DATA-sized exchanges
+    (like pagerank's, unlike the IVF/PCA control loops): default 8 for
+    bench fixtures, size to vertex cardinality on a real cluster.
+    Per-round lineage is truncated with localCheckpoint; nothing but
+    the loop counter lives on the driver.
+
+    Returns (id, core_degree) for every vertex surviving round
+    ``rounds``, with its degree inside the surviving subgraph.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v")
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _degrees(g: DataFrame, out: str) -> DataFrame:
+        return (
+            g.select(F.col("_u").alias("_id"))
+            .unionAll(g.select(F.col("_v").alias("_id")))
+            .groupBy("_id")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
+    try:
+        for _ in range(rounds):
+            keep = _degrees(e, "_d").filter(F.col("_d") >= k).select("_id")
+            e = (
+                e.join(keep.withColumnRenamed("_id", "_u"), "_u", "left_semi")
+                .join(keep.withColumnRenamed("_id", "_v"), "_v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _degrees(e, "core_degree").select(
+        F.col("_id").alias("id"), "core_degree"
+    )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    rounds: int = 5,
+    anc: str = "anc",
+    des: str = "des",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Reachability closure by repeated squaring (the classic
+    O(log diameter) distributed formulation — Valiant-style path
+    doubling): C_1 = E; C_{j+1} = C_j ∪ (C_j ∘ C_j), deduplicated
+    each round. After ``rounds`` rounds the closure contains every
+    (ancestor, descendant) pair connected by a path of length
+    ≤ 2^rounds — for DAGs/trees whose depth is within that bound this
+    IS the full transitive closure, reached in logarithmically many
+    shuffles instead of one join per level (a naive per-level walk
+    needs depth-many rounds; squaring needs ⌈log2 depth⌉).
+
+    Scale: each round is one self-equi-join keyed by the midpoint
+    vertex plus one distinct — all exchanges hash-partitioned on
+    vertex ids, never all-pairs. Output size is Σ_v depth(v) (for a
+    tree: N·avg-depth ≈ N·log_arity N) — the closure itself, not an
+    intermediate blow-up. ``loop_partitions`` sizes the per-round
+    exchanges (data-sized, like pagerank's); per-round
+    localCheckpoint truncates lineage, and only the loop counter
+    lives on the driver.
+    """
+    spark = edges.sparkSession
+    clo = edges.select(
+        F.col(anc).cast("long").alias("anc"), F.col(des).cast("long").alias("des")
+    ).distinct()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
+    try:
+        clo = clo.localCheckpoint(eager=True)
+        for _ in range(rounds):
+            step = (
+                clo.alias("a")
+                .join(clo.alias("b"), F.col("a.des") == F.col("b.anc"))
+                .select(F.col("a.anc").alias("anc"), F.col("b.des").alias("des"))
+            )
+            clo = clo.unionByName(step).distinct().localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return clo

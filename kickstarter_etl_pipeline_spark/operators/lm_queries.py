@@ -1576,3 +1576,115 @@ def q_trimmed_mean_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean_price"),
     )
+
+
+def q_dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log importance weight of its hashed n-gram
+    features under a target-vs-raw bucket model, then surface the
+    top-100 most target-like documents — the published recipe behind
+    domain-targeted pre-training corpora, completing the selection
+    tier next to temperature_resample / source_mixing_weights /
+    curation_decision (which weight by SOURCE, not by content).
+
+    Model (paper's §3, hashed n-gram variant): features are unigrams
+    plus adjacent bigrams, hashed into B = 128 buckets; the target
+    distribution is fit on the ``lang = 'en'`` slice, the raw
+    distribution on the whole corpus, both with add-1 smoothing:
+
+        log w(d) = Σ_b c_{d,b} · ln( (t_b+1)(R+B) / ((r_b+1)(T+B)) )
+
+    Exactness (the bm25/jsd nano-nat device): the odds ratio is a
+    ratio of exact integer products — decimal(38,0)/HUGEINT, no long
+    overflow at any scale — whose ln snaps to the nano-nat grid
+    BEFORE the per-document aggregation, so Σ c·lr9 is an exact
+    integer sum (no float summation order exists) and the top-100
+    cut + tie-break (doc_id) is decided on integers. The bucket hash
+    is the md5-prefix device (engine-portable, unlike xxhash64).
+
+    Scale: one explode pass (linear), a per-(doc, bucket) aggregate
+    keyed by doc_id (uniform), a 128-row broadcast bucket model, and
+    a TakeOrdered top-100 — no global sort, no driver data. At 100 TB
+    the bucket model is still 128 rows; only the corpus-sized stages
+    shuffle, all keyed by doc_id."""
+    B = 128
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", TX.tokens("text").alias("_tk"))
+    uni = toks.select("doc_id", "lang", F.explode("_tk").alias("_feat"))
+    # size >= 2 guard: ANSI sequence(1, 0) counts DOWN (the r5 trap).
+    bi = toks.filter(F.expr("size(_tk) >= 2")).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk) - 1),"
+                " i -> concat(_tk[i-1], ' ', _tk[i]))"
+            )
+        ).alias("_feat"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("_feat")), 1, 15), 16, 10).cast("long")
+            % B
+        ).alias("_b"),
+    )
+    raw_b = feats.groupBy("_b").agg(F.count("*").cast("long").alias("_r"))
+    tgt_b = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("_b")
+        .agg(F.count("*").cast("long").alias("_tc"))
+    )
+    totals = raw_b.agg(F.sum("_r").cast("long").alias("_rtot")).crossJoin(
+        tgt_b.agg(F.coalesce(F.sum("_tc"), F.lit(0)).cast("long").alias("_ttot"))
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    model = (
+        raw_b.join(tgt_b, "_b", "left")
+        .na.fill({"_tc": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.floor(
+                F.log(
+                    (dec(F.col("_tc") + 1) * (F.col("_rtot") + B)).cast("double")
+                    / (dec(F.col("_r") + 1) * (F.col("_ttot") + B)).cast("double")
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_lr9"),
+        )
+    )
+    per_doc = feats.groupBy("doc_id", "_b").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    logw = (
+        per_doc.join(F.broadcast(model), "_b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_feats"),
+            F.sum(dec(F.col("_c")) * F.col("_lr9")).alias("_s"),
+        )
+    )
+    top = logw.orderBy(F.desc("_s"), F.asc("doc_id")).limit(100)
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        top.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_feats",
+            round_det(
+                F.col("_s").cast("double") / F.lit(1e9), 6
+            ).alias("logweight_nats"),
+        )
+    )

@@ -870,3 +870,92 @@ def q_bloom_fpr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(theory, 6).alias("theoretical_fp_rate"),
         )
     )
+
+
+def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    leg of the privacy tier after q_k_anonymity_report and
+    q_l_diversity_report: per ``source`` quasi-class, the Earth-Mover's
+    Distance between the class's distribution of the ORDINAL sensitive
+    attribute (document length band: least(floor(n_chars/64), 9), a
+    fixed 10-band grid) and the corpus-wide distribution, plus the
+    t = 0.2 violation flag.
+
+    For an ordinal attribute with unit ground distance, 1-D EMD has the
+    closed form Σ_j |cum_p_j − cum_q_j| / (m−1) — and with integer
+    counts every cumulative difference is the EXACT integer
+    cum_a_j·G − cum_g_j·A (A = class size, G = corpus size), so the
+    whole audit is integer arithmetic (decimal(38,0)/HUGEINT — no
+    overflow at any scale) until one fixed final division. The
+    violation flag never touches floats at all:
+    5·Σ|D_j| > 9·A·G ⟺ EMD > 1/5, decided by integer
+    cross-multiplication. The band grid is FIXED (10 bands, m−1 = 9)
+    so both engines sum the same m terms even when top bands are empty
+    at small scale.
+
+    Scale: two narrow aggregates (class×band, band), a broadcast
+    10-row band spine, per-class cumulative windows over exactly 10
+    rows — no data-sized window, no all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    banded = docs.select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 64), F.lit(9)).cast("long").alias("band"),
+    )
+    bands = spark.range(10).select(F.col("id").cast("long").alias("band"))
+    srcs = banded.select("source").distinct()
+    cls = banded.groupBy("source", "band").agg(F.count("*").cast("long").alias("_a"))
+    filled = (
+        srcs.crossJoin(F.broadcast(bands))
+        .join(cls, ["source", "band"], "left")
+        .select(
+            "source", "band", F.coalesce("_a", F.lit(0)).cast("long").alias("_a")
+        )
+    )
+    glob = banded.groupBy("band").agg(F.count("*").cast("long").alias("_g"))
+    gfilled = bands.join(glob, "band", "left").select(
+        "band", F.coalesce("_g", F.lit(0)).cast("long").alias("_g")
+    )
+    w_cls = (
+        Window.partitionBy("source")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_glob = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    cum = filled.withColumn("_cuma", F.sum("_a").over(w_cls))
+    gcum = F.broadcast(gfilled.withColumn("_cumg", F.sum("_g").over(w_glob)))
+    tot = banded.groupBy("source").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    gtot = F.broadcast(banded.agg(F.count("*").cast("long").alias("_gt")))
+    d = (
+        cum.join(gcum, "band")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(gtot)
+        .select(
+            "source",
+            "class_size",
+            "_gt",
+            F.abs(
+                F.col("_cuma").cast("decimal(38,0)") * F.col("_gt")
+                - F.col("_cumg").cast("decimal(38,0)") * F.col("class_size")
+            ).alias("_ad"),
+        )
+    )
+    s = d.groupBy("source", "class_size", "_gt").agg(F.sum("_ad").alias("_sd"))
+    return s.select(
+        "source",
+        "class_size",
+        round_det(
+            F.col("_sd").cast("double")
+            / (F.col("class_size").cast("double") * F.col("_gt") * F.lit(9.0)),
+            6,
+        ).alias("emd"),
+        F.when(
+            F.col("_sd") * 5
+            > F.col("class_size").cast("decimal(38,0)") * F.col("_gt") * 9,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("violates_t02"),
+    )

@@ -747,3 +747,35 @@ ORACLES_ANALYTICS: dict[str, str] = {
         FROM q
     """,
 }
+
+# FULL twin of q_part_hierarchy_rollup (round 9, continued): a genuine
+# WITH RECURSIVE ancestor walk of the derived 4-ary taxonomy (child
+# k → parent (k-1)//4, root 0). Linear recursion — the recursive CTE
+# is referenced exactly once per step, so the kcore MATERIALIZED
+# lesson (device 7) does not apply. Depth/counts are pure integers;
+# money is the floor(price*100 + 0.5) cents snap emitted as an exact
+# BIGINT sum — no float aggregation on either engine.
+ORACLES_ANALYTICS["part_hierarchy_rollup"] = """
+    WITH RECURSIVE up AS (
+      SELECT p_partkey AS des, (p_partkey - 1) // 4 AS anc
+      FROM part WHERE p_partkey >= 1
+      UNION
+      SELECT des, (anc - 1) // 4 FROM up WHERE anc >= 1
+    ),
+    vals AS (SELECT p_partkey AS id,
+                    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+             FROM part),
+    dep AS (SELECT des AS id, CAST(count(*) AS BIGINT) AS depth
+            FROM up GROUP BY des),
+    sub AS (SELECT anc AS id, CAST(count(*) AS BIGINT) AS ndesc,
+                   CAST(sum(v.cents) AS BIGINT) AS dcents
+            FROM up JOIN vals v ON v.id = up.des GROUP BY anc)
+    SELECT v.id AS p_partkey,
+           CAST(coalesce(dep.depth, 0) AS BIGINT) AS depth,
+           CAST(coalesce(sub.ndesc, 0) + 1 AS BIGINT) AS subtree_count,
+           CAST(coalesce(sub.dcents, 0) + v.cents AS BIGINT)
+             AS subtree_value_cents
+    FROM vals v
+    LEFT JOIN dep ON dep.id = v.id
+    LEFT JOIN sub ON sub.id = v.id
+"""

@@ -717,3 +717,85 @@ def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
 
 
 _ORACLES["mmr_diversified_topk"] = _mmr_oracle_sql()
+
+
+def _kcore_oracle_sql(k: int = 4, rounds: int = 6) -> str:
+    """FULL DuckDB twin of q_graph_kcore (graph.kcore): the
+    fixed-round peel unrolls as one MATERIALIZED CTE triple (degrees,
+    keep-set, surviving edges) per round — materialization is load-
+    bearing: inlined, each round re-expands the previous one ~4x and
+    the replay goes exponential. Pure integer arithmetic end to end —
+    no rounding device exists anywhere, so cross-engine equality is
+    exact set/count identity, the strongest contract in the graph
+    tier (stronger than HITS' integer-spine and pagerank's
+    grid-margin arguments)."""
+    head = """
+        WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b,
+                                   user_id
+                   FROM events WHERE event_type = 'error'),
+        e0 AS MATERIALIZED (SELECT DISTINCT CAST(a.user_id AS BIGINT) AS u,
+                               CAST(c.user_id AS BIGINT) AS v
+               FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f""",
+        d{t} AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+                   SELECT u AS id FROM e{t - 1}
+                   UNION ALL SELECT v FROM e{t - 1}) GROUP BY id),
+        k{t} AS (SELECT id FROM d{t} WHERE d >= {k}),
+        e{t} AS MATERIALIZED (SELECT u, v FROM e{t - 1}
+                 WHERE u IN (SELECT id FROM k{t})
+                   AND v IN (SELECT id FROM k{t}))"""
+        )
+    tail = f"""
+        SELECT id AS user_id, CAST(count(*) AS BIGINT) AS core_degree FROM (
+          SELECT u AS id FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+        GROUP BY id
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_kcore"] = _kcore_oracle_sql()
+
+# FULL twin of q_snm_blocking_report (round 9, third session):
+# sorted-neighborhood blocking (Hernández & Stolfo 1995) — two passes
+# of row_number over pure-expression sort keys (doc_id tie-break =
+# total order, the two_phase_rank contract), in-window pairs for
+# w = 6 via rank-difference 1..5, metrics mirroring the
+# blocking_quality_report tree shapes exactly (verified pair).
+_SNM_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_ORACLES["snm_blocking_report"] = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr({_SNM_NORM}, 1, 16) AS k1,
+             lpad(CAST(n_chars AS VARCHAR), 8, '0')
+               || substr({_SNM_NORM}, 1, 8) AS k2
+      FROM documents),
+    p1 AS (SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) AS rk
+           FROM keyed),
+    p2 AS (SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) AS rk
+           FROM keyed),
+    c1 AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+           FROM p1 a JOIN p1 b ON b.rk BETWEEN a.rk + 1 AND a.rk + 5),
+    c2 AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+           FROM p2 a JOIN p2 b ON b.rk BETWEEN a.rk + 1 AND a.rk + 5),
+    cand AS (SELECT DISTINCT id_a, id_b
+             FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+    truth AS (SELECT id_a, id_b FROM ({ORACLES_CORE['ngram_jaccard_pairs']})),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+    nh AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates_true
+           FROM cand JOIN truth USING (id_a, id_b))
+    SELECT n_docs,
+           CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_possible_pairs,
+           n_candidates, n_true_pairs, n_candidates_true,
+           floor(n_candidates_true / nullif(n_true_pairs, 0) * 1000000 + 0.5)
+             / 1000000.0 AS pairs_completeness,
+           floor((1 - n_candidates / CAST(n_docs * (n_docs - 1) / 2 AS BIGINT))
+                 * 1000000 + 0.5) / 1000000.0 AS reduction_ratio
+    FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh
+"""

@@ -722,3 +722,93 @@ ORACLES_LM["embedding_outlier_report"] = f"""
              AS max_robust_z
     FROM fl GROUP BY vec_id
 """
+
+# FULL twin of q_js_divergence_sources (round 9): the bm25 nano-nat
+# grid extended to a two-distribution divergence. All products go
+# through HUGEINT (decimal(38,0) on the Spark side) so no long
+# overflow exists at any scale; per-token ln snaps to the nano-nat
+# grid BEFORE the pair aggregate, so Σ c·ln9 is an exact integer sum;
+# exclusive-token mass contributes (N − shared)·693147181 with the
+# identical hardcoded floor(ln(2)·1e9 + 0.5) literal.
+ORACLES_LM["js_divergence_sources"] = f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    counts AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY source, token),
+    totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY source),
+    terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb,
+             CAST(floor(ln(CAST(CAST(a.c AS HUGEINT) * tb.n * 2 AS DOUBLE)
+                           / CAST(CAST(a.c AS HUGEINT) * tb.n
+                                  + CAST(b.c AS HUGEINT) * ta.n AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS lna9,
+             CAST(floor(ln(CAST(CAST(b.c AS HUGEINT) * ta.n * 2 AS DOUBLE)
+                           / CAST(CAST(a.c AS HUGEINT) * tb.n
+                                  + CAST(b.c AS HUGEINT) * ta.n AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS lnb9
+      FROM counts a
+      JOIN counts b ON a.token = b.token AND a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source),
+    g AS (SELECT source_a, source_b,
+                 CAST(count(*) AS BIGINT) AS n_shared_tokens,
+                 sum(CAST(ca AS HUGEINT) * lna9) AS sa,
+                 sum(CAST(cb AS HUGEINT) * lnb9) AS sb,
+                 CAST(sum(ca) AS BIGINT) AS ma,
+                 CAST(sum(cb) AS BIGINT) AS mb,
+                 max(na) AS na, max(nb) AS nb
+          FROM terms GROUP BY source_a, source_b)
+    SELECT source_a, source_b, n_shared_tokens,
+           floor(((CAST(sa + CAST(na - ma AS HUGEINT) * 693147181 AS DOUBLE)
+                     / CAST(na AS DOUBLE)
+                   + CAST(sb + CAST(nb - mb AS HUGEINT) * 693147181 AS DOUBLE)
+                     / CAST(nb AS DOUBLE))
+                  * 0.5 / 1000000000.0) * 1000000 + 0.5) / 1000000.0 AS jsd_nats
+    FROM g
+"""
+
+# FULL twin of q_dsir_selection_report (round 9, continued). The
+# importance-weight odds ratio (t+1)(R+B) / ((r+1)(T+B)) is a ratio of
+# exact HUGEINT products; its ln snaps to the nano-nat grid BEFORE the
+# per-document aggregate, so each document's log weight is an exact
+# integer sum and the top-100 cut is decided on integers with doc_id
+# tie-break. Bucket hash = the md5-prefix device (engine-portable).
+ORACLES_LM["dsir_selection_report"] = f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(t) AS feat FROM toks),
+    bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS feat
+           FROM toks, unnest(range(1, len(t))) AS r(i)
+           WHERE len(t) >= 2),
+    feats AS (SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5(feat), 1, 15)) AS BIGINT)
+                       % 128 AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    raw_b AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM feats GROUP BY b),
+    tgt_b AS (SELECT b, CAST(count(*) AS BIGINT) AS tt
+              FROM feats WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw_b) AS R,
+                   (SELECT CAST(coalesce(sum(tt), 0) AS BIGINT) FROM tgt_b) AS T),
+    model AS (
+      SELECT raw_b.b,
+             CAST(floor(ln(CAST(CAST(coalesce(tgt_b.tt, 0) + 1 AS HUGEINT)
+                                * (tot.R + 128) AS DOUBLE)
+                           / CAST(CAST(raw_b.r + 1 AS HUGEINT)
+                                  * (tot.T + 128) AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS lr9
+      FROM raw_b LEFT JOIN tgt_b ON raw_b.b = tgt_b.b CROSS JOIN tot),
+    per_doc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+                FROM feats GROUP BY doc_id, b),
+    logw AS (SELECT doc_id,
+                    CAST(sum(c) AS BIGINT) AS n_feats,
+                    sum(CAST(c AS HUGEINT) * lr9) AS s
+             FROM per_doc JOIN model ON per_doc.b = model.b
+             GROUP BY doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY s DESC, logw.doc_id) AS INTEGER)
+             AS rank,
+           logw.doc_id, d.lang, d.source, n_feats,
+           floor(CAST(s AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+             / 1000000.0 AS logweight_nats
+    FROM logw JOIN documents d ON d.doc_id = logw.doc_id
+    ORDER BY s DESC, logw.doc_id LIMIT 100
+"""

@@ -501,3 +501,47 @@ ORACLES_MINING["bloom_fpr_report"] = """
                  * 1000000 + 0.5) / 1000000.0 AS theoretical_fp_rate
     FROM counts
 """
+
+# FULL twin of q_t_closeness_report (round 9): ordinal-EMD t-closeness
+# over the fixed 10-band length grid. Every cumulative difference is
+# the exact integer cum_a·G − cum_g·A (HUGEINT here, decimal(38,0) on
+# the Spark side); the t = 0.2 flag is integer cross-multiplication
+# (5·Σ|D| > 9·A·G) — no float ever decides it. The only float is the
+# one final reported-EMD division tree, identical on both engines.
+ORACLES_MINING["t_closeness_report"] = """
+    WITH banded AS (SELECT source,
+                           least(CAST(floor(n_chars / 64) AS BIGINT), 9) AS band
+                    FROM documents),
+    bands AS (SELECT CAST(range AS BIGINT) AS band FROM range(0, 10)),
+    srcs AS (SELECT DISTINCT source FROM banded),
+    cls AS (SELECT source, band, CAST(count(*) AS BIGINT) AS a
+            FROM banded GROUP BY source, band),
+    filled AS (SELECT s.source, b.band, COALESCE(c.a, 0) AS a
+               FROM srcs s CROSS JOIN bands b
+               LEFT JOIN cls c ON c.source = s.source AND c.band = b.band),
+    gl AS (SELECT b.band, COALESCE(g.g, 0) AS g
+           FROM bands b LEFT JOIN
+                (SELECT band, CAST(count(*) AS BIGINT) AS g
+                 FROM banded GROUP BY band) g ON g.band = b.band),
+    cum AS (SELECT source, band,
+                   sum(a) OVER (PARTITION BY source ORDER BY band) AS cuma
+            FROM filled),
+    gcum AS (SELECT band, sum(g) OVER (ORDER BY band) AS cumg FROM gl),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS class_size
+            FROM banded GROUP BY source),
+    gtot AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM banded),
+    d AS (SELECT c.source, class_size, gt,
+                 abs(CAST(c.cuma AS HUGEINT) * gt
+                     - CAST(g.cumg AS HUGEINT) * class_size) AS ad
+          FROM cum c JOIN gcum g USING (band)
+          JOIN tot USING (source) CROSS JOIN gtot),
+    s AS (SELECT source, class_size, gt, sum(ad) AS sd
+          FROM d GROUP BY source, class_size, gt)
+    SELECT source, class_size,
+           floor((CAST(sd AS DOUBLE)
+                  / (CAST(class_size AS DOUBLE) * gt * 9.0)) * 1000000 + 0.5)
+             / 1000000.0 AS emd,
+           CAST(CASE WHEN sd * 5 > CAST(class_size AS HUGEINT) * gt * 9
+                     THEN 1 ELSE 0 END AS INTEGER) AS violates_t02
+    FROM s
+"""

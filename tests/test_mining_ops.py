@@ -294,3 +294,20 @@ def test_hll_registers_partition_and_merge_invariant(spark, sf_dir):
         merged = merged.unionByName(s)
     merged = merged.groupBy("reg").agg(F.max("_m").alias("_m"))
     assert {(r["reg"], r["_m"]) for r in merged.collect()} == base
+
+
+def test_t_closeness_flag_is_exact(spark, sf_dir):
+    """The t = 0.2 violation flag is decided by integer
+    cross-multiplication, never by the rounded float EMD — so wherever
+    the reported EMD is clear of the 0.2 boundary, the two must agree;
+    and class sizes must partition the corpus."""
+    from kickstarter_etl_pipeline_spark.queries import q_t_closeness_report
+
+    rows = q_t_closeness_report(spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["class_size"] for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r["emd"] <= 1.0
+        if abs(r["emd"] - 0.2) > 1e-5:
+            assert r["violates_t02"] == (1 if r["emd"] > 0.2 else 0), r

@@ -500,3 +500,147 @@ def test_bm25_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert rows1 == rows2 and len(rows1) == 10
+
+
+def test_kcore_synthetic_and_partition_invariant(spark):
+    """graph.kcore is pure integer arithmetic — partition count must
+    provably not move the result. Pin both the semantics (a 5-clique
+    survives k=4 peeling; a pendant chain and a degree-3 satellite do
+    not) and the invariance (repartitioned edges + a different
+    loop_partitions produce the identical table)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    extra = [(5, 6), (6, 7), (1, 8), (2, 8), (3, 8)]
+    edges = spark.createDataFrame(clique + extra, ["u", "v"])
+    expect = {(i, 4) for i in range(1, 6)}
+    got = {(r["id"], r["core_degree"]) for r in kcore(edges, k=4, rounds=6).collect()}
+    assert got == expect
+    again = {
+        (r["id"], r["core_degree"])
+        for r in kcore(
+            edges.repartition(13), k=4, rounds=6, loop_partitions=3
+        ).collect()
+    }
+    assert again == expect
+
+
+def test_jsd_partition_invariant(spark, sf_dir):
+    """js_divergence_sources keeps every aggregate on an exact integer
+    spine (nano-nat grid snapped BEFORE the pair sums) — shuffle
+    partition count must not move any divergence. Also pin the JSD
+    bounds: 0 <= jsd <= ln 2 (+ one 6-dp grid step)."""
+    from kickstarter_etl_pipeline_spark.queries import q_js_divergence_sources
+
+    rows1 = {tuple(r) for r in q_js_divergence_sources(spark, sf_dir).collect()}
+    assert rows1
+    for r in rows1:
+        assert 0.0 <= r[3] <= 0.6931482, r
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = {
+            tuple(r) for r in q_js_divergence_sources(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows2 == rows1
+
+
+def test_transitive_closure_synthetic_and_partition_invariant(spark):
+    """graph.transitive_closure by path doubling: pin the semantics on
+    a known tree (every ancestor pair, nothing else) and the partition
+    invariance (pure set algebra — repartitioned edges + a different
+    loop_partitions produce the identical closure)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import transitive_closure
+
+    # 0 -> 1 -> 2 -> 3 -> 4 chain plus a branch 1 -> 5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5)], ["anc", "des"]
+    )
+    expect = {
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+        (1, 2), (1, 3), (1, 4), (1, 5),
+        (2, 3), (2, 4), (3, 4),
+    }
+    got = {(r["anc"], r["des"]) for r in transitive_closure(edges, rounds=3).collect()}
+    assert got == expect
+    again = {
+        (r["anc"], r["des"])
+        for r in transitive_closure(
+            edges.repartition(11), rounds=5, loop_partitions=3
+        ).collect()
+    }
+    assert again == expect
+
+
+def test_hierarchy_rollup_arithmetic_identities(spark, sf_dir):
+    """part_hierarchy_rollup invariants that hold for ANY part table:
+    the root (key 0) rolls up every part (subtree_count = N, value =
+    total cents), every leaf has subtree_count 1 = its own cents, and
+    depth equals the 4-ary ancestor-chain length floor-log formula."""
+    from kickstarter_etl_pipeline_spark.queries import q_part_hierarchy_rollup
+
+    rows = {r["p_partkey"]: r for r in q_part_hierarchy_rollup(spark, sf_dir).collect()}
+    n = len(rows)
+    root = rows[0]
+    assert root["depth"] == 0 and root["subtree_count"] == n
+    # depth: walk the parent chain in Python (exact replica of the
+    # derived taxonomy) for a sample of keys.
+    for k in list(rows)[:50]:
+        d, x = 0, k
+        while x >= 1:
+            x = (x - 1) // 4
+            d += 1
+        assert rows[k]["depth"] == d, (k, d, rows[k]["depth"])
+    # leaves' cents sum to the root's rollup only when every internal
+    # node's own value is included too — assert the stronger identity:
+    # root subtree value == sum of every node's own cents, where own
+    # cents = subtree - sum(children subtrees).
+    children = {}
+    for k in rows:
+        if k >= 1:
+            children.setdefault((k - 1) // 4, []).append(k)
+    own_total = sum(
+        r["subtree_value_cents"]
+        - sum(rows[c]["subtree_value_cents"] for c in children.get(k, []))
+        for k, r in rows.items()
+    )
+    assert root["subtree_value_cents"] == own_total
+
+
+def test_dsir_partition_invariant(spark, sf_dir):
+    """dsir_selection_report's log weights are exact integer sums of
+    grid-snapped per-bucket log-odds — shuffle partition count must
+    not move any rank, weight, or selected doc."""
+    from kickstarter_etl_pipeline_spark.queries import q_dsir_selection_report
+
+    rows1 = [tuple(r) for r in q_dsir_selection_report(spark, sf_dir).collect()]
+    assert len(rows1) == 100
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = [tuple(r) for r in q_dsir_selection_report(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows1 == rows2
+
+
+def test_snm_partition_invariant(spark, sf_dir):
+    """snm_blocking_report: the sort keys are pure row expressions and
+    the rank is totally ordered by (key, doc_id), so partitioning must
+    not move any metric. Also pin the window arithmetic: candidates
+    <= 2 passes x N x (w-1) and reduction/completeness in [0, 1]."""
+    from kickstarter_etl_pipeline_spark.queries import q_snm_blocking_report
+
+    row1 = q_snm_blocking_report(spark, sf_dir).collect()[0]
+    assert row1["n_candidates"] <= 2 * row1["n_docs"] * 5
+    assert 0.0 <= row1["reduction_ratio"] <= 1.0
+    assert 0.0 <= row1["pairs_completeness"] <= 1.0
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        row2 = q_snm_blocking_report(spark, sf_dir).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert tuple(row1) == tuple(row2)
