@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "embedding_pca_top",
     "simhash_near_dup_clusters",
+    # round 9, third session: the three new queries all land in the
+    # heavier tier at sf0.1 (2.7-4.1 s min-of-3 on first measurement) —
+    # DSIR's corpus explode, the path-doubling closure's iterative
+    # regime, and SNM's two-sort + exact-truth composition each get a
+    # regression canary from day one.
+    "dsir_selection_report",
+    "part_hierarchy_rollup",
+    "snm_blocking_report",
 ]
 
 
