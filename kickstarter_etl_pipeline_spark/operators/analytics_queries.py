@@ -1435,3 +1435,15 @@ def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("subtree_value_cents"),
         )
     )
+
+
+def q_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-op surface completion: INTERSECT ALL keeps
+    multiplicity (each 1998 priority row pairs off against one 1999
+    row, bag semantics) — the missing member next to EXCEPT ALL
+    (q_except_all_priorities) and the distinct INTERSECT
+    (q_custkeys_both_years)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    b = orders.filter(F.year("o_orderdate") == 1999).select("o_orderpriority")
+    return a.intersectAll(b)

@@ -222,6 +222,27 @@ ORACLES_ANALYTICS: dict[str, str] = {
         EXCEPT ALL
         SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1999
     """,
+    "intersect_all_priorities": """
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1998
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1999
+    """,
+    "window_cume_dist": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0
+                 AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0
+                 AS cum_dist,
+               nth_value(o_totalprice, 3) OVER (
+                 PARTITION BY o_orderpriority, month(o_orderdate)
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS third_lowest_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority, month(o_orderdate)
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
     "bpe_token_counts": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,

@@ -505,3 +505,36 @@ def q_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("n_hits") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function surface completion: percent_rank + cume_dist +
+    nth_value(3) per (priority, order-month) partition, ordered by
+    (price, orderkey) — a TOTAL order, so ties never make the two
+    ratio functions ambiguous. Both functions are exact-integer-count
+    ratios ((rank−1)/(n−1), pos/n) — bit-identical IEEE divisions on
+    both engines — snapped to the 6-dp display grid.
+
+    Scale: partitions are (priority × month) — bounded count but
+    data-sized members; the scale posture for global/near-global ranks
+    is two_phase_rank (SCALE.md, Windows) — this query is the SURFACE
+    parity member of the family."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        "o_totalprice",
+    )
+    wo = Window.partitionBy("o_orderpriority", "order_month").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "order_month",
+        round_det(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        round_det(F.cume_dist().over(wo), 6).alias("cum_dist"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_lowest_price"),
+    )

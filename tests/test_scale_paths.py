@@ -644,3 +644,39 @@ def test_snm_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert tuple(row1) == tuple(row2)
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_round9_new_queries_plan_contracts(spark, sf_dir):
+    """Plan shapes the round-9 third-session queries were designed to:
+    DSIR's 128-row bucket model must ride a broadcast and its top-100
+    must be a TakeOrdered (no global sort of the corpus); the SNM
+    pairing and the closure self-join must stay equi-joins — a
+    CartesianProduct or broadcast nested loop anywhere means the
+    rank+d / midpoint-key design regressed into an all-pairs plan."""
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_dsir_selection_report,
+        q_part_hierarchy_rollup,
+        q_snm_blocking_report,
+    )
+
+    dsir = _formatted_plan(q_dsir_selection_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in dsir
+    assert "TakeOrderedAndProject" in dsir
+    assert "CartesianProduct" not in dsir
+
+    for q in (q_part_hierarchy_rollup, q_snm_blocking_report):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+        # broadcast nested loops are the non-equi fallback; the only
+        # legitimate BNLJ in these plans would be a one-row scalar
+        # broadcast, which both queries express as crossJoin(broadcast)
+        # of single-row aggregates — SNM's metric assembly. The pairing
+        # joins themselves must be hash equi-joins.
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, q.__name__
