@@ -635,6 +635,7 @@ def q_simhash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         id_col="doc_id",
+        loop_partitions=8,
     )
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
     return comp.join(sizes, on="component_id").select(
