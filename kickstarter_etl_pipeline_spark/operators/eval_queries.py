@@ -550,3 +550,118 @@ def q_snm_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, the
+    standard score-free ranker combiner, k = 60): fuse the BM25 ranker
+    (q_bm25_topk's scoring, here ranked over ALL matching docs) with a
+    plain term-frequency ranker for the same deterministic 5-term
+    query, and report the top-10 fused documents —
+
+        rrf(d) = Σ_r 1 / (60 + rank_r(d))
+
+    Exactness: both input rankings are total orders (score DESC,
+    doc_id), so every rank is a deterministic integer; each reciprocal
+    snaps to the nano grid — floor(1e9/(60+rank) + 0.5), identical
+    IEEE division of exact integers on both engines — and the fused
+    score is an exact two-long sum, so the final cut is decided on
+    integers with doc_id tie-break.
+
+    Scale: both full rankings run on two_phase_rank (range exchanges,
+    no single-task window — rank-ALL is exactly the regime the scale
+    path exists for); the fusion join is doc_id-keyed; top-10 is a
+    TakeOrdered. The 5-term query rides a broadcast as in bm25."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+    from kickstarter_etl_pipeline_spark.operators.text import tokens
+
+    RRF_K = 60
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("_toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size("_toks").cast("long").alias("dl"))
+    n_row = F.broadcast(docs.agg(F.count("*").cast("long").alias("_n")))
+    t_row = F.broadcast(dl.agg(F.sum("dl").cast("long").alias("_t")))
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = F.broadcast(
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("term"))
+        .limit(5)
+        .select("term")
+        .join(df_tbl, "term")
+        .crossJoin(n_row)
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf9"),
+        )
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(dl, "doc_id")
+        .crossJoin(n_row)
+        .crossJoin(t_row)
+        .select(
+            "doc_id",
+            "tf",
+            F.floor(
+                (F.col("idf9") / F.lit(1e9))
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * (F.col("dl") * F.col("_n") / F.col("_t"))
+                    )
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_s9"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("_s9").cast("long").alias("_sum9"),
+        F.sum("tf").cast("long").alias("_tfsum"),
+    )
+    ra = two_phase_rank(per_doc, [F.desc("_sum9"), "doc_id"]).select(
+        "doc_id", F.col("rank").cast("int").alias("rank_bm25")
+    )
+    rb = two_phase_rank(per_doc, [F.desc("_tfsum"), "doc_id"]).select(
+        "doc_id", F.col("rank").cast("int").alias("rank_tf")
+    )
+    fused = ra.join(rb, "doc_id").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_tf",
+        (
+            F.floor(F.lit(1e9) / (F.lit(RRF_K) + F.col("rank_bm25")) + F.lit(0.5))
+            + F.floor(F.lit(1e9) / (F.lit(RRF_K) + F.col("rank_tf")) + F.lit(0.5))
+        )
+        .cast("long")
+        .alias("_rrf9"),
+    )
+    top = fused.orderBy(F.desc("_rrf9"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("_rrf9"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "rank_bm25",
+        "rank_tf",
+        round_det(F.col("_rrf9").cast("double") / F.lit(1e9), 6).alias("rrf_score"),
+    )

@@ -200,6 +200,46 @@ ORACLES_EVAL: dict[str, str] = {
                floor(sum9 / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS bm25_score
         FROM ranked WHERE rank <= 10
     """,
+    "rrf_fusion_topk": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        q AS (SELECT term FROM (SELECT term, sum(tf) AS cnt FROM tf
+                                GROUP BY term ORDER BY cnt DESC, term LIMIT 5)),
+        qi AS (SELECT q.term,
+                      CAST(floor(ln((n.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+                                 * 1000000000 + 0.5) AS BIGINT) AS idf9
+               FROM q JOIN dfr USING (term) CROSS JOIN n),
+        sc AS (SELECT tf.doc_id, tf.tf,
+                      CAST(floor((qi.idf9 / 1000000000.0)
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * n.n / tt.t)))
+                           * 1000000000 + 0.5) AS BIGINT) AS s9
+               FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN n CROSS JOIN tt),
+        pd AS (SELECT doc_id, CAST(sum(s9) AS BIGINT) AS sum9,
+                      CAST(sum(tf) AS BIGINT) AS tfsum
+               FROM sc GROUP BY doc_id),
+        ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sum9 DESC, doc_id)
+                 AS INTEGER) AS rank_bm25 FROM pd),
+        rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY tfsum DESC, doc_id)
+                 AS INTEGER) AS rank_tf FROM pd),
+        fused AS (SELECT ra.doc_id, rank_bm25, rank_tf,
+                         CAST(floor(1000000000.0 / (60 + rank_bm25) + 0.5)
+                              + floor(1000000000.0 / (60 + rank_tf) + 0.5)
+                              AS BIGINT) AS rrf9
+                  FROM ra JOIN rb USING (doc_id)),
+        ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf9 DESC, doc_id)
+                     AS INTEGER) AS rank
+                   FROM fused)
+        SELECT rank, doc_id, rank_bm25, rank_tf,
+               floor(rrf9 / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS rrf_score
+        FROM ranked WHERE rank <= 10
+    """,
     "rank_correlation_report": f"""
         WITH s AS ({_QUAL}),
         j AS (SELECT CAST(d.n_chars AS BIGINT) AS x,
