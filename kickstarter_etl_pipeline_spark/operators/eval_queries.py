@@ -665,3 +665,75 @@ def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_tf",
         round_det(F.col("_rrf9").cast("double") / F.lit(1e9), 6).alias("rrf_score"),
     )
+
+
+#: NDCG position weights: w_i = floor(1e9 / log2(i+1) + 0.5) for
+#: positions 1..10, HARDCODED on both engines (the derived-constant
+#: lesson — computing log2 at runtime on each engine is a cross-libm
+#: bet for zero gain; these ten literals ARE the contract).
+_NDCG_W9 = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+
+
+def q_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the quality-score ranker against a graded relevance
+    label (Järvelin & Kekäläinen 2002) — the standard ranking-quality
+    metric completing the eval tier next to AUC (binary ranking),
+    calibration, and Spearman. Relevance grades are a fixed band map
+    of document length (≥400 chars → 3, ≥250 → 2, ≥120 → 1, else 0 —
+    literal thresholds, identical on both engines); gains are the
+    standard 2^rel − 1.
+
+    Exactness: DCG@10 = Σ gain_i · w_i with the ten position weights
+    hardcoded in nano units (above), so both DCG and ideal DCG are
+    exact integer sums; NDCG is one fixed IEEE division of those two
+    longs, snapped to 6 dp. The two top-10 cuts are total orders
+    ((q DESC, doc_id) and (rel DESC, doc_id)) — no tie ambiguity.
+
+    Scale: two TakeOrdered top-10s over the scored corpus (no global
+    sort, no data-sized window — the rank windows run over 10 rows);
+    one crossJoin of two one-row aggregates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = _scored_docs(spark, sf_dir).join(docs, "doc_id")
+    rel = (
+        F.when(F.col("n_chars") >= 400, 3)
+        .when(F.col("n_chars") >= 250, 2)
+        .when(F.col("n_chars") >= 120, 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    gain = F.element_at(
+        F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7)), rel + 1
+    ).cast("long")
+    warr = F.array(*[F.lit(w) for w in _NDCG_W9])
+
+    def _dcg9(ordered: DataFrame, order_cols) -> DataFrame:
+        top = ordered.orderBy(*order_cols).limit(10)
+        w = Window.orderBy(*order_cols)
+        pos = F.row_number().over(w)
+        return top.select(
+            (F.col("_gain") * F.element_at(warr, pos)).alias("_term")
+        ).agg(F.sum("_term").cast("long").alias("_dcg9"))
+
+    base = scored.select("doc_id", "q", gain.alias("_gain"))
+    dcg = _dcg9(base, [F.desc("q"), F.asc("doc_id")]).select(
+        F.col("_dcg9").alias("_d9")
+    )
+    idcg = _dcg9(base, [F.desc("_gain"), F.asc("doc_id")]).select(
+        F.col("_dcg9").alias("_i9")
+    )
+    n_row = scored.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        n_row.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_docs",
+            round_det(F.col("_d9").cast("double") / F.lit(1e9), 6).alias("dcg_at_10"),
+            round_det(F.col("_i9").cast("double") / F.lit(1e9), 6).alias("idcg_at_10"),
+            round_det(
+                F.col("_d9").cast("double") / F.nullif(F.col("_i9"), F.lit(0)), 6
+            ).alias("ndcg_at_10"),
+        )
+    )

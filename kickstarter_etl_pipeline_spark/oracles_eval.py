@@ -200,6 +200,31 @@ ORACLES_EVAL: dict[str, str] = {
                floor(sum9 / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS bm25_score
         FROM ranked WHERE rank <= 10
     """,
+    "ndcg_report": f"""
+        WITH s AS ({_QUAL}),
+        base AS (
+          SELECT s.doc_id, s.q,
+                 CAST(CASE WHEN d.n_chars >= 400 THEN 7
+                           WHEN d.n_chars >= 250 THEN 3
+                           WHEN d.n_chars >= 120 THEN 1
+                           ELSE 0 END AS BIGINT) AS gain
+          FROM s JOIN documents d USING (doc_id) WHERE s.q IS NOT NULL),
+        w AS (SELECT [1000000000, 630929754, 500000000, 430676558, 386852807,
+                      356207187, 333333333, 315464877, 301029996, 289064826] AS ws),
+        dtop AS (SELECT gain, row_number() OVER (ORDER BY q DESC, doc_id) AS pos
+                 FROM base ORDER BY q DESC, doc_id LIMIT 10),
+        itop AS (SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id) AS pos
+                 FROM base ORDER BY gain DESC, doc_id LIMIT 10),
+        d9 AS (SELECT CAST(sum(gain * ws[pos]) AS BIGINT) AS d FROM dtop CROSS JOIN w),
+        i9 AS (SELECT CAST(sum(gain * ws[pos]) AS BIGINT) AS i FROM itop CROSS JOIN w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base)
+        SELECT n_docs,
+               floor(d / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS dcg_at_10,
+               floor(i / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS idcg_at_10,
+               floor(CAST(d AS DOUBLE) / nullif(i, 0) * 1000000 + 0.5) / 1000000.0
+                 AS ndcg_at_10
+        FROM n CROSS JOIN d9 CROSS JOIN i9
+    """,
     "rrf_fusion_topk": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
