@@ -1447,3 +1447,24 @@ def q_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
     b = orders.filter(F.year("o_orderdate") == 1999).select("o_orderpriority")
     return a.intersectAll(b)
+
+
+def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-path depths (8 fixed rounds) from the
+    minimum user id over the 10-minute error co-occurrence graph — the
+    distance/reachability view completing the graph tier next to
+    pagerank/HITS (centrality), k-core (density), components
+    (partition), and the closure (ancestry). Pure integer end to end
+    (depths are loop counters); the DuckDB twin is the literal
+    unrolled frontier replay with MATERIALIZED per-round CTEs (the
+    visited set is referenced twice per round — device 7)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        bfs_depths,
+        cooccurrence_edges,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    return bfs_depths(edges, rounds=8).select(
+        F.col("id").alias("user_id"), "depth"
+    )

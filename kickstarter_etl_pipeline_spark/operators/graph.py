@@ -534,3 +534,63 @@ def transitive_closure(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return clo
+
+
+def bfs_depths(
+    edges: DataFrame,
+    rounds: int = 8,
+    u: str = "u",
+    v: str = "v",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Single-source BFS shortest-path depths over an undirected edge
+    list — the distance primitive the graph tier's centrality/peeling
+    operators don't provide. The source is the MINIMUM vertex id (a
+    pure function of the data, so both engines pick the identical
+    source without any parameter channel). FIXED-round contract (like
+    kcore): after ``rounds`` frontier expansions the result is every
+    vertex within that distance, with its exact depth — well-defined
+    even when the graph's eccentricity exceeds the budget, and the
+    DuckDB twin replays it as a finite unrolled CTE.
+
+    Each round is one frontier⋈edges expansion (keyed by vertex id)
+    plus one left-anti against the visited set — shuffle O(E) per
+    round, never all-pairs; ``loop_partitions`` sizes the DATA-sized
+    exchanges exactly like kcore's. Pure integer arithmetic — depths
+    are loop counters; cross-engine equality is set identity.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v"))
+        .unionByName(
+            edges.select(
+                F.col(v).cast("long").alias("_u"), F.col(u).cast("long").alias("_v")
+            )
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
+    try:
+        sym = sym.localCheckpoint(eager=True)
+        src = sym.agg(F.min("_u").alias("_id")).select(
+            "_id", F.lit(0).cast("long").alias("depth")
+        )
+        visited = src.localCheckpoint(eager=True)
+        frontier = visited
+        for t in range(1, rounds + 1):
+            nxt = (
+                frontier.select(F.col("_id").alias("_u"))
+                .join(sym, "_u")
+                .select(F.col("_v").alias("_id"))
+                .distinct()
+                .join(visited.select("_id"), "_id", "left_anti")
+                .select("_id", F.lit(t).cast("long").alias("depth"))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return visited.select(F.col("_id").alias("id"), "depth")

@@ -758,6 +758,45 @@ def _kcore_oracle_sql(k: int = 4, rounds: int = 6) -> str:
 
 _ORACLES["graph_kcore"] = _kcore_oracle_sql()
 
+def _bfs_oracle_sql(rounds: int = 8) -> str:
+    """FULL DuckDB twin of q_graph_bfs_depths (graph.bfs_depths): the
+    fixed-round frontier expansion unrolls as one MATERIALIZED CTE
+    pair (frontier, visited) per round. MATERIALIZED is load-bearing
+    by device (7): v{t} is referenced twice per round (the anti-join
+    and the union), so the inlined unroll would re-expand ~2x per
+    round. Pure integers — depths are loop counters; equality is set
+    identity."""
+    head = """
+        WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b,
+                                   user_id
+                   FROM events WHERE event_type = 'error'),
+        e0 AS MATERIALIZED (SELECT DISTINCT CAST(a.user_id AS BIGINT) AS u,
+                               CAST(c.user_id AS BIGINT) AS v
+               FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+        sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        v0 AS MATERIALIZED (SELECT min(u) AS id, CAST(0 AS BIGINT) AS depth FROM sym),
+        f0 AS MATERIALIZED (SELECT id FROM v0)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f""",
+        f{t} AS MATERIALIZED (
+          SELECT DISTINCT sym.v AS id
+          FROM f{t - 1} JOIN sym ON sym.u = f{t - 1}.id
+          WHERE sym.v NOT IN (SELECT id FROM v{t - 1})),
+        v{t} AS MATERIALIZED (
+          SELECT id, depth FROM v{t - 1}
+          UNION ALL SELECT id, CAST({t} AS BIGINT) FROM f{t})"""
+        )
+    tail = f"""
+        SELECT id AS user_id, depth FROM v{rounds}
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_bfs_depths"] = _bfs_oracle_sql()
+
+
 # FULL twin of q_snm_blocking_report (round 9, third session):
 # sorted-neighborhood blocking (Hernández & Stolfo 1995) — two passes
 # of row_number over pure-expression sort keys (doc_id tie-break =

@@ -680,3 +680,27 @@ def test_round9_new_queries_plan_contracts(spark, sf_dir):
         # of single-row aggregates — SNM's metric assembly. The pairing
         # joins themselves must be hash equi-joins.
         assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, q.__name__
+
+
+def test_bfs_depths_synthetic_and_partition_invariant(spark):
+    """graph.bfs_depths: exact depths on a known graph (source = min
+    id), fixed-round truncation honored, and partition invariance
+    (pure set algebra)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import bfs_depths
+
+    # 1-2-3-4-5 chain, a 1-6 shortcut, and an isolated 8-9 edge:
+    # source is vertex 1; the 8-9 component is unreachable.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (8, 9)], ["u", "v"]
+    )
+    expect = {(1, 0), (2, 1), (6, 1), (3, 2), (4, 3), (5, 4)}
+    got = {(r["id"], r["depth"]) for r in bfs_depths(edges, rounds=8).collect()}
+    assert got == expect
+    # rounds=2 truncates at distance 2 — the fixed-round contract.
+    got2 = {(r["id"], r["depth"]) for r in bfs_depths(edges, rounds=2).collect()}
+    assert got2 == {(1, 0), (2, 1), (6, 1), (3, 2)}
+    again = {
+        (r["id"], r["depth"])
+        for r in bfs_depths(edges.repartition(9), rounds=8, loop_partitions=3).collect()
+    }
+    assert again == expect
