@@ -84,6 +84,19 @@ BENCH_QUERIES = [
     "dsir_selection_report",
     "part_hierarchy_rollup",
     "snm_blocking_report",
+    # round 9, fourth session: the heaviest of the late round-9
+    # additions at sf0.1 (min-of-2 probe: graph_hits 4.23 s,
+    # rrf_fusion_topk 3.52 s, graph_bfs_depths 1.83 s). HITS is the
+    # exact-integer-spine iterative regime, RRF runs two full
+    # two_phase_rank rankings, BFS is the frontier-expansion loop —
+    # three distinct cost models, each worth its own canary. The
+    # remaining unbenched round-9 queries all probe under 1.8 s and
+    # share cost models with benched entries (kcore ≈ bfs's per-round
+    # frontier joins, window_cume_dist ≈ window_running_sum's single
+    # exchange).
+    "graph_hits",
+    "rrf_fusion_topk",
+    "graph_bfs_depths",
 ]
 
 

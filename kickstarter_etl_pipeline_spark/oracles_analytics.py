@@ -800,3 +800,49 @@ ORACLES_ANALYTICS["part_hierarchy_rollup"] = """
     LEFT JOIN dep ON dep.id = v.id
     LEFT JOIN sub ON sub.id = v.id
 """
+
+# FULL twin of q_bootstrap_ci_report: Poisson(1) weights from the same
+# hardcoded 2^60-grid CDF thresholds over md5("orderkey:b"); replicate
+# means by exact HUGEINT floor division; CI = rank-2/rank-31 replicate
+# means ranked on (mean6, b).
+ORACLES_ANALYTICS["bootstrap_ci_report"] = """
+    WITH base AS (SELECT o_orderkey, o_orderpriority AS priority,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                  FROM orders),
+    rep AS (SELECT o_orderkey, priority, cents, unnest(range(0, 32)) AS b FROM base),
+    wt AS (SELECT priority, b, cents,
+                  CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':',
+                                                      CAST(b AS VARCHAR))), 1, 15))
+                       AS BIGINT) AS u
+           FROM rep),
+    ww AS (SELECT priority, b, cents,
+                  CASE WHEN u < 424136118829305344 THEN 0
+                       WHEN u < 848272237658610688 THEN 1
+                       WHEN u < 1060340297073263360 THEN 2
+                       WHEN u < 1131029650211480960 THEN 3
+                       WHEN u < 1148701988496035328 THEN 4
+                       WHEN u < 1152236456152946176 THEN 5
+                       ELSE 6 END AS w
+           FROM wt),
+    reps AS (SELECT priority, b,
+                    CAST(sum(CAST(w AS HUGEINT) * cents) AS HUGEINT) AS s,
+                    CAST(sum(w) AS BIGINT) AS wsum
+             FROM ww GROUP BY 1, 2),
+    m AS (SELECT priority, b,
+                 CAST((s * 10000) // nullif(wsum, 0) AS BIGINT) AS m6,
+                 row_number() OVER (PARTITION BY priority
+                     ORDER BY CAST((s * 10000) // nullif(wsum, 0) AS BIGINT), b) AS rk
+          FROM reps),
+    ci AS (SELECT priority,
+                  max(CASE WHEN rk = 2 THEN m6 END) AS lo6,
+                  max(CASE WHEN rk = 31 THEN m6 END) AS hi6
+           FROM m GROUP BY priority),
+    pt AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST((CAST(sum(cents) AS HUGEINT) * 10000) // count(*) AS BIGINT) AS p6
+           FROM base GROUP BY priority)
+    SELECT pt.priority AS o_orderpriority, n_orders,
+           p6 / 1000000.0 AS point_mean,
+           lo6 / 1000000.0 AS ci_lo,
+           hi6 / 1000000.0 AS ci_hi
+    FROM pt JOIN ci USING (priority)
+"""

@@ -567,6 +567,30 @@ ORACLES_CORE: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 >= 0.8
     """,
+    # FULL twin of q_jaccard_prefix_join: the brute-force exact pair set
+    # at J >= 7/10, keep rule decided on INTEGERS (17*common >= 7*(na+nb)).
+    # Spark generates candidates through the prefix filter; equality with
+    # this unfiltered oracle is an empirical proof of the filter's
+    # completeness theorem on real data (same device as minhash's
+    # exact-verify grade, but deterministic instead of probabilistic).
+    "jaccard_prefix_join": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) - 1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+                 FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common,
+               floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5) / 1000000.0 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE 17 * n_common >= 7 * (sa.n + sb.n)
+    """,
     "boilerplate_stats": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

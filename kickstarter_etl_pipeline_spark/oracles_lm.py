@@ -812,3 +812,29 @@ ORACLES_LM["dsir_selection_report"] = f"""
     FROM logw JOIN documents d ON d.doc_id = logw.doc_id
     ORDER BY s DESC, logw.doc_id LIMIT 100
 """
+
+# FULL twin of q_mutual_information_report (round 9, continued): the
+# JSD nano-nat device on the (source x length-band) contingency table —
+# per-cell ln((c*N)/(r*k)) snapped to the nano-nat grid BEFORE the
+# per-source aggregate; all products HUGEINT; one fixed final division.
+ORACLES_LM["mutual_information_report"] = """
+    WITH d AS (SELECT source, least(floor(n_chars / 64), 9) AS band FROM documents),
+    cells AS (SELECT source, band, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+    rs AS (SELECT source, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY source),
+    kb AS (SELECT band, CAST(sum(c) AS BIGINT) AS k FROM cells GROUP BY band),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    terms AS (SELECT cells.source, c, n,
+                     CAST(floor(ln(CAST(CAST(c AS HUGEINT) * n AS DOUBLE)
+                                   / CAST(CAST(r AS HUGEINT) * k AS DOUBLE))
+                                * 1000000000 + 0.5) AS BIGINT) AS ln9
+              FROM cells JOIN rs USING (source) JOIN kb USING (band), tot),
+    g AS (SELECT source,
+                 CAST(sum(CAST(c AS HUGEINT) * ln9) AS HUGEINT) AS s,
+                 CAST(sum(c) AS BIGINT) AS n_docs,
+                 max(n) AS n
+          FROM terms GROUP BY source)
+    SELECT source, n_docs,
+           floor(CAST(s AS DOUBLE) / n / 1000000000.0 * 1000000 + 0.5) / 1000000.0
+             AS mi_contrib_nats
+    FROM g
+"""

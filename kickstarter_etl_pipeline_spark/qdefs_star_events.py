@@ -519,6 +519,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (PPJoin family) at
+    J ≥ 7/10 — the deterministic exact scale path next to MinHash-LSH.
+    The oracle is the UNfiltered brute-force pair set with the same
+    integer keep rule, so the grade empirically proves the prefix
+    filter's completeness theorem (any missed pair would hash-mismatch).
+    See operators/dedup.py:prefix_filtered_jaccard_pairs for the
+    ordering/prefix-length math and the 100 TB posture."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    return prefix_filtered_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold_num=7, threshold_den=10
+    )
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (scale path).
 

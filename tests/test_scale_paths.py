@@ -704,3 +704,87 @@ def test_bfs_depths_synthetic_and_partition_invariant(spark):
         for r in bfs_depths(edges.repartition(9), rounds=8, loop_partitions=3).collect()
     }
     assert again == expect
+
+
+def test_prefix_join_equals_exact_and_synthetic(spark, sf_dir):
+    """jaccard_prefix_join: (1) on a synthetic corpus with a known
+    near-dup pair and an easy miss, the prefix-filtered result equals
+    the hand-computed exact pair set; (2) on the fixture it equals the
+    brute-force exact operator restricted to the same integer keep
+    rule — the completeness theorem checked against the in-repo exact
+    tier (the driver grade re-proves it against DuckDB)."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "an entirely different document about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filtered_jaccard_pairs(docs, 7, 10).collect()
+    }
+    # docs 1/2 share 7 of their 8+8 distinct 3-shingles each:
+    # J = 7/9 >= 7/10; doc 3 shares nothing.
+    assert got == {(1, 2)}
+
+    fixture = load_table(spark, sf_dir, "documents")
+    got_fix = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filtered_jaccard_pairs(fixture, 7, 10).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(fixture, threshold=0.7).collect()
+    }
+    # threshold=0.7 in the exact tier filters on the 6dp-snapped float;
+    # the integer rule 17*common >= 7*(na+nb) admits exactly the same
+    # pairs unless a pair sits within 5e-7 of the boundary — assert set
+    # equality and let any boundary pair surface as a failure to audit.
+    assert got_fix == brute
+
+
+def test_bootstrap_ci_partition_invariant_and_sane(spark, sf_dir):
+    """bootstrap_ci_report: replicate means are exact integer floor
+    divisions of md5-deterministic weighted sums — partition count must
+    not move a bound; CI must bracket the point estimate."""
+    from kickstarter_etl_pipeline_spark.queries import q_bootstrap_ci_report
+
+    rows1 = sorted(tuple(r) for r in q_bootstrap_ci_report(spark, sf_dir).collect())
+    assert len(rows1) == 5
+    for _, n, point, lo, hi in rows1:
+        assert n > 0 and lo <= point <= hi
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = sorted(tuple(r) for r in q_bootstrap_ci_report(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows1 == rows2
+
+
+def test_mutual_information_nonneg_total_and_partition_invariant(spark, sf_dir):
+    """mutual_information_report: total MI (sum of per-source
+    contributions) must be >= 0 up to grid noise (information
+    inequality; individual source contributions may be negative), and
+    the nano-nat integer sums make it partition-invariant."""
+    from kickstarter_etl_pipeline_spark.queries import q_mutual_information_report
+
+    rows1 = sorted(tuple(r) for r in q_mutual_information_report(spark, sf_dir).collect())
+    total = sum(r[2] for r in rows1)
+    # grid noise: each cell snaps at 1e-9 nats, weighted sums stay
+    # within ~1e-6 of the true MI — the true value is >= 0.
+    assert total >= -1e-5
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = sorted(tuple(r) for r in q_mutual_information_report(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows1 == rows2
