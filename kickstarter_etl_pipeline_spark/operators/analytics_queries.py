@@ -1574,3 +1574,141 @@ def q_bootstrap_ci_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_hi6") / F.lit(1e6)).alias("ci_hi"),
         )
     )
+
+
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of the part catalog — the points where
+    no other part is simultaneously cheaper AND larger (minimize
+    p_retailprice, maximize p_size): the classic multi-objective
+    dominance operator (Börzsönyi et al., "The Skyline Operator",
+    ICDE 2001).
+
+    Scale path: the naive formulation is a quadratic NOT-EXISTS
+    anti-join (which is exactly what the DuckDB twin runs — the grade
+    proves the reduction). Spark instead (1) collapses to one candidate
+    per distinct price (only the max size can survive), then (2) runs
+    the EXCLUSIVE prefix max of size in price order through
+    two_phase_rank's range-exchange device (``max_col``) — a point is
+    on the frontier iff no strictly-cheaper point reaches its size.
+    O(n log n) by sort, no single-partition window, no pair blow-up.
+
+    Exactness: prices ride the floor(·100+0.5) cents snap; everything
+    downstream is integer comparison. ``price`` is emitted as
+    cents/100.0 — an exact IEEE division by a power-of-two-free
+    constant of an integer < 2^53, identical on both engines."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    pts = (
+        part.select(cents.alias("_price_c"), F.col("p_size").cast("long").alias("p_size"))
+        .groupBy("_price_c")
+        .agg(F.max("p_size").alias("_best"))
+    )
+    r = two_phase_rank(pts, ["_price_c"], max_col="_best")
+    frontier = r.filter(
+        F.col("cum_max_excl").isNull() | (F.col("_best") > F.col("cum_max_excl"))
+    ).select("_price_c", F.col("_best").alias("p_size"))
+    counts = part.groupBy(
+        cents.alias("_price_c"), F.col("p_size").cast("long").alias("p_size")
+    ).agg(F.count("*").cast("long").alias("n_parts"))
+    return (
+        frontier.join(counts, ["_price_c", "p_size"])
+        .select(
+            (F.col("_price_c") / F.lit(100.0)).alias("price"),
+            "p_size",
+            "n_parts",
+        )
+    )
+
+
+def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: each
+    user enters at their first 'view' event; the event is their first
+    subsequent 'purchase'; users with no purchase are right-censored at
+    the global observation end — the canonical censored
+    time-to-conversion analysis (Kaplan & Meier 1958).
+
+    Exactness: durations are exact integer day counts; at each event
+    day the risk set n and event count d are exact longs; the curve is
+    carried in LOG space — ln S(t) = Σ ln((n_i−d_i)/n_i) with each term
+    ln of an exact integer ratio snapped to the nano-nat grid BEFORE
+    the prefix sum (the JSD device), so the cumulative is an exact
+    integer sum and no float summation order exists. S itself would
+    need exp (the perplexity_proxy rows-only lesson), so the emitted
+    column IS the log-survival. A day where d = n sends the true curve
+    to 0 (ln → −inf): from that day on log_survival is NULL by an
+    integer flag both engines compute identically.
+
+    Scale: two keyed aggregates over users, then a day-grid table —
+    the prefix windows run over distinct DAYS, a calendar-bounded
+    frame (thousands of rows at any corpus size), not a data-sized
+    exchange."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    day_us = 86400000000
+    entry = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t0"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("_us").alias("_tp_raw"))
+        .join(entry, "user_id")
+        .filter(F.col("_tp_raw") >= F.col("_t0"))
+        .groupBy("user_id")
+        .agg(F.min("_tp_raw").alias("_tp"))
+    )
+    tend = F.broadcast(ev.agg(F.max("_us").alias("_te")))
+    subj = (
+        entry.join(purch, "user_id", "left")
+        .crossJoin(tend)
+        .select(
+            F.floor(
+                (F.coalesce("_tp", "_te") - F.col("_t0")) / F.lit(day_us)
+            ).cast("long").alias("_day"),
+            F.col("_tp").isNotNull().cast("long").alias("_is_event"),
+        )
+    )
+    days = subj.groupBy("_day").agg(
+        F.sum("_is_event").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("_c_all"),
+    )
+    total = F.broadcast(subj.agg(F.count("*").cast("long").alias("_n_total")))
+    w_excl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        days.crossJoin(total)
+        .withColumn(
+            "n_at_risk",
+            F.col("_n_total") - F.coalesce(F.sum("_c_all").over(w_excl), F.lit(0)),
+        )
+    )
+    evd = at_risk.filter(F.col("n_events") > 0)
+    term9 = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_events")) / F.col("n_at_risk")
+            )
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    w_incl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        evd.withColumn("_term9", term9)
+        .withColumn(
+            "_hit0",
+            F.max((F.col("n_events") >= F.col("n_at_risk")).cast("int")).over(w_incl),
+        )
+        .withColumn("_ln9", F.sum("_term9").over(w_incl))
+    )
+    return curve.select(
+        F.col("_day").alias("event_day"),
+        "n_at_risk",
+        "n_events",
+        F.when(
+            F.col("_hit0") == 0,
+            F.floor(F.col("_ln9") / F.lit(1e9) * 1e6 + F.lit(0.5)) / F.lit(1e6),
+        ).alias("log_survival"),
+    )

@@ -737,3 +737,71 @@ def q_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
     )
+
+
+def q_welch_ttest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean order value
+    between the 1997 and 1998 cohorts — the classical two-sample
+    location test completing the stats tier next to the exact AUC
+    (Mann-Whitney), the KS drift sweep, and the chi-square
+    independence audit.
+
+    Exactness: the sufficient statistics are exact integers — n,
+    Σcents, Σcents² per cohort, all decimal(38,0) (cents² sums pass
+    2^63 long before sf1, hence the wide decimal / HUGEINT twin) —
+    and every downstream value (t statistic, Welch-Satterthwaite df)
+    is ONE fixed IEEE tree of +,−,×,÷,sqrt over those integers.
+    Correctly-rounded IEEE ops on identical inputs are engine-identical
+    with no grid (the kneser-ney ratio-tree device; the only discipline
+    is that both engines spell the same association order, which the
+    twin mirrors token for token). Means are emitted by the exact
+    integer floor-division device (cents·10000 DIV n).
+
+    Scale: one scan, two partial-aggregated groups — the whole test is
+    a map-side combine into 2 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        orders.select(F.year("o_orderdate").alias("_y"), cents.alias("_c"))
+        .filter(F.col("_y").isin(1997, 1998))
+        .groupBy("_y")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_s"),
+            F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c")).alias("_q"),
+        )
+    )
+    a = F.broadcast(
+        g.filter(F.col("_y") == 1997).select(
+            F.col("_n").alias("n_a"), F.col("_s").alias("_sa"), F.col("_q").alias("_qa")
+        )
+    )
+    b = F.broadcast(
+        g.filter(F.col("_y") == 1998).select(
+            F.col("_n").alias("n_b"), F.col("_s").alias("_sb"), F.col("_q").alias("_qb")
+        )
+    )
+    j = a.crossJoin(b)
+    sa, qa, na = F.col("_sa").cast("double"), F.col("_qa").cast("double"), F.col("n_a")
+    sb, qb, nb = F.col("_sb").cast("double"), F.col("_qb").cast("double"), F.col("n_b")
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+
+    def mean6(s, n):
+        s10k = F.col(s) * 10000
+        nn = F.col(n)
+        return ((s10k - s10k % nn) / nn).cast("long") / F.lit(1e6)
+
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        mean6("_sa", "n_a").alias("mean_a"),
+        mean6("_sb", "n_b").alias("mean_b"),
+        round_det(t, 6).alias("t_stat"),
+        round_det(df, 6).alias("welch_df"),
+    )

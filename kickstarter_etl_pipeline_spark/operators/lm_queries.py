@@ -23,6 +23,7 @@ def two_phase_rank(
     order_cols: list,
     cum_col: str | None = None,
     n_parts: int | None = None,
+    max_col: str | None = None,
 ) -> DataFrame:
     """TWO-PHASE distributed global rank (and optional global prefix
     sum) — the scale path that lifts the single-partition ceiling a
@@ -36,9 +37,12 @@ def two_phase_rank(
     never a single task.
 
     Adds a ``rank`` column (bit-identical to a plain global
-    row_number over ``order_cols``), and — when ``cum_col`` is given —
-    a ``cum`` column equal to the inclusive running sum of ``cum_col``
-    in that order. Determinism: the range partitioner's sampled
+    row_number over ``order_cols``), when ``cum_col`` is given a
+    ``cum`` column equal to the inclusive running sum of ``cum_col``
+    in that order, and when ``max_col`` is given a ``cum_max_excl``
+    column equal to the EXCLUSIVE running max of ``max_col`` (NULL on
+    the global first row) — the prefix-aggregate family the skyline /
+    dominance operators ride. Determinism: the range partitioner's sampled
     boundaries vary run to run, but rank/cum are pure functions of the
     total order (``order_cols`` must be unique per row) — boundaries
     only move rows between partitions, never change the output.
@@ -58,6 +62,7 @@ def two_phase_rank(
         f"_cnt_{suffix}",
         f"_psum_{suffix}",
     )
+    lmax, pmax, moff = f"_lmax_{suffix}", f"_pmax_{suffix}", f"_moff_{suffix}"
     # A str entry means ascending; a Column entry is taken as-is, so
     # callers can rank descending (F.desc("metric")) — the range
     # partitioner and the local window share whatever direction is
@@ -75,6 +80,13 @@ def two_phase_rank(
                 wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
+    if max_col is not None:
+        staged = staged.withColumn(
+            lmax,
+            F.max(max_col).over(
+                wl.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
     # ONE materialization of the range-partitioned, locally-ranked rows.
     # Load-bearing, not an optimization: RangePartitioner SAMPLES its
     # boundaries, so two independent executions of the same
@@ -90,6 +102,8 @@ def two_phase_rank(
     aggs = [F.count("*").alias(cnt)]
     if cum_col is not None:
         aggs.append(F.sum(cum_col).alias(psum))
+    if max_col is not None:
+        aggs.append(F.max(max_col).alias(pmax))
     offsets = (
         local.groupBy(pid)
         .agg(*aggs)
@@ -101,12 +115,20 @@ def two_phase_rank(
             coff, F.coalesce(F.sum(psum).over(wp), F.lit(0))
         )
         proj.append(coff)
+    if max_col is not None:
+        offsets = offsets.withColumn(moff, F.max(pmax).over(wp))
+        proj.append(moff)
     out = local.join(F.broadcast(offsets.select(*proj)), pid).withColumn(
         "rank", (F.col(lrank) + F.col(roff)).cast("long")
     )
     if cum_col is not None:
         out = out.withColumn("cum", (F.col(lcum) + F.col(coff)).cast("long"))
-    return out.drop(pid, lrank, lcum, roff, coff)
+    if max_col is not None:
+        # greatest() skips NULLs: first partition has no moff, a
+        # partition-local first row has no lmax; all-NULL (the global
+        # first row) stays NULL — the exclusive-prefix contract.
+        out = out.withColumn("cum_max_excl", F.greatest(F.col(lmax), F.col(moff)))
+    return out.drop(pid, lrank, lcum, roff, coff, lmax, moff)
 
 
 def _embedding_dim_m2_mad4(emb: DataFrame) -> "tuple[DataFrame, DataFrame, DataFrame]":

@@ -846,3 +846,67 @@ ORACLES_ANALYTICS["bootstrap_ci_report"] = """
            hi6 / 1000000.0 AS ci_hi
     FROM pt JOIN ci USING (priority)
 """
+
+# FULL twin of q_pareto_frontier_parts: the LITERAL quadratic dominance
+# definition (NOT EXISTS a strictly-better point) — Spark's prefix-max
+# reduction must reproduce it exactly, so the grade proves the skyline
+# reduction, not just the arithmetic.
+ORACLES_ANALYTICS["pareto_frontier_parts"] = """
+    WITH pts AS (SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+                        CAST(max(p_size) AS BIGINT) AS best
+                 FROM part GROUP BY 1),
+    sky AS (SELECT price_c, best FROM pts x
+            WHERE NOT EXISTS (SELECT 1 FROM pts o
+                              WHERE o.price_c < x.price_c AND o.best >= x.best)),
+    counts AS (SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+                      CAST(p_size AS BIGINT) AS p_size,
+                      CAST(count(*) AS BIGINT) AS n_parts
+               FROM part GROUP BY 1, 2)
+    SELECT sky.price_c / 100.0 AS price, sky.best AS p_size, n_parts
+    FROM sky JOIN counts ON counts.price_c = sky.price_c AND counts.p_size = sky.best
+"""
+
+# FULL twin of q_kaplan_meier_survival: same cohort rules (entry =
+# first view, event = first subsequent purchase, censor at global max
+# event time), day-grid risk sets by exclusive prefix subtraction,
+# per-event-day ln((n-d)/n) snapped to the nano-nat grid before the
+# prefix sum; d = n poisons the curve to NULL from that day on.
+ORACLES_ANALYTICS["kaplan_meier_survival"] = """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    entry AS (SELECT user_id, min(us) AS t0 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+    purch AS (SELECT e.user_id, min(us) AS tp
+              FROM ev e JOIN entry USING (user_id)
+              WHERE event_type = 'purchase' AND us >= t0
+              GROUP BY e.user_id),
+    tend AS (SELECT max(us) AS te FROM ev),
+    subj AS (SELECT CAST(floor((coalesce(tp, te) - t0) / 86400000000.0) AS BIGINT) AS day,
+                    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+             FROM entry LEFT JOIN purch USING (user_id), tend),
+    days AS (SELECT day, CAST(sum(is_event) AS BIGINT) AS n_events,
+                    CAST(count(*) AS BIGINT) AS c_all
+             FROM subj GROUP BY day),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM subj),
+    risk AS (SELECT day, n_events,
+                    CAST(n_total - coalesce(sum(c_all) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS n_at_risk
+             FROM days, tot),
+    evd AS (SELECT day, n_events, n_at_risk,
+                   CASE WHEN n_events < n_at_risk
+                        THEN CAST(floor(ln((n_at_risk - n_events) / CAST(n_at_risk AS DOUBLE))
+                                        * 1000000000 + 0.5) AS BIGINT)
+                   END AS term9
+            FROM risk WHERE n_events > 0),
+    curve AS (SELECT day, n_at_risk, n_events,
+                     max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit0,
+                     sum(term9) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln9
+              FROM evd)
+    SELECT day AS event_day, n_at_risk, n_events,
+           CASE WHEN hit0 = 0
+                THEN floor(ln9 / 1000000000.0 * 1000000 + 0.5) / 1000000.0
+           END AS log_survival
+    FROM curve
+"""

@@ -338,3 +338,33 @@ ORACLES_EVAL: dict[str, str] = {
         GROUP BY ex.query_id
     """,
 }
+
+# FULL twin of q_welch_ttest_report: exact integer sufficient stats
+# (n, sum cents, sum cents^2 — HUGEINT), then ONE fixed IEEE tree of
+# +,-,x,/,sqrt mirrored token for token from the Spark side (correctly
+# rounded IEEE ops on identical inputs are engine-identical, no grid).
+ORACLES_EVAL["welch_ttest_report"] = """
+    WITH g AS (SELECT year(o_orderdate) AS y, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+                      sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                          * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS q
+               FROM orders WHERE year(o_orderdate) IN (1997, 1998) GROUP BY 1),
+    a AS (SELECT n AS n_a, s AS sa, q AS qa FROM g WHERE y = 1997),
+    b AS (SELECT n AS n_b, s AS sb, q AS qb FROM g WHERE y = 1998),
+    t AS (SELECT n_a, n_b, sa, sb,
+                 (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a)
+                   / (n_a - 1) AS va,
+                 (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b)
+                   / (n_b - 1) AS vb
+          FROM a, b)
+    SELECT n_a, n_b,
+           CAST((sa * 10000) // n_a AS BIGINT) / 1000000.0 AS mean_a,
+           CAST((sb * 10000) // n_b AS BIGINT) / 1000000.0 AS mean_b,
+           floor((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+                 / sqrt(va / n_a + vb / n_b) * 1000000 + 0.5) / 1000000.0 AS t_stat,
+           floor(((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
+                 / ((va / n_a) * (va / n_a) / (n_a - 1)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1))
+                 * 1000000 + 0.5) / 1000000.0 AS welch_df
+    FROM t
+"""

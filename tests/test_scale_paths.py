@@ -788,3 +788,81 @@ def test_mutual_information_nonneg_total_and_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert rows1 == rows2
+
+
+def test_two_phase_rank_max_col_matches_plain_window(spark):
+    """The max_col extension must reproduce a plain global exclusive
+    running max bit-for-bit at any partition count (the skyline
+    operator's correctness rests on it)."""
+    from pyspark.sql import Window
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    rows = [(i, (i * 37) % 19) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    expect = {
+        (r["k"], r["m"])
+        for r in df.withColumn(
+            "m",
+            F.max("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        ).collect()
+    }
+    for n_parts in (2, 5, 8):
+        got = {
+            (r["k"], r["cum_max_excl"])
+            for r in two_phase_rank(df, ["k"], max_col="v", n_parts=n_parts).collect()
+        }
+        assert got == expect, n_parts
+
+
+def test_pareto_frontier_dominance_and_partition_invariance(spark, sf_dir):
+    """pareto_frontier_parts: every returned point must be undominated
+    and every omitted candidate dominated (checked brute-force on the
+    collected candidate set — control-sized), and the result must not
+    move with the shuffle partition count."""
+    from kickstarter_etl_pipeline_spark.queries import q_pareto_frontier_parts
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table as _lt
+
+    rows1 = sorted(tuple(r) for r in q_pareto_frontier_parts(spark, sf_dir).collect())
+    part = _lt(spark, sf_dir, "part").select("p_retailprice", "p_size").collect()
+    pts = {}
+    for r in part:
+        c = int(r["p_retailprice"] * 100 + 0.5)
+        pts[c] = max(pts.get(c, -1), int(r["p_size"]))
+    def dominated(c, s):
+        return any(oc < c and os_ >= s for oc, os_ in pts.items())
+    frontier = {(int(p * 100 + 0.5), s) for p, s, _ in rows1}
+    for c, s in pts.items():
+        assert ((c, s) in frontier) == (not dominated(c, s)), (c, s)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = sorted(tuple(r) for r in q_pareto_frontier_parts(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows1 == rows2
+
+
+def test_kaplan_meier_curve_properties(spark, sf_dir):
+    """kaplan_meier_survival: log-survival is non-increasing over event
+    days, n_at_risk strictly decreasing, and the day-0 value equals
+    ln((n-d)/n) of the first event day (single-term prefix)."""
+    import math
+
+    from kickstarter_etl_pipeline_spark.queries import q_kaplan_meier_survival
+
+    rows = sorted(
+        (r["event_day"], r["n_at_risk"], r["n_events"], r["log_survival"])
+        for r in q_kaplan_meier_survival(spark, sf_dir).collect()
+    )
+    assert rows, "no event days in fixture"
+    risks = [r[1] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    ls = [r[3] for r in rows if r[3] is not None]
+    assert ls == sorted(ls, reverse=True)
+    d0, n0, e0, l0 = rows[0]
+    expect0 = math.floor(
+        math.floor(math.log((n0 - e0) / n0) * 1e9 + 0.5) / 1e9 * 1e6 + 0.5
+    ) / 1e6
+    assert l0 == expect0
