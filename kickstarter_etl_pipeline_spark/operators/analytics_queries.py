@@ -1712,3 +1712,69 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("_ln9") / F.lit(1e9) * 1e6 + F.lit(0.5)) / F.lit(1e6),
         ).alias("log_survival"),
     )
+
+
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    generalization of the last-touch view (events_asof_next_purchase):
+    every purchase distributes 10000 basis points of credit across the
+    user's touchpoints (click/view/signup) in the 7 days strictly
+    before it: 40% to the first touch, 40% to the last, 20% split
+    across the middles. Credit is summed per touch event_type.
+
+    Exactness: NO floats anywhere — the split is integer basis points
+    with the front-loaded remainder rule (the _ntile_exact device):
+    n=1 → 10000; n=2 → 5000/5000; n≥3 → first/last 4000 each, middles
+    get 2000 DIV (n−2) with the remainder going to the EARLIEST
+    middles, so every conversion's credits sum to exactly 10000 and
+    both engines agree bit for bit by integer arithmetic alone.
+
+    Scale: the purchase⋈touch range join is keyed by user_id (uniform;
+    the 7-day window bounds the per-purchase fan-out) and the position
+    windows partition by purchase — per-conversion groups, never a
+    global exchange."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    week_us = 7 * 86400000000
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_u"),
+        F.col("event_id").alias("_pid"),
+        F.col("_us").alias("_pts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("_u"),
+        F.col("event_id").alias("_tid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("_us").alias("_tts"),
+    )
+    j = purch.join(touch, "_u").filter(
+        (F.col("_tts") < F.col("_pts")) & (F.col("_tts") >= F.col("_pts") - week_us)
+    )
+    w_asc = Window.partitionBy("_pid").orderBy("_tts", "_tid")
+    w_cnt = Window.partitionBy("_pid")
+    pos = (
+        j.withColumn("_r", F.row_number().over(w_asc))
+        .withColumn("_n", F.count("*").over(w_cnt))
+    )
+    n, r = F.col("_n"), F.col("_r")
+    mid_n = n - 2
+    # middle share: 2000 DIV (n-2) each, remainder 2000 MOD (n-2) goes
+    # +1 to the earliest middles (positions 2 .. 1+rem)
+    mid_q = (F.lit(2000) - (F.lit(2000) % mid_n)) / mid_n
+    mid_rem = F.lit(2000) % mid_n
+    credit = (
+        F.when(n == 1, F.lit(10000))
+        .when(n == 2, F.lit(5000))
+        .when((r == 1) | (r == n), F.lit(4000))
+        .otherwise(
+            mid_q.cast("long") + F.when(r - 1 <= mid_rem, 1).otherwise(0)
+        )
+    ).cast("long")
+    return (
+        pos.select("touch_type", credit.alias("_credit"), "_pid")
+        .groupBy("touch_type")
+        .agg(
+            F.sum("_credit").cast("long").alias("credit_bp"),
+            F.countDistinct("_pid").cast("long").alias("n_conversions_touched"),
+            F.count("*").cast("long").alias("n_touches"),
+        )
+    )

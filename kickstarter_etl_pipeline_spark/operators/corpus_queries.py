@@ -799,3 +799,124 @@ def q_mutual_information_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s").cast("double") / F.col("_n") / F.lit(1e9), 6
         ).alias("mi_contrib_nats"),
     )
+
+
+def q_bleu_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap scoring à la BLEU: every candidate document is
+    scored against the n-gram inventory of a deterministic held-out
+    "benchmark" slice (doc_id % 97 == 0) with clipped modified n-gram
+    precisions (n = 1..4) and a brevity penalty — the GPT-3-style
+    contamination scan, graded (a near-copy of a benchmark doc scores
+    near 0 in log space; clean docs score very negative or NULL). The
+    set-overlap sibling is `decontaminate_overlap`; this adds the
+    multiplicity-aware, length-penalized composite.
+
+    Exactness: clipped counts are exact integers (candidate count
+    clipped by the benchmark's per-gram MAX count — standard BLEU
+    clipping); each ln(matched_n/total_n) snaps to the nano-nat grid;
+    the composite is carried in LOG space (exp would be the
+    perplexity_proxy rows-only trap): log_bleu = Σln9/4/1e9 +
+    min(0, 1 − R/(B·c)) — one fixed IEEE tree over exact integers,
+    mirrored token for token in the twin. Any zero precision (every
+    doc shorter than 4 tokens included) yields NULL, decided by
+    integer comparisons on both engines.
+
+    Scale: gram tables are uniform-keyed aggregates; the benchmark
+    inventory joins by (n, gram) — hot grams exist but the benchmark
+    side is one row per (n, gram) (a max-reduction), so the join is
+    bounded fan-out, not a pair blow-up; R and B ride one-row
+    broadcasts."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", TX.tokens("text").alias("_tk"))
+        .localCheckpoint(eager=True)
+    )
+
+    def grams(n: int):
+        if n == 1:
+            return F.col("_tk")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_tk"), i + j) for j in range(n)]
+            ),
+        )
+        empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+        return F.when(F.size("_tk") >= n, g).otherwise(empty)
+
+    parts = None
+    for n in (1, 2, 3, 4):
+        p = docs.select(
+            "doc_id", F.lit(n).alias("_n"), F.explode(grams(n)).alias("_g")
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    is_bench = F.col("doc_id") % 97 == 0
+    bcounts = (
+        parts.filter(is_bench)
+        .groupBy("_n", "_g", "doc_id")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    refmax = bcounts.groupBy("_n", "_g").agg(F.max("_c").alias("_mx"))
+    ccounts = (
+        parts.filter(~is_bench)
+        .groupBy("doc_id", "_n", "_g")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    clip = ccounts.join(refmax, ["_n", "_g"], "left").select(
+        "doc_id",
+        "_n",
+        "_c",
+        F.least(F.col("_c"), F.coalesce("_mx", F.lit(0))).alias("_cl"),
+    )
+    per = clip.groupBy("doc_id", "_n").agg(
+        F.sum("_c").cast("long").alias("_tot"),
+        F.sum("_cl").cast("long").alias("_mat"),
+    )
+    wide = per.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_tot"))).alias(f"t{n}")
+            for n in (1, 2, 3, 4)
+        ],
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_mat"))).alias(f"m{n}")
+            for n in (1, 2, 3, 4)
+        ],
+    )
+    bscal = F.broadcast(
+        load_table(spark, sf_dir, "documents")
+        .filter(is_bench)
+        .agg(F.count("*").cast("long").alias("_bdocs"))
+    )
+    rscal = F.broadcast(
+        parts.filter(is_bench & (F.col("_n") == 1))
+        .agg(F.count("*").cast("long").alias("_rtot"))
+    )
+    j = wide.crossJoin(bscal).crossJoin(rscal)
+
+    def ln9(m: str, t: str):
+        return F.floor(
+            F.log(F.col(m) / F.col(t)) * 1e9 + F.lit(0.5)
+        ).cast("long")
+
+    all_pos = (
+        (F.coalesce("m1", F.lit(0)) > 0)
+        & (F.coalesce("m2", F.lit(0)) > 0)
+        & (F.coalesce("m3", F.lit(0)) > 0)
+        & (F.coalesce("m4", F.lit(0)) > 0)
+    )
+    s9 = ln9("m1", "t1") + ln9("m2", "t2") + ln9("m3", "t3") + ln9("m4", "t4")
+    bp = F.least(
+        F.lit(0.0), F.lit(1.0) - F.col("_rtot") / (F.col("_bdocs") * F.col("t1"))
+    )
+    log_bleu = F.floor(
+        (s9 / F.lit(4.0) / F.lit(1e9) + bp) * 1e6 + F.lit(0.5)
+    ) / F.lit(1e6)
+    return j.select(
+        "doc_id",
+        F.col("t1").alias("n_tokens"),
+        "m1",
+        "m2",
+        "m3",
+        "m4",
+        F.when(all_pos, log_bleu).alias("log_bleu"),
+    )

@@ -910,3 +910,33 @@ ORACLES_ANALYTICS["kaplan_meier_survival"] = """
            END AS log_survival
     FROM curve
 """
+
+# FULL twin of q_multitouch_attribution: same 7-day strict-before
+# window, same integer U-shaped split (front-loaded middle remainder);
+# no float exists on either side.
+ORACLES_ANALYTICS["multitouch_attribution"] = """
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+    p AS (SELECT user_id AS u, event_id AS pid, us AS pts FROM ev
+          WHERE event_type = 'purchase'),
+    t AS (SELECT user_id AS u, event_id AS tid, event_type AS touch_type, us AS tts
+          FROM ev WHERE event_type IN ('click', 'view', 'signup')),
+    j AS (SELECT pid, tid, touch_type, tts
+          FROM p JOIN t USING (u)
+          WHERE tts < pts AND tts >= pts - 604800000000),
+    pos AS (SELECT pid, touch_type,
+                   row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS r,
+                   count(*) OVER (PARTITION BY pid) AS n
+            FROM j),
+    c AS (SELECT pid, touch_type,
+                 CASE WHEN n = 1 THEN 10000
+                      WHEN n = 2 THEN 5000
+                      WHEN r = 1 OR r = n THEN 4000
+                      ELSE 2000 // (n - 2)
+                           + CASE WHEN r - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+                 END AS credit
+          FROM pos)
+    SELECT touch_type, CAST(sum(credit) AS BIGINT) AS credit_bp,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions_touched,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM c GROUP BY touch_type
+"""

@@ -838,3 +838,59 @@ ORACLES_LM["mutual_information_report"] = """
              AS mi_contrib_nats
     FROM g
 """
+
+# FULL twin of q_bleu_overlap_report: same benchmark slice
+# (doc_id % 97 = 0), multiplicity n-grams n = 1..4, per-gram MAX
+# clipping, nano-nat ln snaps, and the identical final IEEE tree
+# (sum9 / 4.0 / 1e9 + least(0, 1 - R/(B*t1))); zero precision -> NULL
+# by integer comparison.
+ORACLES_LM["bleu_overlap_report"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM t
+      UNION ALL
+      SELECT doc_id, 2, unnest(list_transform(range(1, len(tk)),
+             i -> concat_ws(' ', tk[i], tk[i+1]))) FROM t
+      UNION ALL
+      SELECT doc_id, 3, unnest(list_transform(range(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) FROM t
+      UNION ALL
+      SELECT doc_id, 4, unnest(list_transform(range(1, len(tk) - 2),
+             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))) FROM t),
+    bcounts AS (SELECT n, gram, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM g WHERE doc_id % 97 = 0 GROUP BY 1, 2, 3),
+    refmax AS (SELECT n, gram, max(c) AS mx FROM bcounts GROUP BY 1, 2),
+    ccounts AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
+                FROM g WHERE doc_id % 97 <> 0 GROUP BY 1, 2, 3),
+    clip AS (SELECT doc_id, n, c, least(c, coalesce(mx, 0)) AS cl
+             FROM ccounts LEFT JOIN refmax USING (n, gram)),
+    per AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot,
+                   CAST(sum(cl) AS BIGINT) AS mat
+            FROM clip GROUP BY 1, 2),
+    wide AS (SELECT doc_id,
+                    max(CASE WHEN n = 1 THEN tot END) AS t1,
+                    max(CASE WHEN n = 2 THEN tot END) AS t2,
+                    max(CASE WHEN n = 3 THEN tot END) AS t3,
+                    max(CASE WHEN n = 4 THEN tot END) AS t4,
+                    max(CASE WHEN n = 1 THEN mat END) AS m1,
+                    max(CASE WHEN n = 2 THEN mat END) AS m2,
+                    max(CASE WHEN n = 3 THEN mat END) AS m3,
+                    max(CASE WHEN n = 4 THEN mat END) AS m4
+             FROM per GROUP BY doc_id),
+    bscal AS (SELECT CAST(count(*) AS BIGINT) AS bdocs FROM documents
+              WHERE doc_id % 97 = 0),
+    rscal AS (SELECT CAST(count(*) AS BIGINT) AS rtot FROM g
+              WHERE n = 1 AND doc_id % 97 = 0)
+    SELECT doc_id, t1 AS n_tokens, m1, m2, m3, m4,
+           CASE WHEN coalesce(m1, 0) > 0 AND coalesce(m2, 0) > 0
+                 AND coalesce(m3, 0) > 0 AND coalesce(m4, 0) > 0
+                THEN floor(((CAST(floor(ln(m1 / CAST(t1 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+                             + CAST(floor(ln(m2 / CAST(t2 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+                             + CAST(floor(ln(m3 / CAST(t3 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+                             + CAST(floor(ln(m4 / CAST(t4 AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT))
+                            / 4.0 / 1000000000.0
+                            + least(0.0, 1.0 - rtot / CAST(bdocs * t1 AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000.0
+           END AS log_bleu
+    FROM wide, bscal, rscal
+"""

