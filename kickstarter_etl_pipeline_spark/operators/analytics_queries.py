@@ -1778,3 +1778,26 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_touches"),
         )
     )
+
+
+def q_graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bipartition coordinate (8 fixed rounds of centered,
+    grid-snapped power iteration on the random-walk matrix) over the
+    10-minute error co-occurrence graph — the embedding/clustering view
+    completing the graph tier next to centrality (pagerank/HITS),
+    density (k-core), reachability (BFS), partition (components) and
+    ancestry (closure). The NOTES round-8 lead ("power-iteration
+    spectral embedding, needs a grid-safe normalization design") —
+    the design landed on ∞-norm scaling, whose max-of-grid-values is
+    exact on any engine. See graph.spectral_coordinate for the full
+    determinism contract."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        spectral_coordinate,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    return spectral_coordinate(edges, rounds=8).select(
+        F.col("id").alias("user_id"), "spectral_x", "side"
+    )

@@ -838,3 +838,46 @@ _ORACLES["snm_blocking_report"] = f"""
                  * 1000000 + 0.5) / 1000000.0 AS reduction_ratio
     FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh
 """
+
+
+def _spectral_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled centered power iteration (graph.spectral_coordinate):
+    every stage snaps to the 1e-9 grid, so the replay holds
+    bit-identical iterates (the pagerank device). y/c are MATERIALIZED
+    (each referenced twice per round — device 7); the scalar mean/scale
+    CTEs are referenced once and stay inline."""
+
+    def rd9(expr: str) -> str:
+        return f"floor(({expr}) * 1000000000 + 0.5) / 1000000000.0"
+
+    head = f"""
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b, user_id
+                   FROM events WHERE event_type = 'error'),
+    e0 AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+           FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    dedges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+                            UNION ALL SELECT v, u FROM e0),
+    x0 AS (SELECT s.src AS id,
+                  {rd9("(CAST(concat('0x', substr(md5(CAST(s.src AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0")} AS x
+           FROM (SELECT DISTINCT src FROM dedges) s)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+    y{k} AS MATERIALIZED (SELECT dst AS id, {rd9("sum(p.x) / count(*)")} AS y
+                          FROM dedges JOIN x{k - 1} p ON p.id = dedges.src
+                          GROUP BY dst),
+    m{k} AS (SELECT {rd9("sum(y) / count(*)")} AS m FROM y{k}),
+    c{k} AS MATERIALIZED (SELECT id, {rd9("y - m")} AS c FROM y{k}, m{k}),
+    s{k} AS (SELECT max(abs(c)) AS s FROM c{k}),
+    x{k} AS (SELECT id, CASE WHEN s > 0 THEN {rd9("c / s")} ELSE c END AS x
+             FROM c{k}, s{k})""")
+    tail = f"""
+    SELECT id AS user_id,
+           floor(x * 1000000 + 0.5) / 1000000.0 AS spectral_x,
+           CASE WHEN x > 0 THEN 1 ELSE 0 END AS side
+    FROM x{rounds}
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_spectral_partition"] = _spectral_oracle_sql()

@@ -922,3 +922,23 @@ def test_bleu_overlap_bounds_and_totals(spark, sf_dir):
             if m is not None and t is not None:
                 assert m <= t
     assert saw_scored, "fixture contains no benchmark-overlapping doc"
+
+
+def test_spectral_coordinate_separates_two_cliques(spark):
+    """spectral_coordinate: on two 4-cliques joined by a single bridge
+    edge, the sign of the coordinate must separate the cliques (the
+    classic spectral-bipartition sanity case), and the result must be
+    partition-count invariant (every stage is grid-snapped)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import spectral_coordinate
+
+    clique_a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    clique_b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = spark.createDataFrame(clique_a + clique_b + [(0, 10)], ["u", "v"])
+    rows1 = {r["id"]: (r["spectral_x"], r["side"]) for r in
+             spectral_coordinate(edges, rounds=8).collect()}
+    sides_a = {rows1[i][1] for i in range(4)}
+    sides_b = {rows1[i][1] for i in range(10, 14)}
+    assert len(sides_a) == 1 and len(sides_b) == 1 and sides_a != sides_b
+    rows2 = {r["id"]: (r["spectral_x"], r["side"]) for r in
+             spectral_coordinate(edges, rounds=8, loop_partitions=3).collect()}
+    assert rows1 == rows2
