@@ -1801,3 +1801,51 @@ def q_graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectral_coordinate(edges, rounds=8).select(
         F.col("id").alias("user_id"), "spectral_x", "side"
     )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the part-name vocabulary — the
+    EDIT-distance member of the similarity family (set overlap =
+    Jaccard tiers, bitwise = SimHash, vector = cosine tiers; this adds
+    the typo/variant matcher every entity-resolution stack carries).
+    Pairs of distinct names sharing their final token (the blocking
+    key) within Levenshtein distance 5, with each name's part count.
+
+    Exactness: levenshtein() is a pure integer DP with one standard
+    definition (unit insert/delete/substitute) — Spark and DuckDB agree
+    exactly, no grid needed; everything else is counts.
+
+    Scale: the name VOCABULARY (not the part table) is the pair space —
+    names dedupe first, then block on the last token, so the quadratic
+    term is per-block vocabulary density, not data size. The length
+    filter |len_a − len_b| ≤ 5 (a Levenshtein lower bound) prunes
+    before the DP runs. Hot blocks are the standard ER mitigation
+    point (swap the blocking key for a q-gram prefix if a token runs
+    hot)."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("_n_parts"))
+        .withColumn("_block", F.element_at(F.split("p_name", " "), -1))
+        .withColumn("_len", F.length("p_name"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("_n_parts").alias("n_parts_a"),
+        "_block",
+        F.col("_len").alias("_la"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("_n_parts").alias("n_parts_b"),
+        "_block",
+        F.col("_len").alias("_lb"),
+    )
+    return (
+        a.join(b, "_block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= 5)
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev_dist") <= 5)
+        .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
+    )

@@ -940,3 +940,19 @@ ORACLES_ANALYTICS["multitouch_attribution"] = """
            CAST(count(*) AS BIGINT) AS n_touches
     FROM c GROUP BY touch_type
 """
+
+# FULL twin of q_fuzzy_name_pairs: levenshtein() is the same integer DP
+# on both engines — no rounding device needed anywhere.
+ORACLES_ANALYTICS["fuzzy_name_pairs"] = """
+    WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+                          split_part(p_name, ' ', -1) AS block,
+                          length(p_name) AS len
+                   FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE abs(a.len - b.len) <= 5
+      AND levenshtein(a.p_name, b.p_name) <= 5
+"""
