@@ -97,6 +97,14 @@ BENCH_QUERIES = [
     "graph_hits",
     "rrf_fusion_topk",
     "graph_bfs_depths",
+    # round 9, fourth session (cont.): the heaviest of the nine new
+    # queries at sf0.1 (idle min-of-3: jaccard_prefix_join 4.71 s,
+    # bootstrap_ci_report 4.29 s, graph_spectral_partition 3.88 s) —
+    # the prefix-filter join pipeline, the 32-replicate one-pass
+    # bootstrap, and a third iterative-graph cost model.
+    "jaccard_prefix_join",
+    "bootstrap_ci_report",
+    "graph_spectral_partition",
 ]
 
 

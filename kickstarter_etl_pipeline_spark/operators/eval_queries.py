@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from kickstarter_etl_pipeline_spark.operators import events as EV
 from kickstarter_etl_pipeline_spark.operators import text as TX
 from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.sources.readers import load_table
@@ -805,3 +806,190 @@ def q_welch_ttest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(t, 6).alias("t_stat"),
         round_det(df, 6).alias("welch_df"),
     )
+
+
+def q_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of daily event volume with R² —
+    the classical companion to the robust Theil-Sen slope
+    (q_theil_sen_daily_trend): same daily-count spine, closed-form
+    normal equations instead of pairwise medians.
+
+    Exactness: the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²;
+    x = epoch day, y = count) are exact integers in decimal(38,0) /
+    HUGEINT, and slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept and
+    R² = cov²/(varx·vary) are ONE fixed IEEE tree over them, mirrored
+    token for token (the welch_ttest device — +,−,×,÷ only, no grid).
+
+    Scale: one data-sized daily aggregate, then a single 6-number
+    reduce — the whole regression is a map-side combine."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("y"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    g = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    intercept = (sy - cov / varx * sx) / n
+    r2 = (cov * cov) / (varx * vary)
+    return g.select(
+        "n",
+        round_det(slope, 6).alias("slope_per_day"),
+        round_det(intercept, 6).alias("intercept"),
+        round_det(r2, 6).alias("r_squared"),
+    )
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of the event value stream — the
+    temporal integral (each value held until the next event, averaged
+    over the observed span) that a plain mean gets wrong whenever
+    sampling is irregular; the standard financial/IoT aggregate. Users
+    with a single event (zero span) are excluded on both engines.
+
+    Exactness: values snap to exact micro-unit longs, durations are
+    exact integer microseconds, the numerator Σ v·Δt rides
+    decimal(38,0)/HUGEINT, and the average is the exact integer
+    floor-division device — no float until the final /1e6 display
+    cast.
+
+    Scale: one user-keyed lead() window (per-user groups) + one
+    user-keyed aggregate."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_id",
+        "_us",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("_vm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "_vm",
+        "_us",
+        (F.lead("_us").over(w) - F.col("_us")).alias("_dur"),
+    )
+    g = seg.groupBy("user_id").agg(
+        (F.count("*")).cast("long").alias("n_events"),
+        F.sum(F.col("_vm").cast("decimal(38,0)") * F.col("_dur")).alias("_num"),
+        F.sum("_dur").cast("long").alias("_den"),
+    )
+    den = F.when(F.col("_den") > 0, F.col("_den"))
+    twa_micro = ((F.col("_num") - F.col("_num") % den) / den).cast("long")
+    return g.filter(F.col("_den") > 0).select(
+        "user_id",
+        "n_events",
+        (twa_micro / F.lit(1e6)).alias("twa_value"),
+    )
+
+
+def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-touch-type conversion rate with the Wilson 95% score
+    interval — the CI that stays inside [0,1] and behaves at small n
+    (unlike the Wald interval). A user "converts" for a touch type if
+    they emit a purchase at or after their FIRST event of that type.
+
+    Exactness: k and n are exact longs; the Wilson bounds are ONE
+    fixed IEEE tree (+,−,×,÷,sqrt — all correctly rounded) over them
+    with the z = 1.96 literal hardcoded on both engines (the
+    derived-constant lesson: z² is spelled 3.8416, never computed).
+
+    Scale: two user-keyed aggregates, then a 3-row reduce."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    first_touch = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("_us").alias("_t0"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_tp_first"))
+    )
+    # converted iff ANY purchase at/after the first touch: since
+    # purchases are a finite set, that's max(purchase ts) >= t0; use
+    # the LAST purchase for the existence test.
+    last_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("_us").alias("_tp_last"))
+    )
+    j = first_touch.join(last_purchase, "user_id", "left")
+    per = j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.when(F.col("_tp_last") >= F.col("_t0"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+    k, n = F.col("n_converted"), F.col("n_users")
+    z2 = F.lit(3.8416)
+    z = F.lit(1.96)
+    p = k / n
+    center = p + z2 / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    return per.select(
+        F.col("event_type").alias("touch_type"),
+        "n_users",
+        "n_converted",
+        round_det(p, 6).alias("p_hat"),
+        round_det((center - margin) / denom, 6).alias("wilson_lo"),
+        round_det((center + margin) / denom, 6).alias("wilson_hi"),
+    )
+
+
+def q_fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling over the part catalog: for each
+    candidate FD (name → size, name → price-cents, brand+type → size)
+    report how many left-hand-side groups violate it (more than one
+    distinct right-hand value) and the worst multiplicity — the
+    classic data-profiling primitive behind key discovery and
+    denormalization audits. Pure integer counting; prices compare as
+    exact cents.
+
+    Scale: one uniform groupBy per FD (unioned) — countDistinct per
+    group, no joins."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+
+    def fd(label: str, lhs, rhs) -> DataFrame:
+        g = part.groupBy(lhs.alias("_l")).agg(
+            F.countDistinct(rhs).cast("long").alias("_d")
+        )
+        return g.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").cast("long").alias("n_lhs_groups"),
+            F.sum((F.col("_d") > 1).cast("long")).cast("long").alias("n_violating"),
+            F.max("_d").cast("long").alias("max_distinct_rhs"),
+        )
+    a = fd("p_name->p_size", F.col("p_name"), F.col("p_size"))
+    b = fd("p_name->price_cents", F.col("p_name"), cents)
+    c = fd("brand_type->p_size", F.concat_ws("|", "p_brand", "p_type"), F.col("p_size"))
+    return a.unionByName(b).unionByName(c)

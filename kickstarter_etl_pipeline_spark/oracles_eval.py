@@ -368,3 +368,103 @@ ORACLES_EVAL["welch_ttest_report"] = """
                  * 1000000 + 0.5) / 1000000.0 AS welch_df
     FROM t
 """
+
+# FULL twin of q_ols_daily_trend: exact HUGEINT sufficient statistics,
+# then the identical IEEE +,-,x,/ tree (the welch_ttest device).
+ORACLES_EVAL["ols_daily_trend"] = """
+    WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM daily)
+    SELECT n,
+           floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS slope_per_day,
+           floor(((CAST(sy AS DOUBLE)
+                   - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / n)
+                 * 1000000 + 0.5) / 1000000.0 AS intercept,
+           floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS r_squared
+    FROM g
+"""
+
+# FULL twin of q_time_weighted_value: micro-unit values, exact integer
+# durations, HUGEINT numerator, exact floor division.
+ORACLES_EVAL["time_weighted_value"] = """
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+                FROM events),
+    seg AS (SELECT user_id, vm,
+                   lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+            FROM ev),
+    g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(vm AS HUGEINT) * dur) AS HUGEINT) AS num,
+                 CAST(sum(dur) AS BIGINT) AS den
+          FROM seg GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(num // den AS BIGINT) / 1000000.0 AS twa_value
+    FROM g WHERE den > 0
+"""
+
+# FULL twin of q_conversion_wilson_ci: exact k/n, the identical Wilson
+# IEEE tree with the hardcoded z = 1.96 / z^2 = 3.8416 literals.
+ORACLES_EVAL["conversion_wilson_ci"] = """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    ft AS (SELECT user_id, event_type, min(us) AS t0 FROM ev
+           WHERE event_type IN ('click', 'view', 'signup')
+           GROUP BY 1, 2),
+    lp AS (SELECT user_id, max(us) AS tp_last FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+    per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN tp_last >= t0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_converted
+            FROM ft LEFT JOIN lp USING (user_id)
+            GROUP BY event_type)
+    SELECT event_type AS touch_type, n_users, n_converted,
+           floor(n_converted / CAST(n_users AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS p_hat,
+           floor(((n_converted / CAST(n_users AS DOUBLE) + 3.8416 / (2 * n_users)
+                   - 1.96 * sqrt(n_converted / CAST(n_users AS DOUBLE)
+                                 * (1 - n_converted / CAST(n_users AS DOUBLE)) / n_users
+                                 + 3.8416 / (4 * n_users * n_users)))
+                  / (1 + 3.8416 / n_users)) * 1000000 + 0.5) / 1000000.0 AS wilson_lo,
+           floor(((n_converted / CAST(n_users AS DOUBLE) + 3.8416 / (2 * n_users)
+                   + 1.96 * sqrt(n_converted / CAST(n_users AS DOUBLE)
+                                 * (1 - n_converted / CAST(n_users AS DOUBLE)) / n_users
+                                 + 3.8416 / (4 * n_users * n_users)))
+                  / (1 + 3.8416 / n_users)) * 1000000 + 0.5) / 1000000.0 AS wilson_hi
+    FROM per
+"""
+
+# FULL twin of q_fd_violation_report: pure integer FD profiling.
+ORACLES_EVAL["fd_violation_report"] = """
+    WITH a AS (SELECT 'p_name->p_size' AS fd,
+                      CAST(count(*) AS BIGINT) AS n_lhs_groups,
+                      CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+                      CAST(max(d) AS BIGINT) AS max_distinct_rhs
+               FROM (SELECT p_name, count(DISTINCT p_size) AS d FROM part GROUP BY 1)),
+    b AS (SELECT 'p_name->price_cents',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(max(d) AS BIGINT)
+          FROM (SELECT p_name,
+                       count(DISTINCT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS d
+                FROM part GROUP BY 1)),
+    c AS (SELECT 'brand_type->p_size',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(max(d) AS BIGINT)
+          FROM (SELECT concat_ws('|', p_brand, p_type), count(DISTINCT p_size) AS d
+                FROM part GROUP BY 1))
+    SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+"""
