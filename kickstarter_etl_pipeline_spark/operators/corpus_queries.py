@@ -920,3 +920,79 @@ def q_bleu_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m4",
         F.when(all_pos, log_bleu).alias("log_bleu"),
     )
+
+
+def q_phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a POSITIONAL inverted index — the IR
+    primitive BM25/TF rankers can't express (they see bags, not
+    adjacency): postings are (token, doc, position); a 3-token phrase
+    match is a 3-way self-join on (doc, pos), (doc, pos+1), (doc, pos+2).
+    The query phrase is data-derived deterministically (the corpus's
+    most frequent 3-gram, ties by gram text) so both engines search for
+    the same phrase with no parameter channel.
+
+    Scale: postings build is one explode; the phrase tokens ride a
+    one-row broadcast, so each leg of the positional join is a
+    broadcast-filtered scan joined on (doc, pos) — uniform keys, and
+    each leg is pre-shrunk to a single token's postings list (the
+    inverted-index access path, not a corpus scan per leg after
+    pushdown). Pure integer counting end to end."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", TX.tokens("text").alias("_tk"))
+        .localCheckpoint(eager=True)
+    )
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_tk"), i),
+            F.element_at(F.col("_tk"), i + 1),
+            F.element_at(F.col("_tk"), i + 2),
+        ),
+    )
+    grams = docs.filter(F.size("_tk") >= 3).select(F.explode(g3).alias("_g"))
+    top = (
+        grams.groupBy("_g")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("_g"))
+        .limit(1)
+        .select(
+            F.col("_g").alias("phrase"),
+            F.element_at(F.split("_g", " "), 1).alias("_w1"),
+            F.element_at(F.split("_g", " "), 2).alias("_w2"),
+            F.element_at(F.split("_g", " "), 3).alias("_w3"),
+        )
+    )
+    post = docs.select("doc_id", F.posexplode("_tk").alias("_pos", "_tok"))
+    t = F.broadcast(top)
+    p1 = post.crossJoin(t).filter(F.col("_tok") == F.col("_w1")).select(
+        "doc_id", "_pos", "phrase", "_w2", "_w3"
+    )
+    p2 = post.select(
+        F.col("doc_id").alias("_d2"),
+        F.col("_pos").alias("_pos2"),
+        F.col("_tok").alias("_tok2"),
+    )
+    p3 = post.select(
+        F.col("doc_id").alias("_d3"),
+        F.col("_pos").alias("_pos3"),
+        F.col("_tok").alias("_tok3"),
+    )
+    hits = (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("_d2"))
+            & (F.col("_pos2") == F.col("_pos") + 1)
+            & (F.col("_tok2") == F.col("_w2")),
+        )
+        .join(
+            p3,
+            (F.col("doc_id") == F.col("_d3"))
+            & (F.col("_pos3") == F.col("_pos") + 2)
+            & (F.col("_tok3") == F.col("_w3")),
+        )
+    )
+    return hits.groupBy("doc_id", "phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )

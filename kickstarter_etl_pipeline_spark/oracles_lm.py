@@ -894,3 +894,27 @@ ORACLES_LM["bleu_overlap_report"] = f"""
            END AS log_bleu
     FROM wide, bscal, rscal
 """
+
+# FULL twin of q_phrase_search_hits: same data-derived phrase (top
+# 3-gram, ties by text), positional postings (1-based here, 0-based on
+# the Spark side — only OFFSETS enter the join), 3-way positional join.
+ORACLES_LM["phrase_search_hits"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (SELECT unnest(list_transform(range(1, len(tk) - 1),
+                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+              FROM t WHERE len(tk) >= 3),
+    top AS (SELECT g AS phrase,
+                   string_split(g, ' ')[1] AS w1,
+                   string_split(g, ' ')[2] AS w2,
+                   string_split(g, ' ')[3] AS w3
+            FROM (SELECT g, count(*) AS c FROM grams GROUP BY g
+                  ORDER BY c DESC, g LIMIT 1)),
+    p0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk FROM t),
+    post AS (SELECT doc_id, pos, tk[pos] AS tok FROM p0)
+    SELECT p1.doc_id, top.phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM post p1
+    JOIN top ON p1.tok = top.w1
+    JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1 AND p2.tok = top.w2
+    JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2 AND p3.tok = top.w3
+    GROUP BY p1.doc_id, top.phrase
+"""

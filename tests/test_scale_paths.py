@@ -942,3 +942,32 @@ def test_spectral_coordinate_separates_two_cliques(spark):
     rows2 = {r["id"]: (r["spectral_x"], r["side"]) for r in
              spectral_coordinate(edges, rounds=8, loop_partitions=3).collect()}
     assert rows1 == rows2
+
+
+def test_session4_plan_contracts(spark, sf_dir):
+    """Plan shapes of the round-9 fourth-session queries: no
+    CartesianProduct anywhere (the skyline's quadratic NOT-EXISTS
+    exists only as the DuckDB oracle; Spark must stay on the prefix-max
+    reduction), the prefix join's candidate generation must be hash
+    equi-joins, and the bootstrap must keep its one-row broadcast-free
+    single-aggregate shape (only hash aggregates, no sort of the fact
+    table)."""
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_bootstrap_ci_report,
+        q_jaccard_prefix_join,
+        q_multitouch_attribution,
+        q_pareto_frontier_parts,
+    )
+
+    for q in (
+        q_jaccard_prefix_join,
+        q_pareto_frontier_parts,
+        q_bootstrap_ci_report,
+        q_multitouch_attribution,
+    ):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+    jac = _formatted_plan(q_jaccard_prefix_join(spark, sf_dir))
+    assert (
+        "SortMergeJoin" in jac or "ShuffledHashJoin" in jac or "BroadcastHashJoin" in jac
+    )
