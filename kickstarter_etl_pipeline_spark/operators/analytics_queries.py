@@ -1849,3 +1849,60 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev_dist") <= 5)
         .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
     )
+
+
+def q_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence over the ORDER basket (the
+    collaborative-filtering neighbor table: parts bought together),
+    top-50 pairs by support — the item-granularity sibling of
+    q_session_basket_lift (which works on the 5 event types). Support,
+    each item's order frequency, and lift n_ab·N/(n_a·n_b).
+
+    Exactness: counts are exact longs; lift is one fixed IEEE division
+    tree over exact integers (decimal products against 2^53 growth),
+    snapped to 6dp; the top-50 cut orders by (support desc, id_a,
+    id_b) — a total order, so the LIMIT boundary is deterministic.
+
+    Scale: the pair explode is a self-join keyed by order with
+    per-order fan-out bounded by basket size (≤ 7 lines in TPC-H shape
+    — lines², not orders²); the aggregate is keyed by part pair
+    (uniform); the top-50 is a TakeOrdered, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    freq = li.groupBy(F.col("l_partkey")).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    n_orders = F.broadcast(
+        li.select("l_orderkey").distinct().agg(F.count("*").cast("long").alias("_N"))
+    )
+    fa = F.broadcast(freq.select(F.col("l_partkey").alias("id_a"), F.col("_n").alias("n_a")))
+    fb = F.broadcast(freq.select(F.col("l_partkey").alias("id_b"), F.col("_n").alias("n_b")))
+    lift = (
+        F.col("n_both").cast("decimal(38,0)") * F.col("_N")
+    ).cast("double") / (
+        F.col("n_a").cast("decimal(38,0)") * F.col("n_b")
+    ).cast("double")
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .crossJoin(n_orders)
+        .select(
+            "id_a",
+            "id_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            round_det(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )

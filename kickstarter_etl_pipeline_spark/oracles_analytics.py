@@ -956,3 +956,25 @@ ORACLES_ANALYTICS["fuzzy_name_pairs"] = """
     WHERE abs(a.len - b.len) <= 5
       AND levenshtein(a.p_name, b.p_name) <= 5
 """
+
+# FULL twin of q_item_cooccurrence_topk: exact counts, HUGEINT lift
+# products, total-order LIMIT boundary.
+ORACLES_ANALYTICS["item_cooccurrence_topk"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+    freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord FROM li)
+    SELECT id_a, id_b, n_both, fa.n AS n_a, fb.n AS n_b,
+           floor(CAST(CAST(n_both AS HUGEINT) * n_ord AS DOUBLE)
+                 / CAST(CAST(fa.n AS HUGEINT) * fb.n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = id_a
+    JOIN freq fb ON fb.l_partkey = id_b, tot
+    ORDER BY n_both DESC, id_a, id_b
+    LIMIT 50
+"""
