@@ -1906,3 +1906,58 @@ def q_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), F.asc("id_a"), F.asc("id_b"))
         .limit(50)
     )
+
+
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from history: each
+    customer's order-priority timeline collapses into validity episodes
+    (valid_from / valid_to / is_current), one row per consecutive run
+    of the same priority in (order date, order key) order — the
+    classic warehouse dimension-versioning pattern, built set-based
+    from the raw history (no per-row MERGE loop; the CDC sibling is
+    cdc_apply_agg).
+
+    Exactness: pure integer/date column logic — a run boundary is
+    lag(priority) ≠ priority (null-safe), episode ids are a cumulative
+    sum of boundary flags, and the episode rollup takes min/max dates
+    and count. valid_to is the NEXT episode's valid_from (half-open
+    intervals, the standard SCD2 convention); NULL marks the current
+    row.
+
+    Scale: two customer-keyed windows + one keyed aggregate — per-
+    customer frames, never global."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("_d"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("_d", "o_orderkey")
+    flagged = orders.withColumn(
+        "_new",
+        F.when(
+            F.lag("priority").over(w).isNull()
+            | (F.lag("priority").over(w) != F.col("priority")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_ep",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    eps = flagged.groupBy("o_custkey", "_ep").agg(
+        F.max("priority").alias("priority"),
+        F.min("_d").alias("valid_from"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w_ep = Window.partitionBy("o_custkey").orderBy("_ep")
+    # dates emitted as formatted strings (engine-neutral comparison —
+    # the tumbling_agg convention)
+    return eps.select(
+        "o_custkey",
+        F.col("_ep").alias("version"),
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w_ep), "yyyy-MM-dd").alias("valid_to"),
+        F.lead("valid_from").over(w_ep).isNull().alias("is_current"),
+        "n_orders",
+    )

@@ -978,3 +978,28 @@ ORACLES_ANALYTICS["item_cooccurrence_topk"] = """
     ORDER BY n_both DESC, id_a, id_b
     LIMIT 50
 """
+
+# FULL twin of q_scd2_customer_priority: identical gaps-and-islands
+# episode construction and half-open validity intervals.
+ORACLES_ANALYTICS["scd2_customer_priority"] = """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+                      o_orderpriority AS priority
+               FROM orders),
+    flagged AS (SELECT *,
+                       CASE WHEN lag(priority) OVER w IS NULL
+                             OR lag(priority) OVER w <> priority
+                            THEN 1 ELSE 0 END AS new_ep
+                FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+    eps0 AS (SELECT *, CAST(sum(new_ep) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ep
+             FROM flagged),
+    eps AS (SELECT o_custkey, ep AS version, max(priority) AS priority,
+                   min(d) AS valid_from, CAST(count(*) AS BIGINT) AS n_orders
+            FROM eps0 GROUP BY 1, 2)
+    SELECT o_custkey, version, priority,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(lead(valid_from) OVER w2, '%Y-%m-%d') AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           n_orders
+    FROM eps WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+"""
