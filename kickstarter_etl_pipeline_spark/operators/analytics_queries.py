@@ -1961,3 +1961,96 @@ def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_ep).isNull().alias("is_current"),
         "n_orders",
     )
+
+
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance floored at zero — the inventory /
+    prepaid-credit recurrence b_t = max(0, b_{t-1} + δ_t) (purchases
+    SPEND value, every other event earns it). The floor makes the fold
+    NON-associative, so no window or prefix-sum can express it — this
+    is the canonical case for the sequential-fold device the EWMA query
+    introduced, here in PURE INTEGERS (micro-unit deltas; no rounding
+    grid needed at all, stronger than the ewma contract). The fold also
+    carries the running MAX through a struct accumulator, proving the
+    device extends beyond scalar state.
+
+    Scale: one user-keyed collect + per-row JVM expression fold (same
+    posture and caveat as events_ewma: window the stream before
+    folding at extreme per-user lengths)."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        -F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"),
+    ).otherwise(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
+    grouped = ev.select("user_id", "_us", "event_id", delta.alias("_d")).groupBy(
+        "user_id"
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_us", "event_id", "_d"))),
+            lambda s: s._d,
+        ).alias("_deltas")
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("b"), F.lit(0).cast("long").alias("m")
+    )
+
+    def step(acc, x):
+        nb = F.greatest(F.lit(0).cast("long"), acc.b + x)
+        return F.struct(nb.alias("b"), F.greatest(acc.m, nb).alias("m"))
+
+    folded = F.aggregate(F.col("_deltas"), zero, step)
+    return grouped.select(
+        "user_id",
+        F.size("_deltas").cast("long").alias("n_events"),
+        (folded.b / F.lit(1e6)).alias("final_balance"),
+        (folded.m / F.lit(1e6)).alias("max_balance"),
+    )
+
+
+def q_did_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of mean order value —
+    treatment = odd customer keys, post-period = orders from 1997-01-01
+    — the classic quasi-experimental estimator, ENTIRELY in exact
+    integers: the four cell means come from the exact floor-division
+    device (cents·10000 DIV n), and DiD = (T_post − T_pre) −
+    (C_post − C_pre) is integer subtraction of those exact means (no
+    float decides anything; the only doubles are the /1e6 display
+    casts).
+
+    Scale: one scan, four partial-aggregated cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.select(
+        (F.col("o_custkey") % 2 == 1).alias("treat"),
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")).alias("post"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_c"),
+    ).groupBy("treat", "post").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("_c").cast("decimal(38,0)")).alias("_s"),
+    )
+    s10k = F.col("_s") * 10000
+    m6 = ((s10k - s10k % F.col("_n")) / F.col("_n")).cast("long")
+    w = cells.select("treat", "post", F.col("_n").alias("n_orders"), m6.alias("_m6"))
+
+    def cell(tr, po, name):
+        return F.max(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col("_m6"))
+        ).alias(name)
+
+    g = w.agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        cell(True, True, "_tp"),
+        cell(True, False, "_tb"),
+        cell(False, True, "_cp"),
+        cell(False, False, "_cb"),
+    )
+    return g.select(
+        "n_orders",
+        (F.col("_tb") / F.lit(1e6)).alias("treat_pre_mean"),
+        (F.col("_tp") / F.lit(1e6)).alias("treat_post_mean"),
+        (F.col("_cb") / F.lit(1e6)).alias("control_pre_mean"),
+        (F.col("_cp") / F.lit(1e6)).alias("control_post_mean"),
+        (
+            ((F.col("_tp") - F.col("_tb")) - (F.col("_cp") - F.col("_cb")))
+            / F.lit(1e6)
+        ).alias("did_estimate"),
+    )

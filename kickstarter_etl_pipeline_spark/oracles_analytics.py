@@ -1003,3 +1003,63 @@ ORACLES_ANALYTICS["scd2_customer_priority"] = """
            n_orders
     FROM eps WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
 """
+
+# FULL twin of q_capped_running_balance: the same pure-integer
+# non-associative fold, with the (balance, max) pair PACKED into one
+# HUGEINT accumulator (acc = m*2^62 + b). DuckDB 1.0's struct_pack
+# inside a list_reduce lambda mis-evaluates a field that references a
+# subexpression shared with an earlier field (observed live: m picked
+# up the post-update balance), so the struct-accumulator formulation
+# is NOT usable here — the packed scalar sidesteps it and stays exact
+# (b, m < 2^62 micro-units by construction).
+ORACLES_ANALYTICS["capped_running_balance"] = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS uss, event_id AS eid,
+                       CASE WHEN event_type = 'purchase'
+                            THEN -CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                            ELSE CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                       END AS dd
+                FROM events),
+    g AS (SELECT user_id,
+                 list_transform(list_sort(list(struct_pack(us := uss, event_id := eid, d := dd))),
+                                s -> s.d) AS deltas
+          FROM ev GROUP BY user_id),
+    f AS (SELECT user_id, CAST(len(deltas) AS BIGINT) AS n_events,
+                 list_reduce(
+                   list_prepend(CAST(0 AS HUGEINT), deltas::HUGEINT[]),
+                   (acc, x) -> greatest(acc // 4611686018427387904,
+                                        greatest(CAST(0 AS HUGEINT),
+                                                 acc % 4611686018427387904 + x))
+                               * 4611686018427387904
+                               + greatest(CAST(0 AS HUGEINT),
+                                          acc % 4611686018427387904 + x)
+                 ) AS st
+          FROM g)
+    SELECT user_id, n_events,
+           CAST(st % 4611686018427387904 AS BIGINT) / 1000000.0 AS final_balance,
+           CAST(st // 4611686018427387904 AS BIGINT) / 1000000.0 AS max_balance
+    FROM f
+"""
+
+# FULL twin of q_did_estimate_report: four exact floor-division cell
+# means, integer DiD.
+ORACLES_ANALYTICS["did_estimate_report"] = """
+    WITH cells AS (SELECT (o_custkey % 2 = 1) AS treat,
+                          (CAST(o_orderdate AS DATE) >= DATE '1997-01-01') AS post,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+                                * 10000) // count(*) AS BIGINT) AS m6
+                   FROM orders GROUP BY 1, 2),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+                 max(CASE WHEN treat AND post THEN m6 END) AS tp,
+                 max(CASE WHEN treat AND NOT post THEN m6 END) AS tb,
+                 max(CASE WHEN NOT treat AND post THEN m6 END) AS cp,
+                 max(CASE WHEN NOT treat AND NOT post THEN m6 END) AS cb
+          FROM cells)
+    SELECT n_orders,
+           tb / 1000000.0 AS treat_pre_mean,
+           tp / 1000000.0 AS treat_post_mean,
+           cb / 1000000.0 AS control_pre_mean,
+           cp / 1000000.0 AS control_post_mean,
+           ((tp - tb) - (cp - cb)) / 1000000.0 AS did_estimate
+    FROM g
+"""

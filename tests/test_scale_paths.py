@@ -971,3 +971,36 @@ def test_session4_plan_contracts(spark, sf_dir):
     assert (
         "SortMergeJoin" in jac or "ShuffledHashJoin" in jac or "BroadcastHashJoin" in jac
     )
+
+
+def test_capped_balance_floor_binds(spark):
+    """capped_running_balance's fold on a crafted sequence where the
+    zero floor BINDS (so the result differs from a plain running sum —
+    the non-associativity the sequential fold exists for), plus the
+    running max. Built through a temp view of the same shape the query
+    reads."""
+    import datetime
+
+    rows = [
+        # user 1: +10, -25 (floors to 0), +7  -> final 7, max 10
+        (1, 1, datetime.datetime(2000, 1, 1, 0, 0, 0), "view", 10.0),
+        (2, 1, datetime.datetime(2000, 1, 1, 0, 1, 0), "purchase", 25.0),
+        (3, 1, datetime.datetime(2000, 1, 1, 0, 2, 0), "view", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir=SCRATCH if os.path.isdir(SCRATCH) else None) as d:
+        df.withColumn("props", F.lit("{}")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        from kickstarter_etl_pipeline_spark.queries import q_capped_running_balance
+
+        got = {
+            r["user_id"]: (r["final_balance"], r["max_balance"])
+            for r in q_capped_running_balance(spark, d).collect()
+        }
+    assert got == {1: (7.0, 10.0)}
