@@ -2054,3 +2054,52 @@ def q_did_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("did_estimate"),
     )
+
+
+def q_rolling_wau_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling 7-day WAU / stickiness per day — the product-
+    analytics staple. Exact distinct counts (no sketch): each active
+    (user, day) pair is exploded into the 7 window-end days it
+    supports, then one distinct + one count per (window-end) day —
+    turning the sliding DISTINCT (which no window function computes)
+    into two uniform aggregates. Only days with any activity are
+    emitted, and windows are clipped to the observed span on both
+    engines.
+
+    Exactness: pure integer day arithmetic and counts; stickiness =
+    one IEEE division snapped at 6dp.
+
+    Scale: the ×7 explode rides above a distinct whose keys are
+    (user, day) — uniform; at 100 TB the explode factor is the window
+    length, the standard cost of exact sliding distincts (the sketchy
+    alternative is the HLL tier)."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    ud = ev.select(
+        "user_id", F.floor(F.col("_us") / F.lit(86400000000)).cast("long").alias("_day")
+    ).distinct()
+    dau = ud.groupBy("_day").agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    span = F.broadcast(ud.agg(F.max("_day").alias("_dmax")))
+    expl = (
+        ud.crossJoin(span)
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("_day"), F.least(F.col("_day") + 6, F.col("_dmax"))
+                )
+            ).alias("_wend"),
+        )
+        .distinct()
+    )
+    wau = expl.groupBy(F.col("_wend").alias("_day")).agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "_day")
+        .select(
+            F.col("_day").alias("epoch_day"),
+            "dau",
+            "wau",
+            round_det(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

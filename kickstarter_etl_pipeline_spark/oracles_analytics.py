@@ -1063,3 +1063,23 @@ ORACLES_ANALYTICS["did_estimate_report"] = """
            ((tp - tb) - (cp - cb)) / 1000000.0 AS did_estimate
     FROM g
 """
+
+# FULL twin of q_rolling_wau_report: identical explode-to-window-end
+# construction; only observed-activity days emitted.
+ORACLES_ANALYTICS["rolling_wau_report"] = """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+                FROM events),
+    dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY day),
+    span AS (SELECT max(day) AS dmax FROM ud),
+    expl AS (SELECT DISTINCT user_id, wend FROM (
+               SELECT user_id, unnest(range(day, least(day + 6, dmax) + 1)) AS wend
+               FROM ud, span)),
+    wau AS (SELECT wend AS day, CAST(count(*) AS BIGINT) AS wau
+            FROM expl GROUP BY wend)
+    SELECT dau.day AS epoch_day, dau.dau, wau.wau,
+           floor(dau.dau / CAST(wau.wau AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+             AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+"""
