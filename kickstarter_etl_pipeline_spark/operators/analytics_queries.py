@@ -2103,3 +2103,91 @@ def q_rolling_wau_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-activity
+    week, cumulative event value per cohort as the cohort ages (in
+    weeks) — the revenue companion to q_cohort_retention's activity
+    view; the table behind every LTV-payback chart.
+
+    Exactness: value snaps to micro-unit longs; weekly cells are exact
+    integer sums; the cumulative ride is a prefix sum over the
+    calendar-bounded (cohort × age) grid; cum LTV per active user =
+    exact integer floor division.
+
+    Scale: one user-keyed first-week aggregate, one (cohort, age)
+    cell aggregate, prefix windows over the week grid (bounded)."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    wk = F.floor(F.col("_us") / F.lit(604800000000)).cast("long")
+    base = ev.select("user_id", wk.alias("_wk"),
+                     F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("_vm"))
+    first = base.groupBy("user_id").agg(F.min("_wk").alias("_cohort"))
+    cells = (
+        base.join(first, "user_id")
+        .groupBy("_cohort", (F.col("_wk") - F.col("_cohort")).alias("age_weeks"))
+        .agg(
+            F.sum("_vm").cast("decimal(38,0)").alias("_v"),
+            F.countDistinct("user_id").cast("long").alias("n_active_users"),
+        )
+    )
+    sizes = F.broadcast(
+        first.groupBy(F.col("_cohort")).agg(
+            F.count("*").cast("long").alias("cohort_size")
+        )
+    )
+    w = Window.partitionBy("_cohort").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.withColumn("_cum", F.sum("_v").over(w).cast("decimal(38,0)"))
+    # per-user LTV in exact micro-units: floor(_cum / size), then one
+    # display division
+    per_user_micro = (
+        (F.col("_cum") - F.col("_cum") % F.col("cohort_size")) / F.col("cohort_size")
+    ).cast("long")
+    return cum.join(sizes, "_cohort").select(
+        F.col("_cohort").alias("cohort_week"),
+        "age_weeks",
+        "cohort_size",
+        "n_active_users",
+        (F.col("_cum").cast("double") / F.lit(1e6)).alias("cum_value"),
+        (per_user_micro / F.lit(1e6)).alias("cum_value_per_user"),
+    )
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification of parts by revenue: rank
+    parts by revenue descending, classify A while the cumulative share
+    is ≤ 80%, B ≤ 95%, C otherwise — the classification twin of the
+    Lorenz-curve view (lorenz_curve_events plots the curve; this
+    assigns the classes).
+
+    Exactness: revenue is exact cents; rank AND the cumulative sum
+    ride two_phase_rank's range exchange (never a single-partition
+    window); the class boundaries are decided on integers —
+    5·cum ≤ 4·total and 20·cum ≤ 19·total — so no float places a part.
+
+    Scale: one uniform part-keyed aggregate + the two-phase global
+    rank; the grand total is a one-row broadcast."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("_r")
+    )
+    ranked = two_phase_rank(rev, [F.desc("_r"), "l_partkey"], cum_col="_r")
+    total = F.broadcast(rev.agg(F.sum("_r").cast("long").alias("_tot")))
+    j = ranked.crossJoin(total)
+    abc = (
+        F.when(F.col("cum") * 5 <= F.col("_tot") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("_tot") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return j.select(
+        F.col("l_partkey").alias("p_partkey"),
+        (F.col("_r") / F.lit(100.0)).alias("revenue"),
+        F.col("rank"),
+        abc.alias("abc_class"),
+    )

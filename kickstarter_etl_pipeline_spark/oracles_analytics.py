@@ -1083,3 +1083,49 @@ ORACLES_ANALYTICS["rolling_wau_report"] = """
              AS stickiness
     FROM dau JOIN wau ON wau.day = dau.day
 """
+
+# FULL twin of q_cohort_ltv_curve: exact micro-unit cells, prefix sums
+# over the (cohort x age) week grid, exact floor-division per-user LTV.
+ORACLES_ANALYTICS["cohort_ltv_curve"] = """
+    WITH base AS (SELECT user_id,
+                         CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk,
+                         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+                  FROM events),
+    first AS (SELECT user_id, min(wk) AS cohort FROM base GROUP BY user_id),
+    cells AS (SELECT cohort, wk - cohort AS age_weeks,
+                     CAST(sum(vm) AS HUGEINT) AS v,
+                     CAST(count(DISTINCT base.user_id) AS BIGINT) AS n_active_users
+              FROM base JOIN first USING (user_id)
+              GROUP BY 1, 2),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort),
+    cum AS (SELECT cohort, age_weeks, n_active_users,
+                   CAST(sum(v) OVER (PARTITION BY cohort ORDER BY age_weeks
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS c
+            FROM cells)
+    SELECT cohort AS cohort_week, age_weeks, cohort_size, n_active_users,
+           CAST(c AS DOUBLE) / 1000000.0 AS cum_value,
+           CAST(c // cohort_size AS BIGINT) / 1000000.0 AS cum_value_per_user
+    FROM cum JOIN sizes USING (cohort)
+"""
+
+# FULL twin of q_abc_classification: exact cents, window rank + cum,
+# integer class boundaries.
+ORACLES_ANALYTICS["abc_classification"] = """
+    WITH rev AS (SELECT l_partkey,
+                        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+                 FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM rev),
+    ranked AS (SELECT l_partkey, r,
+                      CAST(row_number() OVER (ORDER BY r DESC, l_partkey) AS BIGINT) AS rank,
+                      CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM rev)
+    SELECT l_partkey AS p_partkey,
+           r / 100.0 AS revenue,
+           rank,
+           CASE WHEN cum * 5 <= t * 4 THEN 'A'
+                WHEN cum * 20 <= t * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked, tot
+"""
