@@ -2191,3 +2191,42 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank"),
         abc.alias("abc_class"),
     )
+
+
+def q_graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest-path distances (6 fixed
+    Bellman-Ford relaxations) over the 10-minute error co-occurrence
+    graph, edge weight = max(1, 10000 DIV shared-bucket-count) — the
+    more often two users co-err, the closer they sit. Completes the
+    graph tier's distance view next to BFS hop counts: pure integer
+    min-plus end to end, no rounding device anywhere (the
+    kcore-strength contract). The twin is the literal unrolled
+    relaxation with MATERIALIZED per-round CTEs (the distance vector
+    is referenced twice per round — device 7)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import bellman_ford_distances
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    nodes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.floor(F.col("_us") / F.lit(600000000)).cast("long").alias("_b"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = nodes.select("_b", F.col("user_id").alias("u"))
+    b = nodes.select("_b", F.col("user_id").alias("v"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    wexpr = F.greatest(
+        F.lit(1).cast("long"),
+        ((F.lit(10000) - F.lit(10000) % F.col("_cnt")) / F.col("_cnt")).cast("long"),
+    )
+    wedges = pairs.select("u", "v", wexpr.alias("w"))
+    return bellman_ford_distances(wedges, rounds=6).select(
+        F.col("id").alias("user_id"), "dist"
+    )

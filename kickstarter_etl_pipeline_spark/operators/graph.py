@@ -685,3 +685,68 @@ def spectral_coordinate(
         round_det(F.col("x"), 6).alias("spectral_x"),
         F.when(F.col("x") > 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("side"),
     )
+
+
+def bellman_ford_distances(
+    edges: DataFrame,
+    rounds: int = 6,
+    u: str = "u",
+    v: str = "v",
+    w: str = "w",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Single-source WEIGHTED shortest-path distances by fixed-round
+    Bellman-Ford relaxation (min-plus) over an undirected weighted edge
+    list — the weighted companion to bfs_depths (hop counts). Source =
+    minimum vertex id (pure function of the data). FIXED-round
+    contract: after ``rounds`` relaxations the result is the exact
+    shortest distance for every vertex whose shortest path uses ≤
+    ``rounds`` edges — finite, replayable, and well-defined at any
+    graph size.
+
+    Pure integer arithmetic end to end (weights are exact longs;
+    distances are integer sums; the min is set selection) — no
+    rounding device exists anywhere, the same strength as kcore/BFS.
+    Per round: one vertex-keyed dist⋈edges relaxation + one
+    vertex-keyed min — shuffle O(E), never all-pairs;
+    ``loop_partitions`` sizes the data-sized exchanges."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(
+            F.col(u).cast("long").alias("_u"),
+            F.col(v).cast("long").alias("_v"),
+            F.col(w).cast("long").alias("_w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(v).cast("long").alias("_u"),
+                F.col(u).cast("long").alias("_v"),
+                F.col(w).cast("long").alias("_w"),
+            )
+        )
+        .filter(F.col("_u") != F.col("_v"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
+    try:
+        sym = sym.localCheckpoint(eager=True)
+        dist = (
+            sym.agg(F.min("_u").alias("_id"))
+            .select("_id", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            relaxed = (
+                dist.select(F.col("_id").alias("_u"), "dist")
+                .join(sym, "_u")
+                .select(F.col("_v").alias("_id"), (F.col("dist") + F.col("_w")).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("_id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return dist.select(F.col("_id").alias("id"), "dist")

@@ -881,3 +881,38 @@ def _spectral_oracle_sql(rounds: int = 8) -> str:
 
 
 _ORACLES["graph_spectral_partition"] = _spectral_oracle_sql()
+
+
+def _bellman_ford_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled fixed-round Bellman-Ford (graph_weighted_distances):
+    pure integer min-plus, so the replay is exact set arithmetic. Each
+    round's distance vector is referenced twice (carry + relax) —
+    MATERIALIZED per device 7."""
+    head = """
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b, user_id
+                   FROM events WHERE event_type = 'error'),
+    pairs AS (SELECT a.user_id AS u, c.user_id AS v, CAST(count(*) AS BIGINT) AS cnt
+              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id
+              GROUP BY 1, 2),
+    wedges AS MATERIALIZED (
+      SELECT u AS src, v AS dst, greatest(CAST(1 AS BIGINT), 10000 // cnt) AS w FROM pairs
+      UNION ALL
+      SELECT v, u, greatest(CAST(1 AS BIGINT), 10000 // cnt) FROM pairs),
+    d0 AS (SELECT min(src) AS id, CAST(0 AS BIGINT) AS dist FROM wedges)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+    d{k} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{k - 1}
+        UNION ALL
+        SELECT wedges.dst AS id, d{k - 1}.dist + wedges.w AS dist
+        FROM wedges JOIN d{k - 1} ON d{k - 1}.id = wedges.src)
+      GROUP BY id)""")
+    tail = f"""
+    SELECT id AS user_id, dist FROM d{rounds}
+    """
+    return head + "".join(steps) + tail
+
+
+_ORACLES["graph_weighted_distances"] = _bellman_ford_oracle_sql()

@@ -1004,3 +1004,25 @@ def test_capped_balance_floor_binds(spark):
             for r in q_capped_running_balance(spark, d).collect()
         }
     assert got == {1: (7.0, 10.0)}
+
+
+def test_bellman_ford_prefers_cheaper_multihop(spark):
+    """bellman_ford_distances on a graph where the weighted shortest
+    path differs from the hop-shortest one (direct edge 10 vs 3+3 via
+    a middle vertex), plus fixed-round truncation and partition
+    invariance (pure integer min-plus)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import bellman_ford_distances
+
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 3), (2, 3, 3), (3, 4, 1)], ["u", "v", "w"]
+    )
+    got = {r["id"]: r["dist"] for r in bellman_ford_distances(edges, rounds=6).collect()}
+    assert got == {1: 0, 2: 3, 3: 6, 4: 7}
+    # one round only relaxes direct neighbors: 3 keeps the direct 10.
+    got1 = {r["id"]: r["dist"] for r in bellman_ford_distances(edges, rounds=1).collect()}
+    assert got1 == {1: 0, 2: 3, 3: 10}
+    got_p = {
+        r["id"]: r["dist"]
+        for r in bellman_ford_distances(edges, rounds=6, loop_partitions=3).collect()
+    }
+    assert got_p == got
