@@ -993,3 +993,113 @@ def q_fd_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = fd("p_name->price_cents", F.col("p_name"), cents)
     c = fd("brand_type->p_size", F.concat_ws("|", "p_brand", "p_type"), F.col("p_size"))
     return a.unionByName(b).unionByName(c)
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns
+    (quantity, extendedprice cents, discount basis points) — the
+    feature-screening staple, one row per column pair.
+
+    Exactness: every value snaps to an exact integer unit first, the
+    per-pair sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are
+    decimal(38,0)/HUGEINT sums, and r = cov/√(varx·vary) is one fixed
+    IEEE tree mirrored token for token (the welch device).
+
+    Scale: ONE scan computes all three pairs' statistics in a single
+    9-sum aggregate; the pair table is assembled from that one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long"),
+        "price_cents": F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+        "discount_bp": F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long"),
+    }
+    base = li.select(*[expr.alias(k) for k, expr in cols.items()])
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    names = list(cols)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in names:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * F.col(c)).alias(f"q_{c}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(F.sum(dec(a) * F.col(b)).alias(f"x_{a}_{b}"))
+    g = base.agg(*aggs)
+
+    pair_rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            n = F.col("n")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+            xab = F.col(f"x_{a}_{b}").cast("double")
+            cov = n * xab - sa * sb
+            va = n * qa - sa * sa
+            vb = n * qb - sb * sb
+            pair_rows.append(
+                g.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n"),
+                    round_det(cov / F.sqrt(va * vb), 6).alias("pearson_r"),
+                )
+            )
+    out = pair_rows[0]
+    for p in pair_rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order status and priority — the
+    normalized effect size on top of the chi-square machinery
+    (q_chi2_type_by_dow reports the raw statistic; V answers "how
+    strong", bounded [0, 1]).
+
+    Exactness: observed and marginal counts are exact longs; chi² =
+    Σ (o·N − r·c)² / (r·c·N) is assembled from HUGEINT/decimal
+    products with the per-cell term snapped to the nano grid before
+    summation; V = √(χ²/(N·min(r−1, c−1))) is one fixed tree.
+
+    Scale: one cell aggregate (statuses × priorities — tiny), broadcast
+    marginals."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count("*").cast("long").alias("_o"))
+    rs = F.broadcast(cells.groupBy("s").agg(F.sum("_o").cast("long").alias("_r")))
+    cs = F.broadcast(cells.groupBy("p").agg(F.sum("_o").cast("long").alias("_c")))
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("_o").cast("long").alias("_n"),
+            F.countDistinct("s").cast("long").alias("_nr"),
+            F.countDistinct("p").cast("long").alias("_nc"),
+        )
+    )
+    j = cells.join(rs, "s").join(cs, "p").crossJoin(tot)
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    # chi-square cell term: (o - e)^2 / e with e = r*c/N, i.e.
+    # (o*N - r*c)^2 / (r*c*N) — snapped to the nano grid pre-sum.
+    num = (dec("_o") * F.col("_n") - dec("_r") * F.col("_c"))
+    term9 = F.floor(
+        (num * num).cast("double")
+        / (dec("_r") * F.col("_c") * F.col("_n")).cast("double")
+        * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    g = j.agg(
+        F.sum(term9).alias("_chi9"),
+        F.max("_n").alias("n"),
+        F.max(F.least(F.col("_nr") - 1, F.col("_nc") - 1)).alias("_k"),
+    )
+    chi2 = F.col("_chi9") / F.lit(1e9)
+    return g.select(
+        "n",
+        round_det(chi2, 6).alias("chi_square"),
+        round_det(F.sqrt(chi2 / F.col("n") / F.col("_k")), 6).alias("cramers_v"),
+    )

@@ -468,3 +468,68 @@ ORACLES_EVAL["fd_violation_report"] = """
                 FROM part GROUP BY 1))
     SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
 """
+
+# FULL twin of q_correlation_matrix: exact integer sufficient stats in
+# one pass, the identical IEEE tree per pair.
+ORACLES_EVAL["correlation_matrix"] = """
+    WITH base AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+                         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS db
+                  FROM lineitem),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qty) AS HUGEINT) AS s_q, sum(CAST(qty AS HUGEINT) * qty) AS q_q,
+                 CAST(sum(pc) AS HUGEINT) AS s_p, sum(CAST(pc AS HUGEINT) * pc) AS q_p,
+                 CAST(sum(db) AS HUGEINT) AS s_d, sum(CAST(db AS HUGEINT) * db) AS q_d,
+                 sum(CAST(qty AS HUGEINT) * pc) AS x_qp,
+                 sum(CAST(qty AS HUGEINT) * db) AS x_qd,
+                 sum(CAST(pc AS HUGEINT) * db) AS x_pd
+          FROM base)
+    SELECT 'quantity' AS col_a, 'price_cents' AS col_b, n,
+           floor((n * CAST(x_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                 / sqrt((n * CAST(q_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                        * (n * CAST(q_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS pearson_r
+    FROM g
+    UNION ALL
+    SELECT 'quantity', 'discount_bp', n,
+           floor((n * CAST(x_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+                 / sqrt((n * CAST(q_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                        * (n * CAST(q_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0
+    FROM g
+    UNION ALL
+    SELECT 'price_cents', 'discount_bp', n,
+           floor((n * CAST(x_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+                 / sqrt((n * CAST(q_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                        * (n * CAST(q_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0
+    FROM g
+"""
+
+# FULL twin of q_cramers_v_status_priority: nano-snapped chi-square
+# cell terms from HUGEINT products, one fixed tree for V.
+ORACLES_EVAL["cramers_v_status_priority"] = """
+    WITH cells AS (SELECT o_orderstatus AS s, o_orderpriority AS p,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM orders GROUP BY 1, 2),
+    rs AS (SELECT s, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY s),
+    cs AS (SELECT p, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY p),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT s) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT p) AS BIGINT) AS nc
+            FROM cells),
+    terms AS (SELECT CAST(floor(
+                CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                     * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+                / CAST(CAST(r AS HUGEINT) * c * n AS DOUBLE)
+                * 1000000000 + 0.5) AS BIGINT) AS t9,
+                     n, nr, nc
+              FROM cells JOIN rs USING (s) JOIN cs USING (p), tot),
+    g AS (SELECT CAST(sum(t9) AS BIGINT) AS chi9, max(n) AS n,
+                 max(least(nr - 1, nc - 1)) AS k
+          FROM terms)
+    SELECT n,
+           floor(chi9 / 1000000000.0 * 1000000 + 0.5) / 1000000.0 AS chi_square,
+           floor(sqrt(chi9 / 1000000000.0 / n / k) * 1000000 + 0.5) / 1000000.0 AS cramers_v
+    FROM g
+"""
