@@ -2230,3 +2230,34 @@ def q_graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bellman_ford_distances(wedges, rounds=6).select(
         F.col("id").alias("user_id"), "dist"
     )
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window() aggregation (the built-in the
+    hand-rolled gaps-and-islands construction replaces at 100 TB
+    streaming scale), graded against a gaps-and-islands SQL replay —
+    the grade is an equivalence proof between the built-in operator
+    and the manual construction, with one documented boundary
+    difference: the native window closes when the next event is >= gap
+    away (the lag-based rule in events.with_session_ids uses > gap), so
+    the twin replays the NATIVE >= rule.
+
+    Output: per (user, session) start time, event count, value sum —
+    session start is the window's min event time on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("_w"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1129,3 +1129,24 @@ ORACLES_ANALYTICS["abc_classification"] = """
                 ELSE 'C' END AS abc_class
     FROM ranked, tot
 """
+
+# FULL twin of q_session_window_native: gaps-and-islands replay of the
+# NATIVE session_window semantics (a new session when the gap is >= 30
+# minutes — note >=, the built-in's rule; the repo's lag-based
+# sessionizer uses strict >).
+ORACLES_ANALYTICS["session_window_native"] = """
+    WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM lagd),
+    sess AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, sid
+"""
