@@ -2261,3 +2261,47 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def q_interpurchase_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50 / p90 / p99 of the time between a user's consecutive
+    purchases — the purchase-latency distribution behind replenishment
+    and re-engagement models. percentile_disc semantics: the gap at
+    rank ⌈q·n⌉ in ascending (gap, user, ts) order — a total order, so
+    the selected element is deterministic; gaps are exact integer
+    seconds.
+
+    Scale: gaps come from one user-keyed lag window; the global rank
+    rides two_phase_rank's range exchange; each percentile is one
+    rank-equality pick against a broadcast count — no global sort ever
+    lands on a single task."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "_us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = (
+        p.withColumn("_prev", F.lag("_us").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.floor((F.col("_us") - F.col("_prev")) / F.lit(1000000)).cast("long").alias("_gap_s"),
+            "user_id",
+            "_us",
+        )
+    )
+    ranked = two_phase_rank(gaps, ["_gap_s", "user_id", "_us"])
+    n_df = F.broadcast(gaps.agg(F.count("*").cast("long").alias("_n")))
+    j = ranked.crossJoin(n_df)
+    picks = None
+    for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        # rank == ceil(q*n) = (num*n + den - 1) DIV den, exact integers
+        target = F.floor((F.col("_n") * num + (den - 1)) / den).cast("long")
+        row = j.filter(F.col("rank") == target).select(
+            F.lit(label).alias("quantile"),
+            F.col("_n").alias("n_gaps"),
+            F.col("_gap_s").alias("gap_seconds"),
+        )
+        picks = row if picks is None else picks.unionByName(row)
+    return picks

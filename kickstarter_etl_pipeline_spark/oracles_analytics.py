@@ -1150,3 +1150,24 @@ ORACLES_ANALYTICS["session_window_native"] = """
            round(sum(value), 4) AS sum_value
     FROM sess GROUP BY user_id, sid
 """
+
+# FULL twin of q_interpurchase_gap_percentiles: same total order and
+# ceil-rank percentile_disc picks.
+ORACLES_ANALYTICS["interpurchase_gap_percentiles"] = """
+    WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase'),
+    gaps AS (SELECT CAST(floor((us - prev) / 1000000.0) AS BIGINT) AS gap_s,
+                    user_id, us
+             FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+                   FROM p)
+             WHERE prev IS NOT NULL),
+    ranked AS (SELECT gap_s, CAST(row_number() OVER (ORDER BY gap_s, user_id, us) AS BIGINT) AS r
+               FROM gaps),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gaps)
+    SELECT 'p50' AS quantile, n AS n_gaps, gap_s AS gap_seconds
+    FROM ranked, n WHERE r = (n * 1 + 1) // 2
+    UNION ALL
+    SELECT 'p90', n, gap_s FROM ranked, n WHERE r = (n * 9 + 9) // 10
+    UNION ALL
+    SELECT 'p99', n, gap_s FROM ranked, n WHERE r = (n * 99 + 99) // 100
+"""
