@@ -149,17 +149,35 @@ def test_grading_window_invariants():
             if v.get("hash_match") is not None:
                 latest[k] = v["hash_match"]
     graded = {k for k, ok in latest.items() if ok}
-    stranded = [n for n in below if n not in graded and n not in rows_only]
-    # A round can add MORE than 50 new queries; stranding is then
-    # unavoidable — but only legitimate while every graded slot is
-    # itself a first-grade (maximal rotation). Swapping a graded entry
-    # in while a never-graded one sits below stays an error.
-    if stranded:
-        regraded_in_window = [n for n in window if n in graded]
-        assert not regraded_in_window, (
-            f"never-graded queries below the fold {stranded} while "
-            f"already-graded entries occupy window slots: {regraded_in_window}"
-        )
+    # Phase-aware stranding check (VERDICT r9 task 2). The old form
+    # compared window composition against the driver-grade ledger,
+    # so its truth value FLIPPED when the driver wrote the round's
+    # CORRECTNESS file — green at round close, guaranteed red after
+    # grading. The invariant now accepts below-fold entries that hold
+    # EITHER a green driver grade OR a MATCH in the latest same-round
+    # CERTIFY_r*.json (the builder-run full-registry certification) —
+    # both are evidence that only ever accumulates, so the test's
+    # verdict no longer depends on when the driver grades. A query
+    # with NO evidence at all sitting below the fold still fails,
+    # unconditionally.
+    certified = set()
+    cert_files = sorted(glob.glob(os.path.join(root, "CERTIFY_r*.json")))
+    if cert_files:
+        cert = json.load(open(cert_files[-1]))
+        certified = {
+            k
+            for k, v in cert.get("results", {}).items()
+            if v.get("status") == "MATCH"
+        }
+    stranded = [
+        n
+        for n in below
+        if n not in graded and n not in rows_only and n not in certified
+    ]
+    assert not stranded, (
+        f"below-the-fold queries with neither a green driver grade nor a "
+        f"latest-CERTIFY MATCH: {stranded}"
+    )
 
 
 def test_no_orphan_oracles():
