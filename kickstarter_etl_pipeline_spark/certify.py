@@ -41,7 +41,7 @@ def _normalize(pdf):
     return cols, rows
 
 
-def certify(sf_dir: str, out_path: str | None) -> dict:
+def certify(sf_dir: str, out_path: str | None, only: list[str] | None = None) -> dict:
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -64,6 +64,11 @@ def certify(sf_dir: str, out_path: str | None) -> dict:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries, oracles = E.queries(), E.oracle_sql()
+    if only:
+        missing = sorted(set(only) - set(queries))
+        if missing:
+            raise SystemExit(f"--only names not in the registry: {missing}")
+        queries = {k: v for k, v in queries.items() if k in set(only)}
     results: dict[str, dict] = {}
     t_total = time.monotonic()
     for name in sorted(queries):
@@ -110,8 +115,13 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to certify (default: all)",
+    )
     ns = ap.parse_args(argv)
-    out = certify(ns.sf, ns.out)
+    out = certify(ns.sf, ns.out, only=ns.only.split(",") if ns.only else None)
     s = out["summary"]
     return 0 if s["mismatch"] == 0 and s["error"] == 0 else 1
 

@@ -396,7 +396,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .filter(customer.c_nationkey == supplier.s_nationkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -776,18 +776,26 @@ def q_part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4: top-k by aggregate, deterministic tie-break, + broadcast join."""
+    """O4: top-k by aggregate, deterministic tie-break, + broadcast join.
+
+    The limit(10) runs BEFORE the customer name join (TakeOrdered on the
+    aggregate, then enrich): the joined frame is 10 rows, so the name
+    lookup broadcasts the k-bounded side at ANY scale. The old shape
+    broadcast the full customer projection — linear in sf, an executor
+    OOM at the 100-TB posture."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    spend = (
+    top = (
         orders.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_spend"), "o_custkey")
+        .limit(10)
     )
     return (
-        spend.join(F.broadcast(customer.select("c_custkey", "c_name")), spend.o_custkey == F.col("c_custkey"))
+        F.broadcast(top)
+        .join(customer.select("c_custkey", "c_name"), top.o_custkey == F.col("c_custkey"))
         .select("c_custkey", "c_name", "total_spend", "n_orders")
         .orderBy(F.desc("total_spend"), "c_custkey")
-        .limit(10)
     )
 
 
@@ -1161,10 +1169,15 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    labels = F.broadcast(emb.select("vec_id", "label"))
+    # The label table is the FULL corpus (linear in sf) — never hint
+    # it. The broadcastable side is the kNN result: n_queries × k rows
+    # (here 50 × 5), k-bounded at any scale, so IT carries the hint
+    # and the label lookups stay shuffle-free without risking an OOM.
+    labels = emb.select("vec_id", "label")
     nn = brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
     votes = (
-        nn.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        F.broadcast(nn)
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count("*").cast("long").alias("n_votes"))
     )
@@ -1175,7 +1188,8 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("label").alias("pred_label"), "n_votes")
     )
     return (
-        pred.join(
+        F.broadcast(pred)
+        .join(
             labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
             "query_id",
         )
@@ -1315,7 +1329,7 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_rev"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("n_name", F.col("_rev").cast("double").alias("rev"))
     )
@@ -1884,8 +1898,10 @@ def q_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = F.broadcast(
         li.select("l_orderkey").distinct().agg(F.count("*").cast("long").alias("_N"))
     )
-    fa = F.broadcast(freq.select(F.col("l_partkey").alias("id_a"), F.col("_n").alias("n_a")))
-    fb = F.broadcast(freq.select(F.col("l_partkey").alias("id_b"), F.col("_n").alias("n_b")))
+    # per-part frequency tables grow linearly with sf — no hint; the
+    # pair-keyed equi-joins are uniform and AQE picks the strategy.
+    fa = freq.select(F.col("l_partkey").alias("id_a"), F.col("_n").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("id_b"), F.col("_n").alias("n_b"))
     lift = (
         F.col("n_both").cast("decimal(38,0)") * F.col("_N")
     ).cast("double") / (

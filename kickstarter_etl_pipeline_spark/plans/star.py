@@ -90,17 +90,21 @@ def tpch_fact(
 ) -> DataFrame:
     """Fact build over the fixtures: one row per lineitem with surrogate keys.
 
-    lineitem⋈orders is the only potentially large join (AQE picks the
-    strategy; at bench scale orders broadcastable, at 100 TB it becomes a
-    shuffle join on l_orderkey — the natural co-partitioning key). part and
-    the dims broadcast. Revenue and fractional ship-delay are computed
+    lineitem⋈orders and lineitem⋈part both scale linearly with sf, so
+    NEITHER carries a broadcast hint: AQE picks broadcast at bench scale
+    (both fit under the 64 MB threshold) and falls back to a shuffle
+    join on the natural keys (l_orderkey / l_partkey) at 100 TB, where
+    a forced hint would OOM the executors. Only the cardinality-bounded
+    dims (state: |orderstatus| = 3, category: |brand×type| = 3 750)
+    keep explicit hints. Revenue and fractional ship-delay are computed
     inline; the date key is derived (no date-dim join).
 
     The fact side is column-narrowed FIRST (manual pruning — the
     parallelize barrier below blocks Catalyst's), then spread across
-    cores: with every join broadcast there is no shuffle, so otherwise
-    the whole probe+project pipeline would run inside the scan stage —
-    single-threaded when the input is one parquet row group.
+    cores: when every join resolves to broadcast there is no shuffle,
+    so otherwise the whole probe+project pipeline would run inside the
+    scan stage — single-threaded when the input is one parquet row
+    group.
     """
     from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
 
@@ -118,7 +122,7 @@ def tpch_fact(
             "left",
         )
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            part.select("p_partkey", "p_brand", "p_type"),
             li.l_partkey == F.col("p_partkey"),
             "left",
         )

@@ -157,7 +157,7 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_ck"))
         .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sk"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -183,7 +183,7 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
+    joined = li.join(part, li.l_partkey == part.p_partkey).filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
     )
@@ -207,7 +207,7 @@ def q_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast join, one output row."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
         | ((F.col("p_brand") == "Brand#15") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
@@ -276,10 +276,10 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = uc.groupBy("l_partkey", "l_suppkey").agg(F.min("_uc").alias("supp_cost"))
     per_p = per_ps.groupBy("l_partkey").agg(F.min("supp_cost").alias("_best"))
     return (
-        per_ps.join(F.broadcast(per_p), on="l_partkey")
+        per_ps.join(per_p, on="l_partkey")
         .filter(F.col("supp_cost") == F.col("_best"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(euro_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -327,8 +327,8 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     ).cast("decimal(18,6)")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
     )
     return (
@@ -408,7 +408,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("_rev") == F.col("_max_rev"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -433,7 +433,7 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(bad_supp, on="l_suppkey", how="left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -458,8 +458,8 @@ def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(th), on="l_partkey")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(th, on="l_partkey")
         .filter(F.col("l_quantity") < F.col("_qty_threshold"))
         .agg(
             round_det(
@@ -485,7 +485,7 @@ def q_q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        .join(part.select("p_partkey"), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
     )
@@ -496,7 +496,7 @@ def q_q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_qty").cast("double")
             > F.col("_total").cast("double") * 0.5 / F.col("_nsupp")
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             "s_suppkey",
@@ -532,7 +532,7 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         waiting.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
     )
 
@@ -553,7 +553,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_ck"))
         .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sk"))
         .join(F.broadcast(region), F.col("_crk") == region.r_regionkey)

@@ -412,3 +412,45 @@ def test_round9_tiers_no_data_sized_funnel(spark, sf_dir):
                 f"{q.__name__}: data-sized single-partition funnel:\n{tail}"
             )
             idx += 1
+
+
+def test_star_flagship_does_not_force_broadcast_part(spark, sf_dir):
+    """Round-10 hint policy (SCALE.md): explicit broadcast hints are
+    reserved for cardinality-BOUNDED frames. ``part`` grows linearly
+    with sf (TB-sized at the 100-TB posture), so the fact build must
+    leave its join unhinted — AQE broadcasts it at bench scale and
+    falls back to a shuffle join at 100 TB, where a forced hint would
+    OOM the executors. The bounded dims (state: 3, category: 3 750)
+    keep their hints."""
+    from kickstarter_etl_pipeline_spark.queries import q_star_flagship
+
+    logical = (
+        q_star_flagship(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    hint_lines = [l for l in logical.splitlines() if "Hint" in l]
+    assert hint_lines, "the bounded dim joins should still carry hints"
+    offenders = [l for l in hint_lines if "p_partkey" in l]
+    assert not offenders, f"part join carries a forced broadcast hint: {offenders}"
+
+
+def test_topk_customers_broadcasts_post_limit_side(spark, sf_dir):
+    """topk_customers must take the top-10 BEFORE the customer-name
+    join and hint the 10-row side: the TakeOrdered sits UNDER the
+    broadcast join (feeding its build side), never above it, and the
+    full customer projection (linear in sf) is unhinted."""
+    from kickstarter_etl_pipeline_spark.queries import q_topk_customers
+
+    df = q_topk_customers(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    hint_lines = [l for l in logical.splitlines() if "Hint" in l]
+    assert not any("c_name" in l for l in hint_lines), (
+        f"customer projection carries the hint: {hint_lines}"
+    )
+    plan = explain_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan
+    assert plan.index("BroadcastHashJoin") < plan.index("TakeOrderedAndProject"), (
+        "limit must run below the join (TakeOrdered feeds the build side)"
+    )
