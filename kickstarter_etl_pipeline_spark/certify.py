@@ -28,11 +28,18 @@ import traceback
 
 
 def _normalize(pdf):
+    # NULL and NaN get DISTINCT sentinels: conflating them (the old
+    # behavior) would grade a genuine NULL-vs-NaN divergence between
+    # the Spark result and the DuckDB oracle as MATCH, weakening the
+    # certification signal. The external driver may well conflate them
+    # — this gate is deliberately the stricter of the two.
     cols = sorted(pdf.columns)
     rows = sorted(
         tuple(
             "∅"
-            if v is None or (isinstance(v, float) and math.isnan(v))
+            if v is None
+            else "NaN"
+            if isinstance(v, float) and math.isnan(v)
             else (repr(v) if isinstance(v, float) else str(v))
             for v in row
         )

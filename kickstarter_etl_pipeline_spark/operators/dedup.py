@@ -33,7 +33,10 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+from kickstarter_etl_pipeline_spark.operators.partitioning import (
+    ensure_min_partitions,
+    loop_shuffle_partitions,
+)
 from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.operators.text import fingerprint_md5, tokens
 
@@ -275,10 +278,12 @@ def prefix_filtered_jaccard_pairs(
     )
     sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("_df"))
-    # prefix length p = size − ⌈t·size⌉ + 1 under the (freq, shingle) order
+    # prefix length p = size − ⌈t·size⌉ + 1 under the (freq, shingle)
+    # order; ⌈t·n⌉ via exact integer DIV (not double floor-division,
+    # which is only exact while n·num < 2^53)
     p_len = (
         F.col("_size")
-        - F.floor((F.col("_size") * num + (den - 1)) / den).cast("long")
+        - F.expr(f"(_size * {num} + {den - 1}) DIV {den}").cast("long")
         + 1
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
@@ -547,18 +552,16 @@ def connected_components(
     rounds is the upgrade path if such graphs become the norm).
     """
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if loop_partitions is not None:
-        # Size the per-round exchanges to LABEL-TABLE cardinality, not
-        # the session default — the loop's cost at fixture scale is
-        # task scheduling (rounds x stages x partitions), the exact
-        # overhead profile measured for the r8 streaming state-store
-        # win (NOTES.md r8). Data-sized knob: like pagerank's and
-        # kcore's, size to vertex cardinality on a real cluster. Pure
-        # integer min-label arithmetic — partitioning provably cannot
-        # move any label (regression-tested).
-        spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    # Size the per-round exchanges to LABEL-TABLE cardinality, not
+    # the session default — the loop's cost at fixture scale is
+    # task scheduling (rounds x stages x partitions), the exact
+    # overhead profile measured for the r8 streaming state-store
+    # win (NOTES.md r8). Data-sized knob: like pagerank's and
+    # kcore's, size to vertex cardinality on a real cluster. Pure
+    # integer min-label arithmetic — partitioning provably cannot
+    # move any label (regression-tested). Serial-use constraint: see
+    # loop_shuffle_partitions.
+    with loop_shuffle_partitions(spark, loop_partitions):
         sym = edges.select(
             F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
         ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
@@ -591,9 +594,6 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-    finally:
-        if loop_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if changed != 0:
         raise RuntimeError(
             f"connected_components: labels still changing after max_iter={max_iter} "
@@ -631,13 +631,11 @@ def connected_components_star(
     engine-internal, used only for loop control.
     """
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if loop_partitions is not None:
-        # Same data-sized exchange knob as connected_components /
-        # kcore / pagerank: size per-round shuffles to vertex
-        # cardinality instead of the session default.
-        spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    # Same data-sized exchange knob as connected_components / kcore /
+    # pagerank: size per-round shuffles to vertex cardinality instead
+    # of the session default. Serial-use constraint: see
+    # loop_shuffle_partitions.
+    with loop_shuffle_partitions(spark, loop_partitions):
         u, v, m = F.col("_u"), F.col("_v"), F.col("_m")
         # Canonical undirected edge list, self-loops dropped.
         e = (
@@ -709,9 +707,6 @@ def connected_components_star(
                 F.coalesce("component_id", F.col(id_col)).alias("component_id"),
             )
         )
-    finally:
-        if loop_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 # --- SimHash ---

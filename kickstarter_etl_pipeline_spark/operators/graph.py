@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from kickstarter_etl_pipeline_spark.operators.partitioning import loop_shuffle_partitions
+
 
 def degree_table(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Vertex degrees of an undirected, deduplicated edge list."""
@@ -196,9 +198,7 @@ def pagerank(
     # theorem — a sum landing within one ulp of a grid boundary could
     # in principle flip a snap). Restored before the returned
     # projection is planned.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    with loop_shuffle_partitions(spark, loop_partitions):
         directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
             edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
         )
@@ -227,8 +227,6 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return pr.select("id", round_det(F.col("pr") * 1000, 6).alias("pr_permille"))
 
 
@@ -369,12 +367,19 @@ def hits(
     """
     import math
 
+    if iterations < 1:
+        # a must be computed at least once before the final projection
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
     e = (
         edges.select(F.col(c).cast("long").alias("_c"), F.col(s).cast("long").alias("_s"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if e.limit(1).count() == 0:
+        # empty edge set: _normalize's collected squared norm would be
+        # NULL (sqrt(None) → TypeError); the HITS result is just empty
+        return spark.createDataFrame([], "role string, id long, score double")
     NANO = 1_000_000_000
 
     def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
@@ -389,9 +394,7 @@ def hits(
             .alias(out),
         ).localCheckpoint(eager=True)
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    with loop_shuffle_partitions(spark, loop_partitions):
         h = e.select("_c").distinct().select("_c", F.lit(NANO).cast("long").alias("_hn"))
         h = h.localCheckpoint(eager=True)
         a = None
@@ -408,8 +411,6 @@ def hits(
                 .agg(F.sum("_an").cast("long").alias("_raw"))
             )
             h = _normalize(h_raw, "_c", "_hn")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
@@ -473,9 +474,7 @@ def kcore(
             .agg(F.count("*").cast("long").alias(out))
         )
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    with loop_shuffle_partitions(spark, loop_partitions):
         for _ in range(rounds):
             keep = _degrees(e, "_d").filter(F.col("_d") >= k).select("_id")
             e = (
@@ -483,8 +482,6 @@ def kcore(
                 .join(keep.withColumnRenamed("_id", "_v"), "_v", "left_semi")
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return _degrees(e, "core_degree").select(
         F.col("_id").alias("id"), "core_degree"
     )
@@ -520,9 +517,7 @@ def transitive_closure(
     clo = edges.select(
         F.col(anc).cast("long").alias("anc"), F.col(des).cast("long").alias("des")
     ).distinct()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    with loop_shuffle_partitions(spark, loop_partitions):
         clo = clo.localCheckpoint(eager=True)
         for _ in range(rounds):
             step = (
@@ -531,8 +526,6 @@ def transitive_closure(
                 .select(F.col("a.anc").alias("anc"), F.col("b.des").alias("des"))
             )
             clo = clo.unionByName(step).distinct().localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return clo
 
 
@@ -570,9 +563,7 @@ def bfs_depths(
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    with loop_shuffle_partitions(spark, loop_partitions):
         sym = sym.localCheckpoint(eager=True)
         src = sym.agg(F.min("_u").alias("_id")).select(
             "_id", F.lit(0).cast("long").alias("depth")
@@ -591,8 +582,6 @@ def bfs_depths(
             )
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return visited.select(F.col("_id").alias("id"), "depth")
 
 
@@ -630,9 +619,7 @@ def spectral_coordinate(
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    with loop_shuffle_partitions(spark, loop_partitions):
         directed = (
             edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
             .unionAll(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
@@ -678,8 +665,6 @@ def spectral_coordinate(
                 )
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return x.select(
         "id",
         round_det(F.col("x"), 6).alias("spectral_x"),
@@ -726,9 +711,7 @@ def bellman_ford_distances(
         )
         .filter(F.col("_u") != F.col("_v"))
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(loop_partitions)))
-    try:
+    with loop_shuffle_partitions(spark, loop_partitions):
         sym = sym.localCheckpoint(eager=True)
         dist = (
             sym.agg(F.min("_u").alias("_id"))
@@ -747,6 +730,4 @@ def bellman_ford_distances(
                 .agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return dist.select(F.col("_id").alias("id"), "dist")

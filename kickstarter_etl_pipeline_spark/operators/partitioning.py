@@ -9,6 +9,8 @@ inputs already have many partitions and the helpers are no-ops.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -85,3 +87,35 @@ def ensure_min_partitions(
         out = df.repartition(target)
         return out.localCheckpoint(eager=True) if barrier else out
     return df
+
+
+@contextmanager
+def loop_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` to an iterative loop.
+
+    ``n=None`` is a no-op scope (the caller opted out of the knob).
+
+    The graph/components operators run many tiny per-iteration shuffles
+    whose cost is dominated by task scheduling, so they plan them at a
+    small partition count and restore the session value afterwards.
+    That mutation is SESSION-GLOBAL: nested uses restore correctly
+    (each scope re-sets what it observed — LIFO unwind), but any query
+    planned CONCURRENTLY on the same SparkSession while a scope is
+    open silently inherits the loop's tiny partition count. Do not run
+    the iterative operators (pagerank, hits, kcore, bfs_depths,
+    transitive_closure, spectral_coordinate, bellman_ford_distances,
+    connected components) concurrently with other queries on one
+    session; use separate sessions for that.
+
+    Centralizing the pattern here keeps the save/restore logic in one
+    audited place instead of nine hand-rolled try/finally blocks.
+    """
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

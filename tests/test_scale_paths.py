@@ -1026,3 +1026,22 @@ def test_bellman_ford_prefers_cheaper_multihop(spark):
         for r in bellman_ford_distances(edges, rounds=6, loop_partitions=3).collect()
     }
     assert got_p == got
+
+
+def test_hits_degenerate_inputs(spark):
+    """hits() edge guards (r9 advice): iterations < 1 is a ValueError
+    (the authority frame would never be computed), and an empty edge
+    set returns an empty typed result instead of sqrt(None) blowing
+    up in the normalization collect."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F2
+    from kickstarter_etl_pipeline_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], "c long, s long")
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
+    empty = edges.filter(F2.lit(False))
+    out = hits(empty, iterations=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["role", "id", "score"]
