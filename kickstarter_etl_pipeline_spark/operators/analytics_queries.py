@@ -28,7 +28,6 @@ from kickstarter_etl_pipeline_spark.sources.readers import load_table
 from kickstarter_etl_pipeline_spark.streaming.events_stream import streaming_tumbling_counts
 
 
-
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered, time-bounded funnel analysis (view → click within 1 h →
     purchase within 1 h): per-stage surviving user counts plus
@@ -708,33 +707,6 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact-decimal sufficient statistics (the
-    same engine-independence technique as price_stats_by_status: a
-    streaming double corr is summation-order-dependent; exact decimal
-    sums cast to double feed ONE deterministic IEEE expression)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(15,2)")
-    y = F.col("l_extendedprice").cast("decimal(15,2)")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(x).alias("_sx"),
-        F.sum(y).alias("_sy"),
-        F.sum(x * x).alias("_sxx"),
-        F.sum(y * y).alias("_syy"),
-        F.sum(x * y).alias("_sxy"),
-    )
-    n = F.col("n").cast("double")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxx, syy, sxy = (
-        F.col("_sxx").cast("double"),
-        F.col("_syy").cast("double"),
-        F.col("_sxy").cast("double"),
-    )
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return agg.select("l_returnflag", "n", round_det(corr, 6).alias("corr_qty_price"))
-
-
 def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram via bucket arithmetic (no window, one
     shuffle): 25k-wide price buckets with per-bucket count and range."""
@@ -914,32 +886,6 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of order value per status — the inequality /
-    concentration metric (0 = equal spend, →1 = one order dominates):
-    ``G = 2·Σ(i·xᵢ) / (n·Σxᵢ) − (n+1)/n`` over ascending-sorted values
-    (orderkey tie-break; ties in x make the rank choice irrelevant to
-    the sum). One per-group rank window + one aggregate; round 6 on the
-    final fixed expression tree.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderstatus",
-        "o_totalprice",
-        F.row_number().over(w).cast("long").alias("_i"),
-    )
-    return ranked.groupBy("o_orderstatus").agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.round(
-            2 * F.sum(F.col("_i") * F.col("o_totalprice"))
-            / (F.count("*") * F.sum("o_totalprice"))
-            - (F.count("*") + 1) / F.count("*"),
-            6,
-        ).alias("gini"),
-    )
-
-
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 session entry paths: the first three event types of every
     user session (30-min gap rule, same lag+cumsum construction as
@@ -970,114 +916,6 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_sessions"))
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
-    )
-
-
-def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B experimentation readout: users deterministically bucketed by
-    the last md5 hex digit of user_id (0-7 → A, 8-f → B), then per
-    (bucket, event_type): distinct users, events, value sum and
-    events-per-user — the reproducible traffic-split + guardrail table
-    (same assignment on every engine/run/cluster, no RNG).
-    """
-    ev = load_table(spark, sf_dir, "events")
-    bucket = F.when(
-        F.substring(F.md5(F.col("user_id").cast("string")), 32, 1) < "8", "A"
-    ).otherwise("B")
-    return (
-        ev.withColumn("bucket", bucket)
-        .groupBy("bucket", "event_type")
-        .agg(
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .withColumn(
-            "events_per_user", round_det(F.col("n_events") / F.col("n_users"), 6)
-        )
-    )
-
-
-def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square independence table for event_type × day-of-week:
-    observed counts, expected counts under independence
-    (row_total·col_total/N) and each cell's χ² contribution
-    ((o−e)²/e) — the guardrail test behind "is traffic mix shifting by
-    weekday". All inputs are exact integer counts; expected and the
-    contribution are one fixed IEEE expression tree each (round 6), so
-    the whole table is engine-deterministic. Σ contribution = the χ²
-    statistic (34 df here), left to the reader so every graded cell is
-    raw.
-
-    One (type, dow) aggregate plus two broadcast marginal joins — the
-    contingency table is tiny at any corpus scale.
-    """
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    cells = (
-        ev.select(
-            "event_type",
-            # epoch day 0 = 1970-01-01 (Thursday = dow 4 under ISO-ish
-            # numbering below); derive dow purely from the integer day
-            # index so no timezone/calendar function is involved.
-            ((F.floor(F.col("_us") / 86_400_000_000) + 4) % 7).cast("int").alias("dow"),
-        )
-        .groupBy("event_type", "dow")
-        .agg(F.count("*").cast("long").alias("observed"))
-    )
-    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("_rt"))
-    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("_ct"))
-    n = cells.agg(F.sum("observed").alias("_n"))
-    expected = F.col("_rt") * F.col("_ct") / F.col("_n")
-    return (
-        cells.join(F.broadcast(row_tot), "event_type")
-        .join(F.broadcast(col_tot), "dow")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "event_type",
-            "dow",
-            "observed",
-            F.round(expected, 6).alias("expected"),
-            F.round((F.col("observed") - expected) * (F.col("observed") - expected) / expected, 6).alias(
-                "chi2_contrib"
-            ),
-        )
-    )
-
-
-def q_exact_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distributed quartiles per order status under the
-    NEAREST-RANK convention (p_q = value at rank ceil(q·n) in ascending
-    order, orderkey tie-break) — no interpolation, so the result is a
-    member of the data and engine-deterministic by construction.
-    Complements q_exact_median_by_group (which uses the averaged-middle
-    convention) and approx_aggregates (the sketch path at scale).
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderstatus",
-        "o_totalprice",
-        F.row_number().over(w).cast("long").alias("_rn"),
-        F.count("*").over(Window.partitionBy("o_orderstatus")).cast("long").alias("_n"),
-    )
-    picks = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
-    conds = [
-        F.max(
-            F.when(F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")), F.col("o_totalprice"))
-        ).alias(name)
-        for name, q in picks
-    ]
-    return (
-        ranked.groupBy("o_orderstatus")
-        .agg(F.max("_n").alias("n_orders"), *conds)
-        .select(
-            "o_orderstatus",
-            "n_orders",
-            "p25",
-            "p50",
-            "p75",
-            F.round(F.col("p75") - F.col("p25"), 2).alias("iqr"),
-        )
     )
 
 
@@ -1230,36 +1068,6 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-iteration PageRank over the error co-occurrence graph —
-    ITERATIVE yet fully oracle'd: the rank vector is rounded to a 1e-9
-    grid after every iteration (see operators.graph.pagerank), so the
-    DuckDB twin replays the literal unrolled recurrence bit-for-bit."""
-    from kickstarter_etl_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
-    return pagerank(edges, iterations=10).select(
-        F.col("id").alias("user_id"), "pr_permille"
-    )
-
-
-def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-round synchronous label-propagation communities over the error
-    co-occurrence graph — iterative, integer-exact, fully oracle'd
-    (see operators.graph.label_propagation)."""
-    from kickstarter_etl_pipeline_spark.operators.graph import (
-        cooccurrence_edges,
-        label_propagation,
-    )
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
-    return label_propagation(edges, iterations=5).select(
-        F.col("id").alias("user_id"), "community", "n_members"
-    )
-
-
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of the event
     value stream (α = 0.25) — the streaming-flavored smoother, computed
@@ -1344,113 +1152,6 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS hubs/authorities over the bipartite customer→supplier
-    graph (distinct (o_custkey, l_suppkey) pairs through lineitem):
-    hub customers buy from many authoritative suppliers, authoritative
-    suppliers serve many hub customers — the mutually-recursive
-    centrality pair. 4 exact-integer-spine iterations; see graph.hits
-    for the determinism contract and _hits_oracle_sql for the unrolled
-    SQL twin."""
-    from kickstarter_etl_pipeline_spark.operators.graph import hits
-
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
-    )
-    return hits(edges, iterations=4)
-
-
-def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (k=4, 6 peel rounds) of the error
-    co-occurrence graph (users connected iff both errored within the
-    same 10-minute bucket — a sparser graph than the triangle tier's
-    30-minute one, so the peel actually removes vertices at fixture
-    scale). The k-core is THE standard dense-subgraph screen for bot
-    rings / correlated-failure cohorts; see graph.kcore for the
-    fixed-round contract and scale posture. Pure integer arithmetic —
-    the DuckDB twin is the literal unrolled peel."""
-    from kickstarter_etl_pipeline_spark.operators.graph import (
-        cooccurrence_edges,
-        kcore,
-    )
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
-    return kcore(edges, k=4, rounds=6).select(
-        F.col("id").alias("user_id"), "core_degree"
-    )
-
-
-def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchy (recursive-CTE) rollup — the classic OLAP capability
-    the registry lacked: derive a 4-ary part taxonomy (child k → parent
-    (k−1) DIV 4, node 0 the root — a deterministic function of the key,
-    so both engines build the identical tree from the raw table), take
-    its ancestor-descendant transitive closure, and report, per part:
-    its depth and its SUBTREE rollup (descendant count and total retail
-    value including itself) — the BOM-explosion / org-chart aggregate
-    that needs WITH RECURSIVE in SQL.
-
-    Spark side: path-doubling closure (operators/graph.py
-    transitive_closure — ⌈log2 depth⌉ shuffles, not depth); 5 rounds
-    covers depth ≤ 2^5 = 32, i.e. every 4-ary tree below 4^32 ≈ 1.8e19
-    nodes — an arithmetic bound, not fixture luck. DuckDB twin: a
-    genuine WITH RECURSIVE walk of the same parent function (linear —
-    the recursive CTE is referenced once per step, the kcore
-    MATERIALIZED lesson does not bite).
-
-    Exactness: depth and counts are pure integers; money rolls up as
-    floor(p_retailprice·100 + 0.5) cents — identical IEEE snap on both
-    engines — and is emitted as an exact BIGINT cents sum (no float
-    aggregation anywhere).
-
-    Scale: closure size is Σ depth(v) ≈ N·log4 N rows; every exchange
-    is keyed by part id (uniform — keys are dense integers); the
-    rollup is one groupBy over the closure. No driver data, no global
-    sort; output is one row per part."""
-    from kickstarter_etl_pipeline_spark.operators.graph import transitive_closure
-
-    part = load_table(spark, sf_dir, "part")
-    nodes = part.select(
-        F.col("p_partkey").cast("long").alias("id"),
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("_cents"),
-    )
-    edges = part.filter(F.col("p_partkey") >= 1).select(
-        F.expr("CAST((p_partkey - 1) DIV 4 AS BIGINT)").alias("anc"),
-        F.col("p_partkey").cast("long").alias("des"),
-    )
-    clo = transitive_closure(edges, rounds=5)
-    depth = clo.groupBy(F.col("des").alias("id")).agg(
-        F.count("*").cast("long").alias("_depth")
-    )
-    sub = (
-        clo.join(nodes.withColumnRenamed("id", "des"), "des")
-        .groupBy(F.col("anc").alias("id"))
-        .agg(
-            F.count("*").cast("long").alias("_ndesc"),
-            F.sum("_cents").cast("long").alias("_dcents"),
-        )
-    )
-    return (
-        nodes.join(depth, "id", "left")
-        .join(sub, "id", "left")
-        .select(
-            F.col("id").alias("p_partkey"),
-            F.coalesce(F.col("_depth"), F.lit(0)).cast("long").alias("depth"),
-            (F.coalesce(F.col("_ndesc"), F.lit(0)) + 1)
-            .cast("long")
-            .alias("subtree_count"),
-            (F.coalesce(F.col("_dcents"), F.lit(0)) + F.col("_cents"))
-            .cast("long")
-            .alias("subtree_value_cents"),
-        )
-    )
-
-
 def q_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset set-op surface completion: INTERSECT ALL keeps
     multiplicity (each 1998 priority row pairs off against one 1999
@@ -1463,861 +1164,3 @@ def q_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b)
 
 
-def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source BFS shortest-path depths (8 fixed rounds) from the
-    minimum user id over the 10-minute error co-occurrence graph — the
-    distance/reachability view completing the graph tier next to
-    pagerank/HITS (centrality), k-core (density), components
-    (partition), and the closure (ancestry). Pure integer end to end
-    (depths are loop counters); the DuckDB twin is the literal
-    unrolled frontier replay with MATERIALIZED per-round CTEs (the
-    visited set is referenced twice per round — device 7)."""
-    from kickstarter_etl_pipeline_spark.operators.graph import (
-        bfs_depths,
-        cooccurrence_edges,
-    )
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
-    return bfs_depths(edges, rounds=8).select(
-        F.col("id").alias("user_id"), "depth"
-    )
-
-
-def q_bootstrap_ci_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson-bootstrap confidence intervals for the mean order value
-    per priority class — THE bootstrap for data that doesn't fit on one
-    machine (Chamandy et al., "Estimating Uncertainty for Massive Data
-    Streams", Google 2012): instead of drawing B resamples (B full
-    shuffles of the fact table), each row independently receives a
-    Poisson(1) multiplicity per replicate, so all 32 replicates ride
-    ONE scan + ONE tiny aggregate (partial map-side combine collapses
-    to priorities×32 groups per partition before the exchange).
-
-    Determinism (no RNG anywhere): replicate b's weight for an order is
-    the Poisson(1) inverse CDF evaluated at u = first 15 md5 hex digits
-    of "orderkey:b" — a pure function of the data, reproducible across
-    engines, runs, and cluster sizes. The CDF thresholds are HARDCODED
-    integer literals on the 2^60 grid (floor(CDF(k)·16^15), k=0..5,
-    weights capped at 6 — P(W>6|u) < 6e-4); deriving them at runtime
-    on each engine would be a cross-libm bet (the mmr derived-constant
-    lesson), so the literals themselves are the contract.
-
-    Exactness: replicate means are decided by exact integer floor
-    division — mean6 = (Σw·cents · 10000) DIV Σw on decimal(38,0)
-    (cents = floor(price·100+0.5), the IEEE-exact 2-dp snap) — and the
-    CI bounds are the rank-2 / rank-31 replicate means (percentile
-    method, ≈[3.1%, 96.9%] with B=32), ranked on (mean6, b): integers
-    end to end, no float ever decides a bound. The per-priority rank
-    window orders 32 rows per group — control-sized, not data-sized."""
-    # floor(CDF_Poisson(1)(k) * 16^15), k = 0..5 — identical literals in
-    # the DuckDB twin (oracles_analytics.py).
-    T = [
-        424136118829305344,
-        848272237658610688,
-        1060340297073263360,
-        1131029650211480960,
-        1148701988496035328,
-        1152236456152946176,
-    ]
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_cents"),
-    )
-    rep = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    w = (
-        F.when(u < T[0], 0)
-        .when(u < T[1], 1)
-        .when(u < T[2], 2)
-        .when(u < T[3], 3)
-        .when(u < T[4], 4)
-        .when(u < T[5], 5)
-        .otherwise(6)
-    ).cast("long")
-    reps = (
-        rep.withColumn("_w", w)
-        .groupBy("priority", "b")
-        .agg(
-            F.sum(F.col("_w") * F.col("_cents")).cast("decimal(38,0)").alias("_s"),
-            F.sum("_w").cast("long").alias("_wsum"),
-        )
-    )
-    # exact integer floor division: subtract the remainder first, so the
-    # decimal divide is of an exactly-divisible numerator (no rounding
-    # mode in play). _wsum = 0 has probability e^-n (never at any real
-    # n) but must not ERROR under ANSI mode -> NULL via the when-guard.
-    wsafe = F.when(F.col("_wsum") > 0, F.col("_wsum"))
-    s10k = F.col("_s") * 10000
-    mean6 = ((s10k - s10k % wsafe) / wsafe).cast("long")
-    ranked = reps.select("priority", "b", mean6.alias("_m6")).withColumn(
-        "_rk",
-        F.row_number().over(Window.partitionBy("priority").orderBy("_m6", "b")),
-    )
-    ci = ranked.groupBy("priority").agg(
-        F.max(F.when(F.col("_rk") == 2, F.col("_m6"))).alias("_lo6"),
-        F.max(F.when(F.col("_rk") == 31, F.col("_m6"))).alias("_hi6"),
-    )
-    pt = base.groupBy("priority").agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum("_cents").cast("decimal(38,0)").alias("_sc"),
-    )
-    p10k = F.col("_sc") * 10000
-    point6 = ((p10k - p10k % F.col("n_orders")) / F.col("n_orders")).cast("long")
-    return (
-        pt.join(ci, "priority")
-        .select(
-            F.col("priority").alias("o_orderpriority"),
-            "n_orders",
-            (point6 / F.lit(1e6)).alias("point_mean"),
-            (F.col("_lo6") / F.lit(1e6)).alias("ci_lo"),
-            (F.col("_hi6") / F.lit(1e6)).alias("ci_hi"),
-        )
-    )
-
-
-def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline / Pareto frontier of the part catalog — the points where
-    no other part is simultaneously cheaper AND larger (minimize
-    p_retailprice, maximize p_size): the classic multi-objective
-    dominance operator (Börzsönyi et al., "The Skyline Operator",
-    ICDE 2001).
-
-    Scale path: the naive formulation is a quadratic NOT-EXISTS
-    anti-join (which is exactly what the DuckDB twin runs — the grade
-    proves the reduction). Spark instead (1) collapses to one candidate
-    per distinct price (only the max size can survive), then (2) runs
-    the EXCLUSIVE prefix max of size in price order through
-    two_phase_rank's range-exchange device (``max_col``) — a point is
-    on the frontier iff no strictly-cheaper point reaches its size.
-    O(n log n) by sort, no single-partition window, no pair blow-up.
-
-    Exactness: prices ride the floor(·100+0.5) cents snap; everything
-    downstream is integer comparison. ``price`` is emitted as
-    cents/100.0 — an exact IEEE division by a power-of-two-free
-    constant of an integer < 2^53, identical on both engines."""
-    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
-
-    part = load_table(spark, sf_dir, "part")
-    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
-    pts = (
-        part.select(cents.alias("_price_c"), F.col("p_size").cast("long").alias("p_size"))
-        .groupBy("_price_c")
-        .agg(F.max("p_size").alias("_best"))
-    )
-    r = two_phase_rank(pts, ["_price_c"], max_col="_best")
-    frontier = r.filter(
-        F.col("cum_max_excl").isNull() | (F.col("_best") > F.col("cum_max_excl"))
-    ).select("_price_c", F.col("_best").alias("p_size"))
-    counts = part.groupBy(
-        cents.alias("_price_c"), F.col("p_size").cast("long").alias("p_size")
-    ).agg(F.count("*").cast("long").alias("n_parts"))
-    return (
-        frontier.join(counts, ["_price_c", "p_size"])
-        .select(
-            (F.col("_price_c") / F.lit(100.0)).alias("price"),
-            "p_size",
-            "n_parts",
-        )
-    )
-
-
-def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve for time-to-first-purchase: each
-    user enters at their first 'view' event; the event is their first
-    subsequent 'purchase'; users with no purchase are right-censored at
-    the global observation end — the canonical censored
-    time-to-conversion analysis (Kaplan & Meier 1958).
-
-    Exactness: durations are exact integer day counts; at each event
-    day the risk set n and event count d are exact longs; the curve is
-    carried in LOG space — ln S(t) = Σ ln((n_i−d_i)/n_i) with each term
-    ln of an exact integer ratio snapped to the nano-nat grid BEFORE
-    the prefix sum (the JSD device), so the cumulative is an exact
-    integer sum and no float summation order exists. S itself would
-    need exp (the perplexity_proxy rows-only lesson), so the emitted
-    column IS the log-survival. A day where d = n sends the true curve
-    to 0 (ln → −inf): from that day on log_survival is NULL by an
-    integer flag both engines compute identically.
-
-    Scale: two keyed aggregates over users, then a day-grid table —
-    the prefix windows run over distinct DAYS, a calendar-bounded
-    frame (thousands of rows at any corpus size), not a data-sized
-    exchange."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    day_us = 86400000000
-    entry = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("_us").alias("_t0"))
-    )
-    purch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("_us").alias("_tp_raw"))
-        .join(entry, "user_id")
-        .filter(F.col("_tp_raw") >= F.col("_t0"))
-        .groupBy("user_id")
-        .agg(F.min("_tp_raw").alias("_tp"))
-    )
-    tend = F.broadcast(ev.agg(F.max("_us").alias("_te")))
-    subj = (
-        entry.join(purch, "user_id", "left")
-        .crossJoin(tend)
-        .select(
-            F.floor(
-                (F.coalesce("_tp", "_te") - F.col("_t0")) / F.lit(day_us)
-            ).cast("long").alias("_day"),
-            F.col("_tp").isNotNull().cast("long").alias("_is_event"),
-        )
-    )
-    days = subj.groupBy("_day").agg(
-        F.sum("_is_event").cast("long").alias("n_events"),
-        F.count("*").cast("long").alias("_c_all"),
-    )
-    total = F.broadcast(subj.agg(F.count("*").cast("long").alias("_n_total")))
-    w_excl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, -1)
-    at_risk = (
-        days.crossJoin(total)
-        .withColumn(
-            "n_at_risk",
-            F.col("_n_total") - F.coalesce(F.sum("_c_all").over(w_excl), F.lit(0)),
-        )
-    )
-    evd = at_risk.filter(F.col("n_events") > 0)
-    term9 = F.when(
-        F.col("n_events") < F.col("n_at_risk"),
-        F.floor(
-            F.log(
-                (F.col("n_at_risk") - F.col("n_events")) / F.col("n_at_risk")
-            )
-            * 1e9
-            + F.lit(0.5)
-        ).cast("long"),
-    )
-    w_incl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        evd.withColumn("_term9", term9)
-        .withColumn(
-            "_hit0",
-            F.max((F.col("n_events") >= F.col("n_at_risk")).cast("int")).over(w_incl),
-        )
-        .withColumn("_ln9", F.sum("_term9").over(w_incl))
-    )
-    return curve.select(
-        F.col("_day").alias("event_day"),
-        "n_at_risk",
-        "n_events",
-        F.when(
-            F.col("_hit0") == 0,
-            F.floor(F.col("_ln9") / F.lit(1e9) * 1e6 + F.lit(0.5)) / F.lit(1e6),
-        ).alias("log_survival"),
-    )
-
-
-def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Position-based (U-shaped) multi-touch attribution — the
-    generalization of the last-touch view (events_asof_next_purchase):
-    every purchase distributes 10000 basis points of credit across the
-    user's touchpoints (click/view/signup) in the 7 days strictly
-    before it: 40% to the first touch, 40% to the last, 20% split
-    across the middles. Credit is summed per touch event_type.
-
-    Exactness: NO floats anywhere — the split is integer basis points
-    with the front-loaded remainder rule (the _ntile_exact device):
-    n=1 → 10000; n=2 → 5000/5000; n≥3 → first/last 4000 each, middles
-    get 2000 DIV (n−2) with the remainder going to the EARLIEST
-    middles, so every conversion's credits sum to exactly 10000 and
-    both engines agree bit for bit by integer arithmetic alone.
-
-    Scale: the purchase⋈touch range join is keyed by user_id (uniform;
-    the 7-day window bounds the per-purchase fan-out) and the position
-    windows partition by purchase — per-conversion groups, never a
-    global exchange."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    week_us = 7 * 86400000000
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("_u"),
-        F.col("event_id").alias("_pid"),
-        F.col("_us").alias("_pts"),
-    )
-    touch = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
-        F.col("user_id").alias("_u"),
-        F.col("event_id").alias("_tid"),
-        F.col("event_type").alias("touch_type"),
-        F.col("_us").alias("_tts"),
-    )
-    j = purch.join(touch, "_u").filter(
-        (F.col("_tts") < F.col("_pts")) & (F.col("_tts") >= F.col("_pts") - week_us)
-    )
-    w_asc = Window.partitionBy("_pid").orderBy("_tts", "_tid")
-    w_cnt = Window.partitionBy("_pid")
-    pos = (
-        j.withColumn("_r", F.row_number().over(w_asc))
-        .withColumn("_n", F.count("*").over(w_cnt))
-    )
-    n, r = F.col("_n"), F.col("_r")
-    mid_n = n - 2
-    # middle share: 2000 DIV (n-2) each, remainder 2000 MOD (n-2) goes
-    # +1 to the earliest middles (positions 2 .. 1+rem)
-    mid_q = (F.lit(2000) - (F.lit(2000) % mid_n)) / mid_n
-    mid_rem = F.lit(2000) % mid_n
-    credit = (
-        F.when(n == 1, F.lit(10000))
-        .when(n == 2, F.lit(5000))
-        .when((r == 1) | (r == n), F.lit(4000))
-        .otherwise(
-            mid_q.cast("long") + F.when(r - 1 <= mid_rem, 1).otherwise(0)
-        )
-    ).cast("long")
-    return (
-        pos.select("touch_type", credit.alias("_credit"), "_pid")
-        .groupBy("touch_type")
-        .agg(
-            F.sum("_credit").cast("long").alias("credit_bp"),
-            F.countDistinct("_pid").cast("long").alias("n_conversions_touched"),
-            F.count("*").cast("long").alias("n_touches"),
-        )
-    )
-
-
-def q_graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spectral bipartition coordinate (8 fixed rounds of centered,
-    grid-snapped power iteration on the random-walk matrix) over the
-    10-minute error co-occurrence graph — the embedding/clustering view
-    completing the graph tier next to centrality (pagerank/HITS),
-    density (k-core), reachability (BFS), partition (components) and
-    ancestry (closure). The NOTES round-8 lead ("power-iteration
-    spectral embedding, needs a grid-safe normalization design") —
-    the design landed on ∞-norm scaling, whose max-of-grid-values is
-    exact on any engine. See graph.spectral_coordinate for the full
-    determinism contract."""
-    from kickstarter_etl_pipeline_spark.operators.graph import (
-        cooccurrence_edges,
-        spectral_coordinate,
-    )
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
-    return spectral_coordinate(edges, rounds=8).select(
-        F.col("id").alias("user_id"), "spectral_x", "side"
-    )
-
-
-def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching over the part-name vocabulary — the
-    EDIT-distance member of the similarity family (set overlap =
-    Jaccard tiers, bitwise = SimHash, vector = cosine tiers; this adds
-    the typo/variant matcher every entity-resolution stack carries).
-    Pairs of distinct names sharing their final token (the blocking
-    key) within Levenshtein distance 5, with each name's part count.
-
-    Exactness: levenshtein() is a pure integer DP with one standard
-    definition (unit insert/delete/substitute) — Spark and DuckDB agree
-    exactly, no grid needed; everything else is counts.
-
-    Scale: the name VOCABULARY (not the part table) is the pair space —
-    names dedupe first, then block on the last token, so the quadratic
-    term is per-block vocabulary density, not data size. The length
-    filter |len_a − len_b| ≤ 5 (a Levenshtein lower bound) prunes
-    before the DP runs. Hot blocks are the standard ER mitigation
-    point (swap the blocking key for a q-gram prefix if a token runs
-    hot)."""
-    part = load_table(spark, sf_dir, "part")
-    names = (
-        part.groupBy("p_name")
-        .agg(F.count("*").cast("long").alias("_n_parts"))
-        .withColumn("_block", F.element_at(F.split("p_name", " "), -1))
-        .withColumn("_len", F.length("p_name"))
-    )
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("_n_parts").alias("n_parts_a"),
-        "_block",
-        F.col("_len").alias("_la"),
-    )
-    b = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("_n_parts").alias("n_parts_b"),
-        "_block",
-        F.col("_len").alias("_lb"),
-    )
-    return (
-        a.join(b, "_block")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(F.abs(F.col("_la") - F.col("_lb")) <= 5)
-        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("lev_dist") <= 5)
-        .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
-    )
-
-
-def q_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-item co-occurrence over the ORDER basket (the
-    collaborative-filtering neighbor table: parts bought together),
-    top-50 pairs by support — the item-granularity sibling of
-    q_session_basket_lift (which works on the 5 event types). Support,
-    each item's order frequency, and lift n_ab·N/(n_a·n_b).
-
-    Exactness: counts are exact longs; lift is one fixed IEEE division
-    tree over exact integers (decimal products against 2^53 growth),
-    snapped to 6dp; the top-50 cut orders by (support desc, id_a,
-    id_b) — a total order, so the LIMIT boundary is deterministic.
-
-    Scale: the pair explode is a self-join keyed by order with
-    per-order fan-out bounded by basket size (≤ 7 lines in TPC-H shape
-    — lines², not orders²); the aggregate is keyed by part pair
-    (uniform); the top-50 is a TakeOrdered, not a global sort."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_both"))
-    )
-    freq = li.groupBy(F.col("l_partkey")).agg(
-        F.count("*").cast("long").alias("_n")
-    )
-    n_orders = F.broadcast(
-        li.select("l_orderkey").distinct().agg(F.count("*").cast("long").alias("_N"))
-    )
-    # per-part frequency tables grow linearly with sf — no hint; the
-    # pair-keyed equi-joins are uniform and AQE picks the strategy.
-    fa = freq.select(F.col("l_partkey").alias("id_a"), F.col("_n").alias("n_a"))
-    fb = freq.select(F.col("l_partkey").alias("id_b"), F.col("_n").alias("n_b"))
-    lift = (
-        F.col("n_both").cast("decimal(38,0)") * F.col("_N")
-    ).cast("double") / (
-        F.col("n_a").cast("decimal(38,0)") * F.col("n_b")
-    ).cast("double")
-    return (
-        pairs.join(fa, "id_a")
-        .join(fb, "id_b")
-        .crossJoin(n_orders)
-        .select(
-            "id_a",
-            "id_b",
-            "n_both",
-            "n_a",
-            "n_b",
-            round_det(lift, 6).alias("lift"),
-        )
-        .orderBy(F.desc("n_both"), F.asc("id_a"), F.asc("id_b"))
-        .limit(50)
-    )
-
-
-def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-Changing-Dimension Type 2 build from history: each
-    customer's order-priority timeline collapses into validity episodes
-    (valid_from / valid_to / is_current), one row per consecutive run
-    of the same priority in (order date, order key) order — the
-    classic warehouse dimension-versioning pattern, built set-based
-    from the raw history (no per-row MERGE loop; the CDC sibling is
-    cdc_apply_agg).
-
-    Exactness: pure integer/date column logic — a run boundary is
-    lag(priority) ≠ priority (null-safe), episode ids are a cumulative
-    sum of boundary flags, and the episode rollup takes min/max dates
-    and count. valid_to is the NEXT episode's valid_from (half-open
-    intervals, the standard SCD2 convention); NULL marks the current
-    row.
-
-    Scale: two customer-keyed windows + one keyed aggregate — per-
-    customer frames, never global."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("_d"),
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-    )
-    w = Window.partitionBy("o_custkey").orderBy("_d", "o_orderkey")
-    flagged = orders.withColumn(
-        "_new",
-        F.when(
-            F.lag("priority").over(w).isNull()
-            | (F.lag("priority").over(w) != F.col("priority")),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "_ep",
-        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
-    )
-    eps = flagged.groupBy("o_custkey", "_ep").agg(
-        F.max("priority").alias("priority"),
-        F.min("_d").alias("valid_from"),
-        F.count("*").cast("long").alias("n_orders"),
-    )
-    w_ep = Window.partitionBy("o_custkey").orderBy("_ep")
-    # dates emitted as formatted strings (engine-neutral comparison —
-    # the tumbling_agg convention)
-    return eps.select(
-        "o_custkey",
-        F.col("_ep").alias("version"),
-        "priority",
-        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
-        F.date_format(F.lead("valid_from").over(w_ep), "yyyy-MM-dd").alias("valid_to"),
-        F.lead("valid_from").over(w_ep).isNull().alias("is_current"),
-        "n_orders",
-    )
-
-
-def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running balance floored at zero — the inventory /
-    prepaid-credit recurrence b_t = max(0, b_{t-1} + δ_t) (purchases
-    SPEND value, every other event earns it). The floor makes the fold
-    NON-associative, so no window or prefix-sum can express it — this
-    is the canonical case for the sequential-fold device the EWMA query
-    introduced, here in PURE INTEGERS (micro-unit deltas; no rounding
-    grid needed at all, stronger than the ewma contract). The fold also
-    carries the running MAX through a struct accumulator, proving the
-    device extends beyond scalar state.
-
-    Scale: one user-keyed collect + per-row JVM expression fold (same
-    posture and caveat as events_ewma: window the stream before
-    folding at extreme per-user lengths)."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    delta = F.when(
-        F.col("event_type") == "purchase",
-        -F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"),
-    ).otherwise(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
-    grouped = ev.select("user_id", "_us", "event_id", delta.alias("_d")).groupBy(
-        "user_id"
-    ).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_us", "event_id", "_d"))),
-            lambda s: s._d,
-        ).alias("_deltas")
-    )
-    zero = F.struct(
-        F.lit(0).cast("long").alias("b"), F.lit(0).cast("long").alias("m")
-    )
-
-    def step(acc, x):
-        nb = F.greatest(F.lit(0).cast("long"), acc.b + x)
-        return F.struct(nb.alias("b"), F.greatest(acc.m, nb).alias("m"))
-
-    folded = F.aggregate(F.col("_deltas"), zero, step)
-    return grouped.select(
-        "user_id",
-        F.size("_deltas").cast("long").alias("n_events"),
-        (folded.b / F.lit(1e6)).alias("final_balance"),
-        (folded.m / F.lit(1e6)).alias("max_balance"),
-    )
-
-
-def q_did_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Difference-in-differences estimate of mean order value —
-    treatment = odd customer keys, post-period = orders from 1997-01-01
-    — the classic quasi-experimental estimator, ENTIRELY in exact
-    integers: the four cell means come from the exact floor-division
-    device (cents·10000 DIV n), and DiD = (T_post − T_pre) −
-    (C_post − C_pre) is integer subtraction of those exact means (no
-    float decides anything; the only doubles are the /1e6 display
-    casts).
-
-    Scale: one scan, four partial-aggregated cells."""
-    orders = load_table(spark, sf_dir, "orders")
-    cells = orders.select(
-        (F.col("o_custkey") % 2 == 1).alias("treat"),
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")).alias("post"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_c"),
-    ).groupBy("treat", "post").agg(
-        F.count("*").cast("long").alias("_n"),
-        F.sum(F.col("_c").cast("decimal(38,0)")).alias("_s"),
-    )
-    s10k = F.col("_s") * 10000
-    m6 = ((s10k - s10k % F.col("_n")) / F.col("_n")).cast("long")
-    w = cells.select("treat", "post", F.col("_n").alias("n_orders"), m6.alias("_m6"))
-
-    def cell(tr, po, name):
-        return F.max(
-            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col("_m6"))
-        ).alias(name)
-
-    g = w.agg(
-        F.sum("n_orders").cast("long").alias("n_orders"),
-        cell(True, True, "_tp"),
-        cell(True, False, "_tb"),
-        cell(False, True, "_cp"),
-        cell(False, False, "_cb"),
-    )
-    return g.select(
-        "n_orders",
-        (F.col("_tb") / F.lit(1e6)).alias("treat_pre_mean"),
-        (F.col("_tp") / F.lit(1e6)).alias("treat_post_mean"),
-        (F.col("_cb") / F.lit(1e6)).alias("control_pre_mean"),
-        (F.col("_cp") / F.lit(1e6)).alias("control_post_mean"),
-        (
-            ((F.col("_tp") - F.col("_tb")) - (F.col("_cp") - F.col("_cb")))
-            / F.lit(1e6)
-        ).alias("did_estimate"),
-    )
-
-
-def q_rolling_wau_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU / rolling 7-day WAU / stickiness per day — the product-
-    analytics staple. Exact distinct counts (no sketch): each active
-    (user, day) pair is exploded into the 7 window-end days it
-    supports, then one distinct + one count per (window-end) day —
-    turning the sliding DISTINCT (which no window function computes)
-    into two uniform aggregates. Only days with any activity are
-    emitted, and windows are clipped to the observed span on both
-    engines.
-
-    Exactness: pure integer day arithmetic and counts; stickiness =
-    one IEEE division snapped at 6dp.
-
-    Scale: the ×7 explode rides above a distinct whose keys are
-    (user, day) — uniform; at 100 TB the explode factor is the window
-    length, the standard cost of exact sliding distincts (the sketchy
-    alternative is the HLL tier)."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    ud = ev.select(
-        "user_id", F.floor(F.col("_us") / F.lit(86400000000)).cast("long").alias("_day")
-    ).distinct()
-    dau = ud.groupBy("_day").agg(F.countDistinct("user_id").cast("long").alias("dau"))
-    span = F.broadcast(ud.agg(F.max("_day").alias("_dmax")))
-    expl = (
-        ud.crossJoin(span)
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence(
-                    F.col("_day"), F.least(F.col("_day") + 6, F.col("_dmax"))
-                )
-            ).alias("_wend"),
-        )
-        .distinct()
-    )
-    wau = expl.groupBy(F.col("_wend").alias("_day")).agg(
-        F.count("*").cast("long").alias("wau")
-    )
-    return (
-        dau.join(wau, "_day")
-        .select(
-            F.col("_day").alias("epoch_day"),
-            "dau",
-            "wau",
-            round_det(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
-        )
-    )
-
-
-def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curve: users grouped by first-activity
-    week, cumulative event value per cohort as the cohort ages (in
-    weeks) — the revenue companion to q_cohort_retention's activity
-    view; the table behind every LTV-payback chart.
-
-    Exactness: value snaps to micro-unit longs; weekly cells are exact
-    integer sums; the cumulative ride is a prefix sum over the
-    calendar-bounded (cohort × age) grid; cum LTV per active user =
-    exact integer floor division.
-
-    Scale: one user-keyed first-week aggregate, one (cohort, age)
-    cell aggregate, prefix windows over the week grid (bounded)."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    wk = F.floor(F.col("_us") / F.lit(604800000000)).cast("long")
-    base = ev.select("user_id", wk.alias("_wk"),
-                     F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("_vm"))
-    first = base.groupBy("user_id").agg(F.min("_wk").alias("_cohort"))
-    cells = (
-        base.join(first, "user_id")
-        .groupBy("_cohort", (F.col("_wk") - F.col("_cohort")).alias("age_weeks"))
-        .agg(
-            F.sum("_vm").cast("decimal(38,0)").alias("_v"),
-            F.countDistinct("user_id").cast("long").alias("n_active_users"),
-        )
-    )
-    sizes = F.broadcast(
-        first.groupBy(F.col("_cohort")).agg(
-            F.count("*").cast("long").alias("cohort_size")
-        )
-    )
-    w = Window.partitionBy("_cohort").orderBy("age_weeks").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = cells.withColumn("_cum", F.sum("_v").over(w).cast("decimal(38,0)"))
-    # per-user LTV in exact micro-units: floor(_cum / size), then one
-    # display division
-    per_user_micro = (
-        (F.col("_cum") - F.col("_cum") % F.col("cohort_size")) / F.col("cohort_size")
-    ).cast("long")
-    return cum.join(sizes, "_cohort").select(
-        F.col("_cohort").alias("cohort_week"),
-        "age_weeks",
-        "cohort_size",
-        "n_active_users",
-        (F.col("_cum").cast("double") / F.lit(1e6)).alias("cum_value"),
-        (per_user_micro / F.lit(1e6)).alias("cum_value_per_user"),
-    )
-
-
-def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABC / Pareto inventory classification of parts by revenue: rank
-    parts by revenue descending, classify A while the cumulative share
-    is ≤ 80%, B ≤ 95%, C otherwise — the classification twin of the
-    Lorenz-curve view (lorenz_curve_events plots the curve; this
-    assigns the classes).
-
-    Exactness: revenue is exact cents; rank AND the cumulative sum
-    ride two_phase_rank's range exchange (never a single-partition
-    window); the class boundaries are decided on integers —
-    5·cum ≤ 4·total and 20·cum ≤ 19·total — so no float places a part.
-
-    Scale: one uniform part-keyed aggregate + the two-phase global
-    rank; the grand total is a one-row broadcast."""
-    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
-
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
-        .cast("long")
-        .alias("_r")
-    )
-    ranked = two_phase_rank(rev, [F.desc("_r"), "l_partkey"], cum_col="_r")
-    total = F.broadcast(rev.agg(F.sum("_r").cast("long").alias("_tot")))
-    j = ranked.crossJoin(total)
-    abc = (
-        F.when(F.col("cum") * 5 <= F.col("_tot") * 4, F.lit("A"))
-        .when(F.col("cum") * 20 <= F.col("_tot") * 19, F.lit("B"))
-        .otherwise(F.lit("C"))
-    )
-    return j.select(
-        F.col("l_partkey").alias("p_partkey"),
-        (F.col("_r") / F.lit(100.0)).alias("revenue"),
-        F.col("rank"),
-        abc.alias("abc_class"),
-    )
-
-
-def q_graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source WEIGHTED shortest-path distances (6 fixed
-    Bellman-Ford relaxations) over the 10-minute error co-occurrence
-    graph, edge weight = max(1, 10000 DIV shared-bucket-count) — the
-    more often two users co-err, the closer they sit. Completes the
-    graph tier's distance view next to BFS hop counts: pure integer
-    min-plus end to end, no rounding device anywhere (the
-    kcore-strength contract). The twin is the literal unrolled
-    relaxation with MATERIALIZED per-round CTEs (the distance vector
-    is referenced twice per round — device 7)."""
-    from kickstarter_etl_pipeline_spark.operators.graph import bellman_ford_distances
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    nodes = (
-        ev.filter(F.col("event_type") == "error")
-        .select(
-            F.floor(F.col("_us") / F.lit(600000000)).cast("long").alias("_b"),
-            "user_id",
-        )
-        .distinct()
-    )
-    a = nodes.select("_b", F.col("user_id").alias("u"))
-    b = nodes.select("_b", F.col("user_id").alias("v"))
-    pairs = (
-        a.join(b, "_b")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("_cnt"))
-    )
-    wexpr = F.greatest(
-        F.lit(1).cast("long"),
-        ((F.lit(10000) - F.lit(10000) % F.col("_cnt")) / F.col("_cnt")).cast("long"),
-    )
-    wedges = pairs.select("u", "v", wexpr.alias("w"))
-    return bellman_ford_distances(wedges, rounds=6).select(
-        F.col("id").alias("user_id"), "dist"
-    )
-
-
-def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's NATIVE session_window() aggregation (the built-in the
-    hand-rolled gaps-and-islands construction replaces at 100 TB
-    streaming scale), graded against a gaps-and-islands SQL replay —
-    the grade is an equivalence proof between the built-in operator
-    and the manual construction, with one documented boundary
-    difference: the native window closes when the next event is >= gap
-    away (the lag-based rule in events.with_session_ids uses > gap), so
-    the twin replays the NATIVE >= rule.
-
-    Output: per (user, session) start time, event count, value sum —
-    session start is the window's min event time on both sides."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            "user_id",
-            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("_w"),
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.date_format("_w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-def q_interpurchase_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p50 / p90 / p99 of the time between a user's consecutive
-    purchases — the purchase-latency distribution behind replenishment
-    and re-engagement models. percentile_disc semantics: the gap at
-    rank ⌈q·n⌉ in ascending (gap, user, ts) order — a total order, so
-    the selected element is deterministic; gaps are exact integer
-    seconds.
-
-    Scale: gaps come from one user-keyed lag window; the global rank
-    rides two_phase_rank's range exchange; each percentile is one
-    rank-equality pick against a broadcast count — no global sort ever
-    lands on a single task."""
-    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
-
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "_us", "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
-    gaps = (
-        p.withColumn("_prev", F.lag("_us").over(w))
-        .filter(F.col("_prev").isNotNull())
-        .select(
-            F.floor((F.col("_us") - F.col("_prev")) / F.lit(1000000)).cast("long").alias("_gap_s"),
-            "user_id",
-            "_us",
-        )
-    )
-    ranked = two_phase_rank(gaps, ["_gap_s", "user_id", "_us"])
-    n_df = F.broadcast(gaps.agg(F.count("*").cast("long").alias("_n")))
-    j = ranked.crossJoin(n_df)
-    picks = None
-    for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
-        # rank == ceil(q*n) = (num*n + den - 1) DIV den, exact integers
-        target = F.floor((F.col("_n") * num + (den - 1)) / den).cast("long")
-        row = j.filter(F.col("rank") == target).select(
-            F.lit(label).alias("quantile"),
-            F.col("_n").alias("n_gaps"),
-            F.col("_gap_s").alias("gap_seconds"),
-        )
-        picks = row if picks is None else picks.unionByName(row)
-    return picks

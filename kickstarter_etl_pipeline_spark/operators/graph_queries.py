@@ -1,0 +1,228 @@
+"""Graph-analytics query wrappers (pagerank, HITS, k-core, BFS, spectral, Bellman-Ford, hierarchy closure) over the order/lineitem co-occurrence graphs. Split out of analytics_queries.py (round 10) the way the oracle ledgers already are; operators live in operators.graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration PageRank over the error co-occurrence graph —
+    ITERATIVE yet fully oracle'd: the rank vector is rounded to a 1e-9
+    grid after every iteration (see operators.graph.pagerank), so the
+    DuckDB twin replays the literal unrolled recurrence bit-for-bit."""
+    from kickstarter_etl_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return pagerank(edges, iterations=10).select(
+        F.col("id").alias("user_id"), "pr_permille"
+    )
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round synchronous label-propagation communities over the error
+    co-occurrence graph — iterative, integer-exact, fully oracle'd
+    (see operators.graph.label_propagation)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return label_propagation(edges, iterations=5).select(
+        F.col("id").alias("user_id"), "community", "n_members"
+    )
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the bipartite customer→supplier
+    graph (distinct (o_custkey, l_suppkey) pairs through lineitem):
+    hub customers buy from many authoritative suppliers, authoritative
+    suppliers serve many hub customers — the mutually-recursive
+    centrality pair. 4 exact-integer-spine iterations; see graph.hits
+    for the determinism contract and _hits_oracle_sql for the unrolled
+    SQL twin."""
+    from kickstarter_etl_pipeline_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    return hits(edges, iterations=4)
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4, 6 peel rounds) of the error
+    co-occurrence graph (users connected iff both errored within the
+    same 10-minute bucket — a sparser graph than the triangle tier's
+    30-minute one, so the peel actually removes vertices at fixture
+    scale). The k-core is THE standard dense-subgraph screen for bot
+    rings / correlated-failure cohorts; see graph.kcore for the
+    fixed-round contract and scale posture. Pure integer arithmetic —
+    the DuckDB twin is the literal unrolled peel."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    return kcore(edges, k=4, rounds=6).select(
+        F.col("id").alias("user_id"), "core_degree"
+    )
+
+
+def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-path depths (8 fixed rounds) from the
+    minimum user id over the 10-minute error co-occurrence graph — the
+    distance/reachability view completing the graph tier next to
+    pagerank/HITS (centrality), k-core (density), components
+    (partition), and the closure (ancestry). Pure integer end to end
+    (depths are loop counters); the DuckDB twin is the literal
+    unrolled frontier replay with MATERIALIZED per-round CTEs (the
+    visited set is referenced twice per round — device 7)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        bfs_depths,
+        cooccurrence_edges,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    return bfs_depths(edges, rounds=8).select(
+        F.col("id").alias("user_id"), "depth"
+    )
+
+
+def q_graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bipartition coordinate (8 fixed rounds of centered,
+    grid-snapped power iteration on the random-walk matrix) over the
+    10-minute error co-occurrence graph — the embedding/clustering view
+    completing the graph tier next to centrality (pagerank/HITS),
+    density (k-core), reachability (BFS), partition (components) and
+    ancestry (closure). The NOTES round-8 lead ("power-iteration
+    spectral embedding, needs a grid-safe normalization design") —
+    the design landed on ∞-norm scaling, whose max-of-grid-values is
+    exact on any engine. See graph.spectral_coordinate for the full
+    determinism contract."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        spectral_coordinate,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    return spectral_coordinate(edges, rounds=8).select(
+        F.col("id").alias("user_id"), "spectral_x", "side"
+    )
+
+
+def q_graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest-path distances (6 fixed
+    Bellman-Ford relaxations) over the 10-minute error co-occurrence
+    graph, edge weight = max(1, 10000 DIV shared-bucket-count) — the
+    more often two users co-err, the closer they sit. Completes the
+    graph tier's distance view next to BFS hop counts: pure integer
+    min-plus end to end, no rounding device anywhere (the
+    kcore-strength contract). The twin is the literal unrolled
+    relaxation with MATERIALIZED per-round CTEs (the distance vector
+    is referenced twice per round — device 7)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import bellman_ford_distances
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    nodes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.floor(F.col("_us") / F.lit(600000000)).cast("long").alias("_b"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = nodes.select("_b", F.col("user_id").alias("u"))
+    b = nodes.select("_b", F.col("user_id").alias("v"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    wexpr = F.greatest(
+        F.lit(1).cast("long"),
+        ((F.lit(10000) - F.lit(10000) % F.col("_cnt")) / F.col("_cnt")).cast("long"),
+    )
+    wedges = pairs.select("u", "v", wexpr.alias("w"))
+    return bellman_ford_distances(wedges, rounds=6).select(
+        F.col("id").alias("user_id"), "dist"
+    )
+
+
+def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (recursive-CTE) rollup — the classic OLAP capability
+    the registry lacked: derive a 4-ary part taxonomy (child k → parent
+    (k−1) DIV 4, node 0 the root — a deterministic function of the key,
+    so both engines build the identical tree from the raw table), take
+    its ancestor-descendant transitive closure, and report, per part:
+    its depth and its SUBTREE rollup (descendant count and total retail
+    value including itself) — the BOM-explosion / org-chart aggregate
+    that needs WITH RECURSIVE in SQL.
+
+    Spark side: path-doubling closure (operators/graph.py
+    transitive_closure — ⌈log2 depth⌉ shuffles, not depth); 5 rounds
+    covers depth ≤ 2^5 = 32, i.e. every 4-ary tree below 4^32 ≈ 1.8e19
+    nodes — an arithmetic bound, not fixture luck. DuckDB twin: a
+    genuine WITH RECURSIVE walk of the same parent function (linear —
+    the recursive CTE is referenced once per step, the kcore
+    MATERIALIZED lesson does not bite).
+
+    Exactness: depth and counts are pure integers; money rolls up as
+    floor(p_retailprice·100 + 0.5) cents — identical IEEE snap on both
+    engines — and is emitted as an exact BIGINT cents sum (no float
+    aggregation anywhere).
+
+    Scale: closure size is Σ depth(v) ≈ N·log4 N rows; every exchange
+    is keyed by part id (uniform — keys are dense integers); the
+    rollup is one groupBy over the closure. No driver data, no global
+    sort; output is one row per part."""
+    from kickstarter_etl_pipeline_spark.operators.graph import transitive_closure
+
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("_cents"),
+    )
+    edges = part.filter(F.col("p_partkey") >= 1).select(
+        F.expr("CAST((p_partkey - 1) DIV 4 AS BIGINT)").alias("anc"),
+        F.col("p_partkey").cast("long").alias("des"),
+    )
+    clo = transitive_closure(edges, rounds=5)
+    depth = clo.groupBy(F.col("des").alias("id")).agg(
+        F.count("*").cast("long").alias("_depth")
+    )
+    sub = (
+        clo.join(nodes.withColumnRenamed("id", "des"), "des")
+        .groupBy(F.col("anc").alias("id"))
+        .agg(
+            F.count("*").cast("long").alias("_ndesc"),
+            F.sum("_cents").cast("long").alias("_dcents"),
+        )
+    )
+    return (
+        nodes.join(depth, "id", "left")
+        .join(sub, "id", "left")
+        .select(
+            F.col("id").alias("p_partkey"),
+            F.coalesce(F.col("_depth"), F.lit(0)).cast("long").alias("depth"),
+            (F.coalesce(F.col("_ndesc"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("subtree_count"),
+            (F.coalesce(F.col("_dcents"), F.lit(0)) + F.col("_cents"))
+            .cast("long")
+            .alias("subtree_value_cents"),
+        )
+    )

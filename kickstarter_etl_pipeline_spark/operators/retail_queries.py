@@ -1,0 +1,383 @@
+"""Retail/warehouse analytics query wrappers (SCD2, co-occurrence, fuzzy matching, LTV, ABC, WAU, sessionization). Split out of analytics_queries.py (round 10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from history: each
+    customer's order-priority timeline collapses into validity episodes
+    (valid_from / valid_to / is_current), one row per consecutive run
+    of the same priority in (order date, order key) order — the
+    classic warehouse dimension-versioning pattern, built set-based
+    from the raw history (no per-row MERGE loop; the CDC sibling is
+    cdc_apply_agg).
+
+    Exactness: pure integer/date column logic — a run boundary is
+    lag(priority) ≠ priority (null-safe), episode ids are a cumulative
+    sum of boundary flags, and the episode rollup takes min/max dates
+    and count. valid_to is the NEXT episode's valid_from (half-open
+    intervals, the standard SCD2 convention); NULL marks the current
+    row.
+
+    Scale: two customer-keyed windows + one keyed aggregate — per-
+    customer frames, never global."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("_d"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("_d", "o_orderkey")
+    flagged = orders.withColumn(
+        "_new",
+        F.when(
+            F.lag("priority").over(w).isNull()
+            | (F.lag("priority").over(w) != F.col("priority")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_ep",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    eps = flagged.groupBy("o_custkey", "_ep").agg(
+        F.max("priority").alias("priority"),
+        F.min("_d").alias("valid_from"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w_ep = Window.partitionBy("o_custkey").orderBy("_ep")
+    # dates emitted as formatted strings (engine-neutral comparison —
+    # the tumbling_agg convention)
+    return eps.select(
+        "o_custkey",
+        F.col("_ep").alias("version"),
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w_ep), "yyyy-MM-dd").alias("valid_to"),
+        F.lead("valid_from").over(w_ep).isNull().alias("is_current"),
+        "n_orders",
+    )
+
+
+def q_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence over the ORDER basket (the
+    collaborative-filtering neighbor table: parts bought together),
+    top-50 pairs by support — the item-granularity sibling of
+    q_session_basket_lift (which works on the 5 event types). Support,
+    each item's order frequency, and lift n_ab·N/(n_a·n_b).
+
+    Exactness: counts are exact longs; lift is one fixed IEEE division
+    tree over exact integers (decimal products against 2^53 growth),
+    snapped to 6dp; the top-50 cut orders by (support desc, id_a,
+    id_b) — a total order, so the LIMIT boundary is deterministic.
+
+    Scale: the pair explode is a self-join keyed by order with
+    per-order fan-out bounded by basket size (≤ 7 lines in TPC-H shape
+    — lines², not orders²); the aggregate is keyed by part pair
+    (uniform); the top-50 is a TakeOrdered, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    freq = li.groupBy(F.col("l_partkey")).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    n_orders = F.broadcast(
+        li.select("l_orderkey").distinct().agg(F.count("*").cast("long").alias("_N"))
+    )
+    # per-part frequency tables grow linearly with sf — no hint; the
+    # pair-keyed equi-joins are uniform and AQE picks the strategy.
+    fa = freq.select(F.col("l_partkey").alias("id_a"), F.col("_n").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("id_b"), F.col("_n").alias("n_b"))
+    lift = (
+        F.col("n_both").cast("decimal(38,0)") * F.col("_N")
+    ).cast("double") / (
+        F.col("n_a").cast("decimal(38,0)") * F.col("n_b")
+    ).cast("double")
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .crossJoin(n_orders)
+        .select(
+            "id_a",
+            "id_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            round_det(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the part-name vocabulary — the
+    EDIT-distance member of the similarity family (set overlap =
+    Jaccard tiers, bitwise = SimHash, vector = cosine tiers; this adds
+    the typo/variant matcher every entity-resolution stack carries).
+    Pairs of distinct names sharing their final token (the blocking
+    key) within Levenshtein distance 5, with each name's part count.
+
+    Exactness: levenshtein() is a pure integer DP with one standard
+    definition (unit insert/delete/substitute) — Spark and DuckDB agree
+    exactly, no grid needed; everything else is counts.
+
+    Scale: the name VOCABULARY (not the part table) is the pair space —
+    names dedupe first, then block on the last token, so the quadratic
+    term is per-block vocabulary density, not data size. The length
+    filter |len_a − len_b| ≤ 5 (a Levenshtein lower bound) prunes
+    before the DP runs. Hot blocks are the standard ER mitigation
+    point (swap the blocking key for a q-gram prefix if a token runs
+    hot)."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("_n_parts"))
+        .withColumn("_block", F.element_at(F.split("p_name", " "), -1))
+        .withColumn("_len", F.length("p_name"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("_n_parts").alias("n_parts_a"),
+        "_block",
+        F.col("_len").alias("_la"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("_n_parts").alias("n_parts_b"),
+        "_block",
+        F.col("_len").alias("_lb"),
+    )
+    return (
+        a.join(b, "_block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= 5)
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev_dist") <= 5)
+        .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
+    )
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-activity
+    week, cumulative event value per cohort as the cohort ages (in
+    weeks) — the revenue companion to q_cohort_retention's activity
+    view; the table behind every LTV-payback chart.
+
+    Exactness: value snaps to micro-unit longs; weekly cells are exact
+    integer sums; the cumulative ride is a prefix sum over the
+    calendar-bounded (cohort × age) grid; cum LTV per active user =
+    exact integer floor division.
+
+    Scale: one user-keyed first-week aggregate, one (cohort, age)
+    cell aggregate, prefix windows over the week grid (bounded)."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    wk = F.floor(F.col("_us") / F.lit(604800000000)).cast("long")
+    base = ev.select("user_id", wk.alias("_wk"),
+                     F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("_vm"))
+    first = base.groupBy("user_id").agg(F.min("_wk").alias("_cohort"))
+    cells = (
+        base.join(first, "user_id")
+        .groupBy("_cohort", (F.col("_wk") - F.col("_cohort")).alias("age_weeks"))
+        .agg(
+            F.sum("_vm").cast("decimal(38,0)").alias("_v"),
+            F.countDistinct("user_id").cast("long").alias("n_active_users"),
+        )
+    )
+    sizes = F.broadcast(
+        first.groupBy(F.col("_cohort")).agg(
+            F.count("*").cast("long").alias("cohort_size")
+        )
+    )
+    w = Window.partitionBy("_cohort").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.withColumn("_cum", F.sum("_v").over(w).cast("decimal(38,0)"))
+    # per-user LTV in exact micro-units: floor(_cum / size), then one
+    # display division
+    per_user_micro = (
+        (F.col("_cum") - F.col("_cum") % F.col("cohort_size")) / F.col("cohort_size")
+    ).cast("long")
+    return cum.join(sizes, "_cohort").select(
+        F.col("_cohort").alias("cohort_week"),
+        "age_weeks",
+        "cohort_size",
+        "n_active_users",
+        (F.col("_cum").cast("double") / F.lit(1e6)).alias("cum_value"),
+        (per_user_micro / F.lit(1e6)).alias("cum_value_per_user"),
+    )
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification of parts by revenue: rank
+    parts by revenue descending, classify A while the cumulative share
+    is ≤ 80%, B ≤ 95%, C otherwise — the classification twin of the
+    Lorenz-curve view (lorenz_curve_events plots the curve; this
+    assigns the classes).
+
+    Exactness: revenue is exact cents; rank AND the cumulative sum
+    ride two_phase_rank's range exchange (never a single-partition
+    window); the class boundaries are decided on integers —
+    5·cum ≤ 4·total and 20·cum ≤ 19·total — so no float places a part.
+
+    Scale: one uniform part-keyed aggregate + the two-phase global
+    rank; the grand total is a one-row broadcast."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("_r")
+    )
+    ranked = two_phase_rank(rev, [F.desc("_r"), "l_partkey"], cum_col="_r")
+    total = F.broadcast(rev.agg(F.sum("_r").cast("long").alias("_tot")))
+    j = ranked.crossJoin(total)
+    abc = (
+        F.when(F.col("cum") * 5 <= F.col("_tot") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("_tot") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return j.select(
+        F.col("l_partkey").alias("p_partkey"),
+        (F.col("_r") / F.lit(100.0)).alias("revenue"),
+        F.col("rank"),
+        abc.alias("abc_class"),
+    )
+
+
+def q_rolling_wau_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling 7-day WAU / stickiness per day — the product-
+    analytics staple. Exact distinct counts (no sketch): each active
+    (user, day) pair is exploded into the 7 window-end days it
+    supports, then one distinct + one count per (window-end) day —
+    turning the sliding DISTINCT (which no window function computes)
+    into two uniform aggregates. Only days with any activity are
+    emitted, and windows are clipped to the observed span on both
+    engines.
+
+    Exactness: pure integer day arithmetic and counts; stickiness =
+    one IEEE division snapped at 6dp.
+
+    Scale: the ×7 explode rides above a distinct whose keys are
+    (user, day) — uniform; at 100 TB the explode factor is the window
+    length, the standard cost of exact sliding distincts (the sketchy
+    alternative is the HLL tier)."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    ud = ev.select(
+        "user_id", F.floor(F.col("_us") / F.lit(86400000000)).cast("long").alias("_day")
+    ).distinct()
+    dau = ud.groupBy("_day").agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    span = F.broadcast(ud.agg(F.max("_day").alias("_dmax")))
+    expl = (
+        ud.crossJoin(span)
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("_day"), F.least(F.col("_day") + 6, F.col("_dmax"))
+                )
+            ).alias("_wend"),
+        )
+        .distinct()
+    )
+    wau = expl.groupBy(F.col("_wend").alias("_day")).agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "_day")
+        .select(
+            F.col("_day").alias("epoch_day"),
+            "dau",
+            "wau",
+            round_det(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window() aggregation (the built-in the
+    hand-rolled gaps-and-islands construction replaces at 100 TB
+    streaming scale), graded against a gaps-and-islands SQL replay —
+    the grade is an equivalence proof between the built-in operator
+    and the manual construction, with one documented boundary
+    difference: the native window closes when the next event is >= gap
+    away (the lag-based rule in events.with_session_ids uses > gap), so
+    the twin replays the NATIVE >= rule.
+
+    Output: per (user, session) start time, event count, value sum —
+    session start is the window's min event time on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("_w"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_interpurchase_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50 / p90 / p99 of the time between a user's consecutive
+    purchases — the purchase-latency distribution behind replenishment
+    and re-engagement models. percentile_disc semantics: the gap at
+    rank ⌈q·n⌉ in ascending (gap, user, ts) order — a total order, so
+    the selected element is deterministic; gaps are exact integer
+    seconds.
+
+    Scale: gaps come from one user-keyed lag window; the global rank
+    rides two_phase_rank's range exchange; each percentile is one
+    rank-equality pick against a broadcast count — no global sort ever
+    lands on a single task."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "_us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gaps = (
+        p.withColumn("_prev", F.lag("_us").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.floor((F.col("_us") - F.col("_prev")) / F.lit(1000000)).cast("long").alias("_gap_s"),
+            "user_id",
+            "_us",
+        )
+    )
+    ranked = two_phase_rank(gaps, ["_gap_s", "user_id", "_us"])
+    n_df = F.broadcast(gaps.agg(F.count("*").cast("long").alias("_n")))
+    j = ranked.crossJoin(n_df)
+    picks = None
+    for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        # rank == ceil(q*n) = (num*n + den - 1) DIV den, exact integers
+        target = F.floor((F.col("_n") * num + (den - 1)) / den).cast("long")
+        row = j.filter(F.col("rank") == target).select(
+            F.lit(label).alias("quantile"),
+            F.col("_n").alias("n_gaps"),
+            F.col("_gap_s").alias("gap_seconds"),
+        )
+        picks = row if picks is None else picks.unionByName(row)
+    return picks

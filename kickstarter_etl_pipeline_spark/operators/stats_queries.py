@@ -1,0 +1,574 @@
+"""Statistics-tier query wrappers (bootstrap CIs, survival, DiD, chi-square, Gini, exact quartiles, attribution). Split out of analytics_queries.py (round 10); determinism contracts unchanged."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators.analytics_queries import _ntile_exact
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+
+def q_bootstrap_ci_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for the mean order value
+    per priority class — THE bootstrap for data that doesn't fit on one
+    machine (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): instead of drawing B resamples (B full
+    shuffles of the fact table), each row independently receives a
+    Poisson(1) multiplicity per replicate, so all 32 replicates ride
+    ONE scan + ONE tiny aggregate (partial map-side combine collapses
+    to priorities×32 groups per partition before the exchange).
+
+    Determinism (no RNG anywhere): replicate b's weight for an order is
+    the Poisson(1) inverse CDF evaluated at u = first 15 md5 hex digits
+    of "orderkey:b" — a pure function of the data, reproducible across
+    engines, runs, and cluster sizes. The CDF thresholds are HARDCODED
+    integer literals on the 2^60 grid (floor(CDF(k)·16^15), k=0..5,
+    weights capped at 6 — P(W>6|u) < 6e-4); deriving them at runtime
+    on each engine would be a cross-libm bet (the mmr derived-constant
+    lesson), so the literals themselves are the contract.
+
+    Exactness: replicate means are decided by exact integer floor
+    division — mean6 = (Σw·cents · 10000) DIV Σw on decimal(38,0)
+    (cents = floor(price·100+0.5), the IEEE-exact 2-dp snap) — and the
+    CI bounds are the rank-2 / rank-31 replicate means (percentile
+    method, ≈[3.1%, 96.9%] with B=32), ranked on (mean6, b): integers
+    end to end, no float ever decides a bound. The per-priority rank
+    window orders 32 rows per group — control-sized, not data-sized."""
+    # floor(CDF_Poisson(1)(k) * 16^15), k = 0..5 — identical literals in
+    # the DuckDB twin (oracles_analytics.py).
+    T = [
+        424136118829305344,
+        848272237658610688,
+        1060340297073263360,
+        1131029650211480960,
+        1148701988496035328,
+        1152236456152946176,
+    ]
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_cents"),
+    )
+    rep = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(u < T[0], 0)
+        .when(u < T[1], 1)
+        .when(u < T[2], 2)
+        .when(u < T[3], 3)
+        .when(u < T[4], 4)
+        .when(u < T[5], 5)
+        .otherwise(6)
+    ).cast("long")
+    reps = (
+        rep.withColumn("_w", w)
+        .groupBy("priority", "b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_cents")).cast("decimal(38,0)").alias("_s"),
+            F.sum("_w").cast("long").alias("_wsum"),
+        )
+    )
+    # exact integer floor division: subtract the remainder first, so the
+    # decimal divide is of an exactly-divisible numerator (no rounding
+    # mode in play). _wsum = 0 has probability e^-n (never at any real
+    # n) but must not ERROR under ANSI mode -> NULL via the when-guard.
+    wsafe = F.when(F.col("_wsum") > 0, F.col("_wsum"))
+    s10k = F.col("_s") * 10000
+    mean6 = ((s10k - s10k % wsafe) / wsafe).cast("long")
+    ranked = reps.select("priority", "b", mean6.alias("_m6")).withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("priority").orderBy("_m6", "b")),
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("_rk") == 2, F.col("_m6"))).alias("_lo6"),
+        F.max(F.when(F.col("_rk") == 31, F.col("_m6"))).alias("_hi6"),
+    )
+    pt = base.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("_cents").cast("decimal(38,0)").alias("_sc"),
+    )
+    p10k = F.col("_sc") * 10000
+    point6 = ((p10k - p10k % F.col("n_orders")) / F.col("n_orders")).cast("long")
+    return (
+        pt.join(ci, "priority")
+        .select(
+            F.col("priority").alias("o_orderpriority"),
+            "n_orders",
+            (point6 / F.lit(1e6)).alias("point_mean"),
+            (F.col("_lo6") / F.lit(1e6)).alias("ci_lo"),
+            (F.col("_hi6") / F.lit(1e6)).alias("ci_hi"),
+        )
+    )
+
+
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of the part catalog — the points where
+    no other part is simultaneously cheaper AND larger (minimize
+    p_retailprice, maximize p_size): the classic multi-objective
+    dominance operator (Börzsönyi et al., "The Skyline Operator",
+    ICDE 2001).
+
+    Scale path: the naive formulation is a quadratic NOT-EXISTS
+    anti-join (which is exactly what the DuckDB twin runs — the grade
+    proves the reduction). Spark instead (1) collapses to one candidate
+    per distinct price (only the max size can survive), then (2) runs
+    the EXCLUSIVE prefix max of size in price order through
+    two_phase_rank's range-exchange device (``max_col``) — a point is
+    on the frontier iff no strictly-cheaper point reaches its size.
+    O(n log n) by sort, no single-partition window, no pair blow-up.
+
+    Exactness: prices ride the floor(·100+0.5) cents snap; everything
+    downstream is integer comparison. ``price`` is emitted as
+    cents/100.0 — an exact IEEE division by a power-of-two-free
+    constant of an integer < 2^53, identical on both engines."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    pts = (
+        part.select(cents.alias("_price_c"), F.col("p_size").cast("long").alias("p_size"))
+        .groupBy("_price_c")
+        .agg(F.max("p_size").alias("_best"))
+    )
+    r = two_phase_rank(pts, ["_price_c"], max_col="_best")
+    frontier = r.filter(
+        F.col("cum_max_excl").isNull() | (F.col("_best") > F.col("cum_max_excl"))
+    ).select("_price_c", F.col("_best").alias("p_size"))
+    counts = part.groupBy(
+        cents.alias("_price_c"), F.col("p_size").cast("long").alias("p_size")
+    ).agg(F.count("*").cast("long").alias("n_parts"))
+    return (
+        frontier.join(counts, ["_price_c", "p_size"])
+        .select(
+            (F.col("_price_c") / F.lit(100.0)).alias("price"),
+            "p_size",
+            "n_parts",
+        )
+    )
+
+
+def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: each
+    user enters at their first 'view' event; the event is their first
+    subsequent 'purchase'; users with no purchase are right-censored at
+    the global observation end — the canonical censored
+    time-to-conversion analysis (Kaplan & Meier 1958).
+
+    Exactness: durations are exact integer day counts; at each event
+    day the risk set n and event count d are exact longs; the curve is
+    carried in LOG space — ln S(t) = Σ ln((n_i−d_i)/n_i) with each term
+    ln of an exact integer ratio snapped to the nano-nat grid BEFORE
+    the prefix sum (the JSD device), so the cumulative is an exact
+    integer sum and no float summation order exists. S itself would
+    need exp (the perplexity_proxy rows-only lesson), so the emitted
+    column IS the log-survival. A day where d = n sends the true curve
+    to 0 (ln → −inf): from that day on log_survival is NULL by an
+    integer flag both engines compute identically.
+
+    Scale: two keyed aggregates over users, then a day-grid table —
+    the prefix windows run over distinct DAYS, a calendar-bounded
+    frame (thousands of rows at any corpus size), not a data-sized
+    exchange."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    day_us = 86400000000
+    entry = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t0"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("_us").alias("_tp_raw"))
+        .join(entry, "user_id")
+        .filter(F.col("_tp_raw") >= F.col("_t0"))
+        .groupBy("user_id")
+        .agg(F.min("_tp_raw").alias("_tp"))
+    )
+    tend = F.broadcast(ev.agg(F.max("_us").alias("_te")))
+    subj = (
+        entry.join(purch, "user_id", "left")
+        .crossJoin(tend)
+        .select(
+            F.floor(
+                (F.coalesce("_tp", "_te") - F.col("_t0")) / F.lit(day_us)
+            ).cast("long").alias("_day"),
+            F.col("_tp").isNotNull().cast("long").alias("_is_event"),
+        )
+    )
+    days = subj.groupBy("_day").agg(
+        F.sum("_is_event").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("_c_all"),
+    )
+    total = F.broadcast(subj.agg(F.count("*").cast("long").alias("_n_total")))
+    w_excl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        days.crossJoin(total)
+        .withColumn(
+            "n_at_risk",
+            F.col("_n_total") - F.coalesce(F.sum("_c_all").over(w_excl), F.lit(0)),
+        )
+    )
+    evd = at_risk.filter(F.col("n_events") > 0)
+    term9 = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_events")) / F.col("n_at_risk")
+            )
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    w_incl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        evd.withColumn("_term9", term9)
+        .withColumn(
+            "_hit0",
+            F.max((F.col("n_events") >= F.col("n_at_risk")).cast("int")).over(w_incl),
+        )
+        .withColumn("_ln9", F.sum("_term9").over(w_incl))
+    )
+    return curve.select(
+        F.col("_day").alias("event_day"),
+        "n_at_risk",
+        "n_events",
+        F.when(
+            F.col("_hit0") == 0,
+            F.floor(F.col("_ln9") / F.lit(1e9) * 1e6 + F.lit(0.5)) / F.lit(1e6),
+        ).alias("log_survival"),
+    )
+
+
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    generalization of the last-touch view (events_asof_next_purchase):
+    every purchase distributes 10000 basis points of credit across the
+    user's touchpoints (click/view/signup) in the 7 days strictly
+    before it: 40% to the first touch, 40% to the last, 20% split
+    across the middles. Credit is summed per touch event_type.
+
+    Exactness: NO floats anywhere — the split is integer basis points
+    with the front-loaded remainder rule (the _ntile_exact device):
+    n=1 → 10000; n=2 → 5000/5000; n≥3 → first/last 4000 each, middles
+    get 2000 DIV (n−2) with the remainder going to the EARLIEST
+    middles, so every conversion's credits sum to exactly 10000 and
+    both engines agree bit for bit by integer arithmetic alone.
+
+    Scale: the purchase⋈touch range join is keyed by user_id (uniform;
+    the 7-day window bounds the per-purchase fan-out) and the position
+    windows partition by purchase — per-conversion groups, never a
+    global exchange."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    week_us = 7 * 86400000000
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_u"),
+        F.col("event_id").alias("_pid"),
+        F.col("_us").alias("_pts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("_u"),
+        F.col("event_id").alias("_tid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("_us").alias("_tts"),
+    )
+    j = purch.join(touch, "_u").filter(
+        (F.col("_tts") < F.col("_pts")) & (F.col("_tts") >= F.col("_pts") - week_us)
+    )
+    w_asc = Window.partitionBy("_pid").orderBy("_tts", "_tid")
+    w_cnt = Window.partitionBy("_pid")
+    pos = (
+        j.withColumn("_r", F.row_number().over(w_asc))
+        .withColumn("_n", F.count("*").over(w_cnt))
+    )
+    n, r = F.col("_n"), F.col("_r")
+    mid_n = n - 2
+    # middle share: 2000 DIV (n-2) each, remainder 2000 MOD (n-2) goes
+    # +1 to the earliest middles (positions 2 .. 1+rem)
+    mid_q = (F.lit(2000) - (F.lit(2000) % mid_n)) / mid_n
+    mid_rem = F.lit(2000) % mid_n
+    credit = (
+        F.when(n == 1, F.lit(10000))
+        .when(n == 2, F.lit(5000))
+        .when((r == 1) | (r == n), F.lit(4000))
+        .otherwise(
+            mid_q.cast("long") + F.when(r - 1 <= mid_rem, 1).otherwise(0)
+        )
+    ).cast("long")
+    return (
+        pos.select("touch_type", credit.alias("_credit"), "_pid")
+        .groupBy("touch_type")
+        .agg(
+            F.sum("_credit").cast("long").alias("credit_bp"),
+            F.countDistinct("_pid").cast("long").alias("n_conversions_touched"),
+            F.count("*").cast("long").alias("n_touches"),
+        )
+    )
+
+
+def q_did_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of mean order value —
+    treatment = odd customer keys, post-period = orders from 1997-01-01
+    — the classic quasi-experimental estimator, ENTIRELY in exact
+    integers: the four cell means come from the exact floor-division
+    device (cents·10000 DIV n), and DiD = (T_post − T_pre) −
+    (C_post − C_pre) is integer subtraction of those exact means (no
+    float decides anything; the only doubles are the /1e6 display
+    casts).
+
+    Scale: one scan, four partial-aggregated cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.select(
+        (F.col("o_custkey") % 2 == 1).alias("treat"),
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")).alias("post"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_c"),
+    ).groupBy("treat", "post").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("_c").cast("decimal(38,0)")).alias("_s"),
+    )
+    s10k = F.col("_s") * 10000
+    m6 = ((s10k - s10k % F.col("_n")) / F.col("_n")).cast("long")
+    w = cells.select("treat", "post", F.col("_n").alias("n_orders"), m6.alias("_m6"))
+
+    def cell(tr, po, name):
+        return F.max(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col("_m6"))
+        ).alias(name)
+
+    g = w.agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        cell(True, True, "_tp"),
+        cell(True, False, "_tb"),
+        cell(False, True, "_cp"),
+        cell(False, False, "_cb"),
+    )
+    return g.select(
+        "n_orders",
+        (F.col("_tb") / F.lit(1e6)).alias("treat_pre_mean"),
+        (F.col("_tp") / F.lit(1e6)).alias("treat_post_mean"),
+        (F.col("_cb") / F.lit(1e6)).alias("control_pre_mean"),
+        (F.col("_cp") / F.lit(1e6)).alias("control_post_mean"),
+        (
+            ((F.col("_tp") - F.col("_tb")) - (F.col("_cp") - F.col("_cb")))
+            / F.lit(1e6)
+        ).alias("did_estimate"),
+    )
+
+
+def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence table for event_type × day-of-week:
+    observed counts, expected counts under independence
+    (row_total·col_total/N) and each cell's χ² contribution
+    ((o−e)²/e) — the guardrail test behind "is traffic mix shifting by
+    weekday". All inputs are exact integer counts; expected and the
+    contribution are one fixed IEEE expression tree each (round 6), so
+    the whole table is engine-deterministic. Σ contribution = the χ²
+    statistic (34 df here), left to the reader so every graded cell is
+    raw.
+
+    One (type, dow) aggregate plus two broadcast marginal joins — the
+    contingency table is tiny at any corpus scale.
+    """
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    cells = (
+        ev.select(
+            "event_type",
+            # epoch day 0 = 1970-01-01 (Thursday = dow 4 under ISO-ish
+            # numbering below); derive dow purely from the integer day
+            # index so no timezone/calendar function is involved.
+            ((F.floor(F.col("_us") / 86_400_000_000) + 4) % 7).cast("int").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("_rt"))
+    col_tot = cells.groupBy("dow").agg(F.sum("observed").alias("_ct"))
+    n = cells.agg(F.sum("observed").alias("_n"))
+    expected = F.col("_rt") * F.col("_ct") / F.col("_n")
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round((F.col("observed") - expected) * (F.col("observed") - expected) / expected, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )
+
+
+def q_ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experimentation readout: users deterministically bucketed by
+    the last md5 hex digit of user_id (0-7 → A, 8-f → B), then per
+    (bucket, event_type): distinct users, events, value sum and
+    events-per-user — the reproducible traffic-split + guardrail table
+    (same assignment on every engine/run/cluster, no RNG).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 32, 1) < "8", "A"
+    ).otherwise("B")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .withColumn(
+            "events_per_user", round_det(F.col("n_events") / F.col("n_users"), 6)
+        )
+    )
+
+
+def q_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per status — the inequality /
+    concentration metric (0 = equal spend, →1 = one order dominates):
+    ``G = 2·Σ(i·xᵢ) / (n·Σxᵢ) − (n+1)/n`` over ascending-sorted values
+    (orderkey tie-break; ties in x make the rank choice irrelevant to
+    the sum). One per-group rank window + one aggregate; round 6 on the
+    final fixed expression tree.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    return ranked.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            2 * F.sum(F.col("_i") * F.col("o_totalprice"))
+            / (F.count("*") * F.sum("o_totalprice"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def q_exact_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quartiles per order status under the
+    NEAREST-RANK convention (p_q = value at rank ceil(q·n) in ascending
+    order, orderkey tie-break) — no interpolation, so the result is a
+    member of the data and engine-deterministic by construction.
+    Complements q_exact_median_by_group (which uses the averaged-middle
+    convention) and approx_aggregates (the sketch path at scale).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count("*").over(Window.partitionBy("o_orderstatus")).cast("long").alias("_n"),
+    )
+    picks = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+    conds = [
+        F.max(
+            F.when(F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")), F.col("o_totalprice"))
+        ).alias(name)
+        for name, q in picks
+    ]
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(F.max("_n").alias("n_orders"), *conds)
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "p25",
+            "p50",
+            "p75",
+            F.round(F.col("p75") - F.col("p25"), 2).alias("iqr"),
+        )
+    )
+
+
+def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact-decimal sufficient statistics (the
+    same engine-independence technique as price_stats_by_status: a
+    streaming double corr is summation-order-dependent; exact decimal
+    sums cast to double feed ONE deterministic IEEE expression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(15,2)")
+    y = F.col("l_extendedprice").cast("decimal(15,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+        F.col("_sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select("l_returnflag", "n", round_det(corr, 6).alias("corr_qty_price"))
+
+
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance floored at zero — the inventory /
+    prepaid-credit recurrence b_t = max(0, b_{t-1} + δ_t) (purchases
+    SPEND value, every other event earns it). The floor makes the fold
+    NON-associative, so no window or prefix-sum can express it — this
+    is the canonical case for the sequential-fold device the EWMA query
+    introduced, here in PURE INTEGERS (micro-unit deltas; no rounding
+    grid needed at all, stronger than the ewma contract). The fold also
+    carries the running MAX through a struct accumulator, proving the
+    device extends beyond scalar state.
+
+    Scale: one user-keyed collect + per-row JVM expression fold (same
+    posture and caveat as events_ewma: window the stream before
+    folding at extreme per-user lengths)."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        -F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"),
+    ).otherwise(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
+    grouped = ev.select("user_id", "_us", "event_id", delta.alias("_d")).groupBy(
+        "user_id"
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_us", "event_id", "_d"))),
+            lambda s: s._d,
+        ).alias("_deltas")
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("b"), F.lit(0).cast("long").alias("m")
+    )
+
+    def step(acc, x):
+        nb = F.greatest(F.lit(0).cast("long"), acc.b + x)
+        return F.struct(nb.alias("b"), F.greatest(acc.m, nb).alias("m"))
+
+    folded = F.aggregate(F.col("_deltas"), zero, step)
+    return grouped.select(
+        "user_id",
+        F.size("_deltas").cast("long").alias("n_events"),
+        (folded.b / F.lit(1e6)).alias("final_balance"),
+        (folded.m / F.lit(1e6)).alias("max_balance"),
+    )
