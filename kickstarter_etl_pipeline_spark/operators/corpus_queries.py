@@ -996,3 +996,46 @@ def q_phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id", "phrase").agg(
         F.count("*").cast("long").alias("n_occurrences")
     )
+
+
+def q_cohens_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ agreement between two deterministic document-quality
+    raters — the inter-annotator-agreement statistic a labeling
+    pipeline reports before trusting a quality signal (round 10).
+    Rater A: length-based (n_chars ≥ 300). Rater B: verbosity-based
+    (space-split token count ≥ 50). κ = (p_o − p_e) / (1 − p_e) with
+    p_o and p_e as single divisions of exact integer cell counts
+    (p_e's numerator is the integer sum of marginal products), so the
+    whole statistic is one fixed IEEE tree, snapped to 6 dp.
+
+    Scale: one scan, one map-side-combined global aggregate — the
+    split-size token count stays JVM-side (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        (F.col("n_chars") >= 300).cast("long").alias("_a"),
+        (F.size(F.split(F.col("text"), " ", -1)) >= 50).cast("long").alias("_b"),
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("_a") * F.col("_b"))).cast("long").alias("n_both"),
+        F.sum((F.col("_a") * (1 - F.col("_b")))).cast("long").alias("n_a_only"),
+        F.sum(((1 - F.col("_a")) * F.col("_b"))).cast("long").alias("n_b_only"),
+        F.sum(((1 - F.col("_a")) * (1 - F.col("_b")))).cast("long").alias("n_neither"),
+    )
+    po = (F.col("n_both") + F.col("n_neither")).cast("double") / F.col("n_docs").cast("double")
+    pe_num = (
+        (F.col("n_both") + F.col("n_a_only")) * (F.col("n_both") + F.col("n_b_only"))
+        + (F.col("n_b_only") + F.col("n_neither")) * (F.col("n_a_only") + F.col("n_neither"))
+    ).cast("double")
+    pe = pe_num / (F.col("n_docs") * F.col("n_docs")).cast("double")
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+    return agg.select(
+        "n_docs",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        round_det(po, 6).alias("observed_agreement"),
+        round_det(pe, 6).alias("expected_agreement"),
+        round_det(kappa, 6).alias("kappa"),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.sources.readers import load_table
 
 
@@ -225,4 +226,52 @@ def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("subtree_value_cents"),
         )
+    )
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the error co-occurrence user graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    the symmetrized edge list — positive means hubs attach to hubs
+    (the bot-ring signature), negative means hub-and-spoke (round 10).
+
+    Exactness: degrees are exact longs; every sufficient statistic
+    (Σx, Σxy, Σx², n over the 2m directed endpoint pairs) is an exact
+    decimal(38,0) sum, and symmetry makes the x and y marginals
+    identical, so r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) is one fixed
+    IEEE tree over exact operands, snapped to 6 dp.
+
+    Scale: edge build is the bucket-keyed self-join (bounded by bucket
+    occupancy — operators.graph.cooccurrence_edges); degrees are one
+    vertex-keyed aggregate; the sums are one map-side-combined global
+    aggregate. Nothing quadratic in users, no driver data."""
+    from kickstarter_etl_pipeline_spark.operators.graph import cooccurrence_edges, degree_table
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    deg = degree_table(edges)
+    sym = edges.select(F.col("u").alias("_a"), F.col("v").alias("_b")).unionAll(
+        edges.select(F.col("v").alias("_a"), F.col("u").alias("_b"))
+    )
+    paired = (
+        sym.join(deg.select(F.col("id").alias("_a"), F.col("degree").alias("_dx")), "_a")
+        .join(deg.select(F.col("id").alias("_b"), F.col("degree").alias("_dy")), "_b")
+    )
+    d38 = "decimal(38,0)"
+    agg = paired.agg(
+        F.count("*").cast("long").alias("n_endpoint_pairs"),
+        F.sum(F.col("_dx").cast(d38)).alias("_sx"),
+        F.sum((F.col("_dx").cast(d38) * F.col("_dy"))).alias("_sxy"),
+        F.sum((F.col("_dx").cast(d38) * F.col("_dx"))).alias("_sx2"),
+    )
+    num = (
+        F.col("n_endpoint_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    den = (
+        F.col("n_endpoint_pairs") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    return agg.select(
+        "n_endpoint_pairs",
+        F.col("_sx").cast("long").alias("degree_sum"),
+        round_det(num / den, 6).alias("assortativity"),
     )

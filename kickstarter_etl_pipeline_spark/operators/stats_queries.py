@@ -572,3 +572,110 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (folded.b / F.lit(1e6)).alias("final_balance"),
         (folded.m / F.lit(1e6)).alias("max_balance"),
     )
+
+
+def q_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50 / p90 / p99 of a user's first-view → first-subsequent-
+    purchase latency — the time-to-convert distribution behind funnel
+    SLAs (round 10). percentile_disc semantics: the latency at rank
+    ⌈q·n⌉ in ascending (latency, user) order — a total order, so the
+    pick is deterministic; latencies are exact integer seconds from
+    integer-microsecond arithmetic.
+
+    Scale: two user-keyed min-aggregates (uniform shuffles), the
+    global rank rides two_phase_rank's range exchange, and each
+    percentile is one rank-equality pick against a broadcast one-row
+    count — no global sort ever lands on a single task."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("_us").alias("_t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("_us") >= F.col("_t1"))
+        .groupBy("user_id", "_t1")
+        .agg(F.min("_us").alias("_tp"))
+    )
+    lat = p.select(
+        F.floor((F.col("_tp") - F.col("_t1")) / F.lit(1000000)).cast("long").alias("_lat_s"),
+        "user_id",
+    )
+    ranked = two_phase_rank(lat, ["_lat_s", "user_id"])
+    n_df = F.broadcast(lat.agg(F.count("*").cast("long").alias("_n")))
+    j = ranked.crossJoin(n_df)
+    picks = None
+    for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        target = F.expr(f"(_n * {num} + {den - 1}) DIV {den}")
+        row = j.filter(F.col("rank") == target).select(
+            F.lit(label).alias("quantile"),
+            F.col("_n").alias("n_users"),
+            F.col("_lat_s").alias("latency_seconds"),
+        )
+        picks = row if picks is None else picks.unionByName(row)
+    return picks
+
+
+def q_kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation between per-nation order revenue in
+    1998 and in 1999 — "did the nation league table reorder year over
+    year?" (round 10). Revenues are exact decimal cent sums, so
+    concordant/discordant/tie pair counts are exact integers; τ-b =
+    (C − D) / sqrt((n₀ − t_x)(n₀ − t_y)) is one fixed IEEE tree over
+    those integers, snapped to 6 dp.
+
+    Scale: the pair enumeration is a self-join of the PER-NATION
+    aggregate — a ≤25-row frame at any sf (nation is enumeration-
+    bounded), so the quadratic step is constant-size; everything
+    data-sized is the one (nation, year)-keyed revenue aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.withColumn("_yr", F.year("o_orderdate"))
+        .filter(F.col("_yr").isin(1998, 1999))
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "_yr")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("_cents")
+        )
+    )
+    xy = (
+        rev.filter(F.col("_yr") == 1998)
+        .select("n_name", F.col("_cents").alias("_x"))
+        .join(
+            rev.filter(F.col("_yr") == 1999).select("n_name", F.col("_cents").alias("_y")),
+            "n_name",
+        )
+    )
+    a = xy.select(F.col("n_name").alias("_na"), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = xy.select(F.col("n_name").alias("_nb"), F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = a.join(b, F.col("_na") < F.col("_nb"))
+    dx = F.col("_xa") - F.col("_xb")
+    dy = F.col("_ya") - F.col("_yb")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0)).cast("long")).alias("concordant"),
+        F.sum(((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0)).cast("long")).alias("discordant"),
+        F.sum((dx == 0).cast("long")).alias("ties_x"),
+        F.sum((dy == 0).cast("long")).alias("ties_y"),
+    )
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        (F.col("n_pairs") - F.col("ties_x")).cast("double")
+        * (F.col("n_pairs") - F.col("ties_y")).cast("double")
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        round_det(tau, 6).alias("tau_b"),
+    )

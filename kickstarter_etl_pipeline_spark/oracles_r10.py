@@ -1,0 +1,123 @@
+"""DuckDB oracle twins for the round-10 query additions.
+
+Same contract as the sibling ledgers: byte-identical aliases and the
+identical IEEE expression tree over exact integer / decimal sufficient
+statistics, with division-derived doubles snapped via the shared
+floor(x·10^k + 0.5)/10^k rule (operators.rounding).
+"""
+
+from __future__ import annotations
+
+ORACLES_R10: dict[str, str] = {}
+
+# FULL twin of q_funnel_latency_percentiles: first view → first
+# subsequent purchase per user, percentile_disc picks at ceil-rank
+# ((num·n + den−1) DIV den) over the (latency, user) total order.
+ORACLES_R10["funnel_latency_percentiles"] = """
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, v.t1, min(epoch_us(e.ts)) AS tp
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t1
+          GROUP BY e.user_id, v.t1),
+    lat AS (SELECT CAST(floor((tp - t1) / 1000000.0) AS BIGINT) AS lat_s, user_id
+            FROM p),
+    ranked AS (SELECT lat_s,
+                      CAST(row_number() OVER (ORDER BY lat_s, user_id) AS BIGINT) AS r
+               FROM lat),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat)
+    SELECT 'p50' AS quantile, n AS n_users, lat_s AS latency_seconds
+    FROM ranked, n WHERE r = (n * 1 + 1) // 2
+    UNION ALL
+    SELECT 'p90', n, lat_s FROM ranked, n WHERE r = (n * 9 + 9) // 10
+    UNION ALL
+    SELECT 'p99', n, lat_s FROM ranked, n WHERE r = (n * 99 + 99) // 100
+"""
+
+# FULL twin of q_kendall_tau_nations: exact cent sums per (nation,
+# year), bounded 25-row pair self-join, τ-b from exact pair counts.
+ORACLES_R10["kendall_tau_nations"] = """
+    WITH rev AS (
+      SELECT n.n_name, year(o.o_orderdate) AS yr,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE year(o.o_orderdate) IN (1998, 1999)
+      GROUP BY n.n_name, year(o.o_orderdate)),
+    xy AS (SELECT a.n_name, a.cents AS x, b.cents AS y
+           FROM rev a JOIN rev b ON a.n_name = b.n_name
+           WHERE a.yr = 1998 AND b.yr = 1999),
+    pairs AS (SELECT p.x AS xa, p.y AS ya, q.x AS xb, q.y AS yb
+              FROM xy p JOIN xy q ON p.n_name < q.n_name),
+    agg AS (SELECT
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(CASE WHEN (xa - xb > 0 AND ya - yb > 0)
+                      OR (xa - xb < 0 AND ya - yb < 0) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      CAST(sum(CASE WHEN (xa - xb > 0 AND ya - yb < 0)
+                      OR (xa - xb < 0 AND ya - yb > 0) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+      CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+    FROM pairs)
+    SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+           floor((CAST(concordant - discordant AS DOUBLE)
+                  / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                         * CAST(n_pairs - ties_y AS DOUBLE))) * 1000000 + 0.5)
+             / 1000000.0 AS tau_b
+    FROM agg
+"""
+
+# FULL twin of q_graph_assortativity: the user_triangle_counts edge
+# CTE (same graph), degrees, then exact HUGEINT sufficient statistics
+# over the symmetrized endpoint pairs; x/y marginals are identical by
+# symmetry so r needs only Σx, Σxy, Σx².
+ORACLES_R10["graph_assortativity"] = """
+    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
+               FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
+    sym AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    paired AS (SELECT da.d AS dx, db.d AS dy
+               FROM sym JOIN deg da ON da.id = sym.a JOIN deg db ON db.id = sym.b),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_endpoint_pairs,
+                   sum(CAST(dx AS HUGEINT)) AS sx,
+                   sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+                   sum(CAST(dx AS HUGEINT) * dx) AS sx2
+            FROM paired)
+    SELECT n_endpoint_pairs,
+           CAST(sx AS BIGINT) AS degree_sum,
+           floor((CAST(n_endpoint_pairs * sxy - sx * sx AS DOUBLE)
+                  / CAST(n_endpoint_pairs * sx2 - sx * sx AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000.0 AS assortativity
+    FROM agg
+"""
+
+# FULL twin of q_cohens_kappa_quality: identical rater definitions
+# (n_chars grid; single-space split token count), κ from exact cell
+# counts with p_e's numerator kept integer.
+ORACLES_R10["cohens_kappa_quality"] = """
+    WITH flags AS (SELECT
+        CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS b
+      FROM documents),
+    agg AS (SELECT
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(a * b) AS BIGINT) AS n_both,
+        CAST(sum(a * (1 - b)) AS BIGINT) AS n_a_only,
+        CAST(sum((1 - a) * b) AS BIGINT) AS n_b_only,
+        CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n_neither
+      FROM flags),
+    s AS (SELECT *,
+        CAST(n_both + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+        CAST((n_both + n_a_only) * (n_both + n_b_only)
+             + (n_b_only + n_neither) * (n_a_only + n_neither) AS DOUBLE)
+          / CAST(n_docs * n_docs AS DOUBLE) AS pe
+      FROM agg)
+    SELECT n_docs, n_both, n_a_only, n_b_only, n_neither,
+           floor(po * 1000000 + 0.5) / 1000000.0 AS observed_agreement,
+           floor(pe * 1000000 + 0.5) / 1000000.0 AS expected_agreement,
+           floor(((po - pe) / (1.0 - pe)) * 1000000 + 0.5) / 1000000.0 AS kappa
+    FROM s
+"""
