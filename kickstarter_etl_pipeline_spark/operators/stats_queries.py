@@ -679,3 +679,270 @@ def q_kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties_y",
         round_det(tau, 6).alias("tau_b"),
     )
+
+
+def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1998 (base) and 1999
+    (current) order-price distributions — the standard model-input
+    drift monitor, complementing the KS tier with the binned metric
+    risk teams actually alert on (round 10). Ten fixed 50k-wide price
+    bins (top bin open); add-one Laplace smoothing so empty bins stay
+    finite; per-bin contribution (p−q)·ln(p/q) plus a TOTAL row.
+
+    Exactness: bin counts are exact longs; p and q are single IEEE
+    divisions; ln(p/q) is one call on the divided ratio (NOT
+    ln p − ln q — a different float tree); each contribution is
+    snapped to an integer nano grid so the TOTAL row is an exact long
+    sum, not an order-dependent float sum.
+
+    Scale: one scan per period, ≤10 groups — map-side combine
+    collapses everything before the exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    binned = (
+        orders.withColumn("_yr", F.year("o_orderdate"))
+        .filter(F.col("_yr").isin(1998, 1999))
+        .withColumn(
+            "_cents", (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        # exact: cents are a BIGINT, the 50k-wide bin is integer DIV
+        .select("_yr", F.expr("least(_cents DIV 5000000, 9)").alias("bin_id"))
+    )
+    counts = (
+        binned.groupBy("bin_id")
+        .agg(
+            F.sum((F.col("_yr") == 1998).cast("long")).alias("_nb"),
+            F.sum((F.col("_yr") == 1999).cast("long")).alias("_nc"),
+        )
+    )
+    # materialize all 10 bins (empty ones still get the Laplace mass)
+    bins = spark.range(10).select(F.col("id").cast("long").alias("bin_id"))
+    full = bins.join(counts, "bin_id", "left").select(
+        "bin_id",
+        F.coalesce("_nb", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("_nc", F.lit(0)).cast("long").alias("n_curr"),
+    )
+    tot = F.broadcast(
+        full.agg(
+            F.sum("n_base").cast("long").alias("_tb"),
+            F.sum("n_curr").cast("long").alias("_tc"),
+        )
+    )
+    p = (F.col("n_base") + 1).cast("double") / (F.col("_tb") + 10).cast("double")
+    q = (F.col("n_curr") + 1).cast("double") / (F.col("_tc") + 10).cast("double")
+    term_nano = F.floor((p - q) * F.log(p / q) * 1000000000 + 0.5).cast("long")
+    per_bin = full.crossJoin(tot).select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "n_base",
+        "n_curr",
+        term_nano.alias("_nano"),
+    )
+    rows = per_bin.select(
+        F.concat(F.lit("bin_"), F.col("bin_id")).alias("bucket"),
+        "n_base",
+        "n_curr",
+        (F.col("_nano").cast("double") / 1e9).alias("psi_term"),
+    )
+    total = per_bin.agg(
+        F.lit("TOTAL").alias("bucket"),
+        F.sum("n_base").cast("long").alias("n_base"),
+        F.sum("n_curr").cast("long").alias("n_curr"),
+        (F.sum("_nano").cast("double") / 1e9).alias("psi_term"),
+    )
+    return rows.unionByName(total)
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags 1–7 —
+    the weekly-seasonality diagnostic a forecasting pipeline inspects
+    before choosing model terms (round 10). Classical ACF: r_k =
+    Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², pairing by CALENDAR day (a gap
+    day simply contributes no pair at that offset).
+
+    Exactness: daily revenues are exact decimal cent sums; every
+    sufficient statistic (per-lag Σxy, Σx, Σy, n; global Σx, Σx², n)
+    is an exact decimal(38,0) sum; x̄ and each r_k are one fixed IEEE
+    tree over those exact operands, mirrored verbatim in the twin.
+
+    Scale: one day-keyed aggregate, a 7-way explode joined day-to-day
+    (uniform key), ≤7 output groups with map-side combine; the global
+    stats ride one broadcast one-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("_day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("_cents")
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = F.broadcast(
+        daily.agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.col("_cents").cast(d38)).alias("_s1"),
+            F.sum(F.col("_cents").cast(d38) * F.col("_cents")).alias("_s2"),
+        )
+    )
+    lags = daily.select(
+        "_day", F.col("_cents").alias("_x"), F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag")
+    ).withColumn("_tday", F.date_add(F.col("_day"), F.col("lag")))
+    paired = lags.join(
+        daily.select(F.col("_day").alias("_tday"), F.col("_cents").alias("_y")),
+        "_tday",
+    )
+    per_lag = paired.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("_x").cast(d38)).alias("_sx"),
+        F.sum(F.col("_y").cast(d38)).alias("_sy"),
+        F.sum(F.col("_x").cast(d38) * F.col("_y")).alias("_sxy"),
+    )
+    xbar = F.col("_s1").cast("double") / F.col("_n").cast("double")
+    num = (
+        F.col("_sxy").cast("double")
+        - xbar * (F.col("_sx") + F.col("_sy")).cast("double")
+        + F.col("n_pairs").cast("double") * xbar * xbar
+    )
+    den = F.col("_s2").cast("double") - F.col("_n").cast("double") * xbar * xbar
+    return (
+        per_lag.crossJoin(g)
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            round_det(num / den, 6).alias("acf"),
+        )
+    )
+
+
+def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily event-count series by
+    the max-|CUSUM| rule (the first split of binary segmentation /
+    the Pettitt-style statistic): S_t = Σ_{i≤t} x_i − t·x̄ and the
+    change point is the day maximizing |S_t| (round 10). Reports the
+    day, the statistic, and the mean daily volume before/after.
+
+    Exactness: x_i are exact longs; the running sum rides
+    two_phase_rank's exact ``cum``; S_t is one fixed IEEE tree per
+    row snapped to an integer nano grid, so the argmax (and its
+    smallest-day tie-break) is a total order over integers.
+
+    Scale: the rank/prefix-sum is the range-exchange two-phase rank
+    (never a single-task sort); the argmax is one one-row broadcast
+    equality pick."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("_day")).agg(
+        F.count("*").cast("long").alias("_x")
+    )
+    ranked = two_phase_rank(daily, ["_day"], cum_col="_x")
+    g = F.broadcast(
+        daily.agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_x").cast("long").alias("_total"),
+        )
+    )
+    xbar = F.col("_total").cast("double") / F.col("_n").cast("double")
+    s_t = F.col("cum").cast("double") - F.col("rank").cast("double") * xbar
+    staged = (
+        ranked.crossJoin(g)
+        .select(
+            "_day",
+            "rank",
+            "cum",
+            "_n",
+            "_total",
+            F.floor(F.abs(s_t) * 1000000000 + 0.5).cast("long").alias("_nano"),
+        )
+        # the last day's S_t is ~0 by construction and a split there is
+        # degenerate (empty "after" side)
+        .filter(F.col("rank") < F.col("_n"))
+    )
+    best = F.broadcast(staged.agg(F.max("_nano").alias("_best")))
+    pick = (
+        staged.crossJoin(best)
+        .filter(F.col("_nano") == F.col("_best"))
+        .groupBy("_n", "_total", "_best")
+        .agg(
+            F.min("_day").alias("_cday"),
+            F.min_by("rank", "_day").alias("_t"),
+            F.min_by("cum", "_day").alias("_cum"),
+        )
+    )
+    return pick.select(
+        F.date_format("_cday", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("_n").alias("n_days"),
+        (F.col("_best").cast("double") / 1e9).alias("cusum_stat"),
+        round_det(F.col("_cum").cast("double") / F.col("_t").cast("double"), 6).alias(
+            "mean_before"
+        ),
+        round_det(
+            (F.col("_total") - F.col("_cum")).cast("double")
+            / (F.col("_n") - F.col("_t")).cast("double"),
+            6,
+        ).alias("mean_after"),
+    )
+
+
+def q_mann_whitney_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test comparing 1-URGENT vs 5-LOW order prices —
+    the nonparametric two-sample location test (rank-based, so it
+    complements the Welch tier's mean test) with tie-corrected normal
+    approximation and rank-biserial effect size (round 10).
+
+    Exactness: prices live on the exact cent grid; tied ranks are
+    handled by grouping BY VALUE — per value, the average rank is
+    (2·cum_before + t + 1)/2, so 2·R_A = Σ n_Av·(2·cum_before + t + 1)
+    is an exact decimal sum and U = (2R_A − n_A(n_A+1))/2 is exact;
+    the tie term Σ(t³−t) is an exact decimal sum; z and the effect
+    size are one fixed IEEE tree over those exact operands.
+
+    Scale: group-by-value bounds the ranked frame by the price grid;
+    the global prefix sum rides two_phase_rank's range exchange; the
+    final statistics are a one-row aggregate."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    vals = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("_v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("_is_a"),
+    )
+    by_val = vals.groupBy("_v").agg(
+        F.sum("_is_a").cast("long").alias("_na"),
+        F.sum(1 - F.col("_is_a")).cast("long").alias("_nb"),
+    ).withColumn("_t", F.col("_na") + F.col("_nb"))
+    ranked = two_phase_rank(by_val, ["_v"], cum_col="_t")
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("_na").cast(d38)
+            * (2 * (F.col("cum") - F.col("_t")) + F.col("_t") + 1)
+        ).alias("_twice_ra"),
+        F.sum(
+            F.col("_t").cast(d38) * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie_term"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    u = (
+        F.col("_twice_ra").cast("double")
+        - (F.col("n_a").cast(d38) * (F.col("n_a") + 1)).cast("double")
+    ) / F.lit(2.0)
+    mu = (F.col("n_a").cast(d38) * F.col("n_b")).cast("double") / F.lit(2.0)
+    var = (
+        (F.col("n_a").cast(d38) * F.col("n_b")).cast("double")
+        / F.lit(12.0)
+        * ((n + 1) - F.col("_tie_term").cast("double") / (n * (n - 1)))
+    )
+    z = (u - mu) / F.sqrt(var)
+    return agg.select(
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        round_det(z, 6).alias("z_score"),
+        round_det(F.lit(1.0) - F.lit(2.0) * u / (F.col("n_a").cast(d38) * F.col("n_b")).cast("double"), 6).alias(
+            "rank_biserial"
+        ),
+    )

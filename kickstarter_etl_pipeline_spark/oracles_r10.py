@@ -121,3 +121,134 @@ ORACLES_R10["cohens_kappa_quality"] = """
            floor(((po - pe) / (1.0 - pe)) * 1000000 + 0.5) / 1000000.0 AS kappa
     FROM s
 """
+
+# FULL twin of q_psi_drift_report: identical integer-DIV bins, add-one
+# Laplace shares as single divisions, ln on the divided ratio, nano-
+# snapped contributions so the TOTAL row is an exact integer sum.
+ORACLES_R10["psi_drift_report"] = """
+    WITH binned AS (
+      SELECT year(o_orderdate) AS yr,
+             least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000, 9) AS bin_id
+      FROM orders WHERE year(o_orderdate) IN (1998, 1999)),
+    counts AS (SELECT bin_id,
+                      CAST(sum(CASE WHEN yr = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                      CAST(sum(CASE WHEN yr = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+               FROM binned GROUP BY bin_id),
+    bins AS (SELECT CAST(range AS BIGINT) AS bin_id FROM range(10)),
+    full_b AS (SELECT b.bin_id,
+                      CAST(coalesce(nb, 0) AS BIGINT) AS n_base,
+                      CAST(coalesce(nc, 0) AS BIGINT) AS n_curr
+               FROM bins b LEFT JOIN counts c ON b.bin_id = c.bin_id),
+    tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_curr) AS BIGINT) AS tc
+            FROM full_b),
+    per AS (SELECT bin_id, n_base, n_curr,
+                   CAST(floor(((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+                               - (CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)))
+                              * ln((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+                                   / (CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)))
+                              * 1000000000 + 0.5) AS BIGINT) AS nano
+            FROM full_b, tot)
+    SELECT 'bin_' || bin_id AS bucket, n_base, n_curr,
+           CAST(nano AS DOUBLE) / 1000000000.0 AS psi_term
+    FROM per
+    UNION ALL
+    SELECT 'TOTAL', CAST(sum(n_base) AS BIGINT), CAST(sum(n_curr) AS BIGINT),
+           CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1000000000.0
+    FROM per
+"""
+
+# FULL twin of q_acf_daily_revenue: exact HUGEINT sufficient stats per
+# lag + global, the identical IEEE tree for x̄ and r_k.
+ORACLES_R10["acf_daily_revenue"] = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(cents AS HUGEINT)) AS s1,
+                 sum(CAST(cents AS HUGEINT) * cents) AS s2
+          FROM daily),
+    ks AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (SELECT ks.lag, d.cents AS x, e.cents AS y
+              FROM daily d JOIN ks ON TRUE
+              JOIN daily e ON e.day = d.day + CAST(ks.lag AS INTEGER)),
+    per AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+            FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           floor(((CAST(sxy AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sx + sy AS DOUBLE)
+                   + CAST(n_pairs AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / (CAST(s2 AS DOUBLE)
+                     - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                 * 1000000 + 0.5) / 1000000.0 AS acf
+    FROM per, g
+"""
+
+# FULL twin of q_binseg_changepoint: same nano-snapped |CUSUM| total
+# order, argmax with smallest-day tie-break, identical mean trees.
+ORACLES_R10["binseg_changepoint"] = """
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+    ranked AS (SELECT day, x,
+                      CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r,
+                      CAST(sum(x) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM daily),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total FROM daily),
+    staged AS (SELECT day, r, cum, n, total,
+                      CAST(floor(abs(CAST(cum AS DOUBLE)
+                                     - CAST(r AS DOUBLE)
+                                       * (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))
+                                 * 1000000000 + 0.5) AS BIGINT) AS nano
+               FROM ranked, g
+               WHERE r < n),
+    best AS (SELECT max(nano) AS b FROM staged),
+    pick AS (SELECT min(day) AS cday FROM staged, best WHERE nano = b)
+    SELECT strftime(s.day, '%Y-%m-%d') AS changepoint_day,
+           s.n AS n_days,
+           CAST(s.nano AS DOUBLE) / 1000000000.0 AS cusum_stat,
+           floor((CAST(s.cum AS DOUBLE) / CAST(s.r AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000.0 AS mean_before,
+           floor((CAST(s.total - s.cum AS DOUBLE) / CAST(s.n - s.r AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000.0 AS mean_after
+    FROM staged s, best, pick
+    WHERE s.nano = best.b AND s.day = pick.cday
+"""
+
+# FULL twin of q_mann_whitney_report: group-by-cent-value average
+# ranks (2·R_A kept integer), exact tie term, identical z tree.
+ORACLES_R10["mann_whitney_report"] = """
+    WITH vals AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+                  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    by_val AS (SELECT v,
+                      CAST(sum(is_a) AS BIGINT) AS na,
+                      CAST(sum(1 - is_a) AS BIGINT) AS nb,
+                      CAST(count(*) AS BIGINT) AS t
+               FROM vals GROUP BY v),
+    ranked AS (SELECT *, CAST(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM by_val),
+    agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b,
+                   sum(CAST(na AS HUGEINT) * (2 * (cum - t) + t + 1)) AS twice_ra,
+                   sum(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+            FROM ranked),
+    s AS (SELECT *,
+                 (CAST(twice_ra AS DOUBLE)
+                  - CAST(CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)) / 2.0 AS u,
+                 CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS nanb,
+                 CAST(n_a + n_b AS DOUBLE) AS n
+          FROM agg)
+    SELECT n_a, n_b, u AS u_stat,
+           floor(((u - nanb / 2.0)
+                  / sqrt(nanb / 12.0
+                         * ((n + 1) - CAST(tie_term AS DOUBLE) / (n * (n - 1)))))
+                 * 1000000 + 0.5) / 1000000.0 AS z_score,
+           floor((1.0 - 2.0 * u / nanb) * 1000000 + 0.5) / 1000000.0 AS rank_biserial
+    FROM s
+"""
