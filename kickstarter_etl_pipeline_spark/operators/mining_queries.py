@@ -959,3 +959,56 @@ def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("violates_t02"),
     )
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token 5-gram, slide
+    a window of 4 consecutive gram hashes, keep each window's MINIMUM
+    hash as a fingerprint, and report the top-25 fingerprints shared
+    by the most documents — the guaranteed-coverage local sampling
+    scheme for substring-level copy detection (round 10).
+
+    Exactness: gram hashes are the 60-bit md5 device
+    (dedup.md5_token_hash — engine-portable, unlike xxhash64); the
+    window minimum, the per-doc distinct, and the doc counts are pure
+    integer/set operations; the top-25 cut orders by
+    (n_docs DESC, fingerprint ASC) — a total order.
+
+    Scale: tokenize+shingle is one narrow pass; the sliding window
+    partitions BY DOCUMENT ordered by position (per-doc sequential
+    work, bounded by doc length — never a global sort); the
+    fingerprint count is one uniform-key aggregate; the top-25 is a
+    TakeOrdered."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import md5_token_hash
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = ensure_min_partitions(docs).withColumn("_toks", TX.tokens("text"))
+    # k=5 token grams; windows of w=4 gram hashes need >= k+w-1 = 8 tokens
+    grams = (
+        staged.filter(F.size("_toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 4), "
+                    "i -> named_struct('i', i, 'g', array_join(slice(_toks, i, 5), ' ')))"
+                )
+            ).alias("_s"),
+        )
+        .select("doc_id", F.col("_s.i").alias("_i"), md5_token_hash(F.col("_s.g")).alias("_h"))
+    )
+    w4 = Window.partitionBy("doc_id").orderBy("_i").rowsBetween(0, 3)
+    wins = grams.select(
+        "doc_id",
+        F.min("_h").over(w4).alias("_fp"),
+        F.count("*").over(w4).alias("_cnt"),
+    ).filter(F.col("_cnt") == 4)
+    fps = wins.select("doc_id", "_fp").distinct()
+    return (
+        fps.groupBy(F.col("_fp").alias("fingerprint"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
+        .limit(25)
+    )

@@ -946,3 +946,97 @@ def q_mann_whitney_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_biserial"
         ),
     )
+
+
+def q_theil_index_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order prices per order status —
+    the decomposable inequality measure that complements the Gini
+    tier; T = (1/n)·Σ (x_i/μ)·ln(x_i/μ) (round 10).
+
+    Exactness: prices are exact cents; μ is one IEEE division of the
+    exact decimal status sum by the count; each row's contribution is
+    one fixed IEEE tree snapped to an integer NANO grid, so the group
+    sum is an exact long sum (never an order-dependent float sum) —
+    the zipf_slope / perplexity_proxy micro-nat device.
+
+    Scale: two status-keyed aggregates (≤3 groups, map-side combine)
+    and one broadcast join of the 3-row stats frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("_c"),
+    )
+    stats = F.broadcast(
+        cents.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_s"),
+        )
+    )
+    mu = F.col("_s").cast("double") / F.col("_n").cast("double")
+    ratio = F.col("_c").cast("double") / mu
+    nano = F.floor(ratio * F.log(ratio) * 1000000000 + 0.5).cast("long")
+    per_row = cents.join(stats, "o_orderstatus").select(
+        "o_orderstatus", "_n", nano.alias("_nano")
+    )
+    return (
+        per_row.groupBy("o_orderstatus", "_n")
+        .agg(F.sum("_nano").cast("long").alias("_nano_sum"))
+        .select(
+            "o_orderstatus",
+            F.col("_n").alias("n_orders"),
+            round_det(
+                (F.col("_nano_sum").cast("double") / 1e9) / F.col("_n").cast("double"), 6
+            ).alias("theil_t"),
+        )
+    )
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (8 power-iteration rounds on the transition counts) — "where does
+    a user's session settle?", the long-run engagement mix (round 10).
+
+    Exactness: the state vector lives in integer NANO units (longs,
+    start = 10⁹/5 per type) and each iterate is v'_j =
+    Σ_i (v_i·n_ij) DIV n_i — per-term integer floor division then an
+    exact integer sum, so the whole iteration is order-free integer
+    arithmetic (the HITS nano-spine device, without even a float
+    normalize). The twin replays the identical 8 unrolled rounds.
+
+    Scale: the transition matrix build is the data-sized work (one
+    user-keyed lag window + a ≤25-group aggregate); the iteration
+    runs on the ≤25-row matrix and a ≤5-row vector — constant-size
+    frames at any sf."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    steps = (
+        ev.select("user_id", "event_type", "_us", "event_id")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+    )
+    trans = steps.groupBy(
+        F.col("event_type").alias("_i"), F.col("_next").alias("_j")
+    ).agg(F.count("*").cast("long").alias("_nij"))
+    row_tot = trans.groupBy("_i").agg(F.sum("_nij").cast("long").alias("_ni"))
+    tm = trans.join(row_tot, "_i").localCheckpoint(eager=True)
+    v = (
+        tm.select(F.col("_i").alias("_state"))
+        .distinct()
+        .select("_state", F.lit(200_000_000).cast("long").alias("_v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(8):
+        v = (
+            tm.join(v, tm["_i"] == v["_state"])
+            .select(
+                F.col("_j"),
+                F.expr("(_v * _nij) DIV _ni").alias("_term"),
+            )
+            .groupBy(F.col("_j").alias("_state"))
+            .agg(F.sum("_term").cast("long").alias("_v"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        F.col("_state").alias("event_type"),
+        (F.col("_v").cast("double") / 1e9).alias("stationary_share"),
+    )

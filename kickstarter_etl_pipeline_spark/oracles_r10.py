@@ -252,3 +252,101 @@ ORACLES_R10["mann_whitney_report"] = """
            floor((1.0 - 2.0 * u / nanb) * 1000000 + 0.5) / 1000000.0 AS rank_biserial
     FROM s
 """
+
+# FULL twin of q_theil_index_by_status: per-row (x/μ)·ln(x/μ) snapped
+# to the nano grid BEFORE aggregation (the zipf/perplexity device), so
+# the status sum is exact integer arithmetic.
+ORACLES_R10["theil_index_by_status"] = """
+    WITH cents AS (SELECT o_orderstatus,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                   FROM orders),
+    stats AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(c AS HUGEINT)) AS s
+              FROM cents GROUP BY 1),
+    per AS (SELECT c.o_orderstatus, s.n,
+                   CAST(floor((CAST(c.c AS DOUBLE)
+                               / (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                              * ln(CAST(c.c AS DOUBLE)
+                                   / (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                              * 1000000000 + 0.5) AS BIGINT) AS nano
+            FROM cents c JOIN stats s USING (o_orderstatus))
+    SELECT o_orderstatus, n AS n_orders,
+           floor(((CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1000000000.0)
+                  / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS theil_t
+    FROM per GROUP BY o_orderstatus, n
+"""
+
+# FULL twin of q_markov_stationary: identical transition counts and 8
+# unrolled integer power-iteration rounds — per-term floor division
+# then exact integer sums (order-free).
+_MARKOV_STEP = """
+    SELECT t.j AS state, CAST(sum(({v}.v * t.nij) // t.ni) AS BIGINT) AS v
+    FROM t JOIN {v} ON t.i = {v}.state GROUP BY t.j
+"""
+ORACLES_R10["markov_stationary"] = (
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+    steps AS (SELECT event_type AS i,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS j
+              FROM e),
+    tm AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+           FROM steps WHERE j IS NOT NULL GROUP BY i, j),
+    rt AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ni FROM tm GROUP BY i),
+    t AS (SELECT tm.i, tm.j, tm.nij, rt.ni FROM tm JOIN rt USING (i)),
+    v0 AS (SELECT DISTINCT i AS state, CAST(200000000 AS BIGINT) AS v FROM t),
+"""
+    + ",\n".join(
+        f"    v{k} AS ({_MARKOV_STEP.format(v=f'v{k - 1}')})" for k in range(1, 9)
+    )
+    + """
+    SELECT state AS event_type, CAST(v AS DOUBLE) / 1000000000.0 AS stationary_share
+    FROM v8
+"""
+)
+
+# FULL twin of q_winnowing_fingerprints: identical tokenization
+# (_TOKS), 5-gram 60-bit md5 hashes, 4-wide window minima (full
+# windows only), per-doc distinct, top-25 total order.
+from kickstarter_etl_pipeline_spark.oracles_core import _TOKS  # noqa: E402
+
+ORACLES_R10["winnowing_fingerprints"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (SELECT doc_id, unnest(range(1, len(t) - 3)) AS i, t
+            FROM toks WHERE len(t) >= 8),
+    grams AS (SELECT doc_id, i,
+                     CAST('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)
+                          AS BIGINT) AS h
+              FROM pos),
+    wins AS (SELECT doc_id,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                    count(*) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+             FROM grams),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE cnt = 4)
+    SELECT fp AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs
+    FROM fps GROUP BY fp
+    ORDER BY n_docs DESC, fingerprint
+    LIMIT 25
+"""
+
+# FULL twin of q_embedding_similarity_histogram: the proven
+# list_cosine_similarity ≡ sequential-dot device at 6 dp, then exact
+# integer micro-grid binning.
+ORACLES_R10["embedding_similarity_histogram"] = """
+    WITH h AS (SELECT CAST(count(*) // 2 AS BIGINT) AS half FROM embeddings),
+    a AS (SELECT vec_id AS ida, CAST(embedding AS DOUBLE[]) AS va FROM embeddings),
+    b AS (SELECT vec_id AS idb, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings),
+    pairs AS (SELECT round(list_cosine_similarity(va, vb), 6) AS cos6
+              FROM a, h, b WHERE ida < half AND idb = ida + half),
+    staged AS (SELECT least((CAST(floor(cos6 * 1000000 + 0.5) AS BIGINT) + 1000000)
+                            // 100000, 19) AS bin_id
+               FROM pairs),
+    counts AS (SELECT bin_id, CAST(count(*) AS BIGINT) AS n FROM staged GROUP BY bin_id),
+    bins AS (SELECT CAST(range AS BIGINT) AS bin_id FROM range(20)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM staged)
+    SELECT b.bin_id, CAST(coalesce(n, 0) AS BIGINT) AS n_pairs,
+           floor(CAST(coalesce(n, 0) AS DOUBLE) / CAST(t AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS share
+    FROM bins b LEFT JOIN counts USING (bin_id), tot
+"""

@@ -541,3 +541,57 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.cume_dist().over(wo), 6).alias("cum_dist"),
         F.nth_value("o_totalprice", 3).over(wf).alias("third_lowest_price"),
     )
+
+
+def q_embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of cosine similarities between deterministically
+    paired vectors (vec i ↔ vec i + N/2) — the embedding-space
+    anisotropy diagnostic: a healthy space has random-pair similarity
+    concentrated near 0, a collapsed space piles up near 1 (Ethayarajh
+    2019's observation, reduced to a one-pass audit) (round 10).
+
+    Exactness: cosine uses the oracle-proven sequential dot/norm tree
+    (operators.similarity) rounded to 6 dp; the 6-dp value is lifted
+    to an exact MICRO integer, so the 20-bin assignment
+    ((micro + 10⁶) DIV 10⁵, capped at 19) is pure integer arithmetic —
+    no float ever decides a bin boundary. Shares are single IEEE
+    divisions of exact counts.
+
+    Scale: the pairing is one equi-join on vec_id + N/2 (no cross
+    join); the histogram is a ≤20-group aggregate with map-side
+    combine; all 20 bins materialize via a constant range frame."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.broadcast(
+        emb.agg((F.count("*").cast("long") / F.lit(2)).cast("long").alias("_half"))
+    )
+    a = emb.select(F.col("vec_id").alias("_ida"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_idb"), F.col("embedding").alias("_vb"))
+    pairs = (
+        a.crossJoin(half)
+        .filter(F.col("_ida") < F.col("_half"))
+        .join(b, F.col("_idb") == F.col("_ida") + F.col("_half"))
+    )
+    cos6 = F.round(
+        F.try_divide(dot(F.col("_va"), F.col("_vb")), norm(F.col("_va")) * norm(F.col("_vb"))),
+        6,
+    )
+    micro = F.floor(cos6 * 1000000 + F.lit(0.5)).cast("long")
+    staged = pairs.select(micro.alias("_micro")).select(
+        F.least(F.expr("(_micro + 1000000) DIV 100000"), F.lit(19)).alias("bin_id")
+    )
+    counts = staged.groupBy("bin_id").agg(F.count("*").cast("long").alias("_n"))
+    bins = spark.range(20).select(F.col("id").cast("long").alias("bin_id"))
+    tot = F.broadcast(staged.agg(F.count("*").cast("long").alias("_t")))
+    return (
+        bins.join(counts, "bin_id", "left")
+        .crossJoin(tot)
+        .select(
+            "bin_id",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_pairs"),
+            round_det(
+                F.coalesce("_n", F.lit(0)).cast("double") / F.col("_t").cast("double"), 6
+            ).alias("share"),
+        )
+    )
