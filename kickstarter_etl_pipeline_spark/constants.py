@@ -41,3 +41,35 @@ BENFORD_P: tuple[float, ...] = (
     0.05115252244738129,
     0.04575749056067514,
 )
+
+
+#: Fellegi-Sunter record-linkage pattern scores (round 10). Four
+#: comparison fields over blocked part-name pairs, in bit order:
+#: [name-edit-distance ≤ 2, brand equal, type equal, |size diff| ≤ 1].
+#: Per-field (m, u) probabilities — m = P(agree | match), u =
+#: P(agree | non-match) — are the engineering estimates
+#: [(0.9, 0.05), (0.95, 0.04), (0.9, 0.013), (0.85, 0.06)]; the score
+#: of a pattern is Σ log2(m/u) over agreeing fields plus
+#: Σ log2((1−m)/(1−u)) over disagreeing ones, PRECOMPUTED here to 6 dp
+#: so both engines consume identical literals and no cross-engine
+#: transcendental is ever evaluated (the Benford/bootstrap literal
+#: device). Decision thresholds: score ≥ 4 → MATCH, ≥ 0 → POSSIBLE,
+#: else NON_MATCH.
+FS_PATTERN_SCORES: dict[str, float] = {
+    "0000": -13.46171,
+    "0001": -6.989584,
+    "0010": -4.045319,
+    "0011": 2.426808,
+    "0100": -4.62882,
+    "0101": 1.843306,
+    "0110": 4.787571,
+    "0111": 11.259698,
+    "1000": -6.043858,
+    "1001": 0.428269,
+    "1010": 3.372534,
+    "1011": 9.844661,
+    "1100": 2.789032,
+    "1101": 9.261159,
+    "1110": 12.205424,
+    "1111": 18.677551,
+}

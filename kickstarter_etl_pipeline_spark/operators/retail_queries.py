@@ -381,3 +381,67 @@ def q_interpurchase_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         )
         picks = row if picks is None else picks.unionByName(row)
     return picks
+
+
+def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) over
+    blocked part-name pairs — the scoring layer that turns the repo's
+    candidate generators (SNM / last-token blocking) into
+    match/possible/non-match decisions (round 10). Four comparison
+    fields per pair (name edit distance ≤ 2, brand equal, type equal,
+    |size diff| ≤ 1); the pair's agreement PATTERN looks up a
+    precomputed log-likelihood-ratio score (constants.FS_PATTERN_SCORES
+    — identical literals on both engines, so no transcendental is
+    evaluated at query time), and thresholds classify.
+
+    Output: one row per observed agreement pattern with its pair
+    count, score, and decision — the audit table a linkage deployment
+    reviews to set thresholds.
+
+    Scale: the pair space is the deduplicated NAME vocabulary blocked
+    on the last name token (the fuzzy_name_pairs posture — quadratic
+    only in per-block vocabulary density); attributes reduce to one
+    deterministic representative per name (min brand/type/size);
+    pattern aggregation is a ≤16-group map-side-combined rollup."""
+    from kickstarter_etl_pipeline_spark.constants import FS_PATTERN_SCORES
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(
+            F.min("p_brand").alias("_brand"),
+            F.min("p_type").alias("_type"),
+            F.min("p_size").cast("long").alias("_size"),
+        )
+        .withColumn("_block", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("_na"), F.col("_brand").alias("_ba"),
+        F.col("_type").alias("_ta"), F.col("_size").alias("_sa"), "_block",
+    )
+    b = names.select(
+        F.col("p_name").alias("_nb"), F.col("_brand").alias("_bb"),
+        F.col("_type").alias("_tb"), F.col("_size").alias("_sb"), "_block",
+    )
+    pairs = a.join(b, "_block").filter(F.col("_na") < F.col("_nb"))
+    pattern = F.concat(
+        (F.levenshtein("_na", "_nb") <= 2).cast("int").cast("string"),
+        (F.col("_ba") == F.col("_bb")).cast("int").cast("string"),
+        (F.col("_ta") == F.col("_tb")).cast("int").cast("string"),
+        (F.abs(F.col("_sa") - F.col("_sb")) <= 1).cast("int").cast("string"),
+    )
+    score = F.lit(None).cast("double")
+    for pat, s in FS_PATTERN_SCORES.items():
+        score = F.when(F.col("pattern") == pat, F.lit(s)).otherwise(score)
+    return (
+        pairs.select(pattern.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .withColumn("score", score)
+        .withColumn(
+            "decision",
+            F.when(F.col("score") >= 4.0, "MATCH")
+            .when(F.col("score") >= 0.0, "POSSIBLE")
+            .otherwise("NON_MATCH"),
+        )
+    )

@@ -350,3 +350,32 @@ ORACLES_R10["embedding_similarity_histogram"] = """
              / 1000000.0 AS share
     FROM bins b LEFT JOIN counts USING (bin_id), tot
 """
+
+# FULL twin of q_fellegi_sunter_linkage: identical blocking, pattern
+# bits, and the SAME precomputed score literals (constants module —
+# single definition site, no query-time transcendental either side).
+from kickstarter_etl_pipeline_spark.constants import FS_PATTERN_SCORES  # noqa: E402
+
+_FS_CASES = " ".join(
+    f"WHEN '{p}' THEN {s!r}" for p, s in FS_PATTERN_SCORES.items()
+)
+ORACLES_R10["fellegi_sunter_linkage"] = f"""
+    WITH names AS (SELECT p_name, min(p_brand) AS brand, min(p_type) AS typ,
+                          CAST(min(p_size) AS BIGINT) AS sz
+                   FROM part GROUP BY p_name),
+    blocked AS (SELECT *, string_split(p_name, ' ')[-1] AS block FROM names),
+    pairs AS (SELECT
+        (CASE WHEN levenshtein(a.p_name, b.p_name) <= 2 THEN '1' ELSE '0' END ||
+         CASE WHEN a.brand = b.brand THEN '1' ELSE '0' END ||
+         CASE WHEN a.typ = b.typ THEN '1' ELSE '0' END ||
+         CASE WHEN abs(a.sz - b.sz) <= 1 THEN '1' ELSE '0' END) AS pattern
+      FROM blocked a JOIN blocked b ON a.block = b.block AND a.p_name < b.p_name),
+    agg AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CASE pattern {_FS_CASES} END AS score
+            FROM pairs GROUP BY pattern)
+    SELECT pattern, n_pairs, score,
+           CASE WHEN score >= 4.0 THEN 'MATCH'
+                WHEN score >= 0.0 THEN 'POSSIBLE'
+                ELSE 'NON_MATCH' END AS decision
+    FROM agg
+"""
