@@ -109,6 +109,17 @@ BENCH_QUERIES = [
     # (3.18 s idle min-of-2 at sf0.1; everything else in that batch
     # probes under 1.8 s and shares benched cost models).
     "item_cooccurrence_topk",
+    # round 10: all thirteen additions probe ≤ 1.8 s at sf0.1 (idle
+    # min-of-3); two get canaries for cost models the bench doesn't
+    # already watch — the 8-round driver-looped integer power
+    # iteration (distinct from pagerank/hits: per-round frames are
+    # CONSTANT-size, so its cost is pure scheduling round-trip), and
+    # the per-document sliding-window-over-grams shape (distinct from
+    # duplicate_ngram_spans' flat gram explode). The other eleven
+    # share benched models (two_phase_rank picks, one-row moment
+    # reduces, bounded self-joins).
+    "markov_stationary",
+    "winnowing_fingerprints",
 ]
 
 
