@@ -751,138 +751,6 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.unionByName(total)
 
 
-def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation of the daily order-revenue series at lags 1–7 —
-    the weekly-seasonality diagnostic a forecasting pipeline inspects
-    before choosing model terms (round 10). Classical ACF: r_k =
-    Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², pairing by CALENDAR day (a gap
-    day simply contributes no pair at that offset).
-
-    Exactness: daily revenues are exact decimal cent sums; every
-    sufficient statistic (per-lag Σxy, Σx, Σy, n; global Σx, Σx², n)
-    is an exact decimal(38,0) sum; x̄ and each r_k are one fixed IEEE
-    tree over those exact operands, mirrored verbatim in the twin.
-
-    Scale: one day-keyed aggregate, a 7-way explode joined day-to-day
-    (uniform key), ≤7 output groups with map-side combine; the global
-    stats ride one broadcast one-row frame."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.groupBy(F.to_date("o_orderdate").alias("_day"))
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-            .cast("long")
-            .alias("_cents")
-        )
-    )
-    d38 = "decimal(38,0)"
-    g = F.broadcast(
-        daily.agg(
-            F.count("*").cast("long").alias("_n"),
-            F.sum(F.col("_cents").cast(d38)).alias("_s1"),
-            F.sum(F.col("_cents").cast(d38) * F.col("_cents")).alias("_s2"),
-        )
-    )
-    lags = daily.select(
-        "_day", F.col("_cents").alias("_x"), F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag")
-    ).withColumn("_tday", F.date_add(F.col("_day"), F.col("lag")))
-    paired = lags.join(
-        daily.select(F.col("_day").alias("_tday"), F.col("_cents").alias("_y")),
-        "_tday",
-    )
-    per_lag = paired.groupBy("lag").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum(F.col("_x").cast(d38)).alias("_sx"),
-        F.sum(F.col("_y").cast(d38)).alias("_sy"),
-        F.sum(F.col("_x").cast(d38) * F.col("_y")).alias("_sxy"),
-    )
-    xbar = F.col("_s1").cast("double") / F.col("_n").cast("double")
-    num = (
-        F.col("_sxy").cast("double")
-        - xbar * (F.col("_sx") + F.col("_sy")).cast("double")
-        + F.col("n_pairs").cast("double") * xbar * xbar
-    )
-    den = F.col("_s2").cast("double") - F.col("_n").cast("double") * xbar * xbar
-    return (
-        per_lag.crossJoin(g)
-        .select(
-            F.col("lag").cast("long").alias("lag"),
-            "n_pairs",
-            round_det(num / den, 6).alias("acf"),
-        )
-    )
-
-
-def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single change-point detection on the daily event-count series by
-    the max-|CUSUM| rule (the first split of binary segmentation /
-    the Pettitt-style statistic): S_t = Σ_{i≤t} x_i − t·x̄ and the
-    change point is the day maximizing |S_t| (round 10). Reports the
-    day, the statistic, and the mean daily volume before/after.
-
-    Exactness: x_i are exact longs; the running sum rides
-    two_phase_rank's exact ``cum``; S_t is one fixed IEEE tree per
-    row snapped to an integer nano grid, so the argmax (and its
-    smallest-day tie-break) is a total order over integers.
-
-    Scale: the rank/prefix-sum is the range-exchange two-phase rank
-    (never a single-task sort); the argmax is one one-row broadcast
-    equality pick."""
-    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
-
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("_day")).agg(
-        F.count("*").cast("long").alias("_x")
-    )
-    ranked = two_phase_rank(daily, ["_day"], cum_col="_x")
-    g = F.broadcast(
-        daily.agg(
-            F.count("*").cast("long").alias("_n"),
-            F.sum("_x").cast("long").alias("_total"),
-        )
-    )
-    xbar = F.col("_total").cast("double") / F.col("_n").cast("double")
-    s_t = F.col("cum").cast("double") - F.col("rank").cast("double") * xbar
-    staged = (
-        ranked.crossJoin(g)
-        .select(
-            "_day",
-            "rank",
-            "cum",
-            "_n",
-            "_total",
-            F.floor(F.abs(s_t) * 1000000000 + 0.5).cast("long").alias("_nano"),
-        )
-        # the last day's S_t is ~0 by construction and a split there is
-        # degenerate (empty "after" side)
-        .filter(F.col("rank") < F.col("_n"))
-    )
-    best = F.broadcast(staged.agg(F.max("_nano").alias("_best")))
-    pick = (
-        staged.crossJoin(best)
-        .filter(F.col("_nano") == F.col("_best"))
-        .groupBy("_n", "_total", "_best")
-        .agg(
-            F.min("_day").alias("_cday"),
-            F.min_by("rank", "_day").alias("_t"),
-            F.min_by("cum", "_day").alias("_cum"),
-        )
-    )
-    return pick.select(
-        F.date_format("_cday", "yyyy-MM-dd").alias("changepoint_day"),
-        F.col("_n").alias("n_days"),
-        (F.col("_best").cast("double") / 1e9).alias("cusum_stat"),
-        round_det(F.col("_cum").cast("double") / F.col("_t").cast("double"), 6).alias(
-            "mean_before"
-        ),
-        round_det(
-            (F.col("_total") - F.col("_cum")).cast("double")
-            / (F.col("_n") - F.col("_t")).cast("double"),
-            6,
-        ).alias("mean_after"),
-    )
-
-
 def q_mann_whitney_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U test comparing 1-URGENT vs 5-LOW order prices —
     the nonparametric two-sample location test (rank-based, so it
@@ -991,52 +859,110 @@ def q_theil_index_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stationary distribution of the per-user event-type Markov chain
-    (8 power-iteration rounds on the transition counts) — "where does
-    a user's session settle?", the long-run engagement mix (round 10).
 
-    Exactness: the state vector lives in integer NANO units (longs,
-    start = 10⁹/5 per type) and each iterate is v'_j =
-    Σ_i (v_i·n_ij) DIV n_i — per-term integer floor division then an
-    exact integer sum, so the whole iteration is order-free integer
-    arithmetic (the HITS nano-spine device, without even a float
-    normalize). The twin replays the identical 8 unrolled rounds.
 
-    Scale: the transition matrix build is the data-sized work (one
-    user-keyed lag window + a ≤25-group aggregate); the iteration
-    runs on the ≤25-row matrix and a ≤5-row vector — constant-size
-    frames at any sf."""
-    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
-    steps = (
-        ev.select("user_id", "event_type", "_us", "event_id")
-        .withColumn("_next", F.lead("event_type").over(w))
-        .filter(F.col("_next").isNotNull())
+def q_winsorized_mean_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order price per status — clamp every price to
+    the status's exact [p05, p95] (nearest-rank) before averaging:
+    the outlier-robust location estimate that, unlike the trimmed
+    mean, keeps n constant (round 10).
+
+    Exactness: prices ride the cent grid; the p05/p95 cuts are
+    ceil-rank picks ((n·q + 99) DIV 100) over the (cents, orderkey)
+    total order; the clamped sum is an exact decimal sum, and the
+    mean is one IEEE division snapped to 4 dp.
+
+    Scale: the per-status rank window has 3 enumeration-bounded fat
+    partitions — the same accepted posture as
+    q_exact_quartiles_by_status, with approx_percentile as the
+    documented sketch path at the 100-TB posture; cuts ride a 3-row
+    broadcast back onto the cent scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("_c"),
     )
-    trans = steps.groupBy(
-        F.col("event_type").alias("_i"), F.col("_next").alias("_j")
-    ).agg(F.count("*").cast("long").alias("_nij"))
-    row_tot = trans.groupBy("_i").agg(F.sum("_nij").cast("long").alias("_ni"))
-    tm = trans.join(row_tot, "_i").localCheckpoint(eager=True)
-    v = (
-        tm.select(F.col("_i").alias("_state"))
-        .distinct()
-        .select("_state", F.lit(200_000_000).cast("long").alias("_v"))
-        .localCheckpoint(eager=True)
+    w = Window.partitionBy("o_orderstatus").orderBy("_c", "o_orderkey")
+    ranked = cents.select(
+        "o_orderstatus",
+        "_c",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count("*").over(Window.partitionBy("o_orderstatus")).cast("long").alias("_n"),
     )
-    for _ in range(8):
-        v = (
-            tm.join(v, tm["_i"] == v["_state"])
-            .select(
-                F.col("_j"),
-                F.expr("(_v * _nij) DIV _ni").alias("_term"),
-            )
-            .groupBy(F.col("_j").alias("_state"))
-            .agg(F.sum("_term").cast("long").alias("_v"))
-            .localCheckpoint(eager=True)
+    cuts = F.broadcast(
+        ranked.groupBy("o_orderstatus").agg(
+            F.max("_n").alias("n_orders"),
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n * 5 + 99) DIV 100"), F.col("_c"))
+            ).alias("_lo"),
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n * 95 + 99) DIV 100"), F.col("_c"))
+            ).alias("_hi"),
         )
-    return v.select(
-        F.col("_state").alias("event_type"),
-        (F.col("_v").cast("double") / 1e9).alias("stationary_share"),
+    )
+    clamped = F.greatest(F.least(F.col("_c"), F.col("_hi")), F.col("_lo"))
+    return (
+        cents.join(cuts, "o_orderstatus")
+        .groupBy("o_orderstatus", "n_orders", "_lo", "_hi")
+        .agg(F.sum(clamped.cast("decimal(38,0)")).alias("_ws"))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            (F.col("_lo").cast("double") / 100.0).alias("p05_price"),
+            (F.col("_hi").cast("double") / 100.0).alias("p95_price"),
+            round_det(
+                F.col("_ws").cast("double") / F.col("n_orders").cast("double") / 100.0, 4
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+def q_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand-curve slope per brand — OLS of ln(quantity) on
+    ln(catalog price) over lineitems, the price-elasticity proxy a
+    pricing team reads per category (round 10).
+
+    Exactness: both logs are snapped to exact integer MICRO grids
+    (floor(ln·10⁶ + 0.5) — the zipf_slope device) so all OLS moments
+    are exact decimal sums; the slope is one guarded IEEE division
+    (NULL when a brand has no price variation, identically on both
+    engines), snapped to 6 dp.
+
+    Scale: one lineitem⋈part equi-join (part UNhinted — linear table,
+    AQE decides), then a ≤25-group map-side-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = li.join(
+        part.select(
+            "p_partkey",
+            "p_brand",
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long").alias("_pc"),
+        ),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.floor(F.log(F.col("_pc").cast("double")) * 1000000 + 0.5).cast("long").alias("_x6"),
+        F.floor(F.log(F.col("l_quantity").cast("double")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("_y6"),
+    )
+    d38 = "decimal(38,0)"
+    agg = pts.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_x6").cast(d38)).alias("_sx"),
+        F.sum(F.col("_y6").cast(d38)).alias("_sy"),
+        F.sum(F.col("_x6").cast(d38) * F.col("_y6")).alias("_sxy"),
+        F.sum(F.col("_x6").cast(d38) * F.col("_x6")).alias("_sxx"),
+    )
+    den = (
+        F.col("n_lines") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    num = (
+        F.col("n_lines") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ).cast("double")
+    return agg.select(
+        "p_brand",
+        "n_lines",
+        F.when(den != 0.0, round_det(num / den, 6)).alias("elasticity_slope"),
     )

@@ -1,0 +1,389 @@
+"""Time-series analytics query wrappers (autocorrelation, change-point
+detection, Markov dynamics, forecast-error baselines, long-range
+dependence). Split from stats_queries.py in round 10; determinism
+contracts unchanged (exact integer/decimal sufficient statistics,
+transcendentals snapped to integer nano grids before aggregation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kickstarter_etl_pipeline_spark.operators import events as EV
+from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags 1–7 —
+    the weekly-seasonality diagnostic a forecasting pipeline inspects
+    before choosing model terms (round 10). Classical ACF: r_k =
+    Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², pairing by CALENDAR day (a gap
+    day simply contributes no pair at that offset).
+
+    Exactness: daily revenues are exact decimal cent sums; every
+    sufficient statistic (per-lag Σxy, Σx, Σy, n; global Σx, Σx², n)
+    is an exact decimal(38,0) sum; x̄ and each r_k are one fixed IEEE
+    tree over those exact operands, mirrored verbatim in the twin.
+
+    Scale: one day-keyed aggregate, a 7-way explode joined day-to-day
+    (uniform key), ≤7 output groups with map-side combine; the global
+    stats ride one broadcast one-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("_day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("_cents")
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = F.broadcast(
+        daily.agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.col("_cents").cast(d38)).alias("_s1"),
+            F.sum(F.col("_cents").cast(d38) * F.col("_cents")).alias("_s2"),
+        )
+    )
+    lags = daily.select(
+        "_day", F.col("_cents").alias("_x"), F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag")
+    ).withColumn("_tday", F.date_add(F.col("_day"), F.col("lag")))
+    paired = lags.join(
+        daily.select(F.col("_day").alias("_tday"), F.col("_cents").alias("_y")),
+        "_tday",
+    )
+    per_lag = paired.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("_x").cast(d38)).alias("_sx"),
+        F.sum(F.col("_y").cast(d38)).alias("_sy"),
+        F.sum(F.col("_x").cast(d38) * F.col("_y")).alias("_sxy"),
+    )
+    xbar = F.col("_s1").cast("double") / F.col("_n").cast("double")
+    num = (
+        F.col("_sxy").cast("double")
+        - xbar * (F.col("_sx") + F.col("_sy")).cast("double")
+        + F.col("n_pairs").cast("double") * xbar * xbar
+    )
+    den = F.col("_s2").cast("double") - F.col("_n").cast("double") * xbar * xbar
+    return (
+        per_lag.crossJoin(g)
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            round_det(num / den, 6).alias("acf"),
+        )
+    )
+
+
+def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily event-count series by
+    the max-|CUSUM| rule (the first split of binary segmentation /
+    the Pettitt-style statistic): S_t = Σ_{i≤t} x_i − t·x̄ and the
+    change point is the day maximizing |S_t| (round 10). Reports the
+    day, the statistic, and the mean daily volume before/after.
+
+    Exactness: x_i are exact longs; the running sum rides
+    two_phase_rank's exact ``cum``; S_t is one fixed IEEE tree per
+    row snapped to an integer nano grid, so the argmax (and its
+    smallest-day tie-break) is a total order over integers.
+
+    Scale: the rank/prefix-sum is the range-exchange two-phase rank
+    (never a single-task sort); the argmax is one one-row broadcast
+    equality pick."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("_day")).agg(
+        F.count("*").cast("long").alias("_x")
+    )
+    ranked = two_phase_rank(daily, ["_day"], cum_col="_x")
+    g = F.broadcast(
+        daily.agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_x").cast("long").alias("_total"),
+        )
+    )
+    xbar = F.col("_total").cast("double") / F.col("_n").cast("double")
+    s_t = F.col("cum").cast("double") - F.col("rank").cast("double") * xbar
+    staged = (
+        ranked.crossJoin(g)
+        .select(
+            "_day",
+            "rank",
+            "cum",
+            "_n",
+            "_total",
+            F.floor(F.abs(s_t) * 1000000000 + 0.5).cast("long").alias("_nano"),
+        )
+        # the last day's S_t is ~0 by construction and a split there is
+        # degenerate (empty "after" side)
+        .filter(F.col("rank") < F.col("_n"))
+    )
+    best = F.broadcast(staged.agg(F.max("_nano").alias("_best")))
+    pick = (
+        staged.crossJoin(best)
+        .filter(F.col("_nano") == F.col("_best"))
+        .groupBy("_n", "_total", "_best")
+        .agg(
+            F.min("_day").alias("_cday"),
+            F.min_by("rank", "_day").alias("_t"),
+            F.min_by("cum", "_day").alias("_cum"),
+        )
+    )
+    return pick.select(
+        F.date_format("_cday", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("_n").alias("n_days"),
+        (F.col("_best").cast("double") / 1e9).alias("cusum_stat"),
+        round_det(F.col("_cum").cast("double") / F.col("_t").cast("double"), 6).alias(
+            "mean_before"
+        ),
+        round_det(
+            (F.col("_total") - F.col("_cum")).cast("double")
+            / (F.col("_n") - F.col("_t")).cast("double"),
+            6,
+        ).alias("mean_after"),
+    )
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (8 power-iteration rounds on the transition counts) — "where does
+    a user's session settle?", the long-run engagement mix (round 10).
+
+    Exactness: the state vector lives in integer NANO units (longs,
+    start = 10⁹/5 per type) and each iterate is v'_j =
+    Σ_i (v_i·n_ij) DIV n_i — per-term integer floor division then an
+    exact integer sum, so the whole iteration is order-free integer
+    arithmetic (the HITS nano-spine device, without even a float
+    normalize). The twin replays the identical 8 unrolled rounds.
+
+    Scale: the transition matrix build is the data-sized work (one
+    user-keyed lag window + a ≤25-group aggregate); the iteration
+    runs on the ≤25-row matrix and a ≤5-row vector — constant-size
+    frames at any sf."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    steps = (
+        ev.select("user_id", "event_type", "_us", "event_id")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+    )
+    trans = steps.groupBy(
+        F.col("event_type").alias("_i"), F.col("_next").alias("_j")
+    ).agg(F.count("*").cast("long").alias("_nij"))
+    row_tot = trans.groupBy("_i").agg(F.sum("_nij").cast("long").alias("_ni"))
+    tm = trans.join(row_tot, "_i").localCheckpoint(eager=True)
+    v = (
+        tm.select(F.col("_i").alias("_state"))
+        .distinct()
+        .select("_state", F.lit(200_000_000).cast("long").alias("_v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(8):
+        v = (
+            tm.join(v, tm["_i"] == v["_state"])
+            .select(
+                F.col("_j"),
+                F.expr("(_v * _nij) DIV _ni").alias("_term"),
+            )
+            .groupBy(F.col("_j").alias("_state"))
+            .agg(F.sum("_term").cast("long").alias("_v"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        F.col("_state").alias("event_type"),
+        (F.col("_v").cast("double") / 1e9).alias("stationary_share"),
+    )
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per current event type —
+    H(next | current=i) = −Σ_j p_ij·ln p_ij in nats: how predictable
+    each state's continuation is, the information-theoretic companion
+    to the transition matrix and the Markov stationary mix (round 10).
+
+    Exactness: p_ij is one IEEE division of exact transition counts;
+    each p·ln p term is snapped to an integer NANO grid before the
+    per-state sum (the theil/zipf device), so aggregation order can
+    never move the result; the negated sum divides by 10⁹ and snaps
+    to 6 dp.
+
+    Scale: one user-keyed lag window (uniform), a ≤25-group
+    transition aggregate with map-side combine, and a ≤5-group final
+    rollup."""
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    steps = (
+        ev.select("user_id", "event_type", "_us", "event_id")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+    )
+    trans = steps.groupBy(
+        F.col("event_type").alias("_i"), F.col("_next").alias("_j")
+    ).agg(F.count("*").cast("long").alias("_nij"))
+    row_tot = trans.groupBy("_i").agg(F.sum("_nij").cast("long").alias("_ni"))
+    p = F.col("_nij").cast("double") / F.col("_ni").cast("double")
+    nano = F.floor(p * F.log(p) * 1000000000 + 0.5).cast("long")
+    return (
+        trans.join(row_tot, "_i")
+        .select("_i", "_ni", nano.alias("_nano"))
+        .groupBy(F.col("_i").alias("event_type"), F.col("_ni").alias("n_transitions"))
+        .agg(F.sum("_nano").cast("long").alias("_s"))
+        .select(
+            "event_type",
+            "n_transitions",
+            round_det(-(F.col("_s").cast("double") / 1e9), 6).alias("next_entropy_nats"),
+        )
+    )
+
+
+def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline error audit on daily order revenue: the mean
+    absolute error of the lag-1 naive forecast, the lag-7 seasonal
+    naive, and their ratio (the MASE denominator/numerator pair,
+    Hyndman & Koehler 2006) — the sanity floor every forecasting
+    model must beat (round 10). Pairing is by CALENDAR day (a gap
+    day contributes no pair).
+
+    Exactness: daily revenues are exact cent sums; every |x_t − x_{t−k}|
+    is an exact long; the MAEs and the ratio are fixed IEEE trees over
+    exact decimal sums, snapped to 4/6 dp.
+
+    Scale: one day-keyed aggregate and two day-to-day equi-joins on a
+    uniform calendar key; final stats are a one-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("_cents")
+    )
+    d38 = "decimal(38,0)"
+
+    def _lag_mae(k: int):
+        paired = daily.select(
+            F.date_add("_day", k).alias("_tday"), F.col("_cents").alias("_prev")
+        ).join(
+            daily.select(F.col("_day").alias("_tday"), F.col("_cents").alias("_x")),
+            "_tday",
+        )
+        return paired.agg(
+            F.count("*").cast("long").alias(f"n_pairs_lag{k}"),
+            F.sum(F.abs(F.col("_x") - F.col("_prev")).cast(d38)).alias(f"_sa{k}"),
+        )
+    one = _lag_mae(1).crossJoin(_lag_mae(7))
+    mae1 = F.col("_sa1").cast("double") / F.col("n_pairs_lag1").cast("double") / 100.0
+    mae7 = F.col("_sa7").cast("double") / F.col("n_pairs_lag7").cast("double") / 100.0
+    return one.select(
+        "n_pairs_lag1",
+        "n_pairs_lag7",
+        round_det(mae1, 4).alias("mae_naive1"),
+        round_det(mae7, 4).alias("mae_naive7"),
+        round_det(mae7 / mae1, 6).alias("seasonal_to_naive_ratio"),
+    )
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily order revenue by rescaled-range (R/S)
+    analysis at block scales 8/16/32/64 days — the long-range-
+    dependence diagnostic (H ≈ 0.5 random walk, > 0.5 persistent)
+    behind capacity planning on bursty series (round 10).
+
+    Per scale s: split the day-indexed series into complete s-day
+    blocks; per block, R = range of the demeaned prefix sums and
+    S = the population standard deviation; average ln(R/S) over
+    blocks; H is the OLS slope of that average against ln(s). Because
+    the four ln(s) values are equally spaced in ln 2, the slope
+    collapses to (−1.5·y₈ − 0.5·y₁₆ + 0.5·y₃₂ + 1.5·y₆₄)/(5·ln 2) —
+    a fixed tree with one shared ln 2 literal, no per-engine
+    transcendental on x.
+
+    Exactness: day ranks and block prefix sums are exact integers
+    (two_phase_rank + per-block ≤64-row windows); demeaned prefix
+    values snap to a nano grid so R is an exact long range; per-block
+    ln(R/S) snaps to nano before the per-scale sum. Degenerate blocks
+    (zero range or zero variance) are excluded on both engines.
+
+    Scale: the global day rank is the range exchange; block windows
+    are ≤64 rows each (uniformly keyed by (scale, block)); per-scale
+    sums are a 4-group aggregate; the final slope is a one-row
+    pivot."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    LN2 = 0.6931471805599453  # shared literal, mirrored in the twin
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("_x")
+    )
+    ranked = two_phase_rank(daily, ["_day"]).select(
+        F.col("rank").alias("_t"), "_x"
+    )
+    n_days = F.broadcast(daily.agg(F.count("*").cast("long").alias("n_days")))
+    scaled = ranked.select(
+        "_t", "_x", F.explode(F.array(*[F.lit(s) for s in (8, 16, 32, 64)])).alias("_s")
+    ).select(
+        "_s",
+        "_x",
+        F.expr("(_t - 1) DIV _s").alias("_b"),
+        ((F.col("_t") - 1) % F.col("_s") + 1).alias("_i"),
+    )
+    d38 = "decimal(38,0)"
+    bstat = scaled.groupBy("_s", "_b").agg(
+        F.count("*").cast("long").alias("_bn"),
+        F.sum(F.col("_x").cast(d38)).alias("_bs"),
+        F.sum(F.col("_x").cast(d38) * F.col("_x")).alias("_bs2"),
+    )
+    wb = Window.partitionBy("_s", "_b").orderBy("_i")
+    pref = scaled.withColumn(
+        "_cum", F.sum("_x").over(wb.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    )
+    joined = pref.join(bstat, ["_s", "_b"]).filter(F.col("_bn") == F.col("_s"))
+    mean = F.col("_bs").cast("double") / F.col("_s").cast("double")
+    dev_nano = F.floor(
+        (F.col("_cum").cast("double") - F.col("_i").cast("double") * mean)
+        * 1000000000
+        + 0.5
+    ).cast("long")
+    per_block = joined.select(
+        "_s", "_b", "_bs", "_bs2", dev_nano.alias("_dev")
+    ).groupBy("_s", "_b", "_bs", "_bs2").agg(
+        (F.max("_dev") - F.min("_dev")).alias("_r_nano")
+    )
+    var = (
+        F.col("_bs2").cast("double")
+        - F.col("_s").cast("double")
+        * (F.col("_bs").cast("double") / F.col("_s").cast("double"))
+        * (F.col("_bs").cast("double") / F.col("_s").cast("double"))
+    ) / F.col("_s").cast("double")
+    rs = (F.col("_r_nano").cast("double") / 1e9) / F.sqrt(var)
+    lrs_nano = F.floor(F.log(rs) * 1000000000 + 0.5).cast("long")
+    per_scale = (
+        per_block.filter(F.col("_r_nano") > 0)
+        .select("_s", F.sqrt(var).alias("_sd"), lrs_nano.alias("_l"))
+        .filter(F.col("_sd") > 0)
+        .groupBy("_s")
+        .agg(F.count("*").cast("long").alias("_m"), F.sum("_l").cast("long").alias("_ls"))
+        .select(
+            "_s",
+            (F.col("_ls").cast("double") / 1e9 / F.col("_m").cast("double")).alias("_y"),
+        )
+    )
+    pivoted = per_scale.agg(
+        *[
+            F.max(F.when(F.col("_s") == s, F.col("_y"))).alias(f"_y{s}")
+            for s in (8, 16, 32, 64)
+        ]
+    )
+    hurst = (
+        F.lit(-1.5) * F.col("_y8")
+        - F.lit(0.5) * F.col("_y16")
+        + F.lit(0.5) * F.col("_y32")
+        + F.lit(1.5) * F.col("_y64")
+    ) / (F.lit(5.0) * F.lit(LN2))
+    return pivoted.crossJoin(n_days).select(
+        "n_days",
+        round_det(F.col("_y8"), 6).alias("mean_log_rs_8"),
+        round_det(F.col("_y64"), 6).alias("mean_log_rs_64"),
+        round_det(hurst, 6).alias("hurst_exponent"),
+    )

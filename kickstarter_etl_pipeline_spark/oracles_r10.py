@@ -379,3 +379,150 @@ ORACLES_R10["fellegi_sunter_linkage"] = f"""
                 ELSE 'NON_MATCH' END AS decision
     FROM agg
 """
+
+# FULL twin of q_transition_entropy: p·ln p nano-snapped per cell
+# before the per-state sum.
+ORACLES_R10["transition_entropy"] = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+    steps AS (SELECT event_type AS i,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS j
+              FROM e),
+    tm AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+           FROM steps WHERE j IS NOT NULL GROUP BY i, j),
+    rt AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ni FROM tm GROUP BY i),
+    per AS (SELECT tm.i, rt.ni,
+                   CAST(floor((CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
+                              * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
+                              * 1000000000 + 0.5) AS BIGINT) AS nano
+            FROM tm JOIN rt USING (i))
+    SELECT i AS event_type, ni AS n_transitions,
+           floor((-(CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1000000000.0))
+                 * 1000000 + 0.5) / 1000000.0 AS next_entropy_nats
+    FROM per GROUP BY i, ni
+"""
+
+# FULL twin of q_mase_seasonal_naive: exact |cent| diffs by calendar
+# pairing, identical MAE/ratio trees.
+ORACLES_R10["mase_seasonal_naive"] = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+    l1 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_lag1,
+                  sum(CAST(abs(b.cents - a.cents) AS HUGEINT)) AS sa1
+           FROM daily a JOIN daily b ON b.day = a.day + 1),
+    l7 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_lag7,
+                  sum(CAST(abs(b.cents - a.cents) AS HUGEINT)) AS sa7
+           FROM daily a JOIN daily b ON b.day = a.day + 7)
+    SELECT n_pairs_lag1, n_pairs_lag7,
+           floor((CAST(sa1 AS DOUBLE) / CAST(n_pairs_lag1 AS DOUBLE) / 100.0)
+                 * 10000 + 0.5) / 10000.0 AS mae_naive1,
+           floor((CAST(sa7 AS DOUBLE) / CAST(n_pairs_lag7 AS DOUBLE) / 100.0)
+                 * 10000 + 0.5) / 10000.0 AS mae_naive7,
+           floor(((CAST(sa7 AS DOUBLE) / CAST(n_pairs_lag7 AS DOUBLE) / 100.0)
+                  / (CAST(sa1 AS DOUBLE) / CAST(n_pairs_lag1 AS DOUBLE) / 100.0))
+                 * 1000000 + 0.5) / 1000000.0 AS seasonal_to_naive_ratio
+    FROM l1, l7
+"""
+
+# FULL twin of q_hurst_exponent: identical block decomposition, exact
+# integer prefix sums, nano-snapped demeaned deviations and ln(R/S),
+# the shared ln2 literal in the collapsed equal-spacing slope.
+ORACLES_R10["hurst_exponent"] = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+                   FROM orders GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM daily),
+    scaled AS (SELECT sc.s, x, (t - 1) // sc.s AS b, (t - 1) % sc.s + 1 AS i
+               FROM ranked, (VALUES (8), (16), (32), (64)) sc(s)),
+    bstat AS (SELECT s, b, CAST(count(*) AS BIGINT) AS bn,
+                     sum(CAST(x AS HUGEINT)) AS bs,
+                     sum(CAST(x AS HUGEINT) * x) AS bs2
+              FROM scaled GROUP BY s, b),
+    pref AS (SELECT s, b, i,
+                    CAST(sum(x) OVER (PARTITION BY s, b ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM scaled),
+    dev AS (SELECT p.s, p.b, t.bs, t.bs2,
+                   CAST(floor((CAST(p.cum AS DOUBLE)
+                               - CAST(p.i AS DOUBLE)
+                                 * (CAST(t.bs AS DOUBLE) / CAST(p.s AS DOUBLE)))
+                              * 1000000000 + 0.5) AS BIGINT) AS d
+            FROM pref p JOIN bstat t ON p.s = t.s AND p.b = t.b AND t.bn = p.s),
+    per_block AS (SELECT s, b, bs, bs2, max(d) - min(d) AS r_nano
+                  FROM dev GROUP BY s, b, bs, bs2),
+    vb AS (SELECT s, r_nano,
+                  (CAST(bs2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * (CAST(bs AS DOUBLE) / CAST(s AS DOUBLE))
+                     * (CAST(bs AS DOUBLE) / CAST(s AS DOUBLE))) / CAST(s AS DOUBLE) AS var
+           FROM per_block
+           WHERE r_nano > 0),
+    lrs AS (SELECT s,
+                   CAST(floor(ln((CAST(r_nano AS DOUBLE) / 1000000000.0) / sqrt(var))
+                              * 1000000000 + 0.5) AS BIGINT) AS l
+            FROM vb WHERE sqrt(var) > 0),
+    per_scale AS (SELECT s, CAST(count(*) AS BIGINT) AS m, CAST(sum(l) AS BIGINT) AS ls
+                  FROM lrs GROUP BY s),
+    ys AS (SELECT s, CAST(ls AS DOUBLE) / 1000000000.0 / CAST(m AS DOUBLE) AS y
+           FROM per_scale),
+    piv AS (SELECT max(CASE WHEN s = 8 THEN y END) AS y8,
+                   max(CASE WHEN s = 16 THEN y END) AS y16,
+                   max(CASE WHEN s = 32 THEN y END) AS y32,
+                   max(CASE WHEN s = 64 THEN y END) AS y64
+            FROM ys)
+    SELECT n_days,
+           floor(y8 * 1000000 + 0.5) / 1000000.0 AS mean_log_rs_8,
+           floor(y64 * 1000000 + 0.5) / 1000000.0 AS mean_log_rs_64,
+           floor(((-1.5 * y8 - 0.5 * y16 + 0.5 * y32 + 1.5 * y64)
+                  / (5.0 * 0.6931471805599453)) * 1000000 + 0.5) / 1000000.0
+             AS hurst_exponent
+    FROM piv, nd
+"""
+
+# FULL twin of q_winsorized_mean_by_status: ceil-rank p05/p95 cuts
+# over the (cents, orderkey) total order, exact clamped decimal sum.
+ORACLES_R10["winsorized_mean_by_status"] = """
+    WITH cents AS (SELECT o_orderstatus, o_orderkey,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                   FROM orders),
+    ranked AS (SELECT o_orderstatus, c,
+                      CAST(row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY c, o_orderkey) AS BIGINT) AS rn,
+                      CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+               FROM cents),
+    cuts AS (SELECT o_orderstatus, max(n) AS n_orders,
+                    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN c END) AS lo,
+                    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN c END) AS hi
+             FROM ranked GROUP BY o_orderstatus),
+    agg AS (SELECT c.o_orderstatus, t.n_orders, t.lo, t.hi,
+                   sum(CAST(greatest(least(c.c, t.hi), t.lo) AS HUGEINT)) AS ws
+            FROM cents c JOIN cuts t USING (o_orderstatus)
+            GROUP BY c.o_orderstatus, t.n_orders, t.lo, t.hi)
+    SELECT o_orderstatus, n_orders,
+           CAST(lo AS DOUBLE) / 100.0 AS p05_price,
+           CAST(hi AS DOUBLE) / 100.0 AS p95_price,
+           floor(CAST(ws AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0 * 10000 + 0.5)
+             / 10000.0 AS winsorized_mean
+    FROM agg
+"""
+
+# FULL twin of q_elasticity_by_brand: micro-nat log grids, exact
+# HUGEINT OLS moments, zero-variance guard identical on both engines.
+ORACLES_R10["elasticity_by_brand"] = """
+    WITH pts AS (SELECT p.p_brand,
+        CAST(floor(ln(CAST(CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x6,
+        CAST(floor(ln(CAST(l.l_quantity AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y6
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    agg AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+                   sum(CAST(x6 AS HUGEINT)) AS sx, sum(CAST(y6 AS HUGEINT)) AS sy,
+                   sum(CAST(x6 AS HUGEINT) * y6) AS sxy,
+                   sum(CAST(x6 AS HUGEINT) * x6) AS sxx
+            FROM pts GROUP BY p_brand)
+    SELECT p_brand, n_lines,
+           CASE WHEN CAST(n_lines * sxx - sx * sx AS DOUBLE) <> 0.0
+                THEN floor((CAST(n_lines * sxy - sx * sy AS DOUBLE)
+                            / CAST(n_lines * sxx - sx * sx AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000.0 END AS elasticity_slope
+    FROM agg
+"""

@@ -186,3 +186,36 @@ def test_mann_whitney_symmetric_groups_z_zero(spark):
     ).collect()[0]
     u = (row["t2ra"] - row["na"] * (row["na"] + 1)) / 2.0
     assert u == row["na"] * row["nb"] / 2.0
+
+
+def test_transition_entropy_bounds(spark, sf_dir):
+    """H(next|current) must land in [0, ln 5] (5 event types) for
+    every state — the defining bound of Shannon entropy."""
+    import math as _math
+
+    from kickstarter_etl_pipeline_spark.queries import q_transition_entropy
+
+    rows = q_transition_entropy(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["next_entropy_nats"] <= _math.log(5) + 1e-9, r
+
+
+def test_hurst_exponent_plausible_range(spark, sf_dir):
+    """R/S analysis on a real (finite, noisy) series must produce a
+    finite H in the (0, 1) open interval — the estimator's domain;
+    values outside it would mean a broken block decomposition."""
+    from kickstarter_etl_pipeline_spark.queries import q_hurst_exponent
+
+    row = q_hurst_exponent(spark, sf_dir).collect()[0]
+    assert 0.0 < row["hurst_exponent"] < 1.0, row
+
+
+def test_winsorized_mean_between_cuts(spark, sf_dir):
+    """The winsorized mean must lie within [p05, p95] for every
+    status — clamping guarantees it; a mean outside the cut interval
+    would mean the clamp never applied."""
+    from kickstarter_etl_pipeline_spark.queries import q_winsorized_mean_by_status
+
+    for r in q_winsorized_mean_by_status(spark, sf_dir).collect():
+        assert r["p05_price"] <= r["winsorized_mean"] <= r["p95_price"], r
