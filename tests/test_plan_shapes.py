@@ -454,3 +454,43 @@ def test_topk_customers_broadcasts_post_limit_side(spark, sf_dir):
     assert plan.index("BroadcastHashJoin") < plan.index("TakeOrderedAndProject"), (
         "limit must run below the join (TakeOrdered feeds the build side)"
     )
+
+
+def test_round10_tiers_no_data_sized_funnel(spark, sf_dir):
+    """Round-10 additions that promise the grid/aggregate-bounded
+    shape: the two_phase_rank consumers (funnel latency percentiles,
+    Mann-Whitney, change point, Hurst) and the composite-key
+    winsorized mean, which deliberately avoids a per-status fat-
+    partition rank window (global two_phase_rank + 3-row offsets).
+    Every SinglePartition exchange must sit directly above a
+    HashAggregate (P-row offsets / group totals), never above raw
+    corpus rows."""
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_binseg_changepoint,
+        q_funnel_latency_percentiles,
+        q_hurst_exponent,
+        q_mann_whitney_report,
+        q_winsorized_mean_by_status,
+    )
+
+    for q in (
+        q_funnel_latency_percentiles,
+        q_mann_whitney_report,
+        q_binseg_changepoint,
+        q_hurst_exponent,
+        q_winsorized_mean_by_status,
+    ):
+        plan = explain_str(q(spark, sf_dir), mode="simple")
+        # match the window FUNCTION call, not substrings of aliases
+        # like "quantile"
+        assert "ntile(" not in plan.lower(), q.__name__
+        idx = 0
+        while True:
+            idx = plan.find("Exchange SinglePartition", idx)
+            if idx == -1:
+                break
+            tail = plan[idx : idx + 400]
+            assert "HashAggregate" in tail, (
+                f"{q.__name__}: data-sized single-partition funnel:\n{tail}"
+            )
+            idx += 1
