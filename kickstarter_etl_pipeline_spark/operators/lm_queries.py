@@ -131,6 +131,47 @@ def two_phase_rank(
     return out.drop(pid, lrank, lcum, roff, coff, lmax, moff)
 
 
+def grouped_two_phase_rank(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    n_col: str = "n_in_group",
+) -> DataFrame:
+    """Per-group ``row_number`` WITHOUT a per-group fat-partition
+    window (round 10): one GLOBAL :func:`two_phase_rank` over the
+    composite (group, order) total order, then
+    ``rank_in_group = global rank − the group's exclusive offset``,
+    where the offsets are a G-row broadcast of per-group counts
+    prefix-summed in group order.
+
+    Contract: **group CARDINALITY must be control-sized** (enumeration-
+    bounded keys — statuses, priorities, a few dozen sources); each
+    group's DATA may be arbitrarily large. This is the mirror image of
+    ``Window.partitionBy(group)``: that plan is right for millions of
+    SMALL groups (spread evenly, no funnel) and catastrophically wrong
+    for a few huge ones (each group = one task); this device is right
+    for a few huge groups (the range exchange splits every group
+    across partitions) and wrong for millions of tiny ones (the G-row
+    offset window would itself become data-sized).
+
+    Adds ``rank_in_group`` (1-based within group) and ``n_col`` (the
+    group size); ``group_cols`` must be plain column-name strings.
+    """
+    counts = df.groupBy(*group_cols).agg(F.count("*").cast("long").alias(n_col))
+    woff = Window.orderBy(*group_cols).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = F.broadcast(
+        counts.withColumn(
+            "_goff_g2pr", F.coalesce(F.sum(n_col).over(woff), F.lit(0)).cast("long")
+        )
+    )
+    ranked = two_phase_rank(df, [*group_cols, *order_cols])
+    return (
+        ranked.join(offsets, list(group_cols))
+        .withColumn("rank_in_group", (F.col("rank") - F.col("_goff_g2pr")).cast("long"))
+        .drop("rank", "_goff_g2pr")
+    )
+
+
 def _embedding_dim_m2_mad4(emb: DataFrame) -> "tuple[DataFrame, DataFrame, DataFrame]":
     """Shared spine of the robust-scaling family: integer-grid points
     (vec_id, _d, _x), per-dim ``(n, m2 = min+max of the middle values)``
@@ -605,10 +646,14 @@ def q_ccnet_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: per-doc mean surprisal is snapped to an exact
     integer MICRO-nat grid before any cross-doc aggregation, so tier
-    sums are exact and order-free; ntile over the unique (m6, doc_id)
-    order is engine-identical. Shuffles: the surprisal pass (two
-    uniform-key) + one source-partitioned window over per-doc rows.
+    sums are exact and order-free; the tile over the unique
+    (m6, doc_id) order is engine-identical (_ntile_exact, bit-equal to
+    the oracle's ntile(3)). Shuffles (upgraded round 10): the
+    surprisal pass (two uniform-key) + grouped_two_phase_rank's
+    composite range exchange — a web-scale source no longer funnels
+    into a single task the way the old per-source ntile window did.
     """
+    from kickstarter_etl_pipeline_spark.operators.analytics_queries import _ntile_exact
     from kickstarter_etl_pipeline_spark.operators.text import unigram_surprisal
 
     docs = load_table(spark, sf_dir, "documents")
@@ -621,8 +666,12 @@ def q_ccnet_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(docs.select("doc_id", "source"), "doc_id")
     )
-    wt = Window.partitionBy("source").orderBy(F.asc("_m6"), F.asc("doc_id"))
-    tiers = scored.withColumn("tier", F.ntile(3).over(wt).cast("int"))
+    ranked = grouped_two_phase_rank(
+        scored, ["source"], ["_m6", "doc_id"], n_col="_n_src"
+    )
+    tiers = ranked.withColumn(
+        "tier", _ntile_exact(F.col("rank_in_group"), F.col("_n_src"), 3).cast("int")
+    )
     return tiers.groupBy("source", "tier").agg(
         F.count("*").cast("long").alias("n_docs"),
         round_det(F.sum("_m6").cast("double") / (F.count("*") * F.lit(1e6)), 6).alias(

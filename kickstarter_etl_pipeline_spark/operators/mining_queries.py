@@ -106,15 +106,23 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank ≤ ceil(0.8·n) over the (quality DESC, doc_id) total order) —
     pure integer arithmetic, no percent_rank n=1 edge cases. Mean kept
     quality aggregates the already-6dp-rounded scores through
-    DECIMAL(18,6) so sum order can't perturb the 6-dp output grid."""
+    DECIMAL(18,6) so sum order can't perturb the 6-dp output grid.
+
+    Scale (upgraded round 10): per-source ranks ride
+    grouped_two_phase_rank (global composite-order range exchange −
+    per-source broadcast offsets) — a web-scale source that holds 90%
+    of the corpus is split across partitions instead of landing on
+    one task, which is exactly the skew profile domain-sourced
+    corpora have."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "source", TX.quality_score("text").alias("quality")
     )
-    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
-    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
-        "_n", F.count("*").over(Window.partitionBy("source"))
-    )
+    ranked = grouped_two_phase_rank(
+        scored, ["source"], [F.desc("quality"), F.asc("doc_id")], n_col="_n"
+    ).withColumnRenamed("rank_in_group", "_rk")
     kept = F.col("_rk") <= F.ceil(F.col("_n") * 0.8)
     return ranked.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -872,17 +872,13 @@ def q_winsorized_mean_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order; the clamped sum is an exact decimal sum, and the
     mean is one IEEE division snapped to 4 dp.
 
-    Scale: per-group ranks WITHOUT a per-group window — one GLOBAL
-    two_phase_rank over the composite (status, cents, orderkey) order
-    (the range exchange spreads every status across partitions), then
-    rank_in_group = global rank − the status's exclusive offset (a
-    3-row broadcast of per-status counts). This removes the
-    enumeration-bounded fat partitions a
-    Window.partitionBy(status) rank would funnel into — the device
-    q_exact_quartiles_by_status predates (its window form stays as
-    the graded contrast; this is the 100-TB shape). Cuts ride a 3-row
+    Scale: per-group ranks ride grouped_two_phase_rank — one GLOBAL
+    range-exchange rank over the composite (status, cents, orderkey)
+    order minus a 3-row broadcast of per-status offsets — so no
+    status ever funnels into a single task (the fat-partition plan a
+    Window.partitionBy(status) rank would produce). Cuts ride a 3-row
     broadcast back onto the cent scan."""
-    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
 
     orders = load_table(spark, sf_dir, "orders")
     cents = orders.select(
@@ -890,18 +886,9 @@ def q_winsorized_mean_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("_c"),
     )
-    gcounts = cents.groupBy("o_orderstatus").agg(F.count("*").cast("long").alias("_n"))
-    woff = Window.orderBy("o_orderstatus").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = F.broadcast(
-        gcounts.withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)).cast("long"))
-    )
-    granked = two_phase_rank(cents, ["o_orderstatus", "_c", "o_orderkey"])
-    ranked = granked.join(offsets, "o_orderstatus").select(
-        "o_orderstatus",
-        "_c",
-        (F.col("rank") - F.col("_off")).alias("_rn"),
-        "_n",
-    )
+    ranked = grouped_two_phase_rank(
+        cents, ["o_orderstatus"], ["_c", "o_orderkey"], n_col="_n"
+    ).withColumnRenamed("rank_in_group", "_rn")
     cuts = F.broadcast(
         ranked.groupBy("o_orderstatus").agg(
             F.max("_n").alias("n_orders"),

@@ -327,18 +327,23 @@ def q_exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on across engines: every step is rank arithmetic plus one
     fixed IEEE expression, so the oracle is exact.
 
-    Scale note: the per-group rank is a groupwise sort — the exact
-    tier. At 100 TB the scale path is approx_percentile
-    (q_approx_aggregates); this operator is what you verify it
+    Scale note (upgraded round 10): the per-group rank rides
+    grouped_two_phase_rank — one GLOBAL range-exchange rank over the
+    composite (status, price, orderkey) order minus a 3-row broadcast
+    of per-status offsets — so no status ever funnels into a single
+    task (the old Window.partitionBy(status) put each of the 3
+    statuses on one task). approx_percentile (q_approx_aggregates)
+    remains the sketch path; this operator is what you verify it
     against."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderstatus",
-        "o_totalprice",
-        F.row_number().over(w).alias("_rn"),
-        F.count("*").over(Window.partitionBy("o_orderstatus")).alias("_n"),
-    )
+    ranked = grouped_two_phase_rank(
+        orders.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        n_col="_n",
+    ).withColumnRenamed("rank_in_group", "_rn")
     mid = ranked.filter(
         (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
         | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))

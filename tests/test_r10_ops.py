@@ -219,3 +219,41 @@ def test_winsorized_mean_between_cuts(spark, sf_dir):
 
     for r in q_winsorized_mean_by_status(spark, sf_dir).collect():
         assert r["p05_price"] <= r["winsorized_mean"] <= r["p95_price"], r
+
+
+def test_grouped_two_phase_rank_matches_window_rank(spark, sf_dir):
+    """grouped_two_phase_rank must be bit-equal to the plain
+    Window.partitionBy(group) row_number it replaces, and invariant to
+    the input's partitioning (the range partitioner samples
+    boundaries, so this is the property the checkpoint inside
+    two_phase_rank guarantees)."""
+    from pyspark.sql import Window
+
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    expect = {
+        (r["o_orderkey"], r["rn"], r["n"])
+        for r in orders.select(
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("o_orderstatus"))
+            .cast("long")
+            .alias("n"),
+        ).collect()
+    }
+    for parts in (3, 17):
+        got = {
+            (r["o_orderkey"], r["rank_in_group"], r["n_in_group"])
+            for r in grouped_two_phase_rank(
+                orders.repartition(parts),
+                ["o_orderstatus"],
+                ["o_totalprice", "o_orderkey"],
+            ).collect()
+        }
+        assert got == expect, f"mismatch at {parts} input partitions"
