@@ -276,10 +276,18 @@ def q_priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key9 = F.floor(
         F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * 1e9 + 0.5
     ).cast("long")
-    w = Window.partitionBy("source").orderBy(F.desc("priority_key9"), F.asc("doc_id"))
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+
+    # round-10 upgrade: per-source ranks ride grouped_two_phase_rank,
+    # so a source holding most of the corpus is range-split across
+    # partitions instead of landing on one task.
     return (
-        docs.select("doc_id", "source", "n_chars", key9.alias("priority_key9"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        grouped_two_phase_rank(
+            docs.select("doc_id", "source", "n_chars", key9.alias("priority_key9")),
+            ["source"],
+            [F.desc("priority_key9"), F.asc("doc_id")],
+        )
+        .withColumn("rank", F.col("rank_in_group").cast("int"))
         .filter(F.col("rank") <= 5)
         .select("source", "rank", "doc_id", "n_chars", "priority_key9")
     )

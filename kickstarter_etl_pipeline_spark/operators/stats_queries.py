@@ -445,15 +445,21 @@ def q_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration metric (0 = equal spend, →1 = one order dominates):
     ``G = 2·Σ(i·xᵢ) / (n·Σxᵢ) − (n+1)/n`` over ascending-sorted values
     (orderkey tie-break; ties in x make the rank choice irrelevant to
-    the sum). One per-group rank window + one aggregate; round 6 on the
-    final fixed expression tree.
+    the sum). Per-group ranks ride grouped_two_phase_rank (round-10
+    upgrade — no status funnels into one task) + one aggregate;
+    round 6 on the final fixed expression tree.
     """
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
+    ranked = grouped_two_phase_rank(
+        orders.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+    ).select(
         "o_orderstatus",
         "o_totalprice",
-        F.row_number().over(w).cast("long").alias("_i"),
+        F.col("rank_in_group").alias("_i"),
     )
     return ranked.groupBy("o_orderstatus").agg(
         F.count("*").cast("long").alias("n_orders"),
@@ -474,14 +480,16 @@ def q_exact_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements q_exact_median_by_group (which uses the averaged-middle
     convention) and approx_aggregates (the sketch path at scale).
     """
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderstatus",
-        "o_totalprice",
-        F.row_number().over(w).cast("long").alias("_rn"),
-        F.count("*").over(Window.partitionBy("o_orderstatus")).cast("long").alias("_n"),
-    )
+    # round-10 upgrade: composite-key rank, no per-status fat partition
+    ranked = grouped_two_phase_rank(
+        orders.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        n_col="_n",
+    ).withColumnRenamed("rank_in_group", "_rn")
     picks = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
     conds = [
         F.max(

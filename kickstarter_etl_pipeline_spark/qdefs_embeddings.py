@@ -270,7 +270,12 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-distribution windows: ntile/percent_rank/cume_dist per
-    order year (partitioned ranking — no single-reducer global sort)."""
+    order year — deliberately the NATIVE window-function surface
+    (§2.7 coverage). Scale note: each year is one task under this
+    plan; the distributed equivalents are the rfm_segments /
+    grouped_two_phase_rank + _ntile_exact composition (SCALE.md,
+    Grouped two-phase rank) — this query is the semantic reference
+    the scale path is verified against, like the exact-median pair."""
     orders = load_table(spark, sf_dir, "orders")
     year = F.year("o_orderdate").cast("int").alias("order_year")
     base = orders.select("o_orderkey", year, "o_totalprice")
