@@ -275,3 +275,62 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_sx").cast("long").alias("degree_sum"),
         round_det(num / den, 6).alias("assortativity"),
     )
+
+
+def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the error co-occurrence graph
+    (Adamic & Adar 2003): non-adjacent user pairs scored by
+    Σ 1/ln(deg(z)) over their common neighbors z — the
+    degree-discounted companion to the common-neighbor Jaccard tier
+    (a shared hub says less than a shared niche contact) (round 10).
+
+    Exactness: each neighbor's 1/ln(deg) is snapped to an integer
+    NANO grid BEFORE the per-pair sum (exact long arithmetic —
+    aggregation order can never move a score); deg(z) ≥ 2 for any
+    common neighbor, so ln is never 0. Top-100 by
+    (score, u, v) — a total order on integers.
+
+    Scale: the 10-minute bucket keeps wedge fan-out bounded (the
+    cooccurrence_edges contract); the wedge join is neighbor-keyed;
+    the anti-join removes existing edges; the report is a
+    TakeOrdered."""
+    from kickstarter_etl_pipeline_spark.operators.graph import cooccurrence_edges, degree_table
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    deg = degree_table(edges)
+    adj = edges.select(F.col("u").alias("_a"), F.col("v").alias("_n")).unionAll(
+        edges.select(F.col("v").alias("_a"), F.col("u").alias("_n"))
+    )
+    # a degree-1 vertex has one edge, so it can never be a COMMON
+    # neighbor — filter before the division so ln(1) = 0 never feeds
+    # the ANSI divide (the guard is semantic, not just defensive)
+    w_nano = deg.filter(F.col("degree") >= 2).select(
+        F.col("id").alias("_n"),
+        F.floor(F.lit(1000000000.0) / F.log(F.col("degree").cast("double")) + 0.5)
+        .cast("long")
+        .alias("_w"),
+    )
+    wedges = (
+        adj.select(F.col("_a").alias("u"), "_n")
+        .join(adj.select(F.col("_a").alias("v"), "_n"), "_n")
+        .filter(F.col("u") < F.col("v"))
+        .join(w_nano, "_n")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("_w").cast("long").alias("_score_nano"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+    preds = wedges.join(edges, ["u", "v"], "left_anti")
+    return (
+        preds.orderBy(F.desc("_score_nano"), F.asc("u"), F.asc("v"))
+        .limit(100)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (F.col("_score_nano").cast("double") / 1e9).alias("adamic_adar_score"),
+        )
+    )

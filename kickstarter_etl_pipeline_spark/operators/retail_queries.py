@@ -445,3 +445,59 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("NON_MATCH"),
         )
     )
+
+
+def q_association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules a→b over order baskets: confidence
+    n_ab/n_a, support, and lift — the rule-mining layer on top of the
+    symmetric co-occurrence table (a high-confidence a→b with low
+    b→a is the asymmetry a recommender exploits) (round 10). Top-50
+    rules with support ≥ 2 by (confidence, id_a, id_b).
+
+    Exactness: all counts are exact longs; confidence and lift are
+    fixed IEEE trees over exact operands snapped to 6 dp; the top-50
+    cut orders by the SNAPPED confidence with id tie-breaks — a total
+    order.
+
+    Scale: per-order fan-out is bounded by basket size (lines², not
+    orders²); the rule aggregate is pair-keyed and uniform; frequency
+    lookups are unhinted equi-joins (AQE decides); the report is a
+    TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    freq = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("_f"))
+    n_orders = F.broadcast(
+        li.select("l_orderkey").distinct().agg(F.count("*").cast("long").alias("_N"))
+    )
+    scored = (
+        pairs.join(freq.select(F.col("l_partkey").alias("id_a"), F.col("_f").alias("n_a")), "id_a")
+        .join(freq.select(F.col("l_partkey").alias("id_b"), F.col("_f").alias("n_b")), "id_b")
+        .crossJoin(n_orders)
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            round_det(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            round_det(
+                (F.col("n_ab").cast("decimal(38,0)") * F.col("_N")).cast("double")
+                / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("confidence"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )

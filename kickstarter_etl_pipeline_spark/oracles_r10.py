@@ -526,3 +526,58 @@ ORACLES_R10["elasticity_by_brand"] = """
                            * 1000000 + 0.5) / 1000000.0 END AS elasticity_slope
     FROM agg
 """
+
+# FULL twin of q_adamic_adar_links: the link-prediction edge/adj/deg
+# CTEs, per-neighbor 1/ln(deg) nano-snapped BEFORE the pair sum.
+ORACLES_R10["adamic_adar_links"] = """
+    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bucket,
+                                   user_id
+                   FROM events WHERE event_type = 'error'),
+    edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM nodes a JOIN nodes b ON a.bucket = b.bucket AND a.user_id < b.user_id),
+    adj AS (SELECT u AS a, v AS n FROM edges UNION ALL SELECT v AS a, u AS n FROM edges),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY a),
+    wn AS (SELECT a AS n,
+                  CAST(floor(1000000000.0 / ln(CAST(degree AS DOUBLE)) + 0.5) AS BIGINT) AS w
+           FROM deg WHERE degree >= 2),
+    wedge AS (SELECT x.a AS u, y.a AS v,
+                     CAST(count(*) AS BIGINT) AS n_common,
+                     CAST(sum(w.w) AS BIGINT) AS score_nano
+              FROM adj x JOIN adj y ON x.n = y.n AND x.a < y.a
+              JOIN wn w ON w.n = x.n
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    nonadj AS (SELECT w.u, w.v, w.n_common, w.score_nano FROM wedge w
+               ANTI JOIN edges e ON w.u = e.u AND w.v = e.v)
+    SELECT u, v, n_common,
+           CAST(score_nano AS DOUBLE) / 1000000000.0 AS adamic_adar_score
+    FROM nonadj
+    ORDER BY score_nano DESC, u, v
+    LIMIT 100
+"""
+
+# FULL twin of q_association_rules_topk: directed basket rules,
+# identical confidence/lift trees and the snapped-confidence total
+# order for the top-50 cut.
+ORACLES_R10["association_rules_topk"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM li GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS N FROM li),
+    scored AS (SELECT id_a, id_b, fa.f AS n_a, fb.f AS n_b, n_ab,
+                      floor(CAST(n_ab AS DOUBLE) / CAST(fa.f AS DOUBLE)
+                            * 1000000 + 0.5) / 1000000.0 AS confidence,
+                      floor(CAST(CAST(n_ab AS HUGEINT) * N AS DOUBLE)
+                            / CAST(CAST(fa.f AS HUGEINT) * fb.f AS DOUBLE)
+                            * 1000000 + 0.5) / 1000000.0 AS lift
+               FROM pairs
+               JOIN freq fa ON fa.l_partkey = id_a
+               JOIN freq fb ON fb.l_partkey = id_b, n)
+    SELECT id_a, id_b, n_a, n_b, n_ab, confidence, lift
+    FROM scored
+    ORDER BY confidence DESC, id_a, id_b
+    LIMIT 50
+"""
