@@ -501,3 +501,81 @@ def q_association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("confidence"), F.asc("id_a"), F.asc("id_b"))
         .limit(50)
     )
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: every part classified by revenue
+    contribution (A/B/C — the Pareto cut q_abc_classification assigns)
+    AND by demand variability (X/Y/Z — the coefficient of variation of
+    weekly shipped quantity over the full calendar span, zero weeks
+    included), rolled up to the 9-cell planning matrix with part
+    counts and revenue — the stock-policy table (AX = automate,
+    CZ = make-to-order) (round 10).
+
+    Exactness: revenue is exact cents and the ABC boundaries are the
+    integer rules (5·cum ≤ 4·total, 20·cum ≤ 19·total) on the
+    two_phase_rank cumulative; quantities and week ids are exact
+    longs; variability is the CV over the part's ACTIVE weeks
+    (demand-SIZE variability, the Syntetos-Boylan axis — intermittency
+    would be a separate ADI axis), one fixed IEEE tree over exact
+    sufficient statistics snapped to an integer MICRO grid so the
+    X/Y/Z thresholds (0.5, 1.0) are integer comparisons.
+
+    Scale: two part-keyed aggregates + the two-phase global rank for
+    the ABC cum; the final rollup has ≤9 groups."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("_cents"),
+        F.col("l_quantity").cast("long").alias("_q"),
+        # ts is TimestampNTZ; UTC session makes the cast an exact identity
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000 DIV 7"
+        ).alias("_wk"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("_cents").cast("long").alias("_r"))
+    ranked = two_phase_rank(rev, [F.desc("_r"), "l_partkey"], cum_col="_r")
+    total = F.broadcast(rev.agg(F.sum("_r").cast("long").alias("_tot")))
+    abc = (
+        ranked.crossJoin(total)
+        .select(
+            "l_partkey",
+            "_r",
+            F.when(F.col("cum") * 5 <= F.col("_tot") * 4, F.lit("A"))
+            .when(F.col("cum") * 20 <= F.col("_tot") * 19, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+    weekly = li.groupBy("l_partkey", "_wk").agg(F.sum("_q").cast("long").alias("_qw"))
+    d38 = "decimal(38,0)"
+    stats = weekly.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("_W"),
+        F.sum(F.col("_qw").cast(d38)).alias("_sq"),
+        F.sum(F.col("_qw").cast(d38) * F.col("_qw")).alias("_sq2"),
+    )
+    mean = F.col("_sq").cast("double") / F.col("_W").cast("double")
+    # greatest(·, 0): a constant series can land a float-epsilon below
+    # zero (W·mean² vs Σq² ulp), and sqrt of that is NaN on both engines
+    var = F.greatest(
+        (F.col("_sq2").cast("double") - F.col("_W").cast("double") * mean * mean)
+        / F.col("_W").cast("double"),
+        F.lit(0.0),
+    )
+    cv_micro = F.floor(F.sqrt(var) / mean * 1000000 + 0.5).cast("long")
+    xyz = stats.select(
+        "l_partkey",
+        F.when(cv_micro < 500000, F.lit("X"))
+        .when(cv_micro < 1000000, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            (F.sum("_r").cast("double") / 100.0).alias("total_revenue"),
+        )
+    )

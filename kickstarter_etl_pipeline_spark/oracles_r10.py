@@ -581,3 +581,50 @@ ORACLES_R10["association_rules_topk"] = """
     ORDER BY confidence DESC, id_a, id_b
     LIMIT 50
 """
+
+# FULL twin of q_abc_xyz_matrix: identical integer ABC boundaries on
+# the cumulative revenue, identical CV tree micro-snapped before the
+# X/Y/Z thresholds, 9-cell rollup.
+ORACLES_R10["abc_xyz_matrix"] = """
+    WITH li AS (SELECT l_partkey,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                       CAST(l_quantity AS BIGINT) AS q,
+                       epoch_us(l_shipdate) // 86400000000 // 7 AS wk
+                FROM lineitem),
+    rev AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS r FROM li GROUP BY 1),
+    ranked AS (SELECT l_partkey, r,
+                      CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM rev),
+    total AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM rev),
+    abc AS (SELECT l_partkey, r,
+                   CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                        WHEN cum * 20 <= tot * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked, total),
+    weekly AS (SELECT l_partkey, wk, CAST(sum(q) AS BIGINT) AS qw
+               FROM li GROUP BY 1, 2),
+    stats AS (SELECT l_partkey,
+                     CAST(count(*) AS BIGINT) AS W,
+                     sum(CAST(qw AS HUGEINT)) AS sq,
+                     sum(CAST(qw AS HUGEINT) * qw) AS sq2
+              FROM weekly GROUP BY 1),
+    xyz AS (SELECT l_partkey,
+                   CASE WHEN cvm < 500000 THEN 'X'
+                        WHEN cvm < 1000000 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM (SELECT l_partkey,
+                         CAST(floor(sqrt(greatest((CAST(sq2 AS DOUBLE)
+                                          - CAST(W AS DOUBLE)
+                                            * (CAST(sq AS DOUBLE) / CAST(W AS DOUBLE))
+                                            * (CAST(sq AS DOUBLE) / CAST(W AS DOUBLE)))
+                                         / CAST(W AS DOUBLE), 0.0))
+                                    / (CAST(sq AS DOUBLE) / CAST(W AS DOUBLE))
+                                    * 1000000 + 0.5) AS BIGINT) AS cvm
+                  FROM stats))
+    SELECT a.abc_class, x.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(a.r) AS DOUBLE) / 100.0 AS total_revenue
+    FROM abc a JOIN xyz x USING (l_partkey)
+    GROUP BY a.abc_class, x.xyz_class
+"""
