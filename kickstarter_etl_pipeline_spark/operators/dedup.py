@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from kickstarter_etl_pipeline_spark.operators.partitioning import (
     ensure_min_partitions,
-    loop_shuffle_partitions,
+    loop_frame,
 )
 from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.operators.text import fingerprint_md5, tokens
@@ -551,7 +551,6 @@ def connected_components(
     rounds; a large-star/small-star variant converging in O(log n)
     rounds is the upgrade path if such graphs become the norm).
     """
-    spark = edges.sparkSession
     # Size the per-round exchanges to LABEL-TABLE cardinality, not
     # the session default — the loop's cost at fixture scale is
     # task scheduling (rounds x stages x partitions), the exact
@@ -559,41 +558,45 @@ def connected_components(
     # win (NOTES.md r8). Data-sized knob: like pagerank's and
     # kcore's, size to vertex cardinality on a real cluster. Pure
     # integer min-label arithmetic — partitioning provably cannot
-    # move any label (regression-tested). Serial-use constraint: see
-    # loop_shuffle_partitions.
-    with loop_shuffle_partitions(spark, loop_partitions):
-        sym = edges.select(
-            F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
-        ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
-        labels = nodes.select(F.col(id_col).alias("_id")).distinct().withColumn(
-            "component_id", F.col("_id")
-        ).localCheckpoint(eager=True)
-        changed = 0
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym["_b"] == labels["_id"])
-                .groupBy("_a")
-                .agg(F.min("component_id").alias("_nmin"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels["_id"] == neighbor_min["_a"], "left")
-                .select(
-                    "_id",
-                    F.least(F.col("component_id"), F.coalesce("_nmin", F.col("component_id"))).alias(
-                        "component_id"
-                    ),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="_id")
-                .filter(F.col("n.component_id") != F.col("o.component_id"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
+    # move any label (regression-tested). Pinned per-frame via
+    # loop_frame (round 11) — no session state is touched.
+    sym = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
+    labels = loop_frame(
+        nodes.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .withColumn("component_id", F.col("_id")),
+        loop_partitions,
+        "_id",
+    )
+    changed = 0
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["_b"] == labels["_id"])
+            .groupBy("_a")
+            .agg(F.min("component_id").alias("_nmin"))
+        )
+        new_labels = loop_frame(
+            labels.join(neighbor_min, labels["_id"] == neighbor_min["_a"], "left")
+            .select(
+                "_id",
+                F.least(F.col("component_id"), F.coalesce("_nmin", F.col("component_id"))).alias(
+                    "component_id"
+                ),
+            ),
+            loop_partitions,
+            "_id",
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     if changed != 0:
         raise RuntimeError(
             f"connected_components: labels still changing after max_iter={max_iter} "
@@ -630,83 +633,82 @@ def connected_components_star(
     (count, hash-checksum) signature stops changing; the signature is
     engine-internal, used only for loop control.
     """
-    spark = edges.sparkSession
     # Same data-sized exchange knob as connected_components / kcore /
     # pagerank: size per-round shuffles to vertex cardinality instead
-    # of the session default. Serial-use constraint: see
-    # loop_shuffle_partitions.
-    with loop_shuffle_partitions(spark, loop_partitions):
-        u, v, m = F.col("_u"), F.col("_v"), F.col("_m")
-        # Canonical undirected edge list, self-loops dropped.
-        e = (
-            edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
-            .filter(u != v)
-            .distinct()
-            .localCheckpoint(eager=True)
+    # of the session default. Pinned per-frame via loop_frame
+    # (round 11) — no session state is touched.
+    u, v, m = F.col("_u"), F.col("_v"), F.col("_m")
+    # Canonical undirected edge list, self-loops dropped.
+    e = loop_frame(
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
+        .filter(u != v)
+        .distinct(),
+        loop_partitions,
+        "_u",
+    )
+
+    def _signature(frame: DataFrame) -> tuple:
+        # bit_xor: order-independent, overflow-free (an ANSI sum of
+        # full-range xxhash64 values would overflow bigint).
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(_u, _v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(frame: DataFrame) -> DataFrame:
+        sym = frame.union(frame.select(v.alias("_u"), u.alias("_v")))
+        mins = (
+            sym.groupBy("_u")
+            .agg(F.min("_v").alias("_mv"))
+            .select("_u", F.least(u, F.col("_mv")).alias("_m"))
         )
-
-        def _signature(frame: DataFrame) -> tuple:
-            # bit_xor: order-independent, overflow-free (an ANSI sum of
-            # full-range xxhash64 values would overflow bigint).
-            row = frame.agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.expr("bit_xor(xxhash64(_u, _v))"), F.lit(0)).alias("h"),
-            ).collect()[0]
-            return row["n"], row["h"]
-
-        def _large_star(frame: DataFrame) -> DataFrame:
-            sym = frame.union(frame.select(v.alias("_u"), u.alias("_v")))
-            mins = (
-                sym.groupBy("_u")
-                .agg(F.min("_v").alias("_mv"))
-                .select("_u", F.least(u, F.col("_mv")).alias("_m"))
-            )
-            return (
-                sym.filter(v > u)
-                .join(mins, on="_u")
-                .select(v.alias("_u"), m.alias("_v"))
-                .filter(F.col("_u") != F.col("_v"))
-                .distinct()
-            )
-
-        def _small_star(frame: DataFrame) -> DataFrame:
-            directed = frame.select(
-                F.greatest(u, v).alias("_u"), F.least(u, v).alias("_v")
-            )
-            mins = directed.groupBy("_u").agg(F.min("_v").alias("_m"))
-            rewired = directed.join(mins, on="_u").select(F.col("_v").alias("_u"), m.alias("_v"))
-            selfed = mins.select(F.col("_u"), m.alias("_v"))
-            return (
-                rewired.union(selfed)
-                .filter(F.col("_u") != F.col("_v"))
-                .distinct()
-            )
-
-        sig = _signature(e)
-        converged = False
-        for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            new_sig = _signature(e)
-            if new_sig == sig:
-                converged = True
-                break
-            sig = new_sig
-        if not converged:
-            raise RuntimeError(
-                f"connected_components_star: no fixpoint after max_iter={max_iter} rounds "
-                "(expected O(log n)); raise max_iter."
-            )
-        # At fixpoint every edge points node → component root (the min id).
-        labels = e.select(u.alias(id_col), v.alias("component_id"))
         return (
-            nodes.select(F.col(id_col))
+            sym.filter(v > u)
+            .join(mins, on="_u")
+            .select(v.alias("_u"), m.alias("_v"))
+            .filter(F.col("_u") != F.col("_v"))
             .distinct()
-            .join(labels, on=id_col, how="left")
-            .select(
-                id_col,
-                F.coalesce("component_id", F.col(id_col)).alias("component_id"),
-            )
         )
+
+    def _small_star(frame: DataFrame) -> DataFrame:
+        directed = frame.select(
+            F.greatest(u, v).alias("_u"), F.least(u, v).alias("_v")
+        )
+        mins = directed.groupBy("_u").agg(F.min("_v").alias("_m"))
+        rewired = directed.join(mins, on="_u").select(F.col("_v").alias("_u"), m.alias("_v"))
+        selfed = mins.select(F.col("_u"), m.alias("_v"))
+        return (
+            rewired.union(selfed)
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+
+    sig = _signature(e)
+    converged = False
+    for _ in range(max_iter):
+        e = loop_frame(_small_star(_large_star(e)), loop_partitions, "_u")
+        new_sig = _signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after max_iter={max_iter} rounds "
+            "(expected O(log n)); raise max_iter."
+        )
+    # At fixpoint every edge points node → component root (the min id).
+    labels = e.select(u.alias(id_col), v.alias("component_id"))
+    return (
+        nodes.select(F.col(id_col))
+        .distinct()
+        .join(labels, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+        )
+    )
 
 
 # --- SimHash ---

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from kickstarter_etl_pipeline_spark.operators.partitioning import loop_shuffle_partitions
+from kickstarter_etl_pipeline_spark.operators.partitioning import loop_frame
 
 
 def degree_table(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
@@ -88,21 +88,39 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     return per_vertex.join(deg, on="id")
 
 
-def cooccurrence_edges(
+# Hard per-join-key occupancy bound for the co-occurrence self-join.
+# Must stay in lockstep with oracles_graph_common.OCCUPANCY_CAP — the
+# DuckDB twins replay the identical sub-bucketing byte for byte.
+OCCUPANCY_CAP = 64
+
+
+def cooccurrence_nodes(
     events: DataFrame,
     event_type: str = "error",
     bucket_seconds: int = 1800,
     us_col: str = "_us",
+    occupancy_cap: int = OCCUPANCY_CAP,
 ) -> DataFrame:
-    """Undirected user co-occurrence edges: two users are connected iff
-    they both emitted ``event_type`` within the same ``bucket_seconds``
-    time bucket. Input must carry exact integer microseconds in
-    ``us_col`` (operators.events.with_unix_micros).
+    """Distinct ``(_bucket, _sub, user_id)`` node table feeding the
+    co-occurrence self-join, with the per-join-key occupancy bound
+    applied: within each time bucket, users are ranked by
+    ``(md5(user_id), user_id)`` — a deterministic, engine-portable,
+    hash-ordered total order — and split into sub-buckets of at most
+    ``occupancy_cap`` members (``_sub = (rank-1) div cap``).
 
-    The bucket self-join is keyed by the bucket id — shuffle
-    O(events), with per-bucket pair fan-out bounded by bucket occupancy
-    (choose the bucket width so occupancy stays small; salting the
-    bucket key is the mitigation if one bucket runs hot).
+    This is the fan-out contract for every downstream pair join: a
+    join keyed by ``(_bucket, _sub)`` emits at most C(cap, 2) pairs
+    per key, so a hot bucket with n users costs ~n·(cap−1)/2 pairs —
+    LINEAR in occupancy — instead of the quadratic n·(n−1)/2 an
+    unsalted bucket key produces (an `events.error` storm putting 1e5
+    users in one bucket: ~3.2e6 pairs instead of ~5e9 in one task).
+    The documented degradation: users landing in different sub-buckets
+    of the same hot bucket are NOT connected. Sub-bucketing is
+    hash-ordered so each sub-bucket is a uniform sample of the bucket,
+    and it only engages above the cap — at any occupancy ≤ cap the
+    edge set is bit-identical to the unsalted join. The DuckDB twins
+    (oracles_graph_common.ranked_cooccurrence_nodes) replay the exact
+    same ranking, so cross-engine hashes agree at every scale.
     """
     nodes = (
         events.filter(F.col("event_type") == event_type)
@@ -112,10 +130,43 @@ def cooccurrence_edges(
         )
         .distinct()
     )
-    a = nodes.select("_bucket", F.col("user_id").alias("u"))
-    b = nodes.select("_bucket", F.col("user_id").alias("v"))
+    w = Window.partitionBy("_bucket").orderBy(
+        F.md5(F.col("user_id").cast("string")), F.col("user_id")
+    )
+    return nodes.select(
+        "_bucket",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(occupancy_cap))
+        .cast("long")
+        .alias("_sub"),
+        "user_id",
+    )
+
+
+def cooccurrence_edges(
+    events: DataFrame,
+    event_type: str = "error",
+    bucket_seconds: int = 1800,
+    us_col: str = "_us",
+    occupancy_cap: int = OCCUPANCY_CAP,
+) -> DataFrame:
+    """Undirected user co-occurrence edges: two users are connected iff
+    they both emitted ``event_type`` within the same ``bucket_seconds``
+    time bucket (and, above ``occupancy_cap`` distinct users in one
+    bucket, the same deterministic hash-ordered sub-bucket — see
+    :func:`cooccurrence_nodes` for the full occupancy contract).
+    Input must carry exact integer microseconds in ``us_col``
+    (operators.events.with_unix_micros).
+
+    The self-join is keyed by ``(_bucket, _sub)`` — shuffle O(events),
+    per-key pair fan-out hard-bounded at C(occupancy_cap, 2), total
+    pair count linear in bucket occupancy. No hot key can go
+    quadratic.
+    """
+    nodes = cooccurrence_nodes(events, event_type, bucket_seconds, us_col, occupancy_cap)
+    a = nodes.select("_bucket", "_sub", F.col("user_id").alias("u"))
+    b = nodes.select("_bucket", "_sub", F.col("user_id").alias("v"))
     return (
-        a.join(b, on="_bucket")
+        a.join(b, on=["_bucket", "_sub"])
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
@@ -182,7 +233,6 @@ def pagerank(
     """
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
-    spark = edges.sparkSession
     # Loop partition sizing: unlike the IVF/PCA control loops (whose
     # per-round aggregates land on ≤ clusters×dim control-sized
     # groups), pagerank's per-iteration exchange is keyed by VERTEX ID
@@ -196,37 +246,38 @@ def pagerank(
     # and every partition-count change is re-verified by driver
     # re-grade (the grid argument is an engineering margin, not a
     # theorem — a sum landing within one ulp of a grid boundary could
-    # in principle flip a snap). Restored before the returned
-    # projection is planned.
-    with loop_shuffle_partitions(spark, loop_partitions):
-        directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
-            edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    # in principle flip a snap). Loop frames are pinned per-frame via
+    # loop_frame (round 11) — no session state is touched.
+    directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
+        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    )
+    deg = directed.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
+    directed = loop_frame(directed.join(deg, "src"), loop_partitions, "src")
+    verts = directed.select(F.col("src").alias("id")).distinct()
+    n_df = F.broadcast(verts.agg(F.count("*").cast("long").alias("_n")))
+    pr = loop_frame(
+        verts.crossJoin(n_df).select(
+            "id", round_det(F.lit(1.0) / F.col("_n"), 9).alias("pr")
+        ),
+        loop_partitions,
+        "id",
+    )
+    for _ in range(iterations):
+        contribs = (
+            directed.join(pr.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
         )
-        deg = directed.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
-        directed = directed.join(deg, "src").localCheckpoint(eager=True)
-        verts = directed.select(F.col("src").alias("id")).distinct()
-        n_df = F.broadcast(verts.agg(F.count("*").cast("long").alias("_n")))
-        pr = (
-            verts.crossJoin(n_df)
-            .select("id", round_det(F.lit(1.0) / F.col("_n"), 9).alias("pr"))
-            .localCheckpoint(eager=True)
+        pr = loop_frame(
+            contribs.crossJoin(n_df).select(
+                "id",
+                round_det(
+                    (1.0 - damping) / F.col("_n") + damping * F.col("_in"), 9
+                ).alias("pr"),
+            ),
+            loop_partitions,
+            "id",
         )
-        for _ in range(iterations):
-            contribs = (
-                directed.join(pr.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
-            )
-            pr = (
-                contribs.crossJoin(n_df)
-                .select(
-                    "id",
-                    round_det(
-                        (1.0 - damping) / F.col("_n") + damping * F.col("_in"), 9
-                    ).alias("pr"),
-                )
-                .localCheckpoint(eager=True)
-            )
     return pr.select("id", round_det(F.col("pr") * 1000, 6).alias("pr_permille"))
 
 
@@ -274,8 +325,15 @@ def label_propagation(
     return labels.join(sizes, "community").select("id", "community", "n_members")
 
 
+WEDGE_DEGREE_CAP = 256
+
+
 def common_neighbor_link_prediction(
-    edges: DataFrame, min_common: int = 2, u: str = "u", v: str = "v"
+    edges: DataFrame,
+    min_common: int = 2,
+    u: str = "u",
+    v: str = "v",
+    wedge_degree_cap: int | None = WEDGE_DEGREE_CAP,
 ) -> DataFrame:
     """Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
     2003): for every NON-adjacent vertex pair sharing ≥ ``min_common``
@@ -285,10 +343,20 @@ def common_neighbor_link_prediction(
 
     Shape: one wedge self-join keyed by the shared neighbor (the same
     scale posture as triangle counting — per-vertex fan-out is bounded
-    by degree; degree-cap or orientation is the mitigation on power-law
-    graphs), one anti-join to drop existing edges, one broadcast-or-
+    by degree), one anti-join to drop existing edges, one broadcast-or-
     shuffle degree join. Fully deterministic: counts are exact
     integers, the score divides exact integers on a 6-dp grid.
+
+    Scale contract: the wedge enumeration emits C(deg(z), 2) pairs per
+    shared neighbor z, so one power-law hub goes quadratic. Vertices
+    with degree > ``wedge_degree_cap`` are excluded from the SHARED-
+    NEIGHBOR role BEFORE the self-join (standard practice — a shared
+    hub carries near-zero link-prediction signal anyway), hard-bounding
+    per-key fan-out at C(cap, 2). ``n_common`` therefore counts capped
+    common neighbors; the Jaccard denominator keeps the FULL endpoint
+    degrees. The DuckDB twins mirror the identical cap, so hashes
+    agree at every scale; at fixture scale (max degree 123 at sf0.1)
+    the cap is inert. Pass ``wedge_degree_cap=None`` to disable.
     """
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
@@ -306,9 +374,19 @@ def common_neighbor_link_prediction(
         edges.select(F.col(v).alias("a"), F.col(u).alias("n"))
     )
     deg = adj.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
+    if wedge_degree_cap is not None:
+        # the degree filter must land BEFORE the self-join — that is
+        # where the fan-out bound comes from (filtering after the join
+        # would leave the quadratic blow-up in the plan)
+        capped_ids = deg.filter(F.col("degree") <= wedge_degree_cap).select(
+            F.col("a").alias("n")
+        )
+        wedge_adj = adj.join(capped_ids, on="n")
+    else:
+        wedge_adj = adj
     wedge = (
-        adj.select(F.col("a").alias("u"), "n")
-        .join(adj.select(F.col("a").alias("v"), "n"), on="n")
+        wedge_adj.select(F.col("a").alias("u"), "n")
+        .join(wedge_adj.select(F.col("a").alias("v"), "n"), on="n")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("n_common"))
@@ -387,30 +465,39 @@ def hits(
             F.sum(F.col("_raw").cast("decimal(38,0)") * F.col("_raw")).alias("_s2")
         ).collect()[0]["_s2"]
         nrm = math.sqrt(float(s2))  # float(int) == DuckDB CAST(HUGEINT AS DOUBLE)
-        return raw.select(
+        return loop_frame(
+            raw.select(
+                key,
+                F.floor(
+                    F.col("_raw").cast("double") / F.lit(nrm) * F.lit(float(NANO))
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias(out),
+            ),
+            loop_partitions,
             key,
-            F.floor(F.col("_raw").cast("double") / F.lit(nrm) * F.lit(float(NANO)) + F.lit(0.5))
-            .cast("long")
-            .alias(out),
-        ).localCheckpoint(eager=True)
+        )
 
-    with loop_shuffle_partitions(spark, loop_partitions):
-        h = e.select("_c").distinct().select("_c", F.lit(NANO).cast("long").alias("_hn"))
-        h = h.localCheckpoint(eager=True)
-        a = None
-        for _ in range(iterations):
-            a_raw = (
-                e.join(h, "_c")
-                .groupBy("_s")
-                .agg(F.sum("_hn").cast("long").alias("_raw"))
-            )
-            a = _normalize(a_raw, "_s", "_an")
-            h_raw = (
-                e.join(a, "_s")
-                .groupBy("_c")
-                .agg(F.sum("_an").cast("long").alias("_raw"))
-            )
-            h = _normalize(h_raw, "_c", "_hn")
+    h = loop_frame(
+        e.select("_c").distinct().select("_c", F.lit(NANO).cast("long").alias("_hn")),
+        loop_partitions,
+        "_c",
+    )
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, "_c")
+            .groupBy("_s")
+            .agg(F.sum("_hn").cast("long").alias("_raw"))
+        )
+        a = _normalize(a_raw, "_s", "_an")
+        h_raw = (
+            e.join(a, "_s")
+            .groupBy("_c")
+            .agg(F.sum("_an").cast("long").alias("_raw"))
+        )
+        h = _normalize(h_raw, "_c", "_hn")
 
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
@@ -456,7 +543,6 @@ def kcore(
     Returns (id, core_degree) for every vertex surviving round
     ``rounds``, with its degree inside the surviving subgraph.
     """
-    spark = edges.sparkSession
     e = (
         edges.select(
             F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v")
@@ -474,14 +560,14 @@ def kcore(
             .agg(F.count("*").cast("long").alias(out))
         )
 
-    with loop_shuffle_partitions(spark, loop_partitions):
-        for _ in range(rounds):
-            keep = _degrees(e, "_d").filter(F.col("_d") >= k).select("_id")
-            e = (
-                e.join(keep.withColumnRenamed("_id", "_u"), "_u", "left_semi")
-                .join(keep.withColumnRenamed("_id", "_v"), "_v", "left_semi")
-                .localCheckpoint(eager=True)
-            )
+    for _ in range(rounds):
+        keep = _degrees(e, "_d").filter(F.col("_d") >= k).select("_id")
+        e = loop_frame(
+            e.join(keep.withColumnRenamed("_id", "_u"), "_u", "left_semi")
+            .join(keep.withColumnRenamed("_id", "_v"), "_v", "left_semi"),
+            loop_partitions,
+            "_u",
+        )
     return _degrees(e, "core_degree").select(
         F.col("_id").alias("id"), "core_degree"
     )
@@ -513,19 +599,17 @@ def transitive_closure(
     localCheckpoint truncates lineage, and only the loop counter
     lives on the driver.
     """
-    spark = edges.sparkSession
     clo = edges.select(
         F.col(anc).cast("long").alias("anc"), F.col(des).cast("long").alias("des")
     ).distinct()
-    with loop_shuffle_partitions(spark, loop_partitions):
-        clo = clo.localCheckpoint(eager=True)
-        for _ in range(rounds):
-            step = (
-                clo.alias("a")
-                .join(clo.alias("b"), F.col("a.des") == F.col("b.anc"))
-                .select(F.col("a.anc").alias("anc"), F.col("b.des").alias("des"))
-            )
-            clo = clo.unionByName(step).distinct().localCheckpoint(eager=True)
+    clo = loop_frame(clo, loop_partitions, "des")
+    for _ in range(rounds):
+        step = (
+            clo.alias("a")
+            .join(clo.alias("b"), F.col("a.des") == F.col("b.anc"))
+            .select(F.col("a.anc").alias("anc"), F.col("b.des").alias("des"))
+        )
+        clo = loop_frame(clo.unionByName(step).distinct(), loop_partitions, "des")
     return clo
 
 
@@ -552,7 +636,6 @@ def bfs_depths(
     exchanges exactly like kcore's. Pure integer arithmetic — depths
     are loop counters; cross-engine equality is set identity.
     """
-    spark = edges.sparkSession
     sym = (
         edges.select(F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v"))
         .unionByName(
@@ -563,25 +646,25 @@ def bfs_depths(
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
     )
-    with loop_shuffle_partitions(spark, loop_partitions):
-        sym = sym.localCheckpoint(eager=True)
-        src = sym.agg(F.min("_u").alias("_id")).select(
-            "_id", F.lit(0).cast("long").alias("depth")
+    sym = loop_frame(sym, loop_partitions, "_u")
+    src = sym.agg(F.min("_u").alias("_id")).select(
+        "_id", F.lit(0).cast("long").alias("depth")
+    )
+    visited = src.localCheckpoint(eager=True)
+    frontier = visited
+    for t in range(1, rounds + 1):
+        nxt = loop_frame(
+            frontier.select(F.col("_id").alias("_u"))
+            .join(sym, "_u")
+            .select(F.col("_v").alias("_id"))
+            .distinct()
+            .join(visited.select("_id"), "_id", "left_anti")
+            .select("_id", F.lit(t).cast("long").alias("depth")),
+            loop_partitions,
+            "_id",
         )
-        visited = src.localCheckpoint(eager=True)
-        frontier = visited
-        for t in range(1, rounds + 1):
-            nxt = (
-                frontier.select(F.col("_id").alias("_u"))
-                .join(sym, "_u")
-                .select(F.col("_v").alias("_id"))
-                .distinct()
-                .join(visited.select("_id"), "_id", "left_anti")
-                .select("_id", F.lit(t).cast("long").alias("depth"))
-                .localCheckpoint(eager=True)
-            )
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
+        visited = loop_frame(visited.unionByName(nxt), loop_partitions, "_id")
+        frontier = nxt
     return visited.select(F.col("_id").alias("id"), "depth")
 
 
@@ -618,53 +701,52 @@ def spectral_coordinate(
     rounding stage."""
     from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 
-    spark = edges.sparkSession
-    with loop_shuffle_partitions(spark, loop_partitions):
-        directed = (
-            edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
-            .unionAll(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
-            .localCheckpoint(eager=True)
+    directed = loop_frame(
+        edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
+            edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+        ),
+        loop_partitions,
+        "src",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    x = loop_frame(
+        directed.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", round_det((h % 2001 - 1000) / F.lit(1000.0), 9).alias("x")),
+        loop_partitions,
+        "id",
+    )
+    for _ in range(rounds):
+        # P·x at i = (Σ_{j~i} x_j) / d_i; each dst appears exactly
+        # d_dst times in the symmetrized edge list, so the neighbor
+        # AVERAGE (sum/count) is the random-walk step — no degree
+        # join needed.
+        y = (
+            directed.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(round_det(F.sum("x") / F.count("*"), 9).alias("y"))
         )
-        h = F.conv(
-            F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        x = (
-            directed.select(F.col("src").alias("id"))
-            .distinct()
-            .select("id", round_det((h % 2001 - 1000) / F.lit(1000.0), 9).alias("x"))
-            .localCheckpoint(eager=True)
+        m = F.broadcast(
+            y.agg(
+                round_det(F.sum("y") / F.count("*"), 9).alias("_m")
+            )
         )
-        for _ in range(rounds):
-            # P·x at i = (Σ_{j~i} x_j) / d_i; each dst appears exactly
-            # d_dst times in the symmetrized edge list, so the neighbor
-            # AVERAGE (sum/count) is the random-walk step — no degree
-            # join needed.
-            y = (
-                directed.join(x.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(round_det(F.sum("x") / F.count("*"), 9).alias("y"))
-            )
-            m = F.broadcast(
-                y.agg(
-                    round_det(F.sum("y") / F.count("*"), 9).alias("_m")
-                )
-            )
-            c = y.crossJoin(m).select(
-                "id", round_det(F.col("y") - F.col("_m"), 9).alias("c")
-            )
-            s = F.broadcast(c.agg(F.max(F.abs(F.col("c"))).alias("_s")))
-            x = (
-                c.crossJoin(s)
-                .select(
-                    "id",
-                    F.when(
-                        F.col("_s") > 0, round_det(F.col("c") / F.col("_s"), 9)
-                    )
-                    .otherwise(F.col("c"))
-                    .alias("x"),
-                )
-                .localCheckpoint(eager=True)
-            )
+        c = y.crossJoin(m).select(
+            "id", round_det(F.col("y") - F.col("_m"), 9).alias("c")
+        )
+        s = F.broadcast(c.agg(F.max(F.abs(F.col("c"))).alias("_s")))
+        x = loop_frame(
+            c.crossJoin(s).select(
+                "id",
+                F.when(F.col("_s") > 0, round_det(F.col("c") / F.col("_s"), 9))
+                .otherwise(F.col("c"))
+                .alias("x"),
+            ),
+            loop_partitions,
+            "id",
+        )
     return x.select(
         "id",
         round_det(F.col("x"), 6).alias("spectral_x"),
@@ -695,7 +777,6 @@ def bellman_ford_distances(
     Per round: one vertex-keyed dist⋈edges relaxation + one
     vertex-keyed min — shuffle O(E), never all-pairs;
     ``loop_partitions`` sizes the data-sized exchanges."""
-    spark = edges.sparkSession
     sym = (
         edges.select(
             F.col(u).cast("long").alias("_u"),
@@ -711,23 +792,21 @@ def bellman_ford_distances(
         )
         .filter(F.col("_u") != F.col("_v"))
     )
-    with loop_shuffle_partitions(spark, loop_partitions):
-        sym = sym.localCheckpoint(eager=True)
-        dist = (
-            sym.agg(F.min("_u").alias("_id"))
-            .select("_id", F.lit(0).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+    sym = loop_frame(sym, loop_partitions, "_u")
+    dist = (
+        sym.agg(F.min("_u").alias("_id"))
+        .select("_id", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.select(F.col("_id").alias("_u"), "dist")
+            .join(sym, "_u")
+            .select(F.col("_v").alias("_id"), (F.col("dist") + F.col("_w")).alias("dist"))
         )
-        for _ in range(rounds):
-            relaxed = (
-                dist.select(F.col("_id").alias("_u"), "dist")
-                .join(sym, "_u")
-                .select(F.col("_v").alias("_id"), (F.col("dist") + F.col("_w")).alias("dist"))
-            )
-            dist = (
-                dist.unionByName(relaxed)
-                .groupBy("_id")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
-            )
+        dist = loop_frame(
+            dist.unionByName(relaxed).groupBy("_id").agg(F.min("dist").alias("dist")),
+            loop_partitions,
+            "_id",
+        )
     return dist.select(F.col("_id").alias("id"), "dist")

@@ -132,21 +132,21 @@ def q_graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     kcore-strength contract). The twin is the literal unrolled
     relaxation with MATERIALIZED per-round CTEs (the distance vector
     is referenced twice per round — device 7)."""
-    from kickstarter_etl_pipeline_spark.operators.graph import bellman_ford_distances
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        bellman_ford_distances,
+        cooccurrence_nodes,
+    )
 
     ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
-    nodes = (
-        ev.filter(F.col("event_type") == "error")
-        .select(
-            F.floor(F.col("_us") / F.lit(600000000)).cast("long").alias("_b"),
-            "user_id",
-        )
-        .distinct()
-    )
-    a = nodes.select("_b", F.col("user_id").alias("u"))
-    b = nodes.select("_b", F.col("user_id").alias("v"))
+    # the shared occupancy-capped node table (round 11): the pair join
+    # is keyed by (_bucket, _sub) so per-key fan-out is hard-bounded
+    # at C(OCCUPANCY_CAP, 2); _cnt counts shared (bucket, sub) keys —
+    # identical to shared buckets at any occupancy ≤ cap
+    nodes = cooccurrence_nodes(ev, event_type="error", bucket_seconds=600)
+    a = nodes.select("_bucket", "_sub", F.col("user_id").alias("u"))
+    b = nodes.select("_bucket", "_sub", F.col("user_id").alias("v"))
     pairs = (
-        a.join(b, "_b")
+        a.join(b, ["_bucket", "_sub"])
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("_cnt"))
@@ -290,11 +290,21 @@ def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     common neighbor, so ln is never 0. Top-100 by
     (score, u, v) — a total order on integers.
 
-    Scale: the 10-minute bucket keeps wedge fan-out bounded (the
-    cooccurrence_edges contract); the wedge join is neighbor-keyed;
-    the anti-join removes existing edges; the report is a
-    TakeOrdered."""
-    from kickstarter_etl_pipeline_spark.operators.graph import cooccurrence_edges, degree_table
+    Scale: the 10-minute bucket keeps edge fan-out bounded (the
+    cooccurrence_edges occupancy-cap contract); the wedge join is
+    neighbor-keyed with vertices of degree > WEDGE_DEGREE_CAP excluded
+    from the shared-neighbor role BEFORE the self-join (round 11 —
+    C(deg, 2) pairs per neighbor would go quadratic on one hub;
+    dropping hubs from wedge enumeration is standard practice and a
+    shared hub carries the least Adamic-Adar weight anyway, 1/ln(deg)).
+    The DuckDB twin mirrors the cap; at fixture scale (max degree 123
+    at sf0.1) it is inert. The anti-join removes existing edges; the
+    report is a TakeOrdered."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        WEDGE_DEGREE_CAP,
+        cooccurrence_edges,
+        degree_table,
+    )
 
     ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
     edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
@@ -304,18 +314,23 @@ def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # a degree-1 vertex has one edge, so it can never be a COMMON
     # neighbor — filter before the division so ln(1) = 0 never feeds
-    # the ANSI divide (the guard is semantic, not just defensive)
-    w_nano = deg.filter(F.col("degree") >= 2).select(
+    # the ANSI divide (the guard is semantic, not just defensive);
+    # the upper cap bounds the wedge fan-out (see docstring)
+    w_nano = deg.filter(
+        (F.col("degree") >= 2) & (F.col("degree") <= WEDGE_DEGREE_CAP)
+    ).select(
         F.col("id").alias("_n"),
         F.floor(F.lit(1000000000.0) / F.log(F.col("degree").cast("double")) + 0.5)
         .cast("long")
         .alias("_w"),
     )
+    # join the weight table (== the capped neighbor set) BEFORE the
+    # self-join — that placement is the fan-out bound itself
+    wedge_adj = adj.join(w_nano, "_n")
     wedges = (
-        adj.select(F.col("_a").alias("u"), "_n")
-        .join(adj.select(F.col("_a").alias("v"), "_n"), "_n")
+        wedge_adj.select(F.col("_a").alias("u"), "_n", "_w")
+        .join(wedge_adj.select(F.col("_a").alias("v"), "_n"), "_n")
         .filter(F.col("u") < F.col("v"))
-        .join(w_nano, "_n")
         .groupBy("u", "v")
         .agg(
             F.count("*").cast("long").alias("n_common"),

@@ -9,8 +9,6 @@ inputs already have many partitions and the helpers are no-ops.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -89,33 +87,33 @@ def ensure_min_partitions(
     return df
 
 
-@contextmanager
-def loop_shuffle_partitions(spark: SparkSession, n: int | None):
-    """Scope ``spark.sql.shuffle.partitions`` to an iterative loop.
+def loop_frame(df: DataFrame, n: int | None, *keys: str) -> DataFrame:
+    """Pin an iterative loop-carried frame to ``n`` hash partitions on
+    its loop key(s), then eagerly localCheckpoint it.
 
-    ``n=None`` is a no-op scope (the caller opted out of the knob).
+    This replaces the retired ``loop_shuffle_partitions`` context
+    manager (round 11): that device scoped a small
+    ``spark.sql.shuffle.partitions`` over a loop body by MUTATING
+    session-global state — correct for a serial driver, but any query
+    planned concurrently on the same SparkSession silently inherited
+    the tiny partition count. Per-frame repartitioning has no shared
+    state at all: each round's carried frame (rank vector, label
+    table, frontier, surviving edge list) is explicitly exchanged to
+    ``n`` partitions on the key the next round joins on, the eager
+    checkpoint truncates lineage and PRESERVES that output
+    partitioning in the resulting LogicalRDD, and every other
+    exchange inside the round is left to the session conf + AQE
+    coalescing (tiny per-round aggregates coalesce to few tasks at
+    fixture scale on their own).
 
-    The graph/components operators run many tiny per-iteration shuffles
-    whose cost is dominated by task scheduling, so they plan them at a
-    small partition count and restore the session value afterwards.
-    That mutation is SESSION-GLOBAL: nested uses restore correctly
-    (each scope re-sets what it observed — LIFO unwind), but any query
-    planned CONCURRENTLY on the same SparkSession while a scope is
-    open silently inherits the loop's tiny partition count. Do not run
-    the iterative operators (pagerank, hits, kcore, bfs_depths,
-    transitive_closure, spectral_coordinate, bellman_ford_distances,
-    connected components) concurrently with other queries on one
-    session; use separate sessions for that.
-
-    Centralizing the pattern here keeps the save/restore logic in one
-    audited place instead of nine hand-rolled try/finally blocks.
+    ``n`` is the data-sized knob the operators document: the carried
+    frame is vertex-cardinality data, so the default 8 fits bench
+    fixtures and a billion-vertex graph needs thousands. ``n=None``
+    skips the exchange and just checkpoints (the caller opted out).
+    Partition count provably cannot move any result — the iterative
+    operators are integer-exact or per-round grid-snapped — and
+    partition-invariance is regression-tested.
     """
-    if n is None:
-        yield
-        return
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if n:
+        df = df.repartition(int(n), *keys) if keys else df.repartition(int(n))
+    return df.localCheckpoint(eager=True)

@@ -507,8 +507,8 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC-XYZ inventory matrix: every part classified by revenue
     contribution (A/B/C — the Pareto cut q_abc_classification assigns)
     AND by demand variability (X/Y/Z — the coefficient of variation of
-    weekly shipped quantity over the full calendar span, zero weeks
-    included), rolled up to the 9-cell planning matrix with part
+    weekly shipped quantity over the part's ACTIVE weeks; see the
+    Exactness paragraph), rolled up to the 9-cell planning matrix with part
     counts and revenue — the stock-policy table (AX = automate,
     CZ = make-to-order) (round 10).
 

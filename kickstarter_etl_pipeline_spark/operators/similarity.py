@@ -670,34 +670,31 @@ def ivf_lloyd_topk(
 
     dim = len(centroids[0])
     # The training loop's aggregates land on <= n_clusters × dim groups
-    # — reduce-side partitions should track that (tiny) cardinality,
-    # not the session's data-sized default: 32 reducers × 2 stages × 5
-    # rounds was pure task-scheduling overhead (measured 4.9 s → 3.4 s
-    # at sf0.1 with 8). Results are partition-invariant (exact integer
-    # sums); the conf is restored before the RETURNED plan is built, so
-    # the query-side joins keep the session's partitioning.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(n_iters):
-            stats = (
-                _assign(base, centroids)
-                .select("_cell", F.posexplode("_iv").alias("_d", "_x"))
-                .groupBy("_cell", "_d")
-                .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
-                .collect()
-            )
-            by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in stats:
-                by_cell.setdefault(r["_cell"], {})[r["_d"]] = (r["_s"], r["_n"])
-            centroids = [
-                [by_cell[ci][d][0] // by_cell[ci][d][1] for d in range(dim)]
-                if ci in by_cell
-                else prev
-                for ci, prev in enumerate(centroids)
-            ]
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # — map-side combine shrinks each exchange to (map partitions ×
+    # groups) rows, and AQE's minPartitionSize coalescing collapses the
+    # sub-MB reduce stage to a handful of tasks on its own. The old
+    # session-global shuffle-partitions override was retired in round
+    # 11 (the loop_shuffle_partitions concurrency trap): a per-frame
+    # repartition-before-groupBy would instead ship the RAW exploded
+    # rows through the exchange — losing the combine that makes this
+    # loop corpus-scale-safe — so the aggregate keeps the session plan.
+    for _ in range(n_iters):
+        stats = (
+            _assign(base, centroids)
+            .select("_cell", F.posexplode("_iv").alias("_d", "_x"))
+            .groupBy("_cell", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(r["_cell"], {})[r["_d"]] = (r["_s"], r["_n"])
+        centroids = [
+            [by_cell[ci][d][0] // by_cell[ci][d][1] for d in range(dim)]
+            if ci in by_cell
+            else prev
+            for ci, prev in enumerate(centroids)
+        ]
 
     cass = _assign(base, centroids).withColumn("_cnorm", norm(F.col("_cvec")))
     qmat, qexpr = _cell_dists(centroids)
@@ -789,22 +786,16 @@ def pca_top_component(
     ).localCheckpoint(eager=True)
 
     spark = corpus.sparkSession
-    # Control-loop partition sizing (the ivf_lloyd_topk rationale):
-    # every aggregate in here lands on <= dim or <= 64 groups; 8
-    # reducers instead of the session default cuts the 8-round loop's
-    # scheduling overhead (measured 4.1 s → 2.4 s at sf0.1). Exact
-    # integer sums — partition-invariant.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        mean_rows = (
-            base.select(F.posexplode("_iv").alias("_d", "_x"))
-            .groupBy("_d")
-            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
-            .collect()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # Control-loop aggregates land on <= dim or <= 64 groups: map-side
+    # combine + AQE minPartitionSize coalescing keep the reduce stages
+    # tiny without the retired session-global partitions override (the
+    # ivf_lloyd_topk rationale — see that loop's comment).
+    mean_rows = (
+        base.select(F.posexplode("_iv").alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+        .collect()
+    )
     n_rows = mean_rows[0]["_n"]
     dim = len(mean_rows)
     mu = [0] * dim
@@ -821,46 +812,42 @@ def pca_top_component(
     ).localCheckpoint(eager=True)
 
     w = [0.125] * dim
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(n_iters):
-            w_arr = F.array(*[F.lit(float(x)) for x in w])
-            proj = F.floor(
-                F.aggregate(
-                    F.zip_with("_cv", w_arr, lambda c, ww: c.cast("double") * ww),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                + F.lit(0.5)
-            ).cast("long")
-            sums = (
-                centered.select(proj.alias("_q"), "_cv")
-                .select("_q", F.posexplode("_cv").alias("_d", "_c"))
-                .groupBy("_d")
-                .agg(
-                    F.sum((F.col("_c") * F.col("_q")).cast("decimal(38,0)")).alias("_ax")
-                )
-                .collect()
+    for _ in range(n_iters):
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        proj = F.floor(
+            F.aggregate(
+                F.zip_with("_cv", w_arr, lambda c, ww: c.cast("double") * ww),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            x = [0.0] * dim
-            for r in sums:
-                x[r["_d"]] = float(r["_ax"])
-            acc = 0.0
-            for v in x:  # fixed left fold in dimension order = the SQL list_reduce
-                acc = acc + v * v
-            nrm = math.sqrt(acc)
-            # Degenerate-input guard: a zero centered matrix (all
-            # embeddings identical) or a w orthogonal to the data gives
-            # nrm == 0; dividing would raise ZeroDivisionError while the
-            # SQL twin kept computing. Both sides now emit zero weights
-            # (and q collapses to 0 for every later round, so the
-            # iterates stay in lockstep) — round-8 ADVICE finding.
-            if nrm == 0.0:
-                w = [0.0] * dim
-            else:
-                w = [math.floor(v / nrm * 1e9 + 0.5) / 1e9 for v in x]
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            + F.lit(0.5)
+        ).cast("long")
+        sums = (
+            centered.select(proj.alias("_q"), "_cv")
+            .select("_q", F.posexplode("_cv").alias("_d", "_c"))
+            .groupBy("_d")
+            .agg(
+                F.sum((F.col("_c") * F.col("_q")).cast("decimal(38,0)")).alias("_ax")
+            )
+            .collect()
+        )
+        x = [0.0] * dim
+        for r in sums:
+            x[r["_d"]] = float(r["_ax"])
+        acc = 0.0
+        for v in x:  # fixed left fold in dimension order = the SQL list_reduce
+            acc = acc + v * v
+        nrm = math.sqrt(acc)
+        # Degenerate-input guard: a zero centered matrix (all
+        # embeddings identical) or a w orthogonal to the data gives
+        # nrm == 0; dividing would raise ZeroDivisionError while the
+        # SQL twin kept computing. Both sides now emit zero weights
+        # (and q collapses to 0 for every later round, so the
+        # iterates stay in lockstep) — round-8 ADVICE finding.
+        if nrm == 0.0:
+            w = [0.0] * dim
+        else:
+            w = [math.floor(v / nrm * 1e9 + 0.5) / 1e9 for v in x]
 
     var_units = math.floor(nrm / n_rows / 1e12 * 1e6 + 0.5) / 1e6
     out = [

@@ -151,11 +151,21 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user's session settle?", the long-run engagement mix (round 10).
 
     Exactness: the state vector lives in integer NANO units (longs,
-    start = 10⁹/5 per type) and each iterate is v'_j =
+    start = 10⁹ DIV n_states per state — derived from the data on
+    BOTH engines, the same exact integer, not a hard-coded 5-state
+    assumption; r10 ADVICE) and each iterate is v'_j =
     Σ_i (v_i·n_ij) DIV n_i — per-term integer floor division then an
     exact integer sum, so the whole iteration is order-free integer
     arithmetic (the HITS nano-spine device, without even a float
     normalize). The twin replays the identical 8 unrolled rounds.
+
+    Assumption (documented, mirrored by the twin): states are those
+    WITH outgoing transitions; a sink state (an event type that only
+    ever appears last in every user's stream) would receive mass that
+    then leaves the system, so stationary_share sums to slightly
+    under 1 per round of leakage, identically on both engines. The
+    fixture chain has no sink states; per-round DIV flooring already
+    leaks ≤ n_states nano-units per round by design.
 
     Scale: the transition matrix build is the data-sized work (one
     user-keyed lag window + a ≤25-group aggregate); the iteration
@@ -173,10 +183,14 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("_nij"))
     row_tot = trans.groupBy("_i").agg(F.sum("_nij").cast("long").alias("_ni"))
     tm = trans.join(row_tot, "_i").localCheckpoint(eager=True)
+    n_states = F.broadcast(
+        tm.select("_i").distinct().agg(F.count("*").cast("long").alias("_ns"))
+    )
     v = (
         tm.select(F.col("_i").alias("_state"))
         .distinct()
-        .select("_state", F.lit(200_000_000).cast("long").alias("_v"))
+        .crossJoin(n_states)
+        .select("_state", F.expr("CAST(1000000000 AS BIGINT) DIV _ns").alias("_v"))
         .localCheckpoint(eager=True)
     )
     for _ in range(8):
@@ -350,18 +364,27 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("_s", "_b", "_bs", "_bs2").agg(
         (F.max("_dev") - F.min("_dev")).alias("_r_nano")
     )
-    var = (
-        F.col("_bs2").cast("double")
-        - F.col("_s").cast("double")
-        * (F.col("_bs").cast("double") / F.col("_s").cast("double"))
-        * (F.col("_bs").cast("double") / F.col("_s").cast("double"))
-    ) / F.col("_s").cast("double")
-    rs = (F.col("_r_nano").cast("double") / 1e9) / F.sqrt(var)
+    # greatest(·, 0.0) clamps a float-epsilon-negative variance on a
+    # near-constant block: without it sqrt yields NaN, NaN > 0 is TRUE
+    # under Spark comparison semantics, and the NaN would flow through
+    # log/floor into an ANSI cast error instead of being dropped by
+    # the _sd > 0 guard (same pattern as q_abc_xyz_matrix; r10 ADVICE).
+    var = F.greatest(
+        (
+            F.col("_bs2").cast("double")
+            - F.col("_s").cast("double")
+            * (F.col("_bs").cast("double") / F.col("_s").cast("double"))
+            * (F.col("_bs").cast("double") / F.col("_s").cast("double"))
+        ) / F.col("_s").cast("double"),
+        F.lit(0.0),
+    )
+    rs = (F.col("_r_nano").cast("double") / 1e9) / F.col("_sd")
     lrs_nano = F.floor(F.log(rs) * 1000000000 + 0.5).cast("long")
     per_scale = (
         per_block.filter(F.col("_r_nano") > 0)
-        .select("_s", F.sqrt(var).alias("_sd"), lrs_nano.alias("_l"))
+        .select("_s", "_r_nano", F.sqrt(var).alias("_sd"))
         .filter(F.col("_sd") > 0)
+        .select("_s", lrs_nano.alias("_l"))
         .groupBy("_s")
         .agg(F.count("*").cast("long").alias("_m"), F.sum("_l").cast("long").alias("_ls"))
         .select(

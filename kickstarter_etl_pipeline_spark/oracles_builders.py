@@ -8,6 +8,10 @@ from kickstarter_etl_pipeline_spark.oracles_analytics import ORACLES_ANALYTICS
 from kickstarter_etl_pipeline_spark.oracles_core import ORACLES_CORE
 from kickstarter_etl_pipeline_spark.oracles_eval import ORACLES_EVAL
 from kickstarter_etl_pipeline_spark.oracles_ext import ORACLES_EXT
+from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+    cooccurrence_edge_ctes,
+    ranked_cooccurrence_nodes,
+)
 from kickstarter_etl_pipeline_spark.oracles_lm import ORACLES_LM
 from kickstarter_etl_pipeline_spark.oracles_mining import ORACLES_MINING
 from kickstarter_etl_pipeline_spark.oracles_r10 import ORACLES_R10
@@ -423,9 +427,18 @@ def _hits_oracle_sql(iterations: int = 4) -> str:
     float stage per half-round is the fixed tree
     floor(raw / sqrt(S2) · 1e9 + 0.5). Cross-engine equality is
     arithmetic identity — no float accumulation exists to disagree
-    about (a stronger contract than the PageRank grid-margin device)."""
+    about (a stronger contract than the PageRank grid-margin device).
+
+    MATERIALIZED is load-bearing on e / a{t} / h{t} (device 7): each
+    is referenced 2+ times (e once per half-round, the vectors by the
+    next half-round AND their own norm CTE), so the inlined replay
+    recomputed the orders⋈lineitem distinct-edge join once per
+    reference — measured 52.8 s at sf0.01; 0.3 s materialized. This
+    was VERDICT r10's "graph_hits 59.5 s inside CERTIFY" anomaly: the
+    certify per-query clock includes the DuckDB twin, and the slow
+    side was DuckDB, not Spark (isolated Spark run: ~5 s)."""
     head = """
-        WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
                                    CAST(l_suppkey AS BIGINT) AS s
                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         h0 AS (SELECT DISTINCT c, CAST(1000000000 AS BIGINT) AS hn FROM e)"""
@@ -433,16 +446,16 @@ def _hits_oracle_sql(iterations: int = 4) -> str:
     for t in range(1, iterations + 1):
         steps.append(
             f""",
-        ar{t} AS (SELECT s, sum(hn) AS arn FROM e JOIN h{t - 1} USING (c) GROUP BY s),
+        ar{t} AS MATERIALIZED (SELECT s, sum(hn) AS arn FROM e JOIN h{t - 1} USING (c) GROUP BY s),
         an{t} AS (SELECT sqrt(CAST(sum(CAST(arn AS HUGEINT) * arn) AS DOUBLE)) AS na
                   FROM ar{t}),
-        a{t} AS (SELECT s, CAST(floor(CAST(arn AS DOUBLE) / na * 1000000000 + 0.5)
+        a{t} AS MATERIALIZED (SELECT s, CAST(floor(CAST(arn AS DOUBLE) / na * 1000000000 + 0.5)
                                 AS BIGINT) AS an
                  FROM ar{t} CROSS JOIN an{t}),
-        hr{t} AS (SELECT c, sum(an) AS hrn FROM e JOIN a{t} USING (s) GROUP BY c),
+        hr{t} AS MATERIALIZED (SELECT c, sum(an) AS hrn FROM e JOIN a{t} USING (s) GROUP BY c),
         hn{t} AS (SELECT sqrt(CAST(sum(CAST(hrn AS HUGEINT) * hrn) AS DOUBLE)) AS nh
                   FROM hr{t}),
-        h{t} AS (SELECT c, CAST(floor(CAST(hrn AS DOUBLE) / nh * 1000000000 + 0.5)
+        h{t} AS MATERIALIZED (SELECT c, CAST(floor(CAST(hrn AS DOUBLE) / nh * 1000000000 + 0.5)
                                 AS BIGINT) AS hn
                  FROM hr{t} CROSS JOIN hn{t})"""
         )
@@ -591,11 +604,8 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
     (graph.pagerank), so contribution-sum order noise (~1e-17) never
     reaches the grid and both engines hold bit-identical iterates."""
     rd9 = "floor(({expr}) * 1000000000 + 0.5) / 1000000000.0"
-    head = """
-    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
-                   FROM events WHERE event_type = 'error'),
-    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
-              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    head = f"""
+    WITH {cooccurrence_edge_ctes(1800000000, nodes="nodes", edges="edges")},
     dedges AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM dedges GROUP BY src),
     n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM dedges),
@@ -629,11 +639,8 @@ def _lpa_oracle_sql(iterations: int = 5) -> str:
     """Unrolled synchronous label propagation — integer votes with a
     (count desc, label asc) argmax; replayable because every step is
     exact and the schedule is fixed."""
-    head = """
-    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
-                   FROM events WHERE event_type = 'error'),
-    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
-              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    head = f"""
+    WITH {cooccurrence_edge_ctes(1800000000, nodes="nodes", edges="edges")},
     dedges AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
     lp0 AS (SELECT DISTINCT src AS id, src AS community FROM dedges)"""
     steps = []
@@ -731,13 +738,8 @@ def _kcore_oracle_sql(k: int = 4, rounds: int = 6) -> str:
     exact set/count identity, the strongest contract in the graph
     tier (stronger than HITS' integer-spine and pagerank's
     grid-margin arguments)."""
-    head = """
-        WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b,
-                                   user_id
-                   FROM events WHERE event_type = 'error'),
-        e0 AS MATERIALIZED (SELECT DISTINCT CAST(a.user_id AS BIGINT) AS u,
-                               CAST(c.user_id AS BIGINT) AS v
-               FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id)"""
+    head = f"""
+        WITH {cooccurrence_edge_ctes(600000000, nodes="n", edges="e0", materialized=True)}"""
     steps = []
     for t in range(1, rounds + 1):
         steps.append(
@@ -768,13 +770,8 @@ def _bfs_oracle_sql(rounds: int = 8) -> str:
     and the union), so the inlined unroll would re-expand ~2x per
     round. Pure integers — depths are loop counters; equality is set
     identity."""
-    head = """
-        WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b,
-                                   user_id
-                   FROM events WHERE event_type = 'error'),
-        e0 AS MATERIALIZED (SELECT DISTINCT CAST(a.user_id AS BIGINT) AS u,
-                               CAST(c.user_id AS BIGINT) AS v
-               FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+    head = f"""
+        WITH {cooccurrence_edge_ctes(600000000, nodes="n", edges="e0", materialized=True)},
         sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
         v0 AS MATERIALIZED (SELECT min(u) AS id, CAST(0 AS BIGINT) AS depth FROM sym),
         f0 AS MATERIALIZED (SELECT id FROM v0)"""
@@ -853,10 +850,7 @@ def _spectral_oracle_sql(rounds: int = 8) -> str:
         return f"floor(({expr}) * 1000000000 + 0.5) / 1000000000.0"
 
     head = f"""
-    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b, user_id
-                   FROM events WHERE event_type = 'error'),
-    e0 AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
-           FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id),
+    WITH {cooccurrence_edge_ctes(600000000, nodes="nodes", edges="e0")},
     dedges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
                             UNION ALL SELECT v, u FROM e0),
     x0 AS (SELECT s.src AS id,
@@ -890,11 +884,11 @@ def _bellman_ford_oracle_sql(rounds: int = 6) -> str:
     pure integer min-plus, so the replay is exact set arithmetic. Each
     round's distance vector is referenced twice (carry + relax) —
     MATERIALIZED per device 7."""
-    head = """
-    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS b, user_id
-                   FROM events WHERE event_type = 'error'),
+    head = f"""
+    WITH {ranked_cooccurrence_nodes(600000000, name="nodes")},
     pairs AS (SELECT a.user_id AS u, c.user_id AS v, CAST(count(*) AS BIGINT) AS cnt
-              FROM nodes a JOIN nodes c ON a.b = c.b AND a.user_id < c.user_id
+              FROM nodes a JOIN nodes c
+                ON a.b = c.b AND a.sb = c.sb AND a.user_id < c.user_id
               GROUP BY 1, 2),
     wedges AS MATERIALIZED (
       SELECT u AS src, v AS dst, greatest(CAST(1 AS BIGINT), 10000 // cnt) AS w FROM pairs

@@ -8,8 +8,14 @@ the shared tokenization constants.
 
 from __future__ import annotations
 
+from kickstarter_etl_pipeline_spark.oracles_graph_common import cooccurrence_edge_ctes
+
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+# the occupancy-capped 30-minute error co-occurrence edge CTEs shared
+# by the triangle/clustering twins (mirrors graph.cooccurrence_edges)
+_EDGES_1800 = cooccurrence_edge_ctes(1800000000, nodes="n", edges="edges")
 
 ORACLES_EXT: dict[str, str] = {}
 
@@ -18,11 +24,8 @@ ORACLES_EXT: dict[str, str] = {}
 # (degree, id) endpoint, wedges from a shared apex with rank-ordered
 # far ends, closed by the oriented far-end edge; each triangle lands
 # exactly once, at its minimum-rank apex.
-ORACLES_EXT["user_triangle_counts"] = """
-    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
-               FROM events WHERE event_type = 'error'),
-    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
-              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+ORACLES_EXT["user_triangle_counts"] = f"""
+    WITH {_EDGES_1800},
     deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
               SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
     oriented AS (
@@ -109,11 +112,8 @@ ORACLES_EXT["zorder_layout_report"] = """
 
 # FULL twin of q_user_clustering_coeffs: the triangle-count CTE chain
 # with a degree >= 2 LEFT join so triangle-free vertices report 0.0.
-ORACLES_EXT["user_clustering_coeffs"] = """
-    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
-               FROM events WHERE event_type = 'error'),
-    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
-              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+ORACLES_EXT["user_clustering_coeffs"] = f"""
+    WITH {_EDGES_1800},
     deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
               SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
     oriented AS (

@@ -5,6 +5,10 @@ transcendentals, (value, id) total orders.
 """
 
 from kickstarter_etl_pipeline_spark.oracles_core import _TOKS
+from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+    WEDGE_DEGREE_CAP,
+    cooccurrence_edge_ctes,
+)
 
 ORACLES_MINING: dict[str, str] = {}
 
@@ -125,19 +129,20 @@ ORACLES_MINING["session_bounce_rate"] = """
     FROM per GROUP BY entry_type
 """
 
-# FULL twin of q_graph_link_prediction: 10-min error co-occurrence
-# edges (bucket width = the sparsity knob), wedge join, anti-join
-# against existing edges, neighborhood Jaccard on a 6-dp grid.
-ORACLES_MINING["graph_link_prediction"] = """
-    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bucket,
-                                   user_id
-                   FROM events WHERE event_type = 'error'),
-    edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
-              FROM nodes a JOIN nodes b ON a.bucket = b.bucket AND a.user_id < b.user_id),
+# FULL twin of q_graph_link_prediction: occupancy-capped 10-min error
+# co-occurrence edges (oracles_graph_common — bucket width is the
+# sparsity knob, the cap the hard bound), wedge join over neighbors
+# with degree <= WEDGE_DEGREE_CAP (mirrors
+# graph.common_neighbor_link_prediction's round-11 cap; Jaccard keeps
+# FULL endpoint degrees), anti-join against existing edges, 6-dp grid.
+ORACLES_MINING["graph_link_prediction"] = f"""
+    WITH {cooccurrence_edge_ctes(600000000, nodes="nodes", edges="edges")},
     adj AS (SELECT u AS a, v AS n FROM edges UNION ALL SELECT v AS a, u AS n FROM edges),
     deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY a),
+    adjc AS (SELECT adj.a, adj.n FROM adj
+             JOIN deg dz ON dz.a = adj.n AND dz.degree <= {WEDGE_DEGREE_CAP}),
     wedge AS (SELECT x.a AS u, y.a AS v, CAST(count(*) AS BIGINT) AS n_common
-              FROM adj x JOIN adj y ON x.n = y.n AND x.a < y.a
+              FROM adjc x JOIN adjc y ON x.n = y.n AND x.a < y.a
               GROUP BY 1, 2 HAVING count(*) >= 2),
     nonadj AS (SELECT w.u, w.v, w.n_common FROM wedge w
                ANTI JOIN edges e ON w.u = e.u AND w.v = e.v),

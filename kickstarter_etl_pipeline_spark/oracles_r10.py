@@ -8,6 +8,11 @@ floor(x·10^k + 0.5)/10^k rule (operators.rounding).
 
 from __future__ import annotations
 
+from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+    WEDGE_DEGREE_CAP,
+    cooccurrence_edge_ctes,
+)
+
 ORACLES_R10: dict[str, str] = {}
 
 # FULL twin of q_funnel_latency_percentiles: first view → first
@@ -71,11 +76,8 @@ ORACLES_R10["kendall_tau_nations"] = """
 # CTE (same graph), degrees, then exact HUGEINT sufficient statistics
 # over the symmetrized endpoint pairs; x/y marginals are identical by
 # symmetry so r needs only Σx, Σxy, Σx².
-ORACLES_R10["graph_assortativity"] = """
-    WITH n AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) AS b, user_id
-               FROM events WHERE event_type = 'error'),
-    edges AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
-              FROM n a JOIN n c ON a.b = c.b AND a.user_id < c.user_id),
+ORACLES_R10["graph_assortativity"] = f"""
+    WITH {cooccurrence_edge_ctes(1800000000, nodes="n", edges="edges")},
     deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
               SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY id),
     sym AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
@@ -293,7 +295,9 @@ ORACLES_R10["markov_stationary"] = (
            FROM steps WHERE j IS NOT NULL GROUP BY i, j),
     rt AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ni FROM tm GROUP BY i),
     t AS (SELECT tm.i, tm.j, tm.nij, rt.ni FROM tm JOIN rt USING (i)),
-    v0 AS (SELECT DISTINCT i AS state, CAST(200000000 AS BIGINT) AS v FROM t),
+    ns AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM t),
+    v0 AS (SELECT DISTINCT i AS state, CAST(1000000000 AS BIGINT) // ns.n AS v
+           FROM t, ns),
 """
     + ",\n".join(
         f"    v{k} AS ({_MARKOV_STEP.format(v=f'v{k - 1}')})" for k in range(1, 9)
@@ -452,9 +456,10 @@ ORACLES_R10["hurst_exponent"] = """
     per_block AS (SELECT s, b, bs, bs2, max(d) - min(d) AS r_nano
                   FROM dev GROUP BY s, b, bs, bs2),
     vb AS (SELECT s, r_nano,
-                  (CAST(bs2 AS DOUBLE)
+                  greatest((CAST(bs2 AS DOUBLE)
                    - CAST(s AS DOUBLE) * (CAST(bs AS DOUBLE) / CAST(s AS DOUBLE))
-                     * (CAST(bs AS DOUBLE) / CAST(s AS DOUBLE))) / CAST(s AS DOUBLE) AS var
+                     * (CAST(bs AS DOUBLE) / CAST(s AS DOUBLE))) / CAST(s AS DOUBLE),
+                   0.0) AS var
            FROM per_block
            WHERE r_nano > 0),
     lrs AS (SELECT s,
@@ -527,19 +532,18 @@ ORACLES_R10["elasticity_by_brand"] = """
     FROM agg
 """
 
-# FULL twin of q_adamic_adar_links: the link-prediction edge/adj/deg
-# CTEs, per-neighbor 1/ln(deg) nano-snapped BEFORE the pair sum.
-ORACLES_R10["adamic_adar_links"] = """
-    WITH nodes AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bucket,
-                                   user_id
-                   FROM events WHERE event_type = 'error'),
-    edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
-              FROM nodes a JOIN nodes b ON a.bucket = b.bucket AND a.user_id < b.user_id),
+# FULL twin of q_adamic_adar_links: the occupancy-capped edge CTEs
+# (oracles_graph_common), per-neighbor 1/ln(deg) nano-snapped BEFORE
+# the pair sum, and the round-11 wedge degree cap — vertices with
+# degree > WEDGE_DEGREE_CAP are excluded from the shared-neighbor
+# role (the wn CTE), mirroring graph_queries.q_adamic_adar_links.
+ORACLES_R10["adamic_adar_links"] = f"""
+    WITH {cooccurrence_edge_ctes(600000000, nodes="nodes", edges="edges")},
     adj AS (SELECT u AS a, v AS n FROM edges UNION ALL SELECT v AS a, u AS n FROM edges),
     deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY a),
     wn AS (SELECT a AS n,
                   CAST(floor(1000000000.0 / ln(CAST(degree AS DOUBLE)) + 0.5) AS BIGINT) AS w
-           FROM deg WHERE degree >= 2),
+           FROM deg WHERE degree >= 2 AND degree <= {WEDGE_DEGREE_CAP}),
     wedge AS (SELECT x.a AS u, y.a AS v,
                      CAST(count(*) AS BIGINT) AS n_common,
                      CAST(sum(w.w) AS BIGINT) AS score_nano

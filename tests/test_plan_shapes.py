@@ -494,3 +494,43 @@ def test_round10_tiers_no_data_sized_funnel(spark, sf_dir):
                 f"{q.__name__}: data-sized single-partition funnel:\n{tail}"
             )
             idx += 1
+
+
+def test_star_flagship_single_fact_shuffle_no_bnlj(spark, sf_dir):
+    """Round-11 structural guard (VERDICT r10 task 6): the flagship's
+    physical plan must contain NO BroadcastNestedLoopJoin and no more
+    than the single expected fact-side shuffle — the groupBy exchange
+    keyed by (state_key, order_year). Every join rides a broadcast at
+    bench scale (AQE or bounded-dim hint); the only other permitted
+    hash exchanges are the 3-row state-dim window build (keyed by
+    state_name), and the only round-robin is ensure_min_partitions'
+    fixture-only spread. A future hint/plan regression that funnels
+    the fact side through an extra shuffle or degrades a join to a
+    nested loop fails here structurally instead of waiting for a
+    bench re-audit."""
+    from kickstarter_etl_pipeline_spark.queries import q_star_flagship
+
+    plan = (
+        q_star_flagship(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, (
+        "flagship joins must all broadcast at bench scale:\n" + plan
+    )
+    hash_ex = [
+        l.strip(" :+-")
+        for l in plan.splitlines()
+        if l.strip(" :+-").startswith("Exchange hashpartitioning")
+    ]
+    fact_shuffles = [l for l in hash_ex if "state_key" in l]
+    assert len(fact_shuffles) == 1, (
+        f"expected exactly one fact-side aggregation shuffle, got {fact_shuffles}"
+    )
+    dim_only = [l for l in hash_ex if "state_key" not in l]
+    assert all("state_name" in l for l in dim_only), (
+        f"unexpected non-dim hash exchange in the flagship plan: {dim_only}"
+    )
