@@ -560,9 +560,22 @@ def connected_components(
     # integer min-label arithmetic — partitioning provably cannot
     # move any label (regression-tested). Pinned per-frame via
     # loop_frame (round 11) — no session state is touched.
-    sym = edges.select(
-        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
-    ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
+    #
+    # The edge list is checkpointed ONCE before the loop (round 11):
+    # the input is typically a LAZY candidate pipeline (banded SimHash
+    # / MinHash joins), and an un-materialized `sym` re-executed that
+    # whole pipeline inside EVERY round's job — measured ~35% of
+    # simhash_near_dup_clusters' wall at sf0.1. One materialization is
+    # also the only sane plan at 100 TB (the candidate build is the
+    # expensive stage; re-running it per label round multiplies it by
+    # the component diameter).
+    sym = loop_frame(
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")).union(
+            edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
+        ),
+        loop_partitions,
+        "_b",
+    )
     labels = loop_frame(
         nodes.select(F.col(id_col).alias("_id"))
         .distinct()
@@ -577,24 +590,26 @@ def connected_components(
             .groupBy("_a")
             .agg(F.min("component_id").alias("_nmin"))
         )
+        # the change flag rides the SAME projection as the label
+        # update (labels is already joined here), so convergence
+        # detection costs one narrow scan of the checkpointed frame —
+        # not the extra old⋈new shuffle join per round it used to be
         new_labels = loop_frame(
             labels.join(neighbor_min, labels["_id"] == neighbor_min["_a"], "left")
             .select(
                 "_id",
-                F.least(F.col("component_id"), F.coalesce("_nmin", F.col("component_id"))).alias(
-                    "component_id"
-                ),
+                F.least(
+                    F.col("component_id"), F.coalesce("_nmin", F.col("component_id"))
+                ).alias("component_id"),
+                (
+                    F.coalesce("_nmin", F.col("component_id")) < F.col("component_id")
+                ).alias("_chg"),
             ),
             loop_partitions,
             "_id",
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     if changed != 0:
