@@ -669,21 +669,26 @@ def ivf_lloyd_topk(
         )
 
     dim = len(centroids[0])
-    # The training loop's aggregates land on <= n_clusters × dim groups
-    # — map-side combine shrinks each exchange to (map partitions ×
-    # groups) rows, and AQE's minPartitionSize coalescing collapses the
-    # sub-MB reduce stage to a handful of tasks on its own. The old
-    # session-global shuffle-partitions override was retired in round
-    # 11 (the loop_shuffle_partitions concurrency trap): a per-frame
-    # repartition-before-groupBy would instead ship the RAW exploded
-    # rows through the exchange — losing the combine that makes this
-    # loop corpus-scale-safe — so the aggregate keeps the session plan.
+    # The training loop's aggregates land on <= n_clusters × dim groups.
+    # The old session-global shuffle-partitions override was retired in
+    # round 11 (the loop_shuffle_partitions concurrency trap); the
+    # per-frame replacement is coalesce(1) AFTER the aggregate: the
+    # narrow coalesce merges the shuffle-read partitions, so the final
+    # aggregate runs as ONE reduce task instead of a session-width
+    # stage of near-empty tasks (measured +0.2 s/round of pure
+    # scheduling at bench scale). Map-side combine is untouched — the
+    # exchange still carries only (map partitions × groups) combined
+    # rows, which is also why one reduce task is safe at ANY corpus
+    # size (the collect funnels the same rows to the driver anyway).
+    # A repartition-before-groupBy would instead ship the RAW exploded
+    # rows — losing the combine that makes this loop corpus-scale-safe.
     for _ in range(n_iters):
         stats = (
             _assign(base, centroids)
             .select("_cell", F.posexplode("_iv").alias("_d", "_x"))
             .groupBy("_cell", "_d")
             .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .coalesce(1)
             .collect()
         )
         by_cell: dict[int, dict[int, tuple[int, int]]] = {}
@@ -787,13 +792,14 @@ def pca_top_component(
 
     spark = corpus.sparkSession
     # Control-loop aggregates land on <= dim or <= 64 groups: map-side
-    # combine + AQE minPartitionSize coalescing keep the reduce stages
-    # tiny without the retired session-global partitions override (the
+    # combine + a narrow coalesce(1) collapse each reduce to one task
+    # without the retired session-global partitions override (the
     # ivf_lloyd_topk rationale — see that loop's comment).
     mean_rows = (
         base.select(F.posexplode("_iv").alias("_d", "_x"))
         .groupBy("_d")
         .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+        .coalesce(1)
         .collect()
     )
     n_rows = mean_rows[0]["_n"]
@@ -829,6 +835,7 @@ def pca_top_component(
             .agg(
                 F.sum((F.col("_c") * F.col("_q")).cast("decimal(38,0)")).alias("_ax")
             )
+            .coalesce(1)
             .collect()
         )
         x = [0.0] * dim
