@@ -349,3 +349,40 @@ def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_score_nano").cast("double") / 1e9).alias("adamic_adar_score"),
         )
     )
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the 30-minute error
+    co-occurrence graph — the first diagnostic any graph pipeline runs
+    (is the degree distribution power-law? where do the hubs start?),
+    and the observability companion to the round-11 occupancy/degree
+    caps: the histogram is how an operator SEES an approaching
+    cap before it engages (round 11).
+
+    Exactness: degrees are exact longs; the bucket is
+    floor(log2(degree)) — safe cross-engine because floor only moves
+    at exact powers of two, where IEEE log2 is exact, and every other
+    integer sits ≥ 2^-k/ln2 from the boundary (≫ 1 ulp for any
+    bigint-ranged degree). min/max/count per bucket are exact.
+
+    Scale: the edge build rides the occupancy-capped device
+    (operators.graph.cooccurrence_edges); degrees are one vertex-keyed
+    aggregate; the histogram is a ≤ ~40-group rollup (log2 of any
+    bigint degree)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import cooccurrence_edges, degree_table
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    deg = degree_table(edges)
+    return (
+        deg.select(
+            F.floor(F.log2(F.col("degree").cast("double"))).cast("long").alias("log2_bucket"),
+            "degree",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )

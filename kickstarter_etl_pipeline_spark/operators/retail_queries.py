@@ -579,3 +579,64 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_r").cast("double") / 100.0).alias("total_revenue"),
         )
     )
+
+
+def q_price_quartiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-brand price quartiles of shipped line items under the
+    NEAREST-RANK convention (value at rank ceil(q·n) in the
+    (l_extendedprice, l_orderkey, l_linenumber) total order) — the
+    per-brand pricing-band report, and the round-10 NOTES lead
+    ("group-scoped percentile families via grouped_two_phase_rank")
+    cashed in (round 11).
+
+    Exactness: nearest-rank picks are MEMBERS of the data (no
+    interpolation), the order is a total order (orderkey, linenumber
+    break price ties), and the IQR subtracts two exact picks — so the
+    result is engine-deterministic by construction; the twin replays
+    the identical rank picks with a window.
+
+    Scale: the lineitem⋈part brand lookup is a uniform-key equi-join
+    (partkey); p_brand has 25 values with corpus-sized groups — the
+    grouped_two_phase_rank contract exactly (a per-brand rank window
+    would funnel each brand through ONE task; the composite-key range
+    exchange splits every brand across partitions); the final rollup
+    has 25 groups. Provenance: extends the reference's
+    value-distribution reporting surface (src/etl_pipeline.py's
+    groupby aggregates) to exact distributional statistics."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = grouped_two_phase_rank(
+        joined,
+        ["p_brand"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        n_col="_n",
+    ).withColumnRenamed("rank_in_group", "_rn")
+    picks = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+    conds = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")),
+                F.col("l_extendedprice"),
+            )
+        ).alias(name)
+        for name, q in picks
+    ]
+    return (
+        ranked.groupBy("p_brand")
+        .agg(F.max("_n").alias("n_items"), *conds)
+        .select(
+            "p_brand",
+            "n_items",
+            "p25",
+            "p50",
+            "p75",
+            F.round(F.col("p75") - F.col("p25"), 2).alias("iqr"),
+        )
+    )
