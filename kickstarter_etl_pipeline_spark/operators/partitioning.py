@@ -99,12 +99,17 @@ def loop_frame(df: DataFrame, n: int | None, *keys: str) -> DataFrame:
     the tiny partition count. Per-frame repartitioning has no shared
     state at all: each round's carried frame (rank vector, label
     table, frontier, surviving edge list) is explicitly exchanged to
-    ``n`` partitions on the key the next round joins on, the eager
-    checkpoint truncates lineage and PRESERVES that output
-    partitioning in the resulting LogicalRDD, and every other
-    exchange inside the round is left to the session conf + AQE
-    coalescing (tiny per-round aggregates coalesce to few tasks at
-    fixture scale on their own).
+    ``n`` partitions on the key the next round joins on, and the eager
+    checkpoint truncates lineage. Honest scope of the knob (plan-probed
+    round 11): partitioning INFO does not survive the checkpoint — the
+    LogicalRDD scan reports unknown partitioning, so next-round joins
+    re-exchange at session width regardless — but the repartition still
+    pins the checkpoint's stored partition COUNT, i.e. the per-round
+    scan width (8 scan tasks per reference instead of 32 on bench
+    fixtures). Every exchange inside the round is left to the session
+    conf + AQE. Re-deriving co-partitioning per round was measured
+    SLOWER than letting the joins re-exchange (NOTES round 11), so
+    this helper deliberately does not try.
 
     ``n`` is the data-sized knob the operators document: the carried
     frame is vertex-cardinality data, so the default 8 fits bench
