@@ -1039,3 +1039,52 @@ def q_cohens_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(pe, 6).alias("expected_agreement"),
         round_det(kappa, 6).alias("kappa"),
     )
+
+
+def q_token_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length quartiles under the NEAREST-RANK
+    convention — the distributional upgrade of seq_length_histogram's
+    fixed-width buckets, and the per-source view every mixing/packing
+    decision starts from (sources with long tails pack differently
+    than uniform ones) (round 11).
+
+    Exactness: token counts are exact longs over the shared whitespace
+    tokenizer; nearest-rank picks (rank == ceil(q·n) in the
+    (n_tokens, doc_id) total order) are MEMBERS of the data, so the
+    result is engine-deterministic with no interpolation grid.
+
+    Scale: source is enumeration-bounded (~dozens) with corpus-sized
+    groups — exactly the grouped_two_phase_rank contract (a per-source
+    rank window would funnel each source through ONE task; the
+    composite-key range exchange splits every source across
+    partitions); the final rollup has one row per source."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import grouped_two_phase_rank
+    from kickstarter_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("_nt")
+    )
+    ranked = grouped_two_phase_rank(
+        docs, ["source"], ["_nt", "doc_id"], n_col="_n"
+    ).withColumnRenamed("rank_in_group", "_rn")
+    picks = [("p25_tokens", 0.25), ("p50_tokens", 0.50), ("p75_tokens", 0.75)]
+    conds = [
+        F.max(
+            F.when(F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")), F.col("_nt"))
+        )
+        .cast("long")
+        .alias(name)
+        for name, q in picks
+    ]
+    return (
+        ranked.groupBy("source")
+        .agg(F.max("_n").alias("n_docs"), *conds)
+        .select(
+            "source",
+            "n_docs",
+            "p25_tokens",
+            "p50_tokens",
+            "p75_tokens",
+            (F.col("p75_tokens") - F.col("p25_tokens")).cast("long").alias("iqr_tokens"),
+        )
+    )

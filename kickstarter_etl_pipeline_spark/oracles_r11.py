@@ -47,3 +47,25 @@ ORACLES_R11["degree_histogram"] = f"""
            CAST(max(degree) AS BIGINT) AS max_degree
     FROM deg GROUP BY 1
 """
+
+# FULL twin of q_token_length_quartiles_by_source: identical
+# whitespace tokenization (_TOKS convention), nearest-rank picks
+# (rank == ceil(q*n)) over the same (n_tokens, doc_id) per-source
+# total order; all outputs exact BIGINTs.
+ORACLES_R11["token_length_quartiles_by_source"] = """
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+               FROM documents),
+    ranked AS (
+      SELECT source, nt,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM t)
+    SELECT source, max(n) AS n_docs,
+           CAST(max(CASE WHEN rn = ceil(0.25 * n) THEN nt END) AS BIGINT) AS p25_tokens,
+           CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN nt END) AS BIGINT) AS p50_tokens,
+           CAST(max(CASE WHEN rn = ceil(0.75 * n) THEN nt END) AS BIGINT) AS p75_tokens,
+           CAST(max(CASE WHEN rn = ceil(0.75 * n) THEN nt END)
+                - max(CASE WHEN rn = ceil(0.25 * n) THEN nt END) AS BIGINT) AS iqr_tokens
+    FROM ranked GROUP BY source
+"""
