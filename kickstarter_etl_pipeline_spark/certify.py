@@ -15,6 +15,21 @@ Usage (writes the judge-facing same-round all-registry signal)::
 With 234 registered queries and a 50-query driver window, full driver
 re-certification takes ~5 rounds; this module closes that gap by
 landing a same-round all-registry result file in the repo each round.
+
+Sharding (r12, VERDICT r11 task 3 — the sweep is ~330 s at 309 queries
+and the registry keeps growing): ``--shard I/N`` certifies every N-th
+query of the full sorted registry starting at index I, so N processes
+sharing only the parquet inputs (each builds its own SparkSession and
+DuckDB connection) cover the registry in ~1/N the wall clock::
+
+    python -m ...certify --shard 0/2 --out /tmp/c0.json &
+    python -m ...certify --shard 1/2 --out /tmp/c1.json &
+    wait
+    python -m ...certify --merge /tmp/c0.json /tmp/c1.json --out CERTIFY.json
+
+``--merge`` unions the shard files into a JSON byte-identical to a
+single unsharded run except for the timing fields (per-query ``sec``,
+summary ``wall_sec``).
 """
 
 from __future__ import annotations
@@ -48,7 +63,67 @@ def _normalize(pdf):
     return cols, rows
 
 
-def certify(sf_dir: str, out_path: str | None, only: list[str] | None = None) -> dict:
+def _parse_shard(spec: str) -> tuple[int, int]:
+    """Parse ``I/N`` → (I, N), validating 0 <= I < N."""
+    try:
+        idx, n = (int(p) for p in spec.split("/"))
+    except ValueError:
+        raise SystemExit(f"--shard must look like I/N, got {spec!r}")
+    if not 0 <= idx < n:
+        raise SystemExit(f"--shard index out of range: {spec!r}")
+    return idx, n
+
+
+def _shard_names(names: list[str], shard: tuple[int, int] | None) -> list[str]:
+    """Deterministic round-robin shard selection over the SORTED name
+    list — every process computes the same assignment from the registry
+    alone, so shards are disjoint and jointly exhaustive by
+    construction."""
+    if shard is None:
+        return names
+    idx, n = shard
+    return [name for i, name in enumerate(names) if i % n == idx]
+
+
+def merge_shards(paths: list[str], out_path: str | None) -> dict:
+    """Union shard output files into one result JSON with the exact
+    shape of an unsharded run (timing fields excepted): results sorted
+    by name, summary counts recomputed from the union, ``wall_sec`` =
+    sum of shard walls (the serial-equivalent cost)."""
+    shards = [json.load(open(p)) for p in paths]
+    sf_dirs = {s["summary"]["sf_dir"] for s in shards}
+    if len(sf_dirs) > 1:
+        raise SystemExit(f"shards certified different sf dirs: {sorted(sf_dirs)}")
+    results: dict[str, dict] = {}
+    for s in shards:
+        overlap = set(results) & set(s["results"])
+        if overlap:
+            raise SystemExit(f"duplicate query across shards: {sorted(overlap)[:5]}")
+        results.update(s["results"])
+    results = dict(sorted(results.items()))
+    summary = {
+        "sf_dir": sf_dirs.pop(),
+        "total": len(results),
+        "match": sum(r["status"] == "MATCH" for r in results.values()),
+        "mismatch": sum(r["status"] == "MISMATCH" for r in results.values()),
+        "rows_only": sum(r["status"] == "ROWSONLY" for r in results.values()),
+        "error": sum(r["status"] == "ERROR" for r in results.values()),
+        "wall_sec": round(sum(s["summary"]["wall_sec"] for s in shards), 1),
+    }
+    out = {"summary": summary, "results": results}
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    print(json.dumps(summary), flush=True)
+    return out
+
+
+def certify(
+    sf_dir: str,
+    out_path: str | None,
+    only: list[str] | None = None,
+    shard: tuple[int, int] | None = None,
+) -> dict:
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -76,9 +151,10 @@ def certify(sf_dir: str, out_path: str | None, only: list[str] | None = None) ->
         if missing:
             raise SystemExit(f"--only names not in the registry: {missing}")
         queries = {k: v for k, v in queries.items() if k in set(only)}
+    names = _shard_names(sorted(queries), shard)
     results: dict[str, dict] = {}
     t_total = time.monotonic()
-    for name in sorted(queries):
+    for name in names:
         t0 = time.monotonic()
         rec: dict = {"err": None}
         try:
@@ -110,6 +186,8 @@ def certify(sf_dir: str, out_path: str | None, only: list[str] | None = None) ->
         "error": sum(r["status"] == "ERROR" for r in results.values()),
         "wall_sec": round(time.monotonic() - t_total, 1),
     }
+    if shard is not None:
+        summary["shard"] = f"{shard[0]}/{shard[1]}"
     out = {"summary": summary, "results": results}
     if out_path:
         with open(out_path, "w") as fh:
@@ -127,8 +205,30 @@ def main(argv=None) -> int:
         default=None,
         help="comma-separated query names to certify (default: all)",
     )
+    ap.add_argument(
+        "--shard",
+        default=None,
+        help="I/N — certify every N-th sorted registry entry from index I",
+    )
+    ap.add_argument(
+        "--merge",
+        nargs="+",
+        default=None,
+        metavar="SHARD_JSON",
+        help="merge shard output files into one unsharded-shaped JSON",
+    )
     ns = ap.parse_args(argv)
-    out = certify(ns.sf, ns.out, only=ns.only.split(",") if ns.only else None)
+    if ns.merge:
+        if ns.only or ns.shard:
+            raise SystemExit("--merge takes only shard files and --out")
+        out = merge_shards(ns.merge, ns.out)
+    else:
+        out = certify(
+            ns.sf,
+            ns.out,
+            only=ns.only.split(",") if ns.only else None,
+            shard=_parse_shard(ns.shard) if ns.shard else None,
+        )
     s = out["summary"]
     return 0 if s["mismatch"] == 0 and s["error"] == 0 else 1
 

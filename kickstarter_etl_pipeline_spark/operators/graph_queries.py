@@ -386,3 +386,53 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("degree").cast("long").alias("max_degree"),
         )
     )
+
+
+def q_cooccurrence_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-cap audit for the co-occurrence graph device (round
+    12, ADVICE r11): the cap's above-threshold degradation — users in
+    different sub-buckets of one hot bucket are not connected — is
+    silent at the edge-set level, so this report is the runtime signal
+    consumers run alongside any co-occurrence-derived query. One row:
+    bucket count, capped-bucket count (occupancy > OCCUPANCY_CAP), max
+    occupancy, total nodes, and the emitted vs unsalted pair totals —
+    the sampled-pair fraction is 1 − emitted_pairs/unsalted_pairs,
+    exactly 0 while the cap is disengaged.
+
+    Exactness: all outputs are integer arithmetic on exact longs. A
+    bucket of occupancy n splits into floor(n/cap) full sub-buckets of
+    C(cap,2) pairs plus one remainder of C(n mod cap, 2); the unsalted
+    count is C(n,2). Integer DIV by 2 is exact (k·(k−1) is even).
+
+    Scale: one O(events) scan → distinct (bucket, user) →
+    bucket-keyed count (uniform key, no fan-out: this audit never
+    builds pairs, so it is safe to run at ANY occupancy — including
+    the storms the cap exists for) → single-row rollup."""
+    from kickstarter_etl_pipeline_spark.operators.graph import OCCUPANCY_CAP
+
+    cap = OCCUPANCY_CAP
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    nodes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.floor(F.col("_us") / (1800 * 1_000_000)).cast("long").alias("_bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    occ = nodes.groupBy("_bucket").agg(F.count("*").cast("long").alias("occ"))
+    emitted = F.expr(
+        f"(occ DIV {cap}) * {cap * (cap - 1) // 2}"
+        f" + (occ % {cap}) * (occ % {cap} - 1) DIV 2"
+    )
+    unsalted = F.expr("occ * (occ - 1) DIV 2")
+    return occ.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("occ") > cap, 1).otherwise(0)).cast("long").alias(
+            "capped_buckets"
+        ),
+        F.max("occ").cast("long").alias("max_occupancy"),
+        F.sum("occ").cast("long").alias("total_nodes"),
+        F.sum(emitted).cast("long").alias("emitted_pairs"),
+        F.sum(unsalted).cast("long").alias("unsalted_pairs"),
+    )

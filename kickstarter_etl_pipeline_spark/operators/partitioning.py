@@ -122,3 +122,34 @@ def loop_frame(df: DataFrame, n: int | None, *keys: str) -> DataFrame:
     if n:
         df = df.repartition(int(n), *keys) if keys else df.repartition(int(n))
     return df.localCheckpoint(eager=True)
+
+
+def isolated_session(spark: SparkSession, confs: dict[str, str]) -> SparkSession:
+    """Return a child ``SparkSession`` with an ISOLATED SQLConf carrying
+    ``confs``, sharing the parent's SparkContext and cached data.
+
+    This is the sanctioned way to run a query under a different
+    ``spark.sql.shuffle.partitions`` (or any session conf): Structured
+    Streaming pins its state-store partition count from that conf at
+    query start and exposes no per-query API, so a right-sized stateful
+    query NEEDS a different value than the session default. The retired
+    pattern — set/restore on the shared session around a synchronous
+    run — was a concurrency trap in miniature: any batch query planned
+    on the shared session inside the bracket silently inherited the
+    override. ``newSession()`` removes the shared state entirely: the
+    child has its own SQLConf and temp-view namespace but shares the
+    SparkContext, external catalog, and cached RDDs, so there is no
+    second JVM, no second UI, and nothing to restore.
+
+    The conf mutation below targets the FRESH child session only —
+    never a session the caller shares — which is why the structural
+    tripwire (tests/test_graph_scale.py) whitelists exactly this
+    function and nothing else.
+
+    Callers must read any memory-sink table through the RETURNED
+    session (temp views are per-session).
+    """
+    child = spark.newSession()
+    for key, value in confs.items():
+        child.conf.set(key, value)
+    return child

@@ -637,6 +637,10 @@ def q_price_quartiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p25",
             "p50",
             "p75",
-            F.round(F.col("p75") - F.col("p25"), 2).alias("iqr"),
+            # round_det, not F.round: iqr is a DERIVED double (p75−p25),
+            # so the repo's floor(x*10^k+0.5)/10^k convention applies —
+            # Spark's BigDecimal HALF_UP vs DuckDB round() could desync
+            # on a difference landing near a .005 boundary (ADVICE r11).
+            round_det(F.col("p75") - F.col("p25"), 2).alias("iqr"),
         )
     )

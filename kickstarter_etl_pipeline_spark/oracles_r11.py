@@ -28,8 +28,9 @@ ORACLES_R11["price_quartiles_by_brand"] = """
            max(CASE WHEN rn = ceil(0.25 * n) THEN l_extendedprice END) AS p25,
            max(CASE WHEN rn = ceil(0.5 * n) THEN l_extendedprice END) AS p50,
            max(CASE WHEN rn = ceil(0.75 * n) THEN l_extendedprice END) AS p75,
-           round(max(CASE WHEN rn = ceil(0.75 * n) THEN l_extendedprice END)
-                 - max(CASE WHEN rn = ceil(0.25 * n) THEN l_extendedprice END), 2) AS iqr
+           floor((max(CASE WHEN rn = ceil(0.75 * n) THEN l_extendedprice END)
+                  - max(CASE WHEN rn = ceil(0.25 * n) THEN l_extendedprice END))
+                 * 100 + 0.5) / 100.0 AS iqr
     FROM ranked GROUP BY p_brand
 """
 

@@ -46,10 +46,24 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply required runtime confs to an existing session (idempotent)."""
+    """Apply required runtime confs to an existing session (idempotent).
+
+    ``spark.sql.shuffle.partitions`` is special-cased: the intent of
+    that entry is to fix Spark's wasteful out-of-the-box 200 on
+    externally-provided sessions, NOT to stomp a deliberately sized
+    session — an ``isolated_session`` child pinning a small state-store
+    partition count for a streaming query must keep its value even
+    though every streaming reader funnels through here.
+    """
     for key, value in RUNTIME_CONFS.items():
         try:
-            if spark.conf.get(key, None) != value:
+            current = spark.conf.get(key, None)
+            if key == "spark.sql.shuffle.partitions" and current not in (
+                None,
+                "200",
+            ):
+                continue
+            if current != value:
                 spark.conf.set(key, value)
         except Exception:
             # Static conf on this build — keep going; readers degrade

@@ -23,6 +23,7 @@ def _checkpoint_dir(prefix: str) -> str:
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kickstarter_etl_pipeline_spark import schemas
+from kickstarter_etl_pipeline_spark.operators.partitioning import isolated_session
 from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.session import ensure_runtime_confs
 
@@ -531,7 +532,10 @@ def streaming_hourly_daily_rollup(
 
     ``state_partitions`` sizes the stateful shuffles (pinned by
     ``spark.sql.shuffle.partitions`` at checkpoint creation, applied
-    just for this query and restored after). Unlike a batch shuffle,
+    on an ISOLATED child session — ``isolated_session`` /
+    ``newSession()`` — so the caller's shared session conf is never
+    touched and no concurrent batch query can inherit the override;
+    the round-11 set/restore bracket is retired). Unlike a batch shuffle,
     the right count here tracks STATE cardinality, not input volume:
     map-side partial aggregation means the exchange carries
     (partitions × open-group) partial rows, and the state itself is
@@ -543,7 +547,16 @@ def streaming_hourly_daily_rollup(
     reasoning holds — raise it only if open-window × type cardinality
     grows to need it.
     """
-    stream = read_events_stream(spark, sf_dir)
+    # Streaming pins its state partitioning from the session conf at
+    # query start (fresh checkpoint every call, so it always applies).
+    # Plan the ENTIRE query — source to sink — on an isolated child
+    # session so the shared session's conf is never mutated; the memory
+    # sink's temp view is per-session, so the result is read back
+    # through the child too.
+    child = isolated_session(
+        spark, {"spark.sql.shuffle.partitions": str(state_partitions)}
+    )
+    stream = read_events_stream(child, sf_dir)
     hourly = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -571,25 +584,16 @@ def streaming_hourly_daily_rollup(
     )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     checkpoint = _checkpoint_dir("ks_stream_ckpt_")
-    # Streaming pins its state partitioning from this conf at query
-    # start (fresh checkpoint every call, so it always applies); the
-    # AvailableNow run is synchronous, so set/restore brackets exactly
-    # this query.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        query = (
-            daily.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    query = (
+        daily.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return child.table(name)
 
 
 def stream_hourly_daily_append_parquet(

@@ -150,32 +150,78 @@ def test_wedge_degree_cap_inert_below_cap(spark):
     assert capped == uncapped and len(capped) > 0
 
 
-def test_no_session_conf_mutation_in_operators():
-    """Round-11 structural tripwire (VERDICT r10 task 4's Done
-    criterion): no operator module may mutate session-global
-    ``spark.sql.shuffle.partitions`` — the retired
-    loop_shuffle_partitions trap, where a concurrent query on the same
-    SparkSession silently inherited a loop's tiny partition count.
-    Iterative operators pin their loop frames per-frame (loop_frame);
-    control-loop collects use a narrow coalesce. The ONE sanctioned
-    set/restore lives in streaming/events_stream.py: Structured
-    Streaming pins its state-store partition count from this conf at
-    query start and exposes no per-query API, and the bracketed
-    AvailableNow run is synchronous."""
+def test_no_session_conf_mutation_anywhere():
+    """Round-12 structural tripwire (VERDICT r11 task 2's Done
+    criterion, tightening the round-11 operators/-only scan): NO module
+    in the package — operators, streaming, sources, functions, plans,
+    root — may mutate a shared session's
+    ``spark.sql.shuffle.partitions``. The retired traps: the
+    loop_shuffle_partitions context manager (r11) and streaming's
+    set/restore bracket around an AvailableNow run (r12) — in both, a
+    query planned concurrently on the same SparkSession silently
+    inherited the override. Iterative operators pin their loop frames
+    per-frame (loop_frame); streaming queries that need a right-sized
+    state-store partition count plan on an ``isolated_session``
+    (``newSession()``) child whose SQLConf is private. The ONLY
+    allowed textual occurrence is inside ``isolated_session`` itself
+    (operators/partitioning.py), which provably targets a fresh
+    ``newSession()`` result, never a shared session."""
     import pathlib
+    import re
 
-    ops_dir = (
+    pkg_dir = (
         pathlib.Path(__file__).resolve().parent.parent
         / "kickstarter_etl_pipeline_spark"
-        / "operators"
     )
     offenders = []
-    for py in sorted(ops_dir.glob("*.py")):
+    for py in sorted(pkg_dir.rglob("*.py")):
         src = py.read_text()
-        if 'conf.set("spark.sql.shuffle.partitions"' in src or (
-            "conf.set('spark.sql.shuffle.partitions'" in src
+        if not (
+            'conf.set("spark.sql.shuffle.partitions"' in src
+            or "conf.set('spark.sql.shuffle.partitions'" in src
         ):
-            offenders.append(py.name)
+            continue
+        offenders.append(str(py.relative_to(pkg_dir)))
     assert not offenders, (
-        f"session-global shuffle-partitions mutation in operators: {offenders}"
+        f"direct session shuffle-partitions mutation (use "
+        f"isolated_session instead): {offenders}"
     )
+    # Structural check on the sanctioned device: isolated_session's
+    # conf.set receiver must be the fresh newSession() child, and the
+    # helper must never touch the parent session's conf.
+    src = (pkg_dir / "operators" / "partitioning.py").read_text()
+    body = src.split("def isolated_session", 1)[1]
+    assert "child = spark.newSession()" in body
+    assert re.search(r"\bchild\.conf\.set\(key, value\)", body)
+    assert "spark.conf.set" not in body, (
+        "isolated_session must never touch the parent session's conf"
+    )
+
+
+def test_cap_report_matches_actual_edge_count(spark):
+    """The r12 observability query (cooccurrence_cap_report) must agree
+    with the device it audits: on a synthetic above-cap hot bucket its
+    emitted_pairs equals the ACTUAL cooccurrence_edges row count, its
+    unsalted_pairs equals C(n, 2), and capped_buckets flags the bucket."""
+    from kickstarter_etl_pipeline_spark.operators.graph_queries import (
+        q_cooccurrence_cap_report,
+    )
+
+    n = 150
+    ev = EV.with_unix_micros(_hot_bucket_events(spark, n))
+    actual_edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800).count()
+
+    # Drive the report over the same events by writing them as a
+    # one-table sf dir the query loader can read.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        _hot_bucket_events(spark, n).write.parquet(f"{d}/events.parquet")
+        row = q_cooccurrence_cap_report(spark, d).collect()[0]
+    assert row.n_buckets == 1
+    assert row.capped_buckets == 1
+    assert row.max_occupancy == n
+    assert row.total_nodes == n
+    assert row.emitted_pairs == actual_edges
+    assert row.unsalted_pairs == n * (n - 1) // 2
+    assert row.emitted_pairs < row.unsalted_pairs
