@@ -120,6 +120,16 @@ BENCH_QUERIES = [
     # reduces, bounded self-joins).
     "markov_stationary",
     "winnowing_fingerprints",
+    # round 12 (VERDICT r11 task 7): the multimodal decode path gets a
+    # bench-scale canary — media_frame_stats drives the Arrow-batched
+    # mapInPandas frame sampler over the binary payload column (the
+    # only cost model in the registry that crosses the Python boundary
+    # per batch; 0.8-2.3 s min-of-3 probe at sf0.1), and the new
+    # stateful pattern detector rides the applyInPandasWithState state
+    # store, which events_stream_hourly_daily (JVM-side windowed aggs)
+    # does not exercise.
+    "media_frame_stats",
+    "events_stream_conversions",
 ]
 
 

@@ -36,3 +36,26 @@ ORACLES_R12["cooccurrence_cap_report"] = f"""
            CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS unsalted_pairs
     FROM pb
 """
+
+# FULL twin of q_events_stream_conversions: for each purchase, the
+# user's latest preceding click in the same (us, event_id) total order
+# the stateful fold processes — last_value(... IGNORE NULLS) over rows
+# UNBOUNDED PRECEDING..1 PRECEDING replays the "last-observation
+# register" state exactly; the 10-minute window literal must stay in
+# lockstep with streaming.stateful.CONVERSION_WINDOW_US (2 h).
+ORACLES_R12["events_stream_conversions"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    reg AS (SELECT user_id, event_type, us,
+                   last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS click_us
+            FROM e)
+    SELECT user_id, CAST(click_us AS BIGINT) AS click_us,
+           CAST(us AS BIGINT) AS purchase_us,
+           CAST(us - click_us AS BIGINT) AS latency_us
+    FROM reg
+    WHERE event_type = 'purchase' AND click_us IS NOT NULL
+      AND us - click_us <= 7200000000
+"""

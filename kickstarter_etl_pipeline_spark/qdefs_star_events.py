@@ -772,3 +772,16 @@ def q_events_stream_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_purchase_click_join(
         spark, sf_dir, how="left_outer", unmatched_only=True
     )
+
+
+def q_events_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom-stateful streaming SHAPE (round 12, VERDICT r11
+    task 7): cross-event-type pattern detection — each purchase within
+    2 hours of the user's latest preceding click emits a conversion
+    row, last-touch attribution, single-long state per user
+    (applyInPandasWithState, NoTimeout). Deterministic under the finite
+    AvailableNow replay, so it gets a FULL SQL oracle (IGNORE NULLS
+    last_value window over the same (ts, event_id) total order)."""
+    from kickstarter_etl_pipeline_spark.streaming.stateful import stateful_conversions
+
+    return stateful_conversions(spark, sf_dir)

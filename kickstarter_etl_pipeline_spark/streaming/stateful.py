@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -182,6 +182,122 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = _checkpoint_dir("ks_stateful_ckpt_")
     query = (
         sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+CONVERSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+        T.StructField("latency_us", T.LongType()),
+    ]
+)
+
+CLICK_STATE_SCHEMA = T.StructType([T.StructField("last_click_us", T.LongType())])
+
+#: A purchase converts iff it lands within 2 hours of the user's
+#: most recent preceding click. Must stay in lockstep with the DuckDB
+#: twin's literal (oracles_r12.events_stream_conversions).
+CONVERSION_WINDOW_US = 2 * 3600 * 1_000_000
+
+
+def _conversion_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Cross-event-type pattern detector (click → purchase within the
+    window): state is ONE long per user — the most recent click's µs
+    timestamp — so state size is bounded by live keys no matter how
+    long the stream runs; a purchase emits a conversion row the moment
+    it arrives (append mode, no end-of-window wait). A later click
+    simply overwrites the state: each purchase attributes to the
+    LATEST preceding click, the last-touch model."""
+    (user_id,) = key
+    last_click = state.get[0] if state.exists else None
+    out = None
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        # Concat-then-sort for the same global (ts, event_id) fold order
+        # as the SQL twin (see _session_fn's chunking note). The register
+        # fold is VECTORIZED, unlike the sessionizers' accumulator fold:
+        # "latest preceding click" is a forward-fill of click timestamps
+        # seeded with the carried state — a purchase row contributes NaN
+        # to the fill source, so its filled value is exactly the last
+        # click strictly before it in the total order. Timestamps stay
+        # exact: int64 µs throughout (NaN only as the fill sentinel, and
+        # float64 holds µs epochs < 2^53 exactly).
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+        is_click = (pdf["event_type"] == "click").to_numpy()
+        click_us = (
+            pd.Series(us, dtype="float64")
+            .where(pd.Series(is_click))
+            .ffill()
+            .fillna(float("nan") if last_click is None else float(last_click))
+            .to_numpy()
+        )
+        hit = (
+            ~is_click
+            & ~pd.isna(click_us)
+            & (us - click_us <= CONVERSION_WINDOW_US)
+        )
+        if hit.any():
+            c = click_us[hit].astype("int64")
+            p = us[hit]
+            out = pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "click_us": c,
+                    "purchase_us": p,
+                    "latency_us": p - c,
+                }
+            )
+        if is_click.any():
+            last_click = int(us[is_click][-1])
+    state.update((last_click,))
+    if out is not None:
+        yield out
+
+
+def stateful_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the click→purchase conversion detector over the events
+    fixture (AvailableNow) and return the emitted rows.
+
+    This is the second custom-stateful SHAPE next to the sessionizers:
+    pattern matching ACROSS event types with single-value state, the
+    streaming analog of the as-of join — where the sessionizer's state
+    is an accumulator, this state is a watermark-free last-observation
+    register. The event-type filter is pushed BELOW the stateful
+    operator (plain streaming filter), so only click/purchase rows
+    shuffle to the state store.
+
+    Deterministic under the finite replay: the emitted set is exactly
+    "every purchase within CONVERSION_WINDOW_US of the user's latest
+    preceding click in (ts, event_id) order", which the DuckDB twin
+    expresses with an IGNORE NULLS last_value window — no watermark
+    bookkeeping involved (NoTimeout; clicks never expire, they are
+    overwritten)."""
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    conv = stream.groupBy("user_id").applyInPandasWithState(
+        _conversion_fn,
+        outputStructType=CONVERSION_SCHEMA,
+        stateStructType=CLICK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_conv_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_stateful_conv_ckpt_")
+    query = (
+        conv.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint)

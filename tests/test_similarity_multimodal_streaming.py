@@ -195,3 +195,79 @@ def test_frame_sampling_fanout(spark, sf_dir):
     assert all(
         hashlib.md5(bytes(r["frame_payload"])).hexdigest() == r["frame_md5"] for r in got
     )
+
+
+def test_stateful_conversions_state_carries_across_batches(spark, tmp_path):
+    """The conversion register must survive micro-batch boundaries: a
+    click arriving in batch 1 attributes a purchase arriving in batch 2
+    (maxFilesPerTrigger=1 forces one file per batch). Pins the
+    state-seeding half of the vectorized ffill fold, which a
+    single-batch replay never exercises."""
+    import datetime
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kickstarter_etl_pipeline_spark.streaming.stateful import (
+        CLICK_STATE_SCHEMA,
+        CONVERSION_SCHEMA,
+        _conversion_fn,
+    )
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        _checkpoint_dir,
+        read_events_raw_stream,
+    )
+
+    import glob as _glob
+    import os
+    import shutil
+
+    base = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+
+    def _write(name, rows, mtime):
+        """One flat parquet FILE directly under d (the stream source
+        dir), with a pinned mtime so batch order is deterministic."""
+        tmp = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(
+            rows, "ts timestamp, event_id long, user_id long, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = _glob.glob(f"{tmp}/part-*.parquet")
+        dst = f"{d}/{name}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # file 1: user 7 clicks; user 8 purchases with NO preceding click
+    _write("e1", [(base, 1, 7, "click", 1.0), (base, 2, 8, "purchase", 2.0)], 1_000_000_000)
+    # file 2 (later mtime): user 7 purchases 30 min after the click
+    _write(
+        "e2",
+        [(base + datetime.timedelta(minutes=30), 3, 7, "purchase", 3.0)],
+        1_000_000_600,
+    )
+
+    stream = read_events_raw_stream(
+        spark, d, glob="*.parquet", max_files_per_trigger=1
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    conv = stream.groupBy("user_id").applyInPandasWithState(
+        _conversion_fn,
+        outputStructType=CONVERSION_SCHEMA,
+        stateStructType=CLICK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"conv_carry_{_uuid.uuid4().hex[:8]}"
+    q = (
+        conv.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir("ks_conv_carry_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {tuple(r) for r in spark.table(name).collect()}
+    us = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert rows == {(7, us, us + 30 * 60 * 1_000_000, 30 * 60 * 1_000_000)}
