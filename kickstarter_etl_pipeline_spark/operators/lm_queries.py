@@ -1769,3 +1769,43 @@ def q_dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logweight_nats"),
         )
     )
+
+
+def q_frame_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media FRAME-level exact dedup (round 12): the multimodal
+    analog of document exact-dedup — identical sampled frames appearing
+    in more than one place (repeated intros/outros/watermark cards in
+    video, boilerplate pages in scanned docs) ranked by occurrence.
+    Top 50 duplicated frames by (n_occurrences DESC, n_media DESC,
+    frame_md5 ASC) — frame_md5 is unique per group, so the order is a
+    deterministic total order.
+
+    Cross-engine contract: the frame chunker is the deterministic
+    byte-stride sampler (multimodal.sample_frames); its md5 IS graded
+    here — the DuckDB twin re-chunks with substring() on the source
+    text and hashes with md5(VARCHAR), which equals hashlib.md5 of the
+    UTF-8 bytes on the ASCII-safe fixtures (same device as the graph
+    tier's md5-ordered ranking).
+
+    Scale: bounded 1→≤8 fan-out, md5-keyed aggregate (uniform 128-bit
+    key — no skew by construction), bounded top-k via sort-limit."""
+    from kickstarter_etl_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_media(docs), every_n_bytes=64, max_frames=8)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+            F.max(F.length("frame_payload")).cast("long").alias("frame_bytes"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(
+            F.col("n_occurrences").desc(), F.col("n_media").desc(), "frame_md5"
+        )
+        .limit(50)
+    )

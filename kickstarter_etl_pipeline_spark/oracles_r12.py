@@ -59,3 +59,25 @@ ORACLES_R12["events_stream_conversions"] = """
     WHERE event_type = 'purchase' AND click_us IS NOT NULL
       AND us - click_us <= 7200000000
 """
+
+# FULL twin of q_frame_dedup_report: replays the 64-byte stride / ≤8
+# frame chunk schedule on the source text (character slicing ==
+# byte slicing on the ASCII-safe fixtures, the media_frame_stats
+# convention) and hashes chunks with md5(VARCHAR) — equal to the Spark
+# side's hashlib.md5 over the UTF-8 chunk bytes.
+ORACLES_R12["frame_dedup_report"] = """
+    WITH m AS (SELECT doc_id AS media_id, text,
+                      CAST(length(text) AS BIGINT) AS n_bytes
+               FROM documents),
+    fr AS (SELECT media_id,
+                  substring(text, CAST(r.i * 64 + 1 AS BIGINT), 64) AS chunk
+           FROM m, unnest(range(0, least(8, greatest(1, n_bytes // 64)))) AS r(i))
+    SELECT md5(chunk) AS frame_md5,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(max(length(chunk)) AS BIGINT) AS frame_bytes
+    FROM fr GROUP BY md5(chunk)
+    HAVING count(*) > 1
+    ORDER BY n_occurrences DESC, n_media DESC, frame_md5
+    LIMIT 50
+"""
