@@ -534,3 +534,35 @@ def test_star_flagship_single_fact_shuffle_no_bnlj(spark, sf_dir):
     assert all("state_name" in l for l in dim_only), (
         f"unexpected non-dim hash exchange in the flagship plan: {dim_only}"
     )
+
+
+def test_frame_dedup_topk_has_no_global_sort(spark, sf_dir):
+    """frame_dedup_report's top-50 must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge of 50-row candidates), never a
+    global Sort — the difference between O(k) and a full-shuffle sort
+    of every duplicated frame group at 100 TB. Also: no joins at all;
+    the whole query is one fan-out + one md5-keyed aggregate."""
+    from kickstarter_etl_pipeline_spark.queries import q_frame_dedup_report
+
+    plan = explain_str(q_frame_dedup_report(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    sort_lines = [
+        l for l in plan.splitlines() if l.strip().startswith("(") and ") Sort" in l
+    ]
+    assert not sort_lines, f"global sort in a top-k plan: {sort_lines}"
+
+
+def test_cap_report_never_builds_pairs(spark, sf_dir):
+    """cooccurrence_cap_report must stay safe to run at ANY occupancy —
+    the audit of the pair-join device must itself never pair-join: no
+    join operators, exactly the scan → distinct → bucket-count →
+    single-row rollup pipeline."""
+    from kickstarter_etl_pipeline_spark.queries import q_cooccurrence_cap_report
+
+    plan = explain_str(q_cooccurrence_cap_report(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, (
+        "the audit must not rank users (the device's single-task "
+        "bound must not apply to its own observability query):\n" + plan
+    )
