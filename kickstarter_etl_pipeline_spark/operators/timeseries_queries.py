@@ -410,3 +410,87 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(F.col("_y64"), 6).alias("mean_log_rs_64"),
         round_det(hurst, 6).alias("hurst_exponent"),
     )
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, α = 0.3,
+    β = 0.1) over each order priority's daily revenue series, with a
+    7-step-ahead linear forecast and the in-sample one-step MAE — the
+    trend-aware upgrade of the EWMA smoother (round 12; closes the
+    blocker recorded at the round-9 close).
+
+    The recurrence is DEFINED in pure integer micro-dollars with
+    truncating division (α = 3/10, β = 1/10 exactly):
+        pred_t = l_{t−1} + b_{t−1}
+        l_t    = (3·y_t + 7·pred_t) div 10
+        b_t    = ((l_t − l_{t−1}) + 9·b_{t−1}) div 10
+        sae_t  = sae_{t−1} + |y_t − pred_t|
+    seeded l_1 = y_1, b_1 = 0. Every state is an exact integer, so the
+    sequential fold needs NO rounding grid at all — stronger than the
+    EWMA/pagerank 1e-9-grid contract. What un-blocked the oracle is the
+    twin's shape: the two-float state that DuckDB's struct-lambda
+    ``list_reduce`` cannot carry is just two BIGINT columns of a
+    recursive CTE (WITH RECURSIVE over the per-series row_number
+    spine) — no lambda anywhere. Truncating division is written
+    ``(a − a % 10) / 10`` through an exact decimal(38,0) divide on
+    Spark and ``//`` on DuckDB; both truncate toward zero (verified:
+    −7 // 2 = −3) and the subtraction makes the quotient exact either
+    way. The final level/trend/forecast/MAE are single fixed IEEE
+    trees over those integers, snapped to 6 dp.
+
+    Scale: one priority-keyed aggregate (5 groups) collects each
+    series in sorted order; the fold is per-row JVM expression work —
+    O(days) per group, the same posture as events_ewma (window the
+    series before folding at extreme lengths). No all-pairs, no
+    Python."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority"), F.to_date("o_orderdate").alias("_day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 1_000_000)
+        .cast("long")
+        .alias("_y")
+    )
+    grouped = daily.groupBy("o_orderpriority").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_day", "_y"))), lambda s: s._y
+        ).alias("_ys")
+    )
+
+    def _td10(a):
+        # truncating integer division by 10, exact at any magnitude:
+        # (a − a % 10) is divisible by 10, and the decimal(38,0)
+        # divide of a divisible value is exact before the long cast.
+        return ((a - a % 10).cast("decimal(38,0)") / F.lit(10)).cast("long")
+
+    zero = F.struct(
+        F.element_at(F.col("_ys"), 1).alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("sae"),
+    )
+
+    def step(acc, y):
+        pred = acc.l + acc.b
+        l2 = _td10(F.lit(3) * y + F.lit(7) * pred)
+        b2 = _td10(l2 - acc.l + F.lit(9) * acc.b)
+        return F.struct(
+            l2.alias("l"), b2.alias("b"), (acc.sae + F.abs(y - pred)).alias("sae")
+        )
+
+    folded = F.aggregate(F.expr("slice(_ys, 2, size(_ys) - 1)"), zero, step)
+    n = F.size("_ys").cast("long")
+    return grouped.select(
+        "o_orderpriority",
+        n.alias("n_days"),
+        round_det(folded.l.cast("double") / F.lit(1_000_000.0), 6).alias("level"),
+        round_det(folded.b.cast("double") / F.lit(1_000_000.0), 6).alias("trend"),
+        round_det(
+            (folded.l + F.lit(7) * folded.b).cast("double") / F.lit(1_000_000.0), 6
+        ).alias("forecast_7d"),
+        round_det(
+            folded.sae.cast("double")
+            / (n - F.lit(1)).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mae_one_step"),
+    )

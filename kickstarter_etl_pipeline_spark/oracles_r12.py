@@ -81,3 +81,48 @@ ORACLES_R12["frame_dedup_report"] = """
     ORDER BY n_occurrences DESC, n_media DESC, frame_md5
     LIMIT 50
 """
+
+
+# FULL twin of q_holt_linear_forecast: the two-BIGINT Holt state
+# (level, trend) that list_reduce's struct lambda could not carry
+# (the round-9 blocker) rides a recursive CTE over the per-priority
+# row_number spine instead — no lambda anywhere. Pure integer
+# micro-dollar arithmetic with truncating division: DuckDB `//`
+# truncates toward zero exactly like the Spark side's
+# (a − a % 10) / 10 decimal divide, and the subtraction makes the
+# quotient exact under either rounding. l₂'s expression is repeated
+# inside b₂ (a recursive SELECT cannot reference its own aliases);
+# both occurrences are the same integer expression, so the repeat is
+# value-identical, mirroring the Spark fold reusing the l2 Column.
+ORACLES_R12["holt_linear_forecast"] = """
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1, 2),
+    ord AS MATERIALIZED (
+      SELECT pri, y,
+             CAST(row_number() OVER (PARTITION BY pri ORDER BY d) AS BIGINT) AS t
+      FROM daily),
+    nd AS MATERIALIZED (SELECT pri, max(t) AS n_days FROM ord GROUP BY pri),
+    holt AS (
+      SELECT pri, t, y AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+      FROM ord WHERE t = 1
+      UNION ALL
+      SELECT o.pri, o.t,
+             (3 * o.y + 7 * (h.l + h.b)) // 10,
+             ((3 * o.y + 7 * (h.l + h.b)) // 10 - h.l + 9 * h.b) // 10,
+             h.sae + abs(o.y - (h.l + h.b))
+      FROM holt h JOIN ord o ON o.pri = h.pri AND o.t = h.t + 1)
+    SELECT h.pri AS o_orderpriority,
+           nd.n_days,
+           floor(CAST(h.l AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+             AS level,
+           floor(CAST(h.b AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+             AS trend,
+           floor(CAST(h.l + 7 * h.b AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+             / 1000000.0 AS forecast_7d,
+           floor(CAST(h.sae AS DOUBLE) / CAST(nd.n_days - 1 AS DOUBLE)
+                 / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS mae_one_step
+    FROM holt h JOIN nd ON nd.pri = h.pri AND h.t = nd.n_days
+"""
