@@ -668,6 +668,90 @@ def bfs_depths(
     return visited.select(F.col("_id").alias("id"), "depth")
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    pivots: int = 8,
+    rounds: int = 6,
+    u: str = "u",
+    v: str = "v",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Pivot-sampled harmonic centrality (Boldi & Vigna, "Axioms for
+    Centrality", 2014; the HyperBall estimand) — the closeness-family
+    centrality the graph tier lacked. EXACT betweenness/closeness need
+    all-pairs distances (no tractable oracle, the recorded round-9
+    blocker); the standard scalable estimator instead runs BFS from a
+    FIXED sample of pivot vertices and scores every vertex by the
+    inverse distances FROM the pivots: ĥ(x) = Σ_p 1/d(p, x) over
+    pivots p with 0 < d(p, x) ≤ rounds. Pivot selection is the same
+    engine-portable device as the occupancy cap's sub-bucketing: the
+    ``pivots`` smallest vertices by (md5(id-as-string), id) — a
+    deterministic pseudo-random sample, no parameter channel.
+
+    Contract: pure integers end to end. Depths are loop counters
+    ≤ 6 and every 1/d is carried as 60 DIV d (60 = lcm(1..6), exact
+    for every reachable depth), so the per-vertex sum is an exact
+    integer and the final ĥ = sum/60 is ONE IEEE division, snapped to
+    6 dp. The DuckDB twin replays the multi-source frontier expansion
+    as unrolled MATERIALIZED CTE rounds keyed by (pivot, vertex)
+    (device 7). Vertices no pivot reaches produce NO row (inner
+    semantics, mirrored).
+
+    Scale: state is bounded by pivots × vertices and each round is one
+    frontier⋈edges expansion plus one (pivot, vertex)-keyed anti-join —
+    exactly ``pivots`` copies of the bfs_depths cost with K fixed and
+    small, never all-pairs. ``loop_partitions`` sizes the carried
+    frames as in bfs_depths/kcore.
+    """
+    sym = (
+        edges.select(F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v"))
+        .unionByName(
+            edges.select(
+                F.col(v).cast("long").alias("_u"), F.col(u).cast("long").alias("_v")
+            )
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    sym = loop_frame(sym, loop_partitions, "_u")
+    piv = (
+        sym.select(F.col("_u").alias("_p"))
+        .distinct()
+        .orderBy(F.md5(F.col("_p").cast("string")), F.col("_p"))
+        .limit(pivots)
+    )
+    visited = piv.select(
+        "_p", F.col("_p").alias("_id"), F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for t in range(1, rounds + 1):
+        nxt = loop_frame(
+            frontier.select("_p", F.col("_id").alias("_u"))
+            .join(sym, "_u")
+            .select("_p", F.col("_v").alias("_id"))
+            .distinct()
+            .join(visited.select("_p", "_id"), ["_p", "_id"], "left_anti")
+            .select("_p", "_id", F.lit(t).cast("long").alias("depth")),
+            loop_partitions,
+            "_id",
+        )
+        visited = loop_frame(visited.unionByName(nxt), loop_partitions, "_id")
+        frontier = nxt
+    return (
+        visited.filter(F.col("depth") > 0)
+        .groupBy(F.col("_id").alias("id"))
+        .agg(
+            F.count("*").cast("long").alias("n_pivots_reached"),
+            F.sum(F.expr("60 DIV depth")).cast("long").alias("_hx60"),
+        )
+        .select(
+            "id",
+            "n_pivots_reached",
+            (F.col("_hx60").cast("double") / F.lit(60.0)).alias("_harmonic_raw"),
+        )
+    )
+
+
 def spectral_coordinate(
     edges: DataFrame,
     rounds: int = 8,

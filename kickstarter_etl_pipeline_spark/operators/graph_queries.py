@@ -99,6 +99,32 @@ def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled harmonic centrality (8 md5-chosen pivots, 6 BFS
+    rounds) over the 10-minute error co-occurrence graph — the
+    closeness-family centrality completing the tier next to
+    pagerank/HITS (spectral importance), degree, and BFS depth; the
+    scalable stand-in for the exact closeness/betweenness the round-9
+    close recorded as oracle-intractable (all-pairs). Pure integer
+    inverse-distance mass (60 DIV d, 60 = lcm(1..6)); one final IEEE
+    division snapped to 6 dp. The DuckDB twin replays the
+    (pivot, vertex)-keyed frontier expansion as unrolled MATERIALIZED
+    CTE rounds (device 7)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        harmonic_centrality,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    hc = harmonic_centrality(edges, pivots=8, rounds=6)
+    return hc.select(
+        F.col("id").alias("user_id"),
+        "n_pivots_reached",
+        round_det(F.col("_harmonic_raw"), 6).alias("harmonic"),
+    )
+
+
 def q_graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral bipartition coordinate (8 fixed rounds of centered,
     grid-snapped power iteration on the random-walk matrix) over the

@@ -126,3 +126,53 @@ ORACLES_R12["holt_linear_forecast"] = """
                  / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS mae_one_step
     FROM holt h JOIN nd ON nd.pri = h.pri AND h.t = nd.n_days
 """
+
+
+# FULL twin of q_graph_harmonic_centrality: the multi-source BFS
+# unrolls exactly like the single-source _bfs_oracle_sql (device 7 —
+# MATERIALIZED per-round CTEs, each visited set referenced twice) but
+# keyed by (pivot, vertex); the per-pivot anti-membership check is a
+# decorrelated NOT EXISTS on (p, id). Pivots are the 8 smallest
+# vertices by (md5(id-as-string), id) over the symmetrized edge
+# endpoints — the same engine-portable hash order the occupancy cap
+# uses. Inverse distances are carried as exact integers (60 // depth,
+# 60 = lcm(1..6)); the final division and 6-dp snap are the only
+# float ops.
+def _harmonic_oracle_sql(pivots: int = 8, rounds: int = 6) -> str:
+    from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+        cooccurrence_edge_ctes,
+    )
+
+    head = f"""
+        WITH {cooccurrence_edge_ctes(600000000, nodes="hn", edges="he0", materialized=True)},
+        sym AS MATERIALIZED (SELECT u, v FROM he0 UNION SELECT v, u FROM he0),
+        piv AS MATERIALIZED (
+          SELECT p FROM (SELECT DISTINCT u AS p FROM sym)
+          ORDER BY md5(CAST(p AS VARCHAR)), p LIMIT {pivots}),
+        v0 AS MATERIALIZED (
+          SELECT p, p AS id, CAST(0 AS BIGINT) AS depth FROM piv),
+        f0 AS MATERIALIZED (SELECT p, id FROM v0)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f""",
+        f{t} AS MATERIALIZED (
+          SELECT DISTINCT f.p, sym.v AS id
+          FROM f{t - 1} f JOIN sym ON sym.u = f.id
+          WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} vv
+                            WHERE vv.p = f.p AND vv.id = sym.v)),
+        v{t} AS MATERIALIZED (
+          SELECT p, id, depth FROM v{t - 1}
+          UNION ALL SELECT p, id, CAST({t} AS BIGINT) FROM f{t})"""
+        )
+    tail = f"""
+        SELECT id AS user_id,
+               CAST(count(*) AS BIGINT) AS n_pivots_reached,
+               floor(CAST(sum(60 // depth) AS DOUBLE) / 60.0 * 1000000 + 0.5)
+                 / 1000000.0 AS harmonic
+        FROM v{rounds} WHERE depth > 0 GROUP BY id
+    """
+    return head + "".join(steps) + tail
+
+
+ORACLES_R12["graph_harmonic_centrality"] = _harmonic_oracle_sql()
