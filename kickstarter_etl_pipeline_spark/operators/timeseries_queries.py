@@ -479,17 +479,25 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     folded = F.aggregate(F.expr("slice(_ys, 2, size(_ys) - 1)"), zero, step)
     n = F.size("_ys").cast("long")
-    return grouped.select(
+    # Two-stage select: materialize the fold struct ONCE. CollapseProject
+    # refuses to merge the stages because _st is referenced four times
+    # and the fold is non-cheap — without the barrier each output column
+    # re-inlined (and re-executed) the entire O(days) fold.
+    staged = grouped.select(
+        "o_orderpriority", n.alias("n_days"), folded.alias("_st")
+    )
+    st = F.col("_st")
+    return staged.select(
         "o_orderpriority",
-        n.alias("n_days"),
-        round_det(folded.l.cast("double") / F.lit(1_000_000.0), 6).alias("level"),
-        round_det(folded.b.cast("double") / F.lit(1_000_000.0), 6).alias("trend"),
+        "n_days",
+        round_det(st.l.cast("double") / F.lit(1_000_000.0), 6).alias("level"),
+        round_det(st.b.cast("double") / F.lit(1_000_000.0), 6).alias("trend"),
         round_det(
-            (folded.l + F.lit(7) * folded.b).cast("double") / F.lit(1_000_000.0), 6
+            (st.l + F.lit(7) * st.b).cast("double") / F.lit(1_000_000.0), 6
         ).alias("forecast_7d"),
         round_det(
-            folded.sae.cast("double")
-            / (n - F.lit(1)).cast("double")
+            st.sae.cast("double")
+            / (F.col("n_days") - F.lit(1)).cast("double")
             / F.lit(1_000_000.0),
             6,
         ).alias("mae_one_step"),

@@ -566,3 +566,48 @@ def test_cap_report_never_builds_pairs(spark, sf_dir):
         "the audit must not rank users (the device's single-task "
         "bound must not apply to its own observability query):\n" + plan
     )
+
+
+def test_holt_fold_evaluates_once_no_join_no_window(spark, sf_dir):
+    """holt_linear_forecast's sequential fold is O(days) JVM expression
+    work per series — the plan must materialize the fold struct ONCE
+    behind the two-stage select barrier, not re-inline it per output
+    column (the first cut ran the entire fold 4x: level, trend,
+    forecast and MAE each re-evaluated aggregate()). Also: the whole
+    query is scan -> day agg -> priority collect -> project; any Join
+    or Window is a structural regression."""
+    from kickstarter_etl_pipeline_spark.queries import q_holt_linear_forecast
+
+    plan = (
+        q_holt_linear_forecast(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(slice") == 1, (
+        f"Holt fold inlined {plan.count('aggregate(slice')}x — the "
+        "CollapseProject barrier regressed"
+    )
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_harmonic_centrality_final_stage_shape(spark, sf_dir):
+    """graph_harmonic_centrality's visible (post-checkpoint) stage must
+    be exactly the bounded-state rollup: partial+final hash aggregate
+    over the checkpointed (pivot, vertex, depth) table keyed by vertex
+    — no join, no window, no sort. The per-round frontier joins live
+    behind localCheckpoints (same posture as bfs_depths/kcore) and are
+    bounded by pivots x edges per round by construction."""
+    from kickstarter_etl_pipeline_spark.queries import q_graph_harmonic_centrality
+
+    plan = (
+        q_graph_harmonic_centrality(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    assert "HashAggregate" in plan, plan
