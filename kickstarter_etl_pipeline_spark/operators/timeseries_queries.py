@@ -502,3 +502,111 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae_one_step"),
     )
+
+
+def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive smoothing (level + trend + weekly
+    seasonality; α = 3/10, β = 1/10, γ = 1/5) over each order
+    priority's daily revenue — the seasonal completion of the
+    forecasting tier (naive/seasonal-naive MASE floor → EWMA → Holt →
+    Holt-Winters), and the proof the recursive-CTE oracle device
+    extends beyond scalar state: the DuckDB twin carries level, trend,
+    SAE and SEVEN per-weekday seasonal registers as ten BIGINT columns
+    of one recursive CTE, while the Spark side carries the seasonal
+    vector as an array<long> field inside the aggregate() fold struct.
+
+    Pure integer micro-dollars with truncating division throughout
+    (α, β, γ are exact rationals 3/10, 1/10, 1/5):
+        s      = seas[dow_t]
+        pred_t = l + b + s
+        l'     = (3·(y_t − s) + 7·(l + b)) div 10
+        b'     = ((l' − l) + 9·b) div 10
+        seas'[dow_t] = ((y_t − l') + 4·s) div 5      (others unchanged)
+        sae'   = sae + |y_t − pred_t|
+    seeded l₁ = y₁, b₁ = 0, seas ≡ 0. dow is pure integer epoch
+    arithmetic ((epoch_days + 4) mod 7 — the traffic_seasonality
+    device), NOT a calendar function. The seasonal update closes over
+    the array INDEX via a two-argument transform lambda (index is the
+    second argument — the r5 MinHash lesson, used deliberately here).
+
+    Scale: identical posture to holt_linear_forecast — one 5-group
+    collect, O(days) JVM fold per series, fold struct materialized
+    once behind the CollapseProject barrier."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority"), F.to_date("o_orderdate").alias("_day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 1_000_000)
+        .cast("long")
+        .alias("_y")
+    )
+    grouped = daily.groupBy("o_orderpriority").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_date("_day").cast("long").alias("_d"), F.col("_y")
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s._y.alias("y"), ((s._d + 4) % 7).cast("int").alias("dow")
+            ),
+        ).alias("_xs")
+    )
+
+    def _tdiv(a, k: int):
+        # truncating integer division, exact at any magnitude (see
+        # q_holt_linear_forecast).
+        return ((a - a % k).cast("decimal(38,0)") / F.lit(k)).cast("long")
+
+    zeros7 = F.array(*[F.lit(0).cast("long") for _ in range(7)])
+    zero = F.struct(
+        F.element_at(F.col("_xs"), 1).y.alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("sae"),
+        zeros7.alias("s"),
+    )
+
+    def step(acc, x):
+        sd = F.element_at(acc.s, x.dow + F.lit(1))
+        pred = acc.l + acc.b + sd
+        l2 = _tdiv(F.lit(3) * (x.y - sd) + F.lit(7) * (acc.l + acc.b), 10)
+        b2 = _tdiv(l2 - acc.l + F.lit(9) * acc.b, 10)
+        snew = F.transform(
+            acc.s,
+            lambda v, i: F.when(
+                i == x.dow, _tdiv(x.y - l2 + F.lit(4) * v, 5)
+            ).otherwise(v),
+        )
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            (acc.sae + F.abs(x.y - pred)).alias("sae"),
+            snew.alias("s"),
+        )
+
+    folded = F.aggregate(F.expr("slice(_xs, 2, size(_xs) - 1)"), zero, step)
+    n = F.size("_xs").cast("long")
+    staged = grouped.select(
+        "o_orderpriority", n.alias("n_days"), folded.alias("_st")
+    )
+    st = F.col("_st")
+    return staged.select(
+        "o_orderpriority",
+        "n_days",
+        round_det(st.l.cast("double") / F.lit(1_000_000.0), 6).alias("level"),
+        round_det(st.b.cast("double") / F.lit(1_000_000.0), 6).alias("trend"),
+        round_det(
+            F.array_max(st.s).cast("double") / F.lit(1_000_000.0), 6
+        ).alias("season_peak"),
+        round_det(
+            F.array_min(st.s).cast("double") / F.lit(1_000_000.0), 6
+        ).alias("season_trough"),
+        round_det(
+            st.sae.cast("double")
+            / (F.col("n_days") - F.lit(1)).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mae_one_step"),
+    )

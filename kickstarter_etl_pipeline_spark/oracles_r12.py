@@ -176,3 +176,71 @@ def _harmonic_oracle_sql(pivots: int = 8, rounds: int = 6) -> str:
 
 
 ORACLES_R12["graph_harmonic_centrality"] = _harmonic_oracle_sql()
+
+
+# FULL twin of q_holt_winters_forecast: the recursive-CTE state spine
+# generalized to VECTOR state — level, trend, SAE and the seven
+# per-weekday seasonal registers ride as ten BIGINT columns. Every
+# occurrence of s_active / l2 below is the same integer expression
+# repeated (a recursive SELECT cannot reference its own aliases), so
+# the repeats are value-identical to the Spark fold reusing the
+# Columns. dow is pure epoch arithmetic ((days-since-1970 + 4) % 7,
+# the traffic_seasonality device). Truncating `//` mirrors the Spark
+# side's (a − a % k) decimal divide exactly (both toward zero; exact
+# either way after the remainder subtraction).
+def _holt_winters_oracle_sql() -> str:
+    s_active = "CASE " + " ".join(
+        f"WHEN o.dow = {k} THEN h.s{k}" for k in range(7)
+    ) + " END"
+    l2 = f"(3 * (o.y - ({s_active})) + 7 * (h.l + h.b)) // 10"
+    b2 = f"(({l2}) - h.l + 9 * h.b) // 10"
+    sae2 = f"h.sae + abs(o.y - (h.l + h.b + ({s_active})))"
+    seas = ",\n             ".join(
+        f"CASE WHEN o.dow = {k} THEN (o.y - ({l2}) + 4 * h.s{k}) // 5 "
+        f"ELSE h.s{k} END"
+        for k in range(7)
+    )
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS s{k}" for k in range(7))
+    s_cols = ", ".join(f"s{k}" for k in range(7))
+    peak = "greatest(" + ", ".join(f"h.s{k}" for k in range(7)) + ")"
+    trough = "least(" + ", ".join(f"h.s{k}" for k in range(7)) + ")"
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1, 2),
+    ord AS MATERIALIZED (
+      SELECT pri, y,
+             (CAST(d - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow,
+             CAST(row_number() OVER (PARTITION BY pri ORDER BY d) AS BIGINT) AS t
+      FROM daily),
+    nd AS MATERIALIZED (SELECT pri, max(t) AS n_days FROM ord GROUP BY pri),
+    hw AS (
+      SELECT pri, t, y AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae,
+             {zeros}
+      FROM ord WHERE t = 1
+      UNION ALL
+      SELECT o.pri, o.t,
+             {l2},
+             {b2},
+             {sae2},
+             {seas}
+      FROM hw h JOIN ord o ON o.pri = h.pri AND o.t = h.t + 1)
+    SELECT h.pri AS o_orderpriority,
+           nd.n_days,
+           floor(CAST(h.l AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+             AS level,
+           floor(CAST(h.b AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+             AS trend,
+           floor(CAST({peak} AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+             / 1000000.0 AS season_peak,
+           floor(CAST({trough} AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+             / 1000000.0 AS season_trough,
+           floor(CAST(h.sae AS DOUBLE) / CAST(nd.n_days - 1 AS DOUBLE)
+                 / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS mae_one_step
+    FROM hw h JOIN nd ON nd.pri = h.pri AND h.t = nd.n_days
+"""
+
+
+ORACLES_R12["holt_winters_forecast"] = _holt_winters_oracle_sql()

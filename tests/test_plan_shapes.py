@@ -576,20 +576,21 @@ def test_holt_fold_evaluates_once_no_join_no_window(spark, sf_dir):
     forecast and MAE each re-evaluated aggregate()). Also: the whole
     query is scan -> day agg -> priority collect -> project; any Join
     or Window is a structural regression."""
-    from kickstarter_etl_pipeline_spark.queries import q_holt_linear_forecast
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_holt_linear_forecast,
+        q_holt_winters_forecast,
+    )
 
-    plan = (
-        q_holt_linear_forecast(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("aggregate(slice") == 1, (
-        f"Holt fold inlined {plan.count('aggregate(slice')}x — the "
-        "CollapseProject barrier regressed"
-    )
-    assert "Join" not in plan, plan
-    assert "Window" not in plan, plan
+    for q in (q_holt_linear_forecast, q_holt_winters_forecast):
+        plan = (
+            q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("aggregate(slice") == 1, (
+            f"{q.__name__}: fold inlined {plan.count('aggregate(slice')}x — "
+            "the CollapseProject barrier regressed"
+        )
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
 
 
 def test_harmonic_centrality_final_stage_shape(spark, sf_dir):
