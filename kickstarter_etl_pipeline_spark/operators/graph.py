@@ -752,6 +752,75 @@ def harmonic_centrality(
     )
 
 
+def rotor_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    u: str = "u",
+    v: str = "v",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Deterministic hash-greedy walk corpus — the reproducible stand-in
+    for node2vec/DeepWalk random-walk sampling when training data must
+    be bit-stable across runs AND engines. One walk starts at every
+    vertex; at step t a walk at vertex c moves to the neighbor v
+    minimizing (md5("t:c:v"), v). Because the choice is a pure function
+    of (t, c) — NOT of the walk's start — all walks co-located at a
+    vertex move identically (the rotor-router property), so each round
+    costs ONE per-vertex min-aggregate over the edge list (O(E),
+    map-side combinable: min of (md5, v) structs) plus one V-sized
+    equi-join of the walk frontier against the next-hop table. No
+    per-walk neighbor enumeration, no hub blow-up, no RNG state.
+
+    Output: (start_id, step, id) — the full walk table, steps 0..L.
+    Pure string/integer arithmetic (md5 of identical decimal-rendered
+    keys on both engines); the DuckDB twin unrolls one next-hop CTE +
+    one hop CTE per step (device 7).
+    """
+    sym = (
+        edges.select(F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v"))
+        .unionByName(
+            edges.select(
+                F.col(v).cast("long").alias("_u"), F.col(u).cast("long").alias("_v")
+            )
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    sym = loop_frame(sym, loop_partitions, "_u")
+    verts = sym.select(F.col("_u").alias("_id")).distinct()
+    walks = verts.select(
+        F.col("_id").alias("_start"), F.col("_id").alias("_cur")
+    )
+    out = walks.select(
+        "_start", F.lit(0).cast("long").alias("step"), F.col("_cur")
+    )
+    for t in range(1, steps + 1):
+        key = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                F.col("_u").cast("string"),
+                F.col("_v").cast("string"),
+            )
+        )
+        nxt = sym.groupBy("_u").agg(
+            F.min(F.struct(key.alias("k"), F.col("_v").alias("v"))).alias("_m")
+        ).select(F.col("_u").alias("_cur"), F.col("_m").getField("v").alias("_nxt"))
+        walks = loop_frame(
+            walks.join(nxt, "_cur").select(
+                "_start", F.col("_nxt").alias("_cur")
+            ),
+            loop_partitions,
+            "_cur",
+        )
+        out = out.unionByName(
+            walks.select("_start", F.lit(t).cast("long").alias("step"), "_cur")
+        )
+    return out.select(
+        F.col("_start").alias("start_id"), "step", F.col("_cur").alias("id")
+    )
+
+
 def spectral_coordinate(
     edges: DataFrame,
     rounds: int = 8,

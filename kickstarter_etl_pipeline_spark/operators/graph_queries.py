@@ -125,6 +125,30 @@ def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_rotor_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-greedy walk corpus (4 steps from every
+    vertex) over the 10-minute error co-occurrence graph — the
+    reproducible node2vec/DeepWalk-style sampling pass an
+    embedding-training pipeline runs ahead of skipgram extraction
+    (skipgram_cooccurrence consumes exactly this kind of corpus). The
+    next hop is a pure function of (step, vertex) — argmin of
+    (md5("t:c:v"), v) over neighbors — so the per-step cost is one
+    map-side-combinable min-aggregate over edges plus one V-sized
+    join; walks co-located at a vertex merge (rotor-router property),
+    no hub blow-up, no RNG. Full walk table graded cell-exact."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        rotor_walks,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    w = rotor_walks(edges, steps=4)
+    return w.select(
+        F.col("start_id").alias("start_user_id"), "step", F.col("id").alias("user_id")
+    )
+
+
 def q_graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral bipartition coordinate (8 fixed rounds of centered,
     grid-snapped power iteration on the random-walk matrix) over the

@@ -244,3 +244,46 @@ def _holt_winters_oracle_sql() -> str:
 
 
 ORACLES_R12["holt_winters_forecast"] = _holt_winters_oracle_sql()
+
+
+# FULL twin of q_graph_rotor_walks: one next-hop CTE (row_number over
+# (md5("t:c:v"), v) per vertex — identical to the Spark side's min of
+# (md5, v) structs, both lowercase-hex ASCII binary order with the
+# vertex id as explicit tie-break) and one hop CTE per step, unrolled
+# (device 7). The concat key is ':'-joined decimal renderings, the
+# same strings Spark's concat_ws produces for BIGINTs.
+def _rotor_walks_oracle_sql(steps: int = 4) -> str:
+    from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+        cooccurrence_edge_ctes,
+    )
+
+    head = f"""
+        WITH {cooccurrence_edge_ctes(600000000, nodes="rn0", edges="re0", materialized=True)},
+        sym AS MATERIALIZED (SELECT u, v FROM re0 UNION SELECT v, u FROM re0),
+        w0 AS MATERIALIZED (
+          SELECT u AS start, u AS cur FROM (SELECT DISTINCT u FROM sym))"""
+    steps_sql = []
+    for t in range(1, steps + 1):
+        steps_sql.append(
+            f""",
+        n{t} AS MATERIALIZED (
+          SELECT u AS cur, v AS nxt FROM (
+            SELECT u, v,
+                   row_number() OVER (
+                     PARTITION BY u
+                     ORDER BY md5('{t}:' || CAST(u AS VARCHAR) || ':'
+                                  || CAST(v AS VARCHAR)), v) AS rn
+            FROM sym) WHERE rn = 1),
+        w{t} AS MATERIALIZED (
+          SELECT w.start, n.nxt AS cur
+          FROM w{t - 1} w JOIN n{t} n ON n.cur = w.cur)"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT start AS start_user_id, CAST({t} AS BIGINT) AS step, "
+        f"cur AS user_id FROM w{t}"
+        for t in range(0, steps + 1)
+    )
+    return head + "".join(steps_sql) + "\n        " + unions
+
+
+ORACLES_R12["graph_rotor_walks"] = _rotor_walks_oracle_sql()
