@@ -668,6 +668,58 @@ def bfs_depths(
     return visited.select(F.col("_id").alias("id"), "depth")
 
 
+def _multi_source_bfs(
+    edges: DataFrame,
+    pivots: int,
+    rounds: int,
+    u: str = "u",
+    v: str = "v",
+    loop_partitions: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared frontier expansion for the pivot-sampled centralities:
+    returns (sym, visited) where sym is the checkpointed symmetrized
+    edge list (_u, _v) and visited is the checkpointed (p, vertex,
+    depth) shortest-depth table from the ``pivots`` smallest vertices
+    by (md5(id-as-string), id), expanded ``rounds`` times. State is
+    bounded by pivots × vertices; each round is one frontier⋈edges
+    expansion plus one (pivot, vertex)-keyed anti-join."""
+    sym = (
+        edges.select(F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v"))
+        .unionByName(
+            edges.select(
+                F.col(v).cast("long").alias("_u"), F.col(u).cast("long").alias("_v")
+            )
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    sym = loop_frame(sym, loop_partitions, "_u")
+    piv = (
+        sym.select(F.col("_u").alias("_p"))
+        .distinct()
+        .orderBy(F.md5(F.col("_p").cast("string")), F.col("_p"))
+        .limit(pivots)
+    )
+    visited = piv.select(
+        "_p", F.col("_p").alias("_id"), F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for t in range(1, rounds + 1):
+        nxt = loop_frame(
+            frontier.select("_p", F.col("_id").alias("_u"))
+            .join(sym, "_u")
+            .select("_p", F.col("_v").alias("_id"))
+            .distinct()
+            .join(visited.select("_p", "_id"), ["_p", "_id"], "left_anti")
+            .select("_p", "_id", F.lit(t).cast("long").alias("depth")),
+            loop_partitions,
+            "_id",
+        )
+        visited = loop_frame(visited.unionByName(nxt), loop_partitions, "_id")
+        frontier = nxt
+    return sym, visited
+
+
 def harmonic_centrality(
     edges: DataFrame,
     pivots: int = 8,
@@ -703,40 +755,7 @@ def harmonic_centrality(
     small, never all-pairs. ``loop_partitions`` sizes the carried
     frames as in bfs_depths/kcore.
     """
-    sym = (
-        edges.select(F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v"))
-        .unionByName(
-            edges.select(
-                F.col(v).cast("long").alias("_u"), F.col(u).cast("long").alias("_v")
-            )
-        )
-        .filter(F.col("_u") != F.col("_v"))
-        .distinct()
-    )
-    sym = loop_frame(sym, loop_partitions, "_u")
-    piv = (
-        sym.select(F.col("_u").alias("_p"))
-        .distinct()
-        .orderBy(F.md5(F.col("_p").cast("string")), F.col("_p"))
-        .limit(pivots)
-    )
-    visited = piv.select(
-        "_p", F.col("_p").alias("_id"), F.lit(0).cast("long").alias("depth")
-    ).localCheckpoint(eager=True)
-    frontier = visited
-    for t in range(1, rounds + 1):
-        nxt = loop_frame(
-            frontier.select("_p", F.col("_id").alias("_u"))
-            .join(sym, "_u")
-            .select("_p", F.col("_v").alias("_id"))
-            .distinct()
-            .join(visited.select("_p", "_id"), ["_p", "_id"], "left_anti")
-            .select("_p", "_id", F.lit(t).cast("long").alias("depth")),
-            loop_partitions,
-            "_id",
-        )
-        visited = loop_frame(visited.unionByName(nxt), loop_partitions, "_id")
-        frontier = nxt
+    sym, visited = _multi_source_bfs(edges, pivots, rounds, u, v, loop_partitions)
     return (
         visited.filter(F.col("depth") > 0)
         .groupBy(F.col("_id").alias("id"))
@@ -749,6 +768,114 @@ def harmonic_centrality(
             "n_pivots_reached",
             (F.col("_hx60").cast("double") / F.lit(60.0)).alias("_harmonic_raw"),
         )
+    )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    pivots: int = 8,
+    rounds: int = 6,
+    u: str = "u",
+    v: str = "v",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality — Brandes' algorithm
+    (Brandes 2001; the sampled estimator of Brandes & Pich 2007)
+    restricted to the same md5-chosen pivot set as harmonic_centrality,
+    which is what makes the recorded round-9 blocker ("betweenness has
+    no tractable exact oracle — all-pairs") tractable: K fixed sources
+    instead of V.
+
+    Three passes, all level-synchronous and all exactly integer:
+      1. multi-source BFS → (pivot, vertex, depth)      [shared helper]
+      2. forward path counts σ(p, v) = Σ over depth-(t−1) predecessors
+         of σ(p, u) — exact BIGINT sums, level by level;
+      3. backward dependency accumulation carried in integer NANOS
+         (the markov/HITS nano-spine device): for v at depth t,
+         δ̂(p, v) = Σ_w (σ(p,v) · (10⁹ + δ̂(p,w))) DIV σ(p,w) over
+         depth-(t+1) successors w — a per-term truncating integer
+         division then an exact, order-free integer sum, so both
+         engines land on identical nanos (DIV and DuckDB ``//`` agree
+         on the non-negative operands; the per-term floor replaces
+         Brandes' real-valued σv/σw·(1+δw) with a deterministic
+         fixed-point contract, error < 1 nano per term).
+    betweenness(v) = Σ_p δ̂(p, v)/10⁹ over non-pivot-self rows — ONE
+    IEEE division per vertex at the end, snapped to 6 dp by the
+    caller. σ_total is also emitted (exact shortest-path mass).
+
+    Scale: every pass is (pivot, vertex)-keyed — state K·V, joins
+    keyed by vertex against the edge list, K fixed and small. σ and
+    the nano-δ products are BIGINTs: σ·(10⁹ + δ̂) must stay below 2⁶³
+    — holds for σ ≤ ~10⁶ and δ̂ ≤ ~10³·10⁹ (documented bound; a
+    pathological path-count explosion would need decimal widening on
+    both engines identically).
+    """
+    sym, visited = _multi_source_bfs(edges, pivots, rounds, u, v, loop_partitions)
+    # forward σ, one frame per level
+    sig_lvls: list[DataFrame] = [
+        visited.filter(F.col("depth") == 0)
+        .select("_p", "_id", F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    ]
+    for t in range(1, rounds + 1):
+        level = visited.filter(F.col("depth") == t).select("_p", "_id")
+        sig_t = (
+            sig_lvls[t - 1]
+            .select("_p", F.col("_id").alias("_u"), "sigma")
+            .join(sym, "_u")
+            .select("_p", F.col("_v").alias("_id"), "sigma")
+            .join(level, ["_p", "_id"])
+            .groupBy("_p", "_id")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        sig_lvls.append(loop_frame(sig_t, loop_partitions, "_id"))
+    # backward δ̂ in nanos, deepest level first
+    full_delta: dict[int, DataFrame] = {
+        rounds: sig_lvls[rounds].select(
+            "_p", "_id", "sigma", F.lit(0).cast("long").alias("dnano")
+        ).localCheckpoint(eager=True)
+    }
+    for t in range(rounds - 1, -1, -1):
+        succ = full_delta[t + 1].select(
+            "_p",
+            "_id",
+            F.col("sigma").alias("_sw"),
+            F.col("dnano").alias("_dw"),
+        )
+        terms = (
+            sig_lvls[t]
+            .select("_p", F.col("_id").alias("_u"), F.col("sigma").alias("_sv"))
+            .join(sym, "_u")
+            .select("_p", "_u", F.col("_v").alias("_id"), "_sv")
+            .join(succ, ["_p", "_id"])
+            .select(
+                "_p",
+                F.col("_u").alias("_id"),
+                F.expr("(_sv * (1000000000 + _dw)) DIV _sw").alias("_term"),
+            )
+            .groupBy("_p", "_id")
+            .agg(F.sum("_term").cast("long").alias("_dn"))
+        )
+        full_delta[t] = loop_frame(
+            sig_lvls[t]
+            .join(terms, ["_p", "_id"], "left")
+            .select(
+                "_p",
+                "_id",
+                "sigma",
+                F.coalesce(F.col("_dn"), F.lit(0).cast("long")).alias("dnano"),
+            ),
+            loop_partitions,
+            "_id",
+        )
+    acc = full_delta[1]
+    for t in range(2, rounds + 1):
+        acc = acc.unionByName(full_delta[t])
+    return acc.groupBy(F.col("_id").alias("id")).agg(
+        F.sum("sigma").cast("long").alias("sigma_total"),
+        (F.sum("dnano").cast("double") / F.lit(1_000_000_000.0)).alias(
+            "_betweenness_raw"
+        ),
     )
 
 

@@ -125,6 +125,30 @@ def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled Brandes betweenness (8 md5-chosen pivots, 6 BFS
+    levels) over the 10-minute error co-occurrence graph — closes the
+    round-9 "no tractable oracle" blocker by sampling sources
+    (Brandes & Pich 2007) and carrying the backward dependency pass in
+    integer nanos (the markov/HITS nano-spine device): per-term
+    truncating division, exact integer sums, identical on both
+    engines. Emits exact shortest-path mass (σ_total) and the nano-
+    exact betweenness estimate, snapped to 6 dp."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        betweenness_sampled,
+        cooccurrence_edges,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    bc = betweenness_sampled(edges, pivots=8, rounds=6)
+    return bc.select(
+        F.col("id").alias("user_id"),
+        "sigma_total",
+        round_det(F.col("_betweenness_raw"), 6).alias("betweenness"),
+    )
+
+
 def q_graph_rotor_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-greedy walk corpus (4 steps from every
     vertex) over the 10-minute error co-occurrence graph — the

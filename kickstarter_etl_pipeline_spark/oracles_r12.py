@@ -287,3 +287,92 @@ def _rotor_walks_oracle_sql(steps: int = 4) -> str:
 
 
 ORACLES_R12["graph_rotor_walks"] = _rotor_walks_oracle_sql()
+
+
+# FULL twin of q_graph_betweenness: the three Brandes passes unroll as
+# CTE blocks (device 7) — the shared multi-source BFS (identical to
+# the harmonic twin), one forward σ CTE per level (exact BIGINT sums
+# over depth-(t−1) predecessors), and one backward δ̂ CTE per level in
+# integer nanos: per-term (σv·(10⁹+δ̂w)) // σw then an order-free
+# integer sum, LEFT-joined back onto the level's σ frame so
+# childless vertices carry δ̂ = 0. Only depth ≥ 1 rows aggregate into
+# the output (δ̂(p, p) is excluded, as in Brandes).
+def _betweenness_oracle_sql(pivots: int = 8, rounds: int = 6) -> str:
+    from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+        cooccurrence_edge_ctes,
+    )
+
+    head = f"""
+        WITH {cooccurrence_edge_ctes(600000000, nodes="bn", edges="be0", materialized=True)},
+        sym AS MATERIALIZED (SELECT u, v FROM be0 UNION SELECT v, u FROM be0),
+        piv AS MATERIALIZED (
+          SELECT p FROM (SELECT DISTINCT u AS p FROM sym)
+          ORDER BY md5(CAST(p AS VARCHAR)), p LIMIT {pivots}),
+        v0 AS MATERIALIZED (
+          SELECT p, p AS id, CAST(0 AS BIGINT) AS depth FROM piv),
+        f0 AS MATERIALIZED (SELECT p, id FROM v0)"""
+    bfs = []
+    for t in range(1, rounds + 1):
+        bfs.append(
+            f""",
+        f{t} AS MATERIALIZED (
+          SELECT DISTINCT f.p, sym.v AS id
+          FROM f{t - 1} f JOIN sym ON sym.u = f.id
+          WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} vv
+                            WHERE vv.p = f.p AND vv.id = sym.v)),
+        v{t} AS MATERIALIZED (
+          SELECT p, id, depth FROM v{t - 1}
+          UNION ALL SELECT p, id, CAST({t} AS BIGINT) FROM f{t})"""
+        )
+    sig = [
+        f""",
+        s0 AS MATERIALIZED (
+          SELECT p, id, CAST(1 AS BIGINT) AS sigma
+          FROM v{rounds} WHERE depth = 0)"""
+    ]
+    for t in range(1, rounds + 1):
+        sig.append(
+            f""",
+        s{t} AS MATERIALIZED (
+          SELECT l.p, l.id, CAST(sum(sp.sigma) AS BIGINT) AS sigma
+          FROM (SELECT p, id FROM v{rounds} WHERE depth = {t}) l
+          JOIN sym e ON e.v = l.id
+          JOIN s{t - 1} sp ON sp.p = l.p AND sp.id = e.u
+          GROUP BY l.p, l.id)"""
+        )
+    dl = [
+        f""",
+        d{rounds} AS MATERIALIZED (
+          SELECT p, id, sigma, CAST(0 AS BIGINT) AS dnano FROM s{rounds})"""
+    ]
+    for t in range(rounds - 1, -1, -1):
+        dl.append(
+            f""",
+        d{t} AS MATERIALIZED (
+          SELECT s.p, s.id, s.sigma,
+                 COALESCE(x.dn, CAST(0 AS BIGINT)) AS dnano
+          FROM s{t} s LEFT JOIN (
+            SELECT sv.p, sv.id,
+                   CAST(sum((sv.sigma * (1000000000 + dw.dnano)) // dw.sigma)
+                        AS BIGINT) AS dn
+            FROM s{t} sv
+            JOIN sym e ON e.u = sv.id
+            JOIN d{t + 1} dw ON dw.p = sv.p AND dw.id = e.v
+            GROUP BY sv.p, sv.id) x
+          ON x.p = s.p AND x.id = s.id)"""
+        )
+    unions = "\n          UNION ALL ".join(
+        f"SELECT * FROM d{t}" for t in range(1, rounds + 1)
+    )
+    tail = f"""
+        SELECT id AS user_id,
+               CAST(sum(sigma) AS BIGINT) AS sigma_total,
+               floor(CAST(sum(dnano) AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+                 / 1000000.0 AS betweenness
+        FROM ({unions})
+        GROUP BY id
+    """
+    return head + "".join(bfs) + "".join(sig) + "".join(dl) + tail
+
+
+ORACLES_R12["graph_betweenness"] = _betweenness_oracle_sql()
