@@ -176,3 +176,88 @@ def chunk_documents(
         F.element_at("_t", (start + 1).cast("int")).alias("first_token"),
         F.element_at("_t", (start + chunk_len).cast("int")).alias("last_token"),
     )
+
+
+def greedy_max_coverage(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection (the Nemhauser-
+    Wolsey-Fisher 1978 submodular greedy, the (1 − 1/e) classic behind
+    coreset / demonstration-set selection): pick ``k`` documents one at
+    a time, each maximizing the count of vocabulary tokens not yet
+    covered by earlier picks (ties broken by smallest doc id — a total
+    order, so the whole trajectory is deterministic).
+
+    Output: one row per pick — (step, doc_id, marginal_gain,
+    covered_total), all exact integers.
+
+    Scale: the coverage universe is the DISTINCT (doc, word-5-gram
+    shingle) pair set — the decontamination unit (dedup.shingles), a
+    universe rich enough to stay submodular-interesting even on a
+    tiny-vocabulary corpus (the fixtures have 31 distinct unigrams, so
+    unigram coverage saturates at pick 1). Each of the k rounds is one
+    shingle-keyed anti-join against the covered set plus one doc-keyed
+    count and a ONE-ROW argmax that rides a broadcast (no driver
+    collect, no global sort — max of (gain, −id) structs). k is a
+    constant; covered is at most the shingle vocabulary. The
+    anti-join's probe side is the pair set — linear per round.
+    """
+    from kickstarter_etl_pipeline_spark.operators.dedup import with_shingles
+    from kickstarter_etl_pipeline_spark.operators.partitioning import loop_frame
+
+    pairs = (
+        with_shingles(
+            docs.select(F.col(id_col).cast("long").alias("_doc"), text_col),
+            text_col=text_col,
+            out="_sh",
+            n=5,
+        )
+        .select("_doc", F.explode("_sh").alias("_tok"))
+        .distinct()
+    )
+    pairs = loop_frame(pairs, loop_partitions, "_tok")
+    covered = pairs.select("_tok").filter(F.lit(False)).distinct()
+    out = None
+    for t in range(1, k + 1):
+        gain = (
+            pairs.join(covered, "_tok", "left_anti")
+            .groupBy("_doc")
+            .agg(F.count("*").cast("long").alias("_gain"))
+        )
+        best = F.broadcast(
+            gain.agg(
+                F.max(F.struct(F.col("_gain").alias("g"), (-F.col("_doc")).alias("nid"))).alias("_b")
+            ).select(
+                F.col("_b").getField("g").alias("_bg"),
+                (-F.col("_b").getField("nid")).alias("_bdoc"),
+            )
+        )
+        pick_doc = gain.join(
+            best, (F.col("_doc") == F.col("_bdoc")) & (F.col("_gain") == F.col("_bg"))
+        ).select("_doc", "_gain")
+        covered = loop_frame(
+            covered.unionByName(
+                pairs.join(
+                    pick_doc.select("_doc"), "_doc"
+                ).select("_tok")
+            ).distinct(),
+            loop_partitions,
+            "_tok",
+        )
+        row = (
+            pick_doc.crossJoin(
+                F.broadcast(covered.agg(F.count("*").cast("long").alias("covered_total")))
+            )
+            .select(
+                F.lit(t).cast("long").alias("step"),
+                F.col("_doc").alias(id_col),
+                F.col("_gain").alias("marginal_gain"),
+                "covered_total",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

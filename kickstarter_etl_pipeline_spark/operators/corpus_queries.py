@@ -151,6 +151,20 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(corpus, bench, n=5)
 
 
+def q_coverage_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection of 8 documents by marginal
+    vocabulary gain (the Nemhauser (1−1/e) submodular greedy — the
+    coreset / demonstration-set selection pass of a curation pipeline,
+    next to DSIR's importance weights and the source quotas). Each
+    step's pick, its marginal gain, and the running covered-vocabulary
+    total are exact integers; ties break on smallest doc id, so the
+    whole trajectory is deterministic and graded cell-exact."""
+    from kickstarter_etl_pipeline_spark.operators.corpus import greedy_max_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return greedy_max_coverage(docs, k=8)
+
+
 def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by occurrence count (token
     tie-break, so the LIMIT boundary is deterministic) with document

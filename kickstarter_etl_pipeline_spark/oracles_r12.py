@@ -376,3 +376,53 @@ def _betweenness_oracle_sql(pivots: int = 8, rounds: int = 6) -> str:
 
 
 ORACLES_R12["graph_betweenness"] = _betweenness_oracle_sql()
+
+
+# FULL twin of q_coverage_selection_report: the Nemhauser greedy
+# trajectory unrolls as one (gain, pick, covered) CTE triple per step
+# (device 7) — NOT-EXISTS anti-membership against the covered shingle
+# set, ORDER BY gain DESC, doc_id LIMIT 1 for the deterministic
+# argmax (identical to the Spark side's max of (gain, −id) structs),
+# pure integer counts throughout. The coverage unit is the word
+# 5-gram shingle (the decontaminate_overlap construction, verbatim);
+# the empty seed CTE is typed explicitly so the chain of unions stays
+# VARCHAR.
+_TOKS12 = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _max_coverage_oracle_sql(k: int = 8) -> str:
+    head = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS12} AS t FROM documents),
+        toks AS MATERIALIZED (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 3),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                         t[i+4]))) AS tok
+            FROM tk)),
+        c0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0)"""
+    steps = []
+    for t in range(1, k + 1):
+        steps.append(
+            f""",
+        g{t} AS MATERIALIZED (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+          FROM toks tk
+          WHERE NOT EXISTS (SELECT 1 FROM c{t - 1} c WHERE c.tok = tk.tok)
+          GROUP BY doc_id),
+        p{t} AS MATERIALIZED (
+          SELECT doc_id, gain FROM g{t} ORDER BY gain DESC, doc_id LIMIT 1),
+        c{t} AS MATERIALIZED (
+          SELECT tok FROM c{t - 1}
+          UNION
+          SELECT tk.tok FROM toks tk JOIN p{t} p ON tk.doc_id = p.doc_id)"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, doc_id, gain AS marginal_gain, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM c{t}) AS covered_total FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return head + "".join(steps) + "\n        " + unions
+
+
+ORACLES_R12["coverage_selection_report"] = _max_coverage_oracle_sql()
