@@ -206,27 +206,45 @@ def greedy_max_coverage(
     constant; covered is at most the shingle vocabulary. The
     anti-join's probe side is the pair set — linear per round.
     """
-    from kickstarter_etl_pipeline_spark.operators.dedup import with_shingles
+    from kickstarter_etl_pipeline_spark.operators.dedup import shingle_table
     from kickstarter_etl_pipeline_spark.operators.partitioning import loop_frame
 
+    # shingle_table spreads the scan first (ensure_min_partitions) —
+    # a single-row-group fixture file would otherwise tokenize the
+    # whole corpus in ONE task (measured 30 s vs 2 s at sf0.1).
     pairs = (
-        with_shingles(
+        shingle_table(
             docs.select(F.col(id_col).cast("long").alias("_doc"), text_col),
             text_col=text_col,
-            out="_sh",
+            id_col="_doc",
             n=5,
         )
-        .select("_doc", F.explode("_sh").alias("_tok"))
+        .select("_doc", F.col("shingle").alias("_tok"))
         .distinct()
     )
     pairs = loop_frame(pairs, loop_partitions, "_tok")
+    # Per-doc shingle arrays, built once: the covered-set update joins
+    # this V-sized table against the ONE-ROW pick instead of re-scanning
+    # the full pair set — the per-round cost is then exactly one pair
+    # scan (the gain anti-join), which IS greedy max-coverage's
+    # irreducible cost model (k passes over the corpus pairs).
+    doc_toks = loop_frame(
+        pairs.groupBy("_doc").agg(F.collect_list("_tok").alias("_ts")),
+        loop_partitions,
+        "_doc",
+    )
     covered = pairs.select("_tok").filter(F.lit(False)).distinct()
     out = None
     for t in range(1, k + 1):
-        gain = (
+        # Checkpoint the gain table: `best` is an aggregate OVER gain
+        # and pick joins gain AGAINST best, so a lazy gain would put
+        # the pair-set anti-join in the plan twice per round.
+        gain = loop_frame(
             pairs.join(covered, "_tok", "left_anti")
             .groupBy("_doc")
-            .agg(F.count("*").cast("long").alias("_gain"))
+            .agg(F.count("*").cast("long").alias("_gain")),
+            loop_partitions,
+            "_doc",
         )
         best = F.broadcast(
             gain.agg(
@@ -236,14 +254,22 @@ def greedy_max_coverage(
                 (-F.col("_b").getField("nid")).alias("_bdoc"),
             )
         )
-        pick_doc = gain.join(
-            best, (F.col("_doc") == F.col("_bdoc")) & (F.col("_gain") == F.col("_bg"))
-        ).select("_doc", "_gain")
+        # Eagerly checkpoint the ONE-ROW pick so the round's gain
+        # pipeline executes exactly once: both the covered-set update
+        # and the output row derive from this materialized pick (the
+        # first cut left pick_doc lazy and re-ran the anti-join + count
+        # per consumer — 2× the whole greedy cost at collection time).
+        pick_doc = loop_frame(
+            gain.join(
+                best,
+                (F.col("_doc") == F.col("_bdoc")) & (F.col("_gain") == F.col("_bg")),
+            ).select("_doc", "_gain"),
+            1,
+        )
         covered = loop_frame(
             covered.unionByName(
-                pairs.join(
-                    pick_doc.select("_doc"), "_doc"
-                ).select("_tok")
+                doc_toks.join(F.broadcast(pick_doc.select("_doc")), "_doc")
+                .select(F.explode("_ts").alias("_tok"))
             ).distinct(),
             loop_partitions,
             "_tok",

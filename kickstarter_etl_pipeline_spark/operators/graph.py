@@ -679,10 +679,16 @@ def _multi_source_bfs(
     """Shared frontier expansion for the pivot-sampled centralities:
     returns (sym, visited) where sym is the checkpointed symmetrized
     edge list (_u, _v) and visited is the checkpointed (p, vertex,
-    depth) shortest-depth table from the ``pivots`` smallest vertices
-    by (md5(id-as-string), id), expanded ``rounds`` times. State is
-    bounded by pivots × vertices; each round is one frontier⋈edges
-    expansion plus one (pivot, vertex)-keyed anti-join."""
+    depth, sigma) table from the ``pivots`` smallest vertices by
+    (md5(id-as-string), id), expanded ``rounds`` times. sigma is the
+    exact shortest-path COUNT (Brandes' forward pass) and rides the
+    expansion for free: the per-round σ-sum groupBy over predecessor
+    frontier rows replaces the frontier ``distinct()`` — the same
+    shuffle — so callers that only need depths (harmonic) pay nothing
+    extra and betweenness skips a whole second level-synchronous pass.
+    State is bounded by pivots × vertices; each round is one
+    frontier⋈edges expansion plus one (pivot, vertex)-keyed
+    anti-join."""
     sym = (
         edges.select(F.col(u).cast("long").alias("_u"), F.col(v).cast("long").alias("_v"))
         .unionByName(
@@ -701,17 +707,21 @@ def _multi_source_bfs(
         .limit(pivots)
     )
     visited = piv.select(
-        "_p", F.col("_p").alias("_id"), F.lit(0).cast("long").alias("depth")
+        "_p",
+        F.col("_p").alias("_id"),
+        F.lit(0).cast("long").alias("depth"),
+        F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint(eager=True)
     frontier = visited
     for t in range(1, rounds + 1):
         nxt = loop_frame(
-            frontier.select("_p", F.col("_id").alias("_u"))
+            frontier.select("_p", F.col("_id").alias("_u"), "sigma")
             .join(sym, "_u")
-            .select("_p", F.col("_v").alias("_id"))
-            .distinct()
+            .select("_p", F.col("_v").alias("_id"), "sigma")
+            .groupBy("_p", "_id")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
             .join(visited.select("_p", "_id"), ["_p", "_id"], "left_anti")
-            .select("_p", "_id", F.lit(t).cast("long").alias("depth")),
+            .select("_p", "_id", F.lit(t).cast("long").alias("depth"), "sigma"),
             loop_partitions,
             "_id",
         )
@@ -810,25 +820,15 @@ def betweenness_sampled(
     pathological path-count explosion would need decimal widening on
     both engines identically).
     """
+    # σ rides the BFS expansion itself (Brandes' forward pass is free:
+    # the per-round σ-sum replaces the frontier distinct) — see
+    # _multi_source_bfs. Level frames are slices of the checkpointed
+    # visited table.
     sym, visited = _multi_source_bfs(edges, pivots, rounds, u, v, loop_partitions)
-    # forward σ, one frame per level
     sig_lvls: list[DataFrame] = [
-        visited.filter(F.col("depth") == 0)
-        .select("_p", "_id", F.lit(1).cast("long").alias("sigma"))
-        .localCheckpoint(eager=True)
+        visited.filter(F.col("depth") == t).select("_p", "_id", "sigma")
+        for t in range(rounds + 1)
     ]
-    for t in range(1, rounds + 1):
-        level = visited.filter(F.col("depth") == t).select("_p", "_id")
-        sig_t = (
-            sig_lvls[t - 1]
-            .select("_p", F.col("_id").alias("_u"), "sigma")
-            .join(sym, "_u")
-            .select("_p", F.col("_v").alias("_id"), "sigma")
-            .join(level, ["_p", "_id"])
-            .groupBy("_p", "_id")
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-        )
-        sig_lvls.append(loop_frame(sig_t, loop_partitions, "_id"))
     # backward δ̂ in nanos, deepest level first
     full_delta: dict[int, DataFrame] = {
         rounds: sig_lvls[rounds].select(

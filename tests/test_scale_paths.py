@@ -1045,3 +1045,154 @@ def test_hits_degenerate_inputs(spark):
     out = hits(empty, iterations=4)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["role", "id", "score"]
+
+
+def _mini_multi_bfs(adj, pivots, rounds):
+    """Pure-Python reference of the multi-source BFS used by the
+    pivot-sampled centralities."""
+    out = {}
+    for p in pivots:
+        dist = {p: 0}
+        frontier = [p]
+        for t in range(1, rounds + 1):
+            nxt = sorted(
+                {w for c in frontier for w in adj.get(c, ()) if w not in dist}
+            )
+            for w in nxt:
+                dist[w] = t
+            frontier = nxt
+        out[p] = dist
+    return out
+
+
+def _md5s(x) -> str:
+    import hashlib
+
+    return hashlib.md5(str(x).encode()).hexdigest()
+
+
+def test_harmonic_centrality_matches_reference_and_partitions(spark):
+    """harmonic_centrality on a hand-sized graph equals a pure-Python
+    replay of the contract (md5-ordered pivots, BFS depths, exact
+    60 DIV d inverse-distance mass), and a different partitioning
+    produces the identical table (integer ops — partition count
+    provably cannot move the result)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import harmonic_centrality
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 7), (8, 9)]
+    edges = spark.createDataFrame(raw, ["u", "v"])
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    pivots = sorted(verts, key=lambda i: (_md5s(i), i))[:2]
+    ref_bfs = _mini_multi_bfs(adj, pivots, rounds=3)
+    expect = {}
+    for p, dist in ref_bfs.items():
+        for v, d in dist.items():
+            if d > 0:
+                n, hx = expect.get(v, (0, 0))
+                expect[v] = (n + 1, hx + 60 // d)
+    want = {
+        (v, n, hx / 60.0) for v, (n, hx) in expect.items()
+    }
+    got = {
+        (r["id"], r["n_pivots_reached"], r["_harmonic_raw"])
+        for r in harmonic_centrality(edges, pivots=2, rounds=3).collect()
+    }
+    assert got == want
+    again = {
+        (r["id"], r["n_pivots_reached"], r["_harmonic_raw"])
+        for r in harmonic_centrality(
+            edges.repartition(9), pivots=2, rounds=3, loop_partitions=3
+        ).collect()
+    }
+    assert again == want
+
+
+def test_betweenness_matches_reference_and_partitions(spark):
+    """betweenness_sampled equals a pure-Python Brandes replay under
+    the integer-nano contract (per-term (σv·(10⁹+δ̂w)) // σw, exact
+    sums), including σ_total; partition-invariant."""
+    from kickstarter_etl_pipeline_spark.operators.graph import betweenness_sampled
+
+    raw = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (2, 3), (7, 8)]
+    edges = spark.createDataFrame(raw, ["u", "v"])
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    pivots = sorted(verts, key=lambda i: (_md5s(i), i))[:2]
+    rounds = 4
+    ref_bfs = _mini_multi_bfs(adj, pivots, rounds)
+    # forward sigma
+    sig = {}
+    for p, dist in ref_bfs.items():
+        s = {p: 1}
+        for t in range(1, rounds + 1):
+            for v in sorted(x for x, d in dist.items() if d == t):
+                s[v] = sum(
+                    s[u] for u in adj[v] if dist.get(u, -1) == t - 1
+                )
+        sig[p] = s
+    # backward delta in nanos
+    expect = {}
+    for p, dist in ref_bfs.items():
+        dn = {}
+        for t in range(rounds, -1, -1):
+            for v in (x for x, d in dist.items() if d == t):
+                dn[v] = sum(
+                    (sig[p][v] * (10**9 + dn[w])) // sig[p][w]
+                    for w in adj[v]
+                    if dist.get(w, -1) == t + 1
+                )
+        for v, d in dist.items():
+            if d > 0:
+                st, dt = expect.get(v, (0, 0))
+                expect[v] = (st + sig[p][v], dt + dn[v])
+    want = {(v, st, dt / 1e9) for v, (st, dt) in expect.items()}
+    got = {
+        (r["id"], r["sigma_total"], r["_betweenness_raw"])
+        for r in betweenness_sampled(edges, pivots=2, rounds=rounds).collect()
+    }
+    assert got == want
+    again = {
+        (r["id"], r["sigma_total"], r["_betweenness_raw"])
+        for r in betweenness_sampled(
+            edges.repartition(7), pivots=2, rounds=rounds, loop_partitions=3
+        ).collect()
+    }
+    assert again == want
+
+
+def test_rotor_walks_matches_reference_and_partitions(spark):
+    """rotor_walks equals a pure-Python replay of the hash-greedy next
+    hop (argmin of (md5('t:c:v'), v) over neighbors — a pure function
+    of (step, vertex), so co-located walks merge); partition-invariant."""
+    from kickstarter_etl_pipeline_spark.operators.graph import rotor_walks
+
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(raw, ["u", "v"])
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = set()
+    for start in sorted(adj):
+        cur = start
+        want.add((start, 0, cur))
+        for t in range(1, 5):
+            cur = min(adj[cur], key=lambda v: (_md5s(f"{t}:{cur}:{v}"), v))
+            want.add((start, t, cur))
+    got = {
+        (r["start_id"], r["step"], r["id"])
+        for r in rotor_walks(edges, steps=4).collect()
+    }
+    assert got == want
+    again = {
+        (r["start_id"], r["step"], r["id"])
+        for r in rotor_walks(edges.repartition(5), steps=4, loop_partitions=3).collect()
+    }
+    assert again == want
