@@ -130,6 +130,19 @@ BENCH_QUERIES = [
     # does not exercise.
     "media_frame_stats",
     "events_stream_conversions",
+    # round 12, continuation session: three new cost models. The
+    # sampled Brandes betweenness is the heaviest new query (~6-8 s
+    # probe at sf0.1) and the only 3-phase level-synchronous loop;
+    # greedy max-coverage is the only iterative corpus-scale anti-join
+    # (its 36→8 s pair-build funnel fix is exactly what this canary
+    # guards); Holt-Winters is the first bench entry for the
+    # collect+JVM-sequential-fold family (events_ewma/holt share the
+    # model). graph_harmonic_centrality and graph_rotor_walks share
+    # graph_bfs_depths' frontier-loop model and probe under 4 s — no
+    # separate canary.
+    "graph_betweenness",
+    "coverage_selection_report",
+    "holt_winters_forecast",
 ]
 
 
