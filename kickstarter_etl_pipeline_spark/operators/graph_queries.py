@@ -173,6 +173,38 @@ def q_graph_rotor_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk's second stage composed from the engine's own
+    operators: skipgram (center, context) co-occurrence counts within
+    a ±2 window over each rotor walk (Perozzi et al. 2014 — walks
+    become "sentences", skipgrams become embedding training pairs).
+    One per-start self-join of the walk table (≤ 5×4 ordered pairs per
+    walk — constant), then a pair-keyed count: linear in walks. Both
+    directions are emitted (each ordered (i, j) with 1 ≤ |i−j| ≤ 2),
+    matching word2vec's window semantics; revisited vertices can pair
+    with themselves at different steps, identically on both engines."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        rotor_walks,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    w = rotor_walks(edges, steps=4)
+    a = w.select(
+        F.col("start_id").alias("_s"), F.col("step").alias("_i"), F.col("id").alias("center_id")
+    )
+    b = w.select(
+        F.col("start_id").alias("_s"), F.col("step").alias("_j"), F.col("id").alias("context_id")
+    )
+    return (
+        a.join(b, "_s")
+        .filter(F.abs(F.col("_i") - F.col("_j")).between(1, 2))
+        .groupBy("center_id", "context_id")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def q_graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral bipartition coordinate (8 fixed rounds of centered,
     grid-snapped power iteration on the random-walk matrix) over the

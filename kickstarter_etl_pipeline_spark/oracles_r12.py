@@ -426,3 +426,18 @@ def _max_coverage_oracle_sql(k: int = 8) -> str:
 
 
 ORACLES_R12["coverage_selection_report"] = _max_coverage_oracle_sql()
+
+
+# FULL twin of q_walk_skipgram_pairs: the rotor-walk table SQL is
+# reused VERBATIM as a nested-WITH subquery (the composition mirrors
+# the Spark side composing rotor_walks), then one per-start self-join
+# with 1 ≤ |Δstep| ≤ 2 and a pair-keyed count — pure integers.
+ORACLES_R12["walk_skipgram_pairs"] = f"""
+    WITH wt AS MATERIALIZED ({_rotor_walks_oracle_sql()})
+    SELECT a.user_id AS center_id, b.user_id AS context_id,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM wt a JOIN wt b
+      ON a.start_user_id = b.start_user_id
+     AND abs(a.step - b.step) BETWEEN 1 AND 2
+    GROUP BY a.user_id, b.user_id
+"""
