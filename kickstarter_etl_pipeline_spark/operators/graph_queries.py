@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kickstarter_etl_pipeline_spark.operators import events as EV
 from kickstarter_etl_pipeline_spark.operators.rounding import round_det
@@ -170,6 +170,44 @@ def q_graph_rotor_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = rotor_walks(edges, steps=4)
     return w.select(
         F.col("start_id").alias("start_user_id"), "step", F.col("id").alias("user_id")
+    )
+
+
+def q_graph_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled distance distribution — the neighborhood-function
+    estimand of ANF/HyperBall (Palmer et al. 2002; Boldi & Vigna 2011)
+    over the same 8 md5-chosen pivots as harmonic centrality: per-depth
+    (pivot, vertex) pair counts, cumulative pairs, cumulative share,
+    and the effective-diameter marker (the standard 90th-percentile
+    rule, decided as the INTEGER comparison cum·10 ≥ total·9 — no
+    float threshold). The rollup frame is ≤ rounds+1 rows, so the
+    cumulative window is constant-size at any scale; the only float is
+    the 6-dp share."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        _multi_source_bfs,
+        cooccurrence_edges,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=600)
+    _, visited = _multi_source_bfs(edges, pivots=8, rounds=6)
+    per_depth = visited.groupBy("depth").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    total = F.broadcast(per_depth.agg(F.sum("n_pairs").cast("long").alias("_t")))
+    return (
+        per_depth.withColumn("cum_pairs", F.sum("n_pairs").over(w).cast("long"))
+        .crossJoin(total)
+        .select(
+            "depth",
+            "n_pairs",
+            "cum_pairs",
+            round_det(F.col("cum_pairs").cast("double") / F.col("_t").cast("double"), 6).alias(
+                "cum_share"
+            ),
+            (F.col("cum_pairs") * 10 >= F.col("_t") * 9).alias("reaches_p90"),
+        )
     )
 
 

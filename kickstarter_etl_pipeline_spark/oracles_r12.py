@@ -441,3 +441,56 @@ ORACLES_R12["walk_skipgram_pairs"] = f"""
      AND abs(a.step - b.step) BETWEEN 1 AND 2
     GROUP BY a.user_id, b.user_id
 """
+
+
+# FULL twin of q_graph_distance_distribution: the harmonic twin's
+# multi-source BFS unroll, rolled up per depth with a cumulative
+# window over the ≤ rounds+1 row frame; the effective-diameter flag
+# is the integer comparison cum·10 ≥ total·9 (no float threshold) and
+# the 6-dp share is the only float.
+def _distance_distribution_oracle_sql(pivots: int = 8, rounds: int = 6) -> str:
+    from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+        cooccurrence_edge_ctes,
+    )
+
+    head = f"""
+        WITH {cooccurrence_edge_ctes(600000000, nodes="dn", edges="de0", materialized=True)},
+        sym AS MATERIALIZED (SELECT u, v FROM de0 UNION SELECT v, u FROM de0),
+        piv AS MATERIALIZED (
+          SELECT p FROM (SELECT DISTINCT u AS p FROM sym)
+          ORDER BY md5(CAST(p AS VARCHAR)), p LIMIT {pivots}),
+        v0 AS MATERIALIZED (
+          SELECT p, p AS id, CAST(0 AS BIGINT) AS depth FROM piv),
+        f0 AS MATERIALIZED (SELECT p, id FROM v0)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f""",
+        f{t} AS MATERIALIZED (
+          SELECT DISTINCT f.p, sym.v AS id
+          FROM f{t - 1} f JOIN sym ON sym.u = f.id
+          WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} vv
+                            WHERE vv.p = f.p AND vv.id = sym.v)),
+        v{t} AS MATERIALIZED (
+          SELECT p, id, depth FROM v{t - 1}
+          UNION ALL SELECT p, id, CAST({t} AS BIGINT) FROM f{t})"""
+        )
+    tail = f""",
+        pd AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM v{rounds} GROUP BY depth),
+        cm AS (SELECT depth, n_pairs,
+                      CAST(sum(n_pairs) OVER (ORDER BY depth
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_pairs,
+                      (SELECT CAST(sum(n_pairs) AS BIGINT) FROM pd) AS t
+               FROM pd)
+        SELECT depth, n_pairs, cum_pairs,
+               floor(CAST(cum_pairs AS DOUBLE) / CAST(t AS DOUBLE) * 1000000
+                     + 0.5) / 1000000.0 AS cum_share,
+               cum_pairs * 10 >= t * 9 AS reaches_p90
+        FROM cm
+    """
+    return head + "".join(steps) + tail
+
+
+ORACLES_R12["graph_distance_distribution"] = _distance_distribution_oracle_sql()
