@@ -39,6 +39,72 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the round-5 label-propagation
+    partition — the standard partition-quality score (Newman 2006),
+    here computed EXACTLY: Q·4m² = Σ_c (4m·e_c − d_c²) is a pure
+    integer (e_c = intra-community capped edges, d_c = member degree
+    sum, m = |edges|), so the only float is the final division,
+    snapped to 6 dp. Bound: 4m·e_c needs m < ~1.5e9 in BIGINT —
+    document-widening to decimal on BOTH engines beyond that.
+
+    Scale: the partition is the existing LPA loop; the three rollups
+    are edge- and vertex-keyed aggregates over the capped edge set
+    (checkpointed once — it feeds four consumers)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_table,
+        label_propagation,
+    )
+    from kickstarter_etl_pipeline_spark.operators.partitioning import loop_frame
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = loop_frame(
+        cooccurrence_edges(ev, event_type="error", bucket_seconds=1800), 8, "u"
+    )
+    lab = label_propagation(edges, iterations=5).select("id", "community")
+    m_df = F.broadcast(edges.agg(F.count("*").cast("long").alias("_m")))
+    deg = degree_table(edges)
+    dc = (
+        lab.join(deg, "id")
+        .groupBy("community")
+        .agg(F.sum("degree").cast("long").alias("d_c"))
+    )
+    ec = (
+        edges.join(
+            lab.select(F.col("id").alias("u"), F.col("community").alias("_ca")), "u"
+        )
+        .join(
+            lab.select(F.col("id").alias("v"), F.col("community").alias("_cb")), "v"
+        )
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    terms = dc.join(ec, "community", "left").select(
+        "community",
+        F.coalesce(F.col("e_c"), F.lit(0).cast("long")).alias("e_c"),
+        "d_c",
+    )
+    num = F.sum(
+        F.lit(4) * F.col("_m") * F.col("e_c") - F.col("d_c") * F.col("d_c")
+    ).cast("long")
+    return (
+        terms.crossJoin(m_df)
+        .groupBy("_m")
+        .agg(F.count("*").cast("long").alias("n_communities"), num.alias("_num"))
+        .select(
+            "n_communities",
+            F.col("_m").alias("n_edges"),
+            round_det(
+                F.col("_num").cast("double")
+                / (F.lit(4) * F.col("_m") * F.col("_m")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the bipartite customer→supplier
     graph (distinct (o_custkey, l_suppkey) pairs through lineitem):

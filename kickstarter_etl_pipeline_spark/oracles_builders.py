@@ -639,10 +639,10 @@ def _pagerank_oracle_sql(iterations: int = 10) -> str:
 _ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 
 
-def _lpa_oracle_sql(iterations: int = 5) -> str:
-    """Unrolled synchronous label propagation — integer votes with a
-    (count desc, label asc) argmax; replayable because every step is
-    exact and the schedule is fixed."""
+def _lpa_ctes(iterations: int = 5) -> str:
+    """The unrolled synchronous label-propagation CTE chain (integer
+    votes, (count desc, label asc) argmax) through ``lp{iterations}``
+    — shared by the communities twin and the modularity twin."""
     head = f"""
     WITH {cooccurrence_edge_ctes(1800000000, nodes="nodes", edges="edges")},
     dedges AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
@@ -660,16 +660,60 @@ def _lpa_oracle_sql(iterations: int = 5) -> str:
         GROUP BY dedges.dst, p.community)
       WHERE r = 1)"""
         )
-    tail = f""",
+    return head + "".join(steps)
+
+
+def _lpa_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled synchronous label propagation — integer votes with a
+    (count desc, label asc) argmax; replayable because every step is
+    exact and the schedule is fixed."""
+    return (
+        _lpa_ctes(iterations)
+        + f""",
     sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS n_members
               FROM lp{iterations} GROUP BY community)
     SELECT l.id AS user_id, l.community, s.n_members
     FROM lp{iterations} l JOIN sizes s USING (community)
     """
-    return head + "".join(steps) + tail
+    )
 
 
 _ORACLES["graph_communities"] = _lpa_oracle_sql()
+
+
+# FULL twin of q_community_modularity (round 12, continuation):
+# Newman-Girvan modularity of the round-5 label-propagation partition,
+# computed EXACTLY in integers — Q·4m² = Σ_c (4m·e_c − d_c²) — so the
+# only float is the final division (snapped 6 dp). e_c counts the
+# distinct undirected capped edges with both endpoints labeled c; d_c
+# sums member degrees over the same edge set.
+_ORACLES["community_modularity"] = (
+    _lpa_ctes(5)
+    + """,
+    lab AS (SELECT id, community FROM lp5),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+              (SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY id),
+    dc AS (SELECT l.community, CAST(sum(d.degree) AS BIGINT) AS d_c
+           FROM lab l JOIN deg d ON d.id = l.id GROUP BY l.community),
+    ec AS (SELECT la.community, CAST(count(*) AS BIGINT) AS e_c
+           FROM edges e
+           JOIN lab la ON la.id = e.u
+           JOIN lab lb ON lb.id = e.v
+           WHERE la.community = lb.community
+           GROUP BY la.community),
+    terms AS (SELECT dc.community, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+              FROM dc LEFT JOIN ec USING (community))
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           m.m AS n_edges,
+           floor(CAST(sum(4 * m.m * e_c - d_c * d_c) AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS modularity
+    FROM terms CROSS JOIN m
+    GROUP BY m.m
+    """
+)
 
 ALL_ORACLES = _ORACLES
 
