@@ -610,3 +610,84 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae_one_step"),
     )
+
+
+def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972; α = 1/5) for INTERMITTENT demand
+    — the sparse-series companion to Holt: per part, two exponential
+    registers over the demand-day sequence only (smoothed demand size
+    z and smoothed inter-demand interval p, in days), with the demand
+    rate ẑ/p̂ as the per-period forecast. Five parts are chosen by the
+    engine-portable (md5(key-as-string), key) order — TPC-H part
+    demand is genuinely intermittent (~30 demand days over ~2,400
+    days at sf0.01).
+
+    Pure integer micro-units with truncating division (α = 1/5
+    exactly): z' = (y + 4z) div 5, p' = (gap·10⁶ + 4p) div 5, seeded
+    z₁ = y₁, p₁ = 10⁶ (one day), with the previous demand day carried
+    in the fold state for the gap. The DuckDB twin is the device-9
+    recursive CTE with (z, p, dprev) as BIGINT columns. The final
+    size/interval/rate are single IEEE divisions, snapped to 6 dp.
+
+    Scale: the pivot filter broadcasts 5 keys into the lineitem scan;
+    one (part, day)-keyed aggregate; one 5-group collect of
+    calendar-bounded demand-day lists; O(demand days) JVM fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    piv = F.broadcast(
+        part.select(F.col("p_partkey"))
+        .orderBy(F.md5(F.col("p_partkey").cast("string")), F.col("p_partkey"))
+        .limit(5)
+    )
+    daily = (
+        li.join(piv, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", F.to_date("l_shipdate").alias("_day"))
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(15,2)")) * 1_000_000)
+            .cast("long")
+            .alias("_y")
+        )
+    )
+    grouped = daily.groupBy("l_partkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.unix_date("_day").cast("long").alias("d"), F.col("_y").alias("y"))
+            )
+        ).alias("_xs")
+    )
+
+    def _td5(a):
+        return ((a - a % 5).cast("decimal(38,0)") / F.lit(5)).cast("long")
+
+    first = F.element_at(F.col("_xs"), 1)
+    zero = F.struct(
+        first.y.alias("z"),
+        F.lit(1_000_000).cast("long").alias("p"),
+        first.d.alias("dprev"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            _td5(x.y + F.lit(4) * acc.z).alias("z"),
+            _td5((x.d - acc.dprev) * F.lit(1_000_000) + F.lit(4) * acc.p).alias("p"),
+            x.d.alias("dprev"),
+        )
+
+    folded = F.aggregate(F.expr("slice(_xs, 2, size(_xs) - 1)"), zero, step)
+    staged = grouped.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.size("_xs").cast("long").alias("n_demand_days"),
+        folded.alias("_st"),
+    )
+    st = F.col("_st")
+    return staged.select(
+        "p_partkey",
+        "n_demand_days",
+        round_det(st.z.cast("double") / F.lit(1_000_000.0), 6).alias("smoothed_demand"),
+        round_det(st.p.cast("double") / F.lit(1_000_000.0), 6).alias(
+            "smoothed_interval_days"
+        ),
+        round_det(st.z.cast("double") / st.p.cast("double"), 6).alias(
+            "demand_rate_per_day"
+        ),
+    )

@@ -494,3 +494,45 @@ def _distance_distribution_oracle_sql(pivots: int = 8, rounds: int = 6) -> str:
 
 
 ORACLES_R12["graph_distance_distribution"] = _distance_distribution_oracle_sql()
+
+
+# FULL twin of q_croston_forecast: device-9 recursive CTE with the
+# (z, p, dprev) Croston state as BIGINT columns over the per-part
+# demand-day row_number spine; the pivot parts are the 5 smallest by
+# (md5(key-as-string), key). α = 1/5 exactly; `//` truncation mirrors
+# the Spark decimal divide; gaps are integer epoch-day differences.
+ORACLES_R12["croston_forecast"] = """
+    WITH RECURSIVE piv AS MATERIALIZED (
+      SELECT p_partkey FROM part
+      ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey LIMIT 5),
+    daily AS MATERIALIZED (
+      SELECT l_partkey AS k,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) * 1000000) AS BIGINT)
+               AS y
+      FROM lineitem JOIN piv ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    ord AS MATERIALIZED (
+      SELECT k, d, y,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT) AS t
+      FROM daily),
+    nd AS MATERIALIZED (SELECT k, max(t) AS n FROM ord GROUP BY k),
+    cr AS (
+      SELECT k, t, y AS z, CAST(1000000 AS BIGINT) AS p, d AS dprev
+      FROM ord WHERE t = 1
+      UNION ALL
+      SELECT o.k, o.t,
+             (o.y + 4 * h.z) // 5,
+             ((o.d - h.dprev) * 1000000 + 4 * h.p) // 5,
+             o.d
+      FROM cr h JOIN ord o ON o.k = h.k AND o.t = h.t + 1)
+    SELECT h.k AS p_partkey,
+           nd.n AS n_demand_days,
+           floor(CAST(h.z AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+             AS smoothed_demand,
+           floor(CAST(h.p AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+             AS smoothed_interval_days,
+           floor(CAST(h.z AS DOUBLE) / CAST(h.p AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS demand_rate_per_day
+    FROM cr h JOIN nd ON nd.k = h.k AND h.t = nd.n
+"""
