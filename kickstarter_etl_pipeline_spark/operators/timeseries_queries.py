@@ -691,3 +691,53 @@ def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "demand_rate_per_day"
         ),
     )
+
+
+def q_weekday_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, weekday component —
+    the descriptive counterpart of Holt-Winters' recursive registers:
+    detrend daily order revenue with the CENTERED 7-day moving average
+    (only complete windows — all 7 calendar neighbors present), then
+    average the detrended series per weekday. The textbook first stage
+    of STL (Cleveland et al. 1990) restricted to the seasonal index.
+
+    Exactness: daily revenues are exact cent sums; the detrended value
+    rides as the INTEGER 7·x_t − Σ_{−3..+3} x (no division inside the
+    aggregate), so the per-weekday mean is ONE fixed IEEE tree over an
+    exact integer sum: Σ detr7 / (n·700) dollars, snapped to 6 dp.
+    dow is epoch arithmetic ((epoch_days + 4) mod 7), not a calendar
+    function.
+
+    Scale: one day-keyed aggregate, a 7-way explode joined
+    day-to-day on the uniform calendar key (the acf_daily_revenue
+    pattern), ≤ 7 output groups with map-side combine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("_cents")
+    )
+    offs = daily.select(
+        "_day",
+        F.explode(F.array(*[F.lit(k) for k in range(-3, 4)])).alias("_off"),
+    ).withColumn("_nday", F.expr("date_add(_day, _off)"))
+    windows = (
+        offs.join(
+            daily.select(F.col("_day").alias("_nday"), F.col("_cents").alias("_x")),
+            "_nday",
+        )
+        .groupBy("_day")
+        .agg(F.count("*").cast("long").alias("_k"), F.sum("_x").cast("long").alias("_s7"))
+        .filter(F.col("_k") == 7)
+    )
+    centered = windows.join(daily, "_day").select(
+        ((F.unix_date("_day").cast("long") + 4) % 7).cast("int").alias("dow"),
+        (F.lit(7) * F.col("_cents") - F.col("_s7")).alias("_detr7"),
+    )
+    return centered.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        round_det(
+            F.sum("_detr7").cast("double") / (F.count("*") * F.lit(700)).cast("double"),
+            6,
+        ).alias("seasonal_effect"),
+    )

@@ -536,3 +536,34 @@ ORACLES_R12["croston_forecast"] = """
              / 1000000.0 AS demand_rate_per_day
     FROM cr h JOIN nd ON nd.k = h.k AND h.t = nd.n
 """
+
+
+# FULL twin of q_weekday_seasonal_decomposition: calendar-paired
+# centered 7-day windows (complete windows only), detrended values
+# carried as the INTEGER 7·x − Σ7, one IEEE division per weekday.
+# DATE + BIGINT is not a DuckDB function — the offset is cast to
+# INTEGER (the acf_daily_revenue lesson).
+ORACLES_R12["weekday_seasonal_decomposition"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    offs AS (
+      SELECT d, d + CAST(r.o AS INTEGER) AS nd
+      FROM daily, unnest(range(-3, 4)) AS r(o)),
+    win AS (
+      SELECT offs.d, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n.cents) AS BIGINT) AS s7
+      FROM offs JOIN daily n ON n.d = offs.nd
+      GROUP BY offs.d HAVING count(*) = 7),
+    centered AS (
+      SELECT (CAST(w.d - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow,
+             7 * daily.cents - w.s7 AS detr7
+      FROM win w JOIN daily ON daily.d = w.d)
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           floor(CAST(sum(detr7) AS DOUBLE) / CAST(count(*) * 700 AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS seasonal_effect
+    FROM centered GROUP BY dow
+"""
