@@ -52,3 +52,69 @@ def plan_summary(df: DataFrame) -> dict:
         # formatted mode marks codegen'd operators with "[codegen id : N]"
         "whole_stage_codegen": "codegen id" in text or "WholeStageCodegen" in text,
     }
+
+
+def advise(df: DataFrame) -> list[str]:
+    """Scale-hazard advisor: the judgments the repo's plan-shape tests
+    make about ITS queries, exposed for a user's OWN queries — run it
+    before shipping a pipeline to a large cluster and fix what it
+    names. Pure plan-text analysis (no job runs). Each finding is one
+    actionable sentence prefixed with a severity tag.
+
+    What it flags (and why it matters at 100 TB):
+
+    - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — a join with
+      no usable equi-key; O(n·m) at scale. Usually a missing join
+      condition or a non-equi predicate that needs a banding key.
+    - ``Exchange SinglePartition`` — a global sort/limit/window/agg
+      funneling EVERYTHING through one task (the classic
+      Window-without-partitionBy trap; use two_phase_rank-style range
+      exchanges, TakeOrderedAndProject, or partial aggregates).
+    - filters that did not reach a file scan — a scan reading rows a
+      Filter above it immediately drops; rewrite the predicate on the
+      scanned column (not on a derived expression) so it pushes down.
+    - no whole-stage codegen anywhere — the plan runs on the
+      interpreted path end to end (Python UDFs or exotic operators);
+      move hot expressions to built-in Column functions.
+    """
+    text = explain_text(df)
+    s = plan_summary(df)
+    findings: list[str] = []
+    if s["has_cartesian"]:
+        findings.append(
+            "CRITICAL: CartesianProduct in the plan — O(n·m) pair blow-up at "
+            "scale; add an equi-join key or a banding/bucketing key."
+        )
+    if s["n_nested_loop_joins"]:
+        findings.append(
+            f"CRITICAL: {s['n_nested_loop_joins']} BroadcastNestedLoopJoin(s) — "
+            "non-equi join semantics; every probe row scans the whole "
+            "broadcast side. Restructure as an equi-join on a derived key "
+            "(range bands, buckets) unless one side is provably tiny."
+        )
+    # formatted mode renders the distribution in the operator's
+    # Arguments line ("Arguments: SinglePartition, ..."), not the
+    # "(n) Exchange" header.
+    if "SinglePartition" in text:
+        findings.append(
+            "WARN: Exchange SinglePartition — a global sort/window/limit is "
+            "funneling all rows through ONE task; partition the window, use "
+            "a range-exchange two-phase rank, or a TakeOrderedAndProject "
+            "top-k instead."
+        )
+    n_filters = len(re.findall(r"^\(\d+\) Filter\b", text, flags=re.MULTILINE))
+    if s["n_scans"] and n_filters and not s["pushed_filters"]:
+        findings.append(
+            "WARN: Filter operators present but NO filter reached a scan "
+            "(PushedFilters empty) — if the predicate tests a raw column, "
+            "move it above the first projection; derived-expression "
+            "predicates never push."
+        )
+    if not s["whole_stage_codegen"]:
+        findings.append(
+            "INFO: no whole-stage codegen span in the plan — the query runs "
+            "interpreted (Python UDF / exotic operator on the hot path?); "
+            "prefer built-in Column expressions or Arrow-batched pandas "
+            "UDFs."
+        )
+    return findings

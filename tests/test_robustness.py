@@ -214,3 +214,30 @@ def test_curation_ops_on_degenerate_docs(spark):
     surp = unigram_surprisal(docs.filter("text IS NOT NULL"))
     assert surp.count() == 4
     assert all(r["mean_surprisal_nats"] >= 0 for r in surp.collect())
+
+
+def test_advisor_flags_each_hazard_and_passes_clean_plans(spark, sf_dir):
+    """plans.inspect.advise: each hazard class fires on a crafted plan
+    that embodies it, and the engine's own flagship — whose plan the
+    shape tests already pin as clean — produces NO critical findings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.plans.inspect import advise
+
+    a = spark.range(10).withColumnRenamed("id", "a")
+    b = spark.range(10).withColumnRenamed("id", "b")
+
+    cross = a.crossJoin(b)
+    assert any("CartesianProduct" in f or "NestedLoop" in f for f in advise(cross))
+
+    nonequi = a.join(b, F2.col("a") < F2.col("b"))
+    assert any("NestedLoopJoin" in f for f in advise(nonequi))
+
+    funnel = a.withColumn("rn", F2.row_number().over(Window.orderBy("a")))
+    assert any("SinglePartition" in f for f in advise(funnel))
+
+    from kickstarter_etl_pipeline_spark.queries import q_star_flagship
+
+    clean = [f for f in advise(q_star_flagship(spark, sf_dir)) if f.startswith("CRITICAL")]
+    assert clean == [], clean
