@@ -39,6 +39,26 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the 30-minute error co-occurrence graph (4 fixed
+    peel rounds): surviving edges must sit in ≥ 2 triangles of the
+    surviving subgraph — the triangle-cohesion screen one notch above
+    k-core's degree screen, the standard community-core pre-filter.
+    Pure integers; support recomputed on the final edge set. The
+    DuckDB twin unrolls one (degree, orient, wedge, triangle,
+    support, filter) block per round (device 7)."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        ktruss,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return ktruss(edges, k=4, rounds=4).select(
+        F.col("u").alias("user_u"), F.col("v").alias("user_v"), "support"
+    )
+
+
 def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman-Girvan modularity of the round-5 label-propagation
     partition — the standard partition-quality score (Newman 2006),

@@ -567,3 +567,63 @@ ORACLES_R12["weekday_seasonal_decomposition"] = """
                  * 1000000 + 0.5) / 1000000.0 AS seasonal_effect
     FROM centered GROUP BY dow
 """
+
+
+# FULL twin of q_graph_ktruss: one (degree, orient, wedge, triangle,
+# support, filter) CTE block per peel round (device 7), with the same
+# degree-ordered triangle enumeration as the user_triangle_counts
+# twin — tuple comparisons (d, id) mirror the Spark rank structs —
+# and per-edge support via the three least/greatest unordered pairs
+# of each triangle. Support is recomputed on the final edge set.
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 4) -> str:
+    from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+        cooccurrence_edge_ctes,
+    )
+
+    thr = k - 2
+
+    def block(r: int) -> str:
+        return f""",
+        deg{r} AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS id FROM e{r} UNION ALL SELECT v FROM e{r}) GROUP BY id),
+        or{r} AS MATERIALIZED (
+          SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+                 CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+                 CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dst_d
+          FROM e{r} JOIN deg{r} du ON du.id = u JOIN deg{r} dv ON dv.id = v),
+        tr{r} AS MATERIALIZED (
+          SELECT w.a, w.b, w.c FROM (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM or{r} e1 JOIN or{r} e2 ON e1.src = e2.src
+            WHERE (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)) w
+          JOIN or{r} o ON o.src = w.b AND o.dst = w.c),
+        sp{r} AS MATERIALIZED (
+          SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+            SELECT least(a, b) AS u, greatest(a, b) AS v FROM tr{r}
+            UNION ALL SELECT least(a, c), greatest(a, c) FROM tr{r}
+            UNION ALL SELECT least(b, c), greatest(b, c) FROM tr{r})
+          GROUP BY u, v)"""
+
+    head = f"""
+        WITH {cooccurrence_edge_ctes(1800000000, nodes="kn", edges="e0", materialized=True)}"""
+    parts = []
+    for r in range(rounds):
+        parts.append(block(r))
+        parts.append(
+            f""",
+        e{r + 1} AS MATERIALIZED (
+          SELECT e.u, e.v FROM e{r} e
+          LEFT JOIN sp{r} s ON s.u = e.u AND s.v = e.v
+          WHERE COALESCE(s.sup, 0) >= {thr})"""
+        )
+    parts.append(block(rounds))
+    tail = f"""
+        SELECT e.u AS user_u, e.v AS user_v,
+               COALESCE(s.sup, CAST(0 AS BIGINT)) AS support
+        FROM e{rounds} e
+        LEFT JOIN sp{rounds} s ON s.u = e.u AND s.v = e.v
+    """
+    return head + "".join(parts) + tail
+
+
+ORACLES_R12["graph_ktruss"] = _ktruss_oracle_sql()

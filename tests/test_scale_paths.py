@@ -1196,3 +1196,27 @@ def test_rotor_walks_matches_reference_and_partitions(spark):
         for r in rotor_walks(edges.repartition(5), steps=4, loop_partitions=3).collect()
     }
     assert again == want
+
+
+def test_ktruss_peels_to_known_core_and_partitions(spark):
+    """ktruss(k=4): a K4 survives (every edge in 2 triangles of the
+    survivor set), a lone triangle and a pendant edge peel away;
+    partition-invariant."""
+    from kickstarter_etl_pipeline_spark.operators.graph import ktruss
+
+    raw = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4
+        + [(5, 6), (5, 7), (6, 7)]  # lone triangle: support 1 < 2
+        + [(4, 8)]  # pendant
+    )
+    edges = spark.createDataFrame(raw, ["u", "v"])
+    want = {(u, v, 2) for u, v in raw[:6]}
+    got = {
+        (r["u"], r["v"], r["support"]) for r in ktruss(edges, k=4, rounds=4).collect()
+    }
+    assert got == want
+    again = {
+        (r["u"], r["v"], r["support"])
+        for r in ktruss(edges.repartition(7), k=4, rounds=4, loop_partitions=3).collect()
+    }
+    assert again == want
