@@ -281,6 +281,79 @@ def pagerank(
     return pr.select("id", round_det(F.col("pr") * 1000, 6).alias("pr_permille"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    u: str = "u",
+    v: str = "v",
+    loop_partitions: int = 8,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from ONE
+    md5-chosen seed vertex — the "related entities" recommender
+    primitive (Jeh & Widom 2003), distinct from global pagerank in
+    both semantics (restart mass returns to the SEED, not uniformly)
+    and cost (the rank frame is SPARSE: only vertices the walk has
+    reached carry rows, so early rounds touch a neighborhood, not the
+    graph). Same determinism device as pagerank: the rank vector
+    snaps to the 1e-9 grid each round, restart mass is the literal
+    0.15 on both engines (never a derived 1−0.85), and the iteration
+    count is fixed — the DuckDB twin is the literal unrolled
+    recurrence.
+
+    Scale: per round one vertex-keyed join of the sparse rank frame
+    onto the edge list + one vertex-keyed aggregate — bounded by the
+    reached neighborhood, ≤ the global pagerank round cost.
+    """
+    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+
+    directed = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).unionAll(
+        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    )
+    deg = directed.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
+    directed = loop_frame(directed.join(deg, "src"), loop_partitions, "src")
+    seed = (
+        directed.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    restart = round(1.0 - damping, 10)
+    pr = seed.select("id", round_det(F.lit(1.0), 9).alias("pr")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contribs = (
+            directed.join(pr.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
+        )
+        allin = (
+            contribs.unionByName(seed.select("id", F.lit(0.0).alias("_in")))
+            .groupBy("id")
+            .agg(F.sum("_in").alias("_in"))
+        )
+        flagged = allin.join(
+            F.broadcast(seed.select("id", F.lit(1).alias("_is_seed"))), "id", "left"
+        )
+        pr = loop_frame(
+            flagged.select(
+                "id",
+                round_det(
+                    F.when(F.col("_is_seed").isNotNull(), F.lit(restart)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + F.lit(damping) * F.col("_in"),
+                    9,
+                ).alias("pr"),
+            ),
+            loop_partitions,
+            "id",
+        )
+    return pr.select("id", round_det(F.col("pr") * 1000, 6).alias("ppr_permille"))
+
+
 def label_propagation(
     edges: DataFrame, iterations: int = 5, u: str = "u", v: str = "v"
 ) -> DataFrame:

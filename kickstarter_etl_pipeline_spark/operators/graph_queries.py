@@ -39,6 +39,26 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (8 rounds, damping 0.85) from the
+    md5-chosen seed user over the 30-minute error co-occurrence graph
+    — the "users related to THIS user" recommender primitive (random
+    walk with restart), next to global pagerank's "important users".
+    Sparse rank frame (only reached vertices carry rows); the same
+    1e-9 per-round grid makes the unrolled DuckDB replay
+    bit-identical."""
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        cooccurrence_edges,
+        personalized_pagerank,
+    )
+
+    ev = EV.with_unix_micros(load_table(spark, sf_dir, "events"))
+    edges = cooccurrence_edges(ev, event_type="error", bucket_seconds=1800)
+    return personalized_pagerank(edges, iterations=8).select(
+        F.col("id").alias("user_id"), "ppr_permille"
+    )
+
+
 def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the 30-minute error co-occurrence graph (4 fixed
     peel rounds): surviving edges must sit in ≥ 2 triangles of the

@@ -627,3 +627,58 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 4) -> str:
 
 
 ORACLES_R12["graph_ktruss"] = _ktruss_oracle_sql()
+
+
+# FULL twin of q_graph_ppr: the unrolled personalized-PageRank
+# recurrence from the md5-chosen seed — the pagerank grid device
+# (1e-9 snap per round absorbs contribution-sum order noise) with
+# restart mass 0.15 written as the LITERAL on both engines and the
+# seed's zero row unioned in before the round aggregate so the seed
+# survives rounds with no incoming mass, exactly as the Spark side
+# unions it.
+def _ppr_oracle_sql(iterations: int = 8) -> str:
+    from kickstarter_etl_pipeline_spark.oracles_graph_common import (
+        cooccurrence_edge_ctes,
+    )
+
+    rd9 = "floor(({expr}) * 1000000000 + 0.5) / 1000000000.0"
+    head = f"""
+        WITH {cooccurrence_edge_ctes(1800000000, nodes="pn", edges="pe0", materialized=True)},
+        dedges AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM pe0 UNION ALL SELECT v, u FROM pe0),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS BIGINT) AS d FROM dedges GROUP BY src),
+        seed AS MATERIALIZED (
+          SELECT src AS id FROM (SELECT DISTINCT src FROM dedges)
+          ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 1),
+        p0 AS (SELECT id, """ + rd9.format(expr="1.0") + """ AS pr FROM seed)"""
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f""",
+        a{k} AS (
+          SELECT id, sum(mi) AS mi FROM (
+            SELECT dedges.dst AS id, sum(p.pr / deg.d) AS mi
+            FROM dedges JOIN p{k} p ON p.id = dedges.src
+                        JOIN deg ON deg.src = dedges.src
+            GROUP BY dedges.dst
+            UNION ALL SELECT id, 0.0 FROM seed)
+          GROUP BY id),
+        p{k + 1} AS (
+          SELECT a.id, """
+            + rd9.format(
+                expr="CASE WHEN sd.id IS NOT NULL THEN 0.15 ELSE 0.0 END"
+                " + 0.85 * a.mi"
+            )
+            + f""" AS pr
+          FROM a{k} a LEFT JOIN seed sd ON sd.id = a.id)"""
+        )
+    tail = f"""
+        SELECT id AS user_id,
+               floor((pr * 1000) * 1000000 + 0.5) / 1000000.0 AS ppr_permille
+        FROM p{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+ORACLES_R12["graph_ppr"] = _ppr_oracle_sql()
