@@ -143,6 +143,13 @@ BENCH_QUERIES = [
     "graph_betweenness",
     "coverage_selection_report",
     "holt_winters_forecast",
+    # k-truss is the registry's heaviest query even after the
+    # fixed-point early exit (16 -> ~5 s at sf0.1): repeated triangle
+    # enumeration is its own cost model (support peeling), and the
+    # early-exit count probes are part of what this canary watches.
+    # graph_ppr (~4 s) shares pagerank's benched model; the other
+    # continuation additions probe under 4 s on benched models.
+    "graph_ktruss",
 ]
 
 

@@ -913,15 +913,35 @@ def ktruss(
         "u",
     )
     thr = k - 2
+    n_cur = cur.count()  # bounded control-plane scalar (loop budget)
+    supp = None
     for _ in range(rounds):
-        supp = edge_support(cur, loop_partitions)
-        cur = loop_frame(
+        # Materialize support once per round: it feeds both the peel
+        # filter and (on convergence) the final report.
+        supp = loop_frame(edge_support(cur, loop_partitions), loop_partitions, "u")
+        nxt = loop_frame(
             cur.join(supp, ["u", "v"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0).cast("long")) >= thr)
             .select("u", "v"),
             loop_partitions,
             "u",
         )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            # Fixed point: no edge was removed, so every remaining
+            # round is a no-op and THIS round's support — computed on
+            # exactly the surviving set — already is the final
+            # support. Early exit changes nothing but the cost; the
+            # unrolled SQL twin replays all rounds and lands on the
+            # identical set (its extra rounds recompute the fixed
+            # point). Saved: one triangle enumeration per skipped
+            # round plus the final recompute.
+            return nxt.join(supp, ["u", "v"], "left").select(
+                "u",
+                "v",
+                F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
+            )
+        cur, n_cur = nxt, n_nxt
     final = edge_support(cur, loop_partitions)
     return cur.join(final, ["u", "v"], "left").select(
         "u",
