@@ -644,3 +644,68 @@ def q_price_quartiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("p75") - F.col("p25"), 2).alias("iqr"),
         )
     )
+
+
+def q_price_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices, 1997 → 1998, over
+    parts sold in BOTH years — the econometric price-level summary a
+    retail warehouse reports (Fisher = the "ideal" geometric mean).
+    Unit values (revenue/quantity per part-year) replace list prices,
+    the standard unit-value-index construction.
+
+    Exactness: the cross terms (unit value × other-year quantity)
+    cannot be exact rationals, so each rides the per-term-floor
+    integer device (markov/Brandes): term_L = rev98¢·q97 · 10⁴ DIV
+    q98 and term_P = rev97¢·q98 · 10⁴ DIV q97 are exact integers
+    (error < 10⁻⁴ cent per part BY DEFINITION of the contract), the
+    sums are order-free exact integers, and each index is ONE IEEE
+    division, snapped to 6 dp. Fisher's sqrt is irrational — exact
+    ties have measure zero (rounding.py's stated policy).
+
+    Scale: one (part, year)-keyed aggregate with map-side combine, a
+    part-keyed self-join of the two year slices (uniform key), one
+    one-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = (
+        li.select(
+            "l_partkey",
+            F.year(F.to_date("l_shipdate")).alias("_yr"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("_rev"),
+            F.col("l_quantity").cast("decimal(15,2)").alias("_qty"),
+        )
+        .filter(F.col("_yr").isin(1997, 1998))
+        .groupBy("l_partkey", "_yr")
+        .agg(
+            (F.sum("_rev") * 100).cast("long").alias("_revc"),
+            (F.sum("_qty") * 100).cast("long").alias("_qcu"),
+        )
+    )
+    y0 = py.filter(F.col("_yr") == 1997).select(
+        "l_partkey", F.col("_revc").alias("_r0"), F.col("_qcu").alias("_q0")
+    )
+    y1 = py.filter(F.col("_yr") == 1998).select(
+        "l_partkey", F.col("_revc").alias("_r1"), F.col("_qcu").alias("_q1")
+    )
+    both = y0.join(y1, "l_partkey").select(
+        "_r0",
+        "_q0",
+        "_r1",
+        "_q1",
+        F.expr("(_r1 * _q0 * 10000) DIV _q1").alias("_tl"),
+        F.expr("(_r0 * _q1 * 10000) DIV _q0").alias("_tp"),
+    )
+    agg = both.agg(
+        F.count("*").cast("long").alias("n_parts_matched"),
+        F.sum("_r0").cast("long").alias("_sr0"),
+        F.sum("_r1").cast("long").alias("_sr1"),
+        F.sum("_tl").cast("long").alias("_stl"),
+        F.sum("_tp").cast("long").alias("_stp"),
+    )
+    lasp = F.col("_stl").cast("double") / (F.col("_sr0") * F.lit(10000)).cast("double")
+    paas = (F.col("_sr1") * F.lit(10000)).cast("double") / F.col("_stp").cast("double")
+    return agg.select(
+        "n_parts_matched",
+        round_det(lasp, 6).alias("laspeyres"),
+        round_det(paas, 6).alias("paasche"),
+        round_det(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

@@ -682,3 +682,41 @@ def _ppr_oracle_sql(iterations: int = 8) -> str:
 
 
 ORACLES_R12["graph_ppr"] = _ppr_oracle_sql()
+
+
+# FULL twin of q_price_index_report: identical (part, year) exact
+# cent/centi-unit aggregates, the same per-term-floor integer cross
+# terms (`//` vs Spark DIV — all operands non-negative), and one IEEE
+# division per index; Fisher's sqrt is irrational (measure-zero tie
+# policy, rounding.py).
+ORACLES_R12["price_index_report"] = """
+    WITH py AS (
+      SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS revc,
+             CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) * 100 AS BIGINT)
+               AS qcu
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) IN (1997, 1998)
+      GROUP BY 1, 2),
+    both_y AS (
+      SELECT a.revc AS r0, a.qcu AS q0, b.revc AS r1, b.qcu AS q1,
+             (b.revc * a.qcu * 10000) // b.qcu AS tl,
+             (a.revc * b.qcu * 10000) // a.qcu AS tp
+      FROM (SELECT * FROM py WHERE yr = 1997) a
+      JOIN (SELECT * FROM py WHERE yr = 1998) b USING (l_partkey)),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts_matched,
+             CAST(sum(r0) AS BIGINT) AS sr0, CAST(sum(r1) AS BIGINT) AS sr1,
+             CAST(sum(tl) AS BIGINT) AS stl, CAST(sum(tp) AS BIGINT) AS stp
+      FROM both_y)
+    SELECT n_parts_matched,
+           floor(CAST(stl AS DOUBLE) / CAST(sr0 * 10000 AS DOUBLE) * 1000000
+                 + 0.5) / 1000000.0 AS laspeyres,
+           floor(CAST(sr1 * 10000 AS DOUBLE) / CAST(stp AS DOUBLE) * 1000000
+                 + 0.5) / 1000000.0 AS paasche,
+           floor(sqrt((CAST(stl AS DOUBLE) / CAST(sr0 * 10000 AS DOUBLE))
+                      * (CAST(sr1 * 10000 AS DOUBLE) / CAST(stp AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS fisher
+    FROM agg
+"""
