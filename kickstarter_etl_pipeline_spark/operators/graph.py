@@ -854,7 +854,7 @@ def harmonic_centrality(
     )
 
 
-def edge_support(edges: DataFrame, loop_partitions: int = 8) -> DataFrame:
+def edge_support(edges: DataFrame) -> DataFrame:
     """Per-edge triangle support over an undirected deduplicated
     (u < v) edge list: for each edge, the number of triangles it
     belongs to — the peel measure of the k-truss. Reuses the
@@ -918,7 +918,7 @@ def ktruss(
     for _ in range(rounds):
         # Materialize support once per round: it feeds both the peel
         # filter and (on convergence) the final report.
-        supp = loop_frame(edge_support(cur, loop_partitions), loop_partitions, "u")
+        supp = loop_frame(edge_support(cur), loop_partitions, "u")
         nxt = loop_frame(
             cur.join(supp, ["u", "v"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0).cast("long")) >= thr)
@@ -942,7 +942,7 @@ def ktruss(
                 F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
             )
         cur, n_cur = nxt, n_nxt
-    final = edge_support(cur, loop_partitions)
+    final = edge_support(cur)
     return cur.join(final, ["u", "v"], "left").select(
         "u",
         "v",
