@@ -146,3 +146,36 @@ def test_greedy_max_coverage_matches_python_reference(spark, tmp_path):
         for r in q_coverage_selection_report(spark, path).collect()
     )
     assert got == expect
+
+
+def test_truncating_decimal_divide_matches_python_everywhere(spark):
+    """The (a − a % k) decimal-divide device (Holt/HW/Croston folds)
+    must equal Python's toward-zero integer division for any long —
+    including negatives and magnitudes far beyond double's 2^53 exact
+    range, which is the whole reason the division routes through
+    decimal(38,0). Vectorized property check over adversarial and
+    LCG-generated operands."""
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, -1, 9, -9, 10, -10, 11, -11, 2**62, -(2**62), 2**62 + 7,
+            -(2**62) - 7, 123456789012345678, -123456789012345678]
+    rng = _lcg(99)
+    for _ in range(200):
+        v = next(rng) % (2**63)
+        vals.append(v - 2**62)
+    df = spark.createDataFrame([(v,) for v in vals], ["a"])
+
+    def td(col, k):
+        return ((col - col % k).cast("decimal(38,0)") / F.lit(k)).cast("long")
+
+    rows = df.select(
+        "a", td(F.col("a"), 5).alias("d5"), td(F.col("a"), 10).alias("d10")
+    ).collect()
+
+    def pytrunc(a, k):
+        q = abs(a) // k
+        return q if a >= 0 else -q
+
+    for r in rows:
+        assert r["d5"] == pytrunc(r["a"], 5), (r["a"], r["d5"])
+        assert r["d10"] == pytrunc(r["a"], 10), (r["a"], r["d10"])
