@@ -973,3 +973,63 @@ def q_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.when(den != 0.0, round_det(num / den, 6)).alias("elasticity_slope"),
     )
+
+
+def q_tail_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) over the top-200 order
+    values — the extreme-value-theory diagnostic behind "how heavy is
+    the revenue tail" (α ≈ Pareto exponent; α ≤ 2 ⇒ infinite
+    variance): H = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)), α̂ = 1/H.
+
+    Determinism: the top-(k+1) order statistics are a TOTAL order
+    ((price DESC, orderkey) — TakeOrderedAndProject, never a global
+    sort); each log excess rides the established nano-nat grid
+    (floor(ln·10⁹ + 0.5) as BIGINT), so the sum is an exact integer
+    and H / α̂ are single IEEE divisions, snapped to 6 dp. The ranking
+    window runs on the CONSTANT 201-row frame (binseg/markov
+    precedent). α̂ is NULL if every top value ties the threshold
+    (NULLIF-guarded identically on both engines).
+
+    Scale: one TakeOrdered of k+1 rows — O(k) driver memory, k fixed;
+    everything after runs on a constant-size frame."""
+    k = 200
+    orders = load_table(spark, sf_dir, "orders")
+    top = (
+        orders.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = top.select(
+        "o_totalprice", F.row_number().over(w).alias("_rn")
+    )
+    thr = F.broadcast(
+        ranked.filter(F.col("_rn") == k + 1).select(
+            F.col("o_totalprice").alias("_tp")
+        )
+    )
+    terms = (
+        ranked.filter(F.col("_rn") <= k)
+        .crossJoin(thr)
+        .select(
+            F.floor(F.log(F.col("o_totalprice") / F.col("_tp")) * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("_l"),
+            "_tp",
+        )
+    )
+    agg = terms.groupBy("_tp").agg(F.sum("_l").cast("long").alias("_s"))
+    denom = float(k) * 1e9
+    return agg.select(
+        F.lit(k).cast("long").alias("k_top"),
+        F.col("_tp").alias("threshold_price"),
+        round_det(F.col("_s").cast("double") / F.lit(denom), 6).alias(
+            "hill_mean_log_excess"
+        ),
+        round_det(
+            F.when(
+                F.col("_s") != 0, F.lit(denom) / F.col("_s").cast("double")
+            ),
+            6,
+        ).alias("tail_alpha"),
+    )

@@ -720,3 +720,33 @@ ORACLES_R12["price_index_report"] = """
                  * 1000000 + 0.5) / 1000000.0 AS fisher
     FROM agg
 """
+
+
+# FULL twin of q_tail_index_report: identical (price DESC, orderkey)
+# total order for the top-201 statistics, the nano-nat log-excess
+# grid per term, exact integer sum, single divisions. The CASE guard
+# mirrors the Spark when(): NULL alpha iff every top value ties the
+# threshold.
+ORACLES_R12["tail_index_report"] = """
+    WITH topv AS (
+      SELECT o_totalprice, o_orderkey FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 201),
+    r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM topv),
+    thr AS (SELECT o_totalprice AS tp FROM r WHERE rn = 201),
+    agg AS (
+      SELECT thr.tp,
+             CAST(sum(CAST(floor(ln(r.o_totalprice / thr.tp) * 1000000000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM r CROSS JOIN thr WHERE rn <= 200 GROUP BY thr.tp)
+    SELECT CAST(200 AS BIGINT) AS k_top,
+           tp AS threshold_price,
+           floor(CAST(s AS DOUBLE) / 200000000000.0 * 1000000 + 0.5)
+             / 1000000.0 AS hill_mean_log_excess,
+           CASE WHEN s <> 0 THEN
+             floor(200000000000.0 / CAST(s AS DOUBLE) * 1000000 + 0.5)
+               / 1000000.0 END AS tail_alpha
+    FROM agg
+"""
