@@ -1033,3 +1033,130 @@ def q_tail_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tail_alpha"),
     )
+
+
+def q_order_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line order-backlog profile: how many orders are OPEN
+    (placed, not yet fully shipped) on each calendar day, summarized
+    as the peak count, its first peak day, and the time-weighted mean
+    backlog — the warehouse WIP metric. An order is open from
+    o_orderdate through its LAST lineitem ship date (inclusive).
+
+    Device: the classic +1/−1 sweep — one delta row per order start
+    (+1) and one per day-after-last-ship (−1), aggregated per calendar
+    day, then an exact integer prefix sum over the DAY-ordered delta
+    frame (calendar-bounded: ~2.4k rows at any corpus size, so the
+    cumulative window is constant-size like the distance
+    distribution's). Peak/argmax ride integer max + min-day
+    tie-break; the mean weights each backlog level by the days it
+    persists (diff to the next delta day), exact integers with ONE
+    final division.
+
+    Scale: one order-keyed max-shipdate aggregate, one day-keyed
+    delta aggregate, then constant-size calendar frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closed = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("_ship")
+    )
+    spans = orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("_start")
+    ).join(closed, F.col("o_orderkey") == F.col("l_orderkey"))
+    deltas = (
+        spans.select(F.col("_start").alias("_day"), F.lit(1).alias("_d"))
+        .unionByName(
+            spans.select(
+                F.date_add("_ship", 1).alias("_day"), F.lit(-1).alias("_d")
+            )
+        )
+        .groupBy("_day")
+        .agg(F.sum("_d").cast("long").alias("_delta"))
+    )
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    lead_day = F.lead("_day").over(Window.orderBy("_day"))
+    cum = deltas.select(
+        "_day",
+        F.sum("_delta").over(w).cast("long").alias("_open"),
+        F.coalesce(
+            F.datediff(lead_day, F.col("_day")), F.lit(1)
+        ).cast("long").alias("_span_days"),
+    )
+    stats = F.broadcast(
+        cum.agg(
+            F.max("_open").alias("_mx"),
+            F.sum(F.col("_open") * F.col("_span_days")).cast("long").alias("_area"),
+            F.sum("_span_days").cast("long").alias("_days"),
+        )
+    )
+    pick = (
+        cum.crossJoin(stats)
+        .filter(F.col("_open") == F.col("_mx"))
+        .groupBy("_mx", "_area", "_days")
+        .agg(F.min("_day").alias("_peak_day"))
+    )
+    return pick.select(
+        F.col("_mx").alias("peak_open_orders"),
+        F.date_format("_peak_day", "yyyy-MM-dd").alias("peak_day"),
+        F.col("_days").alias("n_profile_days"),
+        round_det(
+            F.col("_area").cast("double") / F.col("_days").cast("double"), 6
+        ).alias("mean_open_orders"),
+    )
+
+
+def q_mean_excess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-excess function at the p90/p95/p99 thresholds of order
+    value — the peaks-over-threshold diagnostic companioning the Hill
+    estimator (a linear mean-excess curve ⇒ generalized-Pareto tail;
+    its slope's sign separates heavy from light tails). For each
+    threshold u: n_exceed and E[X − u | X > u].
+
+    Exactness: thresholds are percentile_disc-style rank picks over
+    the (value, orderkey) total order (the funnel-latency device, on
+    two_phase_rank's range exchange); excesses are exact cent
+    differences summed as exact integers; each mean is ONE IEEE
+    division snapped to 6 dp.
+
+    Scale: one ranked pass + three rank-equality picks against a
+    broadcast count; the excess aggregate is one scan with map-side
+    combine per threshold."""
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_c"),
+        "o_orderkey",
+    )
+    ranked = two_phase_rank(vals, ["_c", "o_orderkey"])
+    n_df = F.broadcast(vals.agg(F.count("*").cast("long").alias("_n")))
+    j = ranked.crossJoin(n_df)
+    out = None
+    for label, num, den in (("p90", 9, 10), ("p95", 19, 20), ("p99", 99, 100)):
+        target = F.expr(f"(_n * {num} + {den - 1}) DIV {den}")
+        thr = F.broadcast(
+            j.filter(F.col("rank") == target).select(F.col("_c").alias("_u"))
+        )
+        row = (
+            vals.crossJoin(thr)
+            .filter(F.col("_c") > F.col("_u"))
+            .groupBy("_u")
+            .agg(
+                F.count("*").cast("long").alias("n_exceed"),
+                F.sum(F.col("_c") - F.col("_u")).cast("long").alias("_sx"),
+            )
+            .select(
+                F.lit(label).alias("quantile"),
+                (F.col("_u").cast("double") / F.lit(100.0)).alias("threshold"),
+                "n_exceed",
+                round_det(
+                    F.col("_sx").cast("double")
+                    / F.col("n_exceed").cast("double")
+                    / F.lit(100.0),
+                    6,
+                ).alias("mean_excess"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

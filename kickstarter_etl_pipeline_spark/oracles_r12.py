@@ -750,3 +750,71 @@ ORACLES_R12["tail_index_report"] = """
                / 1000000.0 END AS tail_alpha
     FROM agg
 """
+
+
+# FULL twin of q_order_backlog_profile: identical +1/−1 sweep —
+# per-day delta aggregate, cumulative sum over the day order, spans
+# to the next delta day (last span = 1), peak via max + min-day
+# tie-break, time-weighted mean as exact integer area / days.
+ORACLES_R12["order_backlog_profile"] = """
+    WITH closed AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship
+      FROM lineitem GROUP BY l_orderkey),
+    spans AS (
+      SELECT CAST(o_orderdate AS DATE) AS s, ship
+      FROM orders JOIN closed ON o_orderkey = l_orderkey),
+    deltas AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT s AS day, 1 AS d FROM spans
+        UNION ALL SELECT ship + CAST(1 AS INTEGER), -1 FROM spans)
+      GROUP BY day),
+    cum AS (
+      SELECT day,
+             CAST(sum(delta) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_n,
+             CAST(COALESCE(lead(day) OVER (ORDER BY day) - day, 1) AS BIGINT)
+               AS span_days
+      FROM deltas),
+    stats AS (
+      SELECT max(open_n) AS mx,
+             CAST(sum(open_n * span_days) AS BIGINT) AS area,
+             CAST(sum(span_days) AS BIGINT) AS days
+      FROM cum)
+    SELECT stats.mx AS peak_open_orders,
+           strftime(min(cum.day), '%Y-%m-%d') AS peak_day,
+           stats.days AS n_profile_days,
+           floor(CAST(stats.area AS DOUBLE) / CAST(stats.days AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS mean_open_orders
+    FROM cum CROSS JOIN stats
+    WHERE cum.open_n = stats.mx
+    GROUP BY stats.mx, stats.area, stats.days
+"""
+
+# FULL twin of q_mean_excess_report: the funnel-latency percentile
+# pick (rank = ceil(q·n) over the (cents, orderkey) total order) per
+# threshold, then exact integer excess sums and one IEEE division
+# per mean.
+ORACLES_R12["mean_excess_report"] = """
+    WITH vals AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             o_orderkey
+      FROM orders),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rank,
+             count(*) OVER () AS n
+      FROM vals),
+    thr AS (
+      SELECT q.label, r.c AS u
+      FROM (VALUES ('p90', 9, 10), ('p95', 19, 20), ('p99', 99, 100))
+        q(label, num, den)
+      JOIN ranked r ON r.rank = (r.n * q.num + q.den - 1) // q.den)
+    SELECT thr.label AS quantile,
+           CAST(thr.u AS DOUBLE) / 100.0 AS threshold,
+           CAST(count(*) AS BIGINT) AS n_exceed,
+           floor(CAST(sum(vals.c - thr.u) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0 * 1000000 + 0.5)
+             / 1000000.0 AS mean_excess
+    FROM vals JOIN thr ON vals.c > thr.u
+    GROUP BY thr.label, thr.u
+"""
