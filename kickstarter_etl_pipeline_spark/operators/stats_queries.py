@@ -1160,3 +1160,115 @@ def q_mean_excess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε = 1) of order values per status —
+    A = 1 − geomean/mean, the third member of the inequality family
+    next to Gini and Theil (ε = 1 weights transfers at the bottom of
+    the distribution most heavily).
+
+    Exactness: the mean rides exact cent sums; the geometric mean
+    rides the nano-nat log grid (Σ floor(ln·10⁹ + 0.5) as exact
+    BIGINT), with exp's output snapped to the 1e-6 grid before use
+    (the temperature_resample device — exp/ln engine deltas live
+    ~10 orders below the snap). A itself is one fixed IEEE tree,
+    6 dp.
+
+    Scale: one status-keyed aggregate with map-side combine — a
+    handful of groups at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    lnano = F.floor(F.log("o_totalprice") * 1e9 + F.lit(0.5)).cast("long")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("_n"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("_sc"),
+        F.sum(lnano).cast("long").alias("_sl"),
+    )
+    g6 = (
+        F.floor(
+            F.exp(
+                F.col("_sl").cast("double")
+                / F.col("_n").cast("double")
+                / F.lit(1e9)
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    mean = F.col("_sc").cast("double") / (F.col("_n") * F.lit(100)).cast("double")
+    return agg.select(
+        "o_orderstatus",
+        F.col("_n").alias("n_orders"),
+        round_det(mean, 6).alias("mean_price"),
+        round_det(g6, 6).alias("geomean_price"),
+        round_det(F.lit(1.0) - g6 / mean, 6).alias("atkinson_e1"),
+    )
+
+
+def q_activity_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table of purchase conversion by user activity — the
+    classic targeting-model report (rank users by event volume, split
+    into SQL-standard deciles, compare each decile's converter rate to
+    the base rate): "does activity predict purchasing, and how
+    concentrated is the lift?".
+
+    Exactness: deciles come from _ntile_exact over two_phase_rank's
+    (−n_events, user_id) total order (bit-equal to ntile(10) OVER the
+    same order — the pinned device); counts are exact; rate is one
+    division and lift is the cross-ratio of INTEGER products
+    (resp·g_users)/(users·g_resp) — a single IEEE division over exact
+    operands, 6 dp.
+
+    Scale: one user-keyed aggregate, the range-exchange rank, a
+    ≤10-group rollup against a broadcast one-row global."""
+    from kickstarter_etl_pipeline_spark.operators.analytics_queries import (
+        _ntile_exact,
+    )
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_ne"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_resp"),
+    )
+    ranked = two_phase_rank(
+        per_user.select((-F.col("_ne")).alias("_neg"), "user_id", "_resp"),
+        ["_neg", "user_id"],
+    )
+    g = F.broadcast(
+        per_user.agg(
+            F.count("*").cast("long").alias("_gu"),
+            F.sum("_resp").cast("long").alias("_gr"),
+        )
+    )
+    tiled = ranked.crossJoin(g).select(
+        _ntile_exact(F.col("rank"), F.col("_gu"), 10).alias("decile"),
+        "_resp",
+        "_gu",
+        "_gr",
+    )
+    per_decile = tiled.groupBy("decile", "_gu", "_gr").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("_resp").cast("long").alias("n_responders"),
+    )
+    return per_decile.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "n_responders",
+        round_det(
+            F.col("n_responders").cast("double") / F.col("n_users").cast("double"),
+            6,
+        ).alias("response_rate"),
+        round_det(
+            (F.col("n_responders") * F.col("_gu")).cast("double")
+            / (F.col("n_users") * F.col("_gr")).cast("double"),
+            6,
+        ).alias("lift"),
+    )

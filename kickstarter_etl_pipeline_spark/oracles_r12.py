@@ -818,3 +818,58 @@ ORACLES_R12["mean_excess_report"] = """
     FROM vals JOIN thr ON vals.c > thr.u
     GROUP BY thr.label, thr.u
 """
+
+
+# FULL twin of q_atkinson_index: identical nano-nat log sums, the
+# exp output snapped to 1e-6 BEFORE use (temperature_resample
+# device), exact cent means, one IEEE tree.
+ORACLES_R12["atkinson_index"] = """
+    WITH agg AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS sc,
+             CAST(sum(CAST(floor(ln(o_totalprice) * 1000000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sl
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus,
+           n AS n_orders,
+           floor(CAST(sc AS DOUBLE) / CAST(n * 100 AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS mean_price,
+           floor((floor(exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0)
+                 * 1000000 + 0.5) / 1000000.0 AS geomean_price,
+           floor((1.0 - (floor(exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)
+                                   / 1000000000.0) * 1000000.0 + 0.5)
+                         / 1000000.0)
+                       / (CAST(sc AS DOUBLE) / CAST(n * 100 AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS atkinson_e1
+    FROM agg
+"""
+
+# FULL twin of q_activity_decile_lift: native ntile(10) over the
+# (−n_events, user_id) total order equals _ntile_exact by the pinned
+# device; the lift is the integer cross-ratio with one division.
+ORACLES_R12["activity_decile_lift"] = """
+    WITH pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS ne,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS resp
+      FROM events GROUP BY user_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS gu,
+                 CAST(sum(resp) AS BIGINT) AS gr FROM pu),
+    tiled AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY -ne, user_id) AS BIGINT) AS decile,
+             resp
+      FROM pu)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(resp) AS BIGINT) AS n_responders,
+           floor(CAST(sum(resp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS response_rate,
+           floor(CAST(sum(resp) * g.gu AS DOUBLE)
+                 / CAST(count(*) * g.gr AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS lift
+    FROM tiled CROSS JOIN g
+    GROUP BY decile, g.gu, g.gr
+"""
