@@ -1102,3 +1102,61 @@ def q_token_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> Data
             (F.col("p75_tokens") - F.col("p25_tokens")).cast("long").alias("iqr_tokens"),
         )
     )
+
+
+def q_pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation capstone, graded as ONE unit: language
+    filter → quality filter → exact dedup (the clean_corpus chain,
+    verbatim) → stable md5 shard assignment (the shard_balance device,
+    8 shards) → per-shard manifest (docs, token volume, mean quality).
+    This is the shape a 100 TB pretraining job actually ships — each
+    stage is an existing graded operator, composed lazily into a
+    single plan, and the composition itself is hash-graded.
+
+    Exactness: quality already lives on the 1e-6 grid (clean_corpus
+    contract), so the per-shard mean rides exact micro-integers with
+    ONE final division; token counts are exact lengths.
+
+    Scale: the chain is filters + one dedup aggregate + one 8-group
+    rollup — nothing beyond the components' own postures."""
+    from kickstarter_etl_pipeline_spark.operators import text as TX
+    from kickstarter_etl_pipeline_spark.operators.dedup import drop_exact_dupes
+    from kickstarter_etl_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_lang = TX.with_lang_id(docs)
+    filtered = (
+        with_lang.filter(F.col("lang_pred") == "en")
+        .withColumn("quality", TX.quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+    )
+    clean = drop_exact_dupes(filtered, "text", "doc_id")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 8
+    )
+    staged = clean.select(
+        shard.alias("shard"),
+        F.size(tokens("text")).cast("long").alias("_nt"),
+        F.floor(F.col("quality") * 1e6 + F.lit(0.5)).cast("long").alias("_q6"),
+    )
+    return (
+        staged.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("total_tokens"),
+            F.sum("_q6").cast("long").alias("_sq"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            round_det(
+                F.col("_sq").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_quality"),
+        )
+    )

@@ -873,3 +873,41 @@ ORACLES_R12["activity_decile_lift"] = """
     FROM tiled CROSS JOIN g
     GROUP BY decile, g.gu, g.gr
 """
+
+
+# FULL twin of q_pretraining_manifest: the clean_corpus twin REUSED
+# verbatim (imported and re-tailed — the composition mirrors the
+# Spark side composing the same operator chain), then the md5-hex
+# shard key (the shard_balance device) and an 8-group rollup. The
+# mean quality rides exact micro-integers: clean_corpus pins quality
+# to the 1e-6 grid, so floor(q·10⁶ + 0.5) is lossless.
+def _pretraining_manifest_oracle_sql() -> str:
+    from kickstarter_etl_pipeline_spark.oracles_core import ORACLES_CORE
+
+    clean = ORACLES_CORE["clean_corpus"]
+    old_tail = (
+        "SELECT doc_id, lang, quality, n_chars\n"
+        "        FROM filtered WHERE doc_id IN (SELECT doc_id FROM keepers)"
+    )
+    assert old_tail in clean, "clean_corpus twin tail changed — re-sync manifest"
+    new_tail = (
+        "SELECT doc_id, quality, CAST(len(toks) AS BIGINT) AS nt\n"
+        "        FROM filtered WHERE doc_id IN (SELECT doc_id FROM keepers)"
+    )
+    base = clean.replace(old_tail, new_tail)
+    return f"""
+    WITH base AS ({base})
+    SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 8 AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           floor(CAST(sum(CAST(floor(quality * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+             / 1000000.0 AS mean_quality
+    FROM base
+    GROUP BY shard
+"""
+
+
+ORACLES_R12["pretraining_manifest"] = _pretraining_manifest_oracle_sql()
