@@ -193,7 +193,12 @@ def greedy_max_coverage(
     order, so the whole trajectory is deterministic).
 
     Output: one row per pick — (step, doc_id, marginal_gain,
-    covered_total), all exact integers.
+    covered_total), all exact integers. SATURATION: once every shingle
+    is covered the round's gain table is empty and no further row is
+    emitted, so the result may have FEWER than ``k`` rows (zero-gain
+    picks are meaningless under max-coverage; the DuckDB twin stops at
+    the same point, and the pure-Python reference in
+    tests/test_r12_ops.py encodes the same stop-at-zero-gain rule).
 
     Scale: the coverage universe is the DISTINCT (doc, word-5-gram
     shingle) pair set — the decontamination unit (dedup.shingles), a

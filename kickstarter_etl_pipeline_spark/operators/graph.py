@@ -950,6 +950,30 @@ def ktruss(
     )
 
 
+def _guard_betweenness_bound(max_sigma: int, n_reached: int) -> None:
+    """Loud-failure guard for betweenness_sampled's BIGINT contract.
+
+    The backward pass's per-term product is σv·(10⁹ + δ̂w) with every
+    factor a BIGINT. δ̂ (in nanos) is bounded by 10⁹ · (descendants of
+    the vertex in the BFS DAG) ≤ 10⁹ · n_reached, so the conservative
+    sufficient condition for every term to stay below 2⁶³ is
+        max_sigma · (n_reached + 1) < 2⁶³ / 10⁹ ≈ 9.22e9.
+    Spark wraps silently past 2⁶³ while DuckDB raises — this guard
+    turns a silent cross-engine divergence into an immediate error
+    naming the fix (widen the nano products to decimal(38,0) on BOTH
+    engines identically).
+    """
+    limit = (1 << 63) // 1_000_000_000  # 9_223_372_036
+    if max_sigma * (n_reached + 1) >= limit:
+        raise RuntimeError(
+            "betweenness_sampled BIGINT bound exceeded: max sigma "
+            f"{max_sigma} with {n_reached} reached vertices can push "
+            "sigma*(1e9+delta) past 2^63, where Spark wraps silently but "
+            "DuckDB raises. Widen the nano products to decimal(38,0) on "
+            "both engines before trusting results on this graph."
+        )
+
+
 def betweenness_sampled(
     edges: DataFrame,
     pivots: int = 8,
@@ -987,13 +1011,23 @@ def betweenness_sampled(
     the nano-δ products are BIGINTs: σ·(10⁹ + δ̂) must stay below 2⁶³
     — holds for σ ≤ ~10⁶ and δ̂ ≤ ~10³·10⁹ (documented bound; a
     pathological path-count explosion would need decimal widening on
-    both engines identically).
+    both engines identically). The bound is GUARDED at runtime
+    (:func:`_guard_betweenness_bound`): Spark long arithmetic wraps
+    silently on overflow while DuckDB raises, so without the guard the
+    two engines would diverge quietly; with it the operator fails
+    loudly with the widening instruction. The check is one bounded
+    scalar collect over the already-checkpointed visited table — the
+    same control-plane cost class as the loop-convergence collects.
     """
     # σ rides the BFS expansion itself (Brandes' forward pass is free:
     # the per-round σ-sum replaces the frontier distinct) — see
     # _multi_source_bfs. Level frames are slices of the checkpointed
     # visited table.
     sym, visited = _multi_source_bfs(edges, pivots, rounds, u, v, loop_partitions)
+    _max_sigma, _n_reached = visited.agg(
+        F.max("sigma").cast("long"), F.countDistinct("_id").cast("long")
+    ).first()
+    _guard_betweenness_bound(_max_sigma or 0, _n_reached or 0)
     sig_lvls: list[DataFrame] = [
         visited.filter(F.col("depth") == t).select("_p", "_id", "sigma")
         for t in range(rounds + 1)

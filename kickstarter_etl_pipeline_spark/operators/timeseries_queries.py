@@ -497,7 +497,12 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("forecast_7d"),
         round_det(
             st.sae.cast("double")
-            / (F.col("n_days") - F.lit(1)).cast("double")
+            # NULLIF-guard: a single-day series has no one-step errors;
+            # bare /0.0 is NULL on Spark but NaN under DuckDB's IEEE
+            # doubles — the nullif makes both engines emit NULL.
+            / F.nullif(
+                (F.col("n_days") - F.lit(1)).cast("double"), F.lit(0.0)
+            )
             / F.lit(1_000_000.0),
             6,
         ).alias("mae_one_step"),
@@ -605,7 +610,12 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("season_trough"),
         round_det(
             st.sae.cast("double")
-            / (F.col("n_days") - F.lit(1)).cast("double")
+            # NULLIF-guard: a single-day series has no one-step errors;
+            # bare /0.0 is NULL on Spark but NaN under DuckDB's IEEE
+            # doubles — the nullif makes both engines emit NULL.
+            / F.nullif(
+                (F.col("n_days") - F.lit(1)).cast("double"), F.lit(0.0)
+            )
             / F.lit(1_000_000.0),
             6,
         ).alias("mae_one_step"),

@@ -122,7 +122,7 @@ ORACLES_R12["holt_linear_forecast"] = """
              AS trend,
            floor(CAST(h.l + 7 * h.b AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
              / 1000000.0 AS forecast_7d,
-           floor(CAST(h.sae AS DOUBLE) / CAST(nd.n_days - 1 AS DOUBLE)
+           floor(CAST(h.sae AS DOUBLE) / NULLIF(CAST(nd.n_days - 1 AS DOUBLE), 0)
                  / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS mae_one_step
     FROM holt h JOIN nd ON nd.pri = h.pri AND h.t = nd.n_days
 """
@@ -237,7 +237,7 @@ def _holt_winters_oracle_sql() -> str:
              / 1000000.0 AS season_peak,
            floor(CAST({trough} AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
              / 1000000.0 AS season_trough,
-           floor(CAST(h.sae AS DOUBLE) / CAST(nd.n_days - 1 AS DOUBLE)
+           floor(CAST(h.sae AS DOUBLE) / NULLIF(CAST(nd.n_days - 1 AS DOUBLE), 0)
                  / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS mae_one_step
     FROM hw h JOIN nd ON nd.pri = h.pri AND h.t = nd.n_days
 """

@@ -54,6 +54,51 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
+def _single_partition_feeds_only_aggregates(text: str) -> bool:
+    """True iff EVERY SinglePartition exchange in a formatted plan is
+    consumed by an aggregate operator — the partial→final global-
+    aggregate pattern, where the one-task exchange carries only one
+    partial row per input partition and is therefore benign.
+
+    Parses the formatted explain's two sections: the detail blocks
+    ("(4) Exchange\\nArguments: SinglePartition, ...") name WHICH
+    exchanges are single-partition; the tree ("+- Exchange (4)") gives
+    each one's parent (the nearest shallower-indented line above).
+    Any parse miss or non-aggregate parent returns False — the caller
+    then keeps the loud WARN, so the soft path only triggers on plans
+    this function fully understood.
+    """
+    # a detail block is "(4) Exchange" followed by Output/Input/
+    # Arguments lines until the next "(n) Op" header — Arguments is
+    # NOT necessarily the first line, so scan within the block.
+    sp_ids = set(
+        re.findall(
+            r"\((\d+)\) Exchange\n(?:(?!\(\d+\) )[^\n]*\n)*?Arguments: SinglePartition",
+            text,
+        )
+    )
+    if not sp_ids:
+        return False
+    tree: list[tuple[int, str, str]] = []
+    for line in text.splitlines():
+        m = re.match(r"^([:+\-| ]*)(?:\* )?([A-Za-z][\w .]*?) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    seen = set()
+    for i, (indent, _name, oid) in enumerate(tree):
+        if oid not in sp_ids:
+            continue
+        seen.add(oid)
+        parent = None
+        for j in range(i - 1, -1, -1):
+            if tree[j][0] < indent:
+                parent = tree[j][1]
+                break
+        if parent is None or "Aggregate" not in parent:
+            return False
+    return seen == sp_ids
+
+
 def advise(df: DataFrame) -> list[str]:
     """Scale-hazard advisor: the judgments the repo's plan-shape tests
     make about ITS queries, exposed for a user's OWN queries — run it
@@ -66,10 +111,13 @@ def advise(df: DataFrame) -> list[str]:
     - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — a join with
       no usable equi-key; O(n·m) at scale. Usually a missing join
       condition or a non-equi predicate that needs a banding key.
-    - ``Exchange SinglePartition`` — a global sort/limit/window/agg
+    - ``Exchange SinglePartition`` — a global sort/limit/window
       funneling EVERYTHING through one task (the classic
       Window-without-partitionBy trap; use two_phase_rank-style range
-      exchanges, TakeOrderedAndProject, or partial aggregates).
+      exchanges, TakeOrderedAndProject, or partial aggregates). When
+      every such exchange feeds a final aggregate (the partial→final
+      global-summary pattern), only one partial row per partition
+      crosses it — that case is demoted to INFO, not WARN.
     - filters that did not reach a file scan — a scan reading rows a
       Filter above it immediately drops; rewrite the predicate on the
       scanned column (not on a derived expression) so it pushes down.
@@ -96,12 +144,21 @@ def advise(df: DataFrame) -> list[str]:
     # Arguments line ("Arguments: SinglePartition, ..."), not the
     # "(n) Exchange" header.
     if "SinglePartition" in text:
-        findings.append(
-            "WARN: Exchange SinglePartition — a global sort/window/limit is "
-            "funneling all rows through ONE task; partition the window, use "
-            "a range-exchange two-phase rank, or a TakeOrderedAndProject "
-            "top-k instead."
-        )
+        if _single_partition_feeds_only_aggregates(text):
+            findings.append(
+                "INFO: Exchange SinglePartition feeding a final aggregate — "
+                "only per-partition PARTIAL rows cross the exchange (one row "
+                "per input partition, not the data), the normal global-"
+                "summary shape; nothing to fix unless the aggregate state "
+                "itself is huge (collect_list/collect_set of the data)."
+            )
+        else:
+            findings.append(
+                "WARN: Exchange SinglePartition — a global sort/window/limit "
+                "is funneling all rows through ONE task; partition the "
+                "window, use a range-exchange two-phase rank, or a "
+                "TakeOrderedAndProject top-k instead."
+            )
     n_filters = len(re.findall(r"^\(\d+\) Filter\b", text, flags=re.MULTILINE))
     if s["n_scans"] and n_filters and not s["pushed_filters"]:
         findings.append(

@@ -139,6 +139,12 @@ def test_greedy_max_coverage_matches_python_reference(spark, tmp_path):
             g = len(universe[d] - covered)
             if g > best_gain:
                 best_doc, best_gain = d, g
+        if best_gain == 0:
+            # saturation: the engine emits no row once every shingle is
+            # covered (the gain table is empty), so the reference stops
+            # at zero remaining gain too — fewer than k rows is the
+            # documented output contract.
+            break
         covered |= universe[best_doc]
         expect.append((step, best_doc, best_gain, len(covered)))
     got = sorted(

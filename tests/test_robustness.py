@@ -235,7 +235,16 @@ def test_advisor_flags_each_hazard_and_passes_clean_plans(spark, sf_dir):
     assert any("NestedLoopJoin" in f for f in advise(nonequi))
 
     funnel = a.withColumn("rn", F2.row_number().over(Window.orderBy("a")))
-    assert any("SinglePartition" in f for f in advise(funnel))
+    assert any(
+        f.startswith("WARN") and "SinglePartition" in f for f in advise(funnel)
+    )
+
+    # a plain global aggregate ALSO plans an Exchange SinglePartition,
+    # but only per-partition partial rows cross it — the advisor must
+    # demote that to INFO, not cry wolf on every one-row summary.
+    summary = a.agg(F2.sum("a").alias("s"), F2.count("*").alias("n"))
+    sp = [f for f in advise(summary) if "SinglePartition" in f]
+    assert sp and all(f.startswith("INFO") for f in sp), sp
 
     from kickstarter_etl_pipeline_spark.queries import q_star_flagship
 

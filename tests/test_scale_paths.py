@@ -1220,3 +1220,25 @@ def test_ktruss_peels_to_known_core_and_partitions(spark):
         for r in ktruss(edges.repartition(7), k=4, rounds=4, loop_partitions=3).collect()
     }
     assert again == want
+
+
+def test_betweenness_bigint_guard_raises_loudly():
+    """The documented σ·(10⁹+δ̂) < 2⁶³ contract is now a runtime guard:
+    in-bound (max_sigma · (V+1) below 2⁶³/10⁹) passes silently; a
+    pathological path-count explosion raises a RuntimeError naming the
+    decimal-widening fix instead of letting Spark long arithmetic wrap
+    while DuckDB raises (the silent cross-engine divergence ADVICE r12
+    flagged)."""
+    import pytest
+
+    from kickstarter_etl_pipeline_spark.operators.graph import (
+        _guard_betweenness_bound,
+    )
+
+    _guard_betweenness_bound(0, 0)
+    _guard_betweenness_bound(10**6, 1000)          # the documented regime
+    _guard_betweenness_bound(9_223_372_035, 0)     # just under the limit
+    with pytest.raises(RuntimeError, match="decimal"):
+        _guard_betweenness_bound(9_223_372_036, 0)
+    with pytest.raises(RuntimeError, match="2\\^63"):
+        _guard_betweenness_bound(10**7, 10**3)     # σ past the 1e6 regime
