@@ -1160,3 +1160,92 @@ def q_pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+def q_curation_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second end-to-end curation capstone, graded as ONE unit:
+    language filter → quality gate → exact dedup (the clean_corpus
+    chain, verbatim) → benchmark DECONTAMINATION (drop every cleaned
+    doc sharing a word 5-gram with the eval stratum — the
+    decontaminate_overlap construction, composed as its documented
+    left-anti complement) → concat-and-split sequence PACKING
+    (pack_sequences, 128-token windows per source) → per-source
+    ship manifest with sqrt-TEMPERATURE sampling weights (the
+    source_mixing_weights device). Where pretraining_manifest grades
+    the clean→shard half of a training-data pipeline, this grades the
+    decontaminate→mix→pack half — together they cover the whole
+    curation path a 100 TB pretraining job ships.
+
+    Per source: docs packed, docs removed as contaminated, exact token
+    volume, 128-token window count, boundary-spanning doc count, and
+    the sqrt-damped sampling share (one IEEE sqrt + one division,
+    snapped to 6 dp — the source_mixing_weights contract).
+
+    Scale: filters + one dedup aggregate + one shingle-keyed
+    decontamination join (shuffle keyed by shingle text, never
+    doc×doc) + one per-source packing window + a ~20-group rollup
+    with a broadcast one-row total. Each stage is an existing graded
+    operator; the composition is lazy — ONE plan, hash-graded.
+    """
+    from kickstarter_etl_pipeline_spark.operators.corpus import pack_sequences
+    from kickstarter_etl_pipeline_spark.operators.dedup import (
+        benchmark_overlap,
+        drop_exact_dupes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_lang = TX.with_lang_id(docs)
+    filtered = (
+        with_lang.filter(F.col("lang_pred") == "en")
+        .withColumn("quality", TX.quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+    )
+    clean = drop_exact_dupes(filtered, "text", "doc_id")
+    corpus = clean.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    contaminated = benchmark_overlap(corpus, bench, n=5).select("doc_id")
+    survivors = corpus.join(contaminated, "doc_id", "left_anti")
+    packed = pack_sequences(survivors, context_tokens=128, shard_col="source")
+    per_source = (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("spans_boundary").cast("long"))
+            .cast("long")
+            .alias("n_boundary_docs"),
+        )
+        # windows are ceil(total_tokens/128) — derived from the SAME
+        # cumulative stream packing uses (cum_max == total_tokens)
+        .withColumn(
+            "n_windows",
+            (F.floor((F.col("total_tokens") - 1) / 128) + 1).cast("long"),
+        )
+    )
+    removed = (
+        corpus.join(contaminated, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    totals = per_source.agg(
+        F.sum(F.sqrt(F.col("total_tokens").cast("double"))).alias("_tw")
+    )
+    return (
+        per_source.join(removed, "source", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            "total_tokens",
+            "n_windows",
+            "n_boundary_docs",
+            round_det(
+                F.sqrt(F.col("total_tokens").cast("double"))
+                / F.nullif(F.col("_tw"), F.lit(0.0)),
+                6,
+            ).alias("p_sample"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Round-13 DuckDB oracle twins.
+
+Same contract as every other ledger: each entry is the ANSI-SQL twin
+of the identically-named ``queries()`` entry, producing IDENTICAL
+column names and bit-identical values under the driver normalization
+(columns sorted by name, rows sorted, floats repr'd post-rounding).
+"""
+
+from __future__ import annotations
+
+ORACLES_R13: dict[str, str] = {}
+
+# The shared whitespace tokenizer literal (oracles_core._TOKS, repeated
+# here verbatim so the ledgers stay independently readable).
+_TOKS13 = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# FULL twin of q_curation_pack_manifest — the composed
+# clean→decontaminate→pack→temperature manifest. The clean_corpus twin
+# is imported VERBATIM as the base CTE (same device as
+# pretraining_manifest: only the tail projection changes, asserted so
+# a drifting constituent twin fails loudly at import). Decontamination
+# is the decontaminate_overlap construction (word 5-grams, eval
+# stratum doc_id % 10 = 0) applied as its documented left-anti
+# complement; packing is the pack_sequences cumulative window
+# (PARTITION BY source ORDER BY doc_id, 128-token bins); the
+# temperature share is the source_mixing_weights sqrt formula.
+def _curation_pack_oracle_sql() -> str:
+    from kickstarter_etl_pipeline_spark.oracles_core import ORACLES_CORE
+
+    clean = ORACLES_CORE["clean_corpus"]
+    old_tail = (
+        "SELECT doc_id, lang, quality, n_chars\n"
+        "        FROM filtered WHERE doc_id IN (SELECT doc_id FROM keepers)"
+    )
+    assert old_tail in clean, "clean_corpus twin tail changed — re-sync curation pack"
+    new_tail = (
+        "SELECT doc_id, toks\n"
+        "        FROM filtered WHERE doc_id IN (SELECT doc_id FROM keepers)"
+    )
+    base = clean.replace(old_tail, new_tail)
+    return f"""
+    WITH base AS ({base}),
+    corpus AS (
+      SELECT b.doc_id, d.source, b.toks FROM base b
+      JOIN documents d USING (doc_id) WHERE b.doc_id % 10 != 0),
+    csh AS (SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                           toks[i+3], toks[i+4]))) AS s
+              FROM corpus)),
+    bt AS (SELECT doc_id, {_TOKS13} AS t FROM documents WHERE doc_id % 10 = 0),
+    bsh AS (SELECT DISTINCT s FROM (
+              SELECT unnest(list_transform(range(1, len(t) - 3),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                    t[i+4]))) AS s
+              FROM bt)),
+    contaminated AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s)),
+    survivors AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    packed AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM survivors),
+    persrc AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN floor((cum - 1) / 128)
+                            > floor((cum - n_tokens) / 128)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+      FROM packed GROUP BY source),
+    rem AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM corpus WHERE doc_id IN (SELECT doc_id FROM contaminated)
+            GROUP BY source),
+    tot AS (SELECT sum(sqrt(total_tokens)) AS tw FROM persrc)
+    SELECT p.source, p.n_docs,
+           CAST(coalesce(r.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           p.total_tokens,
+           CAST(floor((p.total_tokens - 1) / 128) + 1 AS BIGINT) AS n_windows,
+           p.n_boundary_docs,
+           floor(sqrt(p.total_tokens) / nullif(t.tw, 0) * 1000000 + 0.5)
+             / 1000000.0 AS p_sample
+    FROM persrc p LEFT JOIN rem r USING (source), tot t
+"""
+
+
+ORACLES_R13["curation_pack_manifest"] = _curation_pack_oracle_sql()
