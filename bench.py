@@ -150,6 +150,16 @@ BENCH_QUERIES = [
     # graph_ppr (~4 s) shares pagerank's benched model; the other
     # continuation additions probe under 4 s on benched models.
     "graph_ktruss",
+    # round 13: the REAL image-decode path (PPM payload build → pure-
+    # Python byte parse + numpy channel sums inside mapInPandas) is a
+    # distinct cost model from media_frame_stats' 1→N chunker — the
+    # decode canary guards the per-payload Python parse cost staying
+    # linear; the composed curation pack manifest is the heaviest
+    # multi-stage corpus plan (clean → shingle decontamination join →
+    # packing window → mix rollup in ONE plan) and watches for lost
+    # exchange reuse across its shared clean-corpus subtree.
+    "image_decode_stats",
+    "curation_pack_manifest",
 ]
 
 

@@ -87,3 +87,45 @@ def _curation_pack_oracle_sql() -> str:
 
 
 ORACLES_R13["curation_pack_manifest"] = _curation_pack_oracle_sql()
+
+
+# FULL twin of q_image_decode_stats: the Spark side PARSES deterministic
+# P6 PPM payloads byte-by-byte (real decode); this twin re-derives the
+# same stats arithmetically from the generating formula — width 16,
+# height clamp(len/48, 1, 32), raster = printable-ASCII-sanitized text
+# repeated and truncated to 48·h chars. Char==byte holds because the
+# sanitizer maps every non-[\x20-\x7E] codepoint to '?', so DuckDB's
+# md5(VARCHAR) (UTF-8 bytes) equals hashlib.md5 of the raster bytes and
+# ord() equals the byte value — the frame_dedup_report device, made
+# unconditional. Channel sums ride list_transform over stepped ranges
+# (no unnest fan-out; lists are ≤512 elements).
+ORACLES_R13["image_decode_stats"] = """
+    WITH m AS (
+      SELECT doc_id,
+             greatest(1, least(32, CAST(floor(length(t) / 48) AS INT))) AS h,
+             t
+      FROM (SELECT doc_id,
+                   regexp_replace(text, '[^\\x20-\\x7E]', '?', 'g') AS t
+            FROM documents)
+      WHERE length(t) > 0),
+    r AS (
+      SELECT doc_id, h,
+             substring(repeat(t, CAST(ceil(CAST(48 * h AS DOUBLE)
+                                           / length(t)) AS INT)),
+                       1, 48 * h) AS ps
+      FROM m)
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(list_aggregate(list_transform(range(0, 48 * h, 3),
+                i -> ord(substring(ps, CAST(i + 1 AS INT), 1))), 'sum')
+                AS BIGINT) AS sum_r,
+           CAST(list_aggregate(list_transform(range(1, 48 * h, 3),
+                i -> ord(substring(ps, CAST(i + 1 AS INT), 1))), 'sum')
+                AS BIGINT) AS sum_g,
+           CAST(list_aggregate(list_transform(range(2, 48 * h, 3),
+                i -> ord(substring(ps, CAST(i + 1 AS INT), 1))), 'sum')
+                AS BIGINT) AS sum_b,
+           md5(ps) AS raster_md5
+    FROM r
+"""
