@@ -36,6 +36,10 @@ _ORACLES["dedup_components_star"] = _ORACLES["dedup_components"]
 _ORACLES["events_stream_sliding"] = _ORACLES["events_sliding"]
 # The finite-fixture upsert rollup must equal the batch tumbling agg.
 _ORACLES["events_stream_upsert"] = _ORACLES["events_tumbling"]
+# The transformWithStateInPandas sessionizer must emit the exact
+# sessions of the applyInPandasWithState one (same fold, same finite
+# replay) — one oracle grades both stateful APIs.
+_ORACLES["events_tws_sessions"] = _ORACLES["events_stateful_sessions"]
 # Compaction must preserve the data exactly — same oracle as the
 # idempotent-append round-trip (a plain aggregate over documents).
 _ORACLES["compaction_roundtrip_agg"] = _ORACLES["idempotent_append_agg"]

@@ -785,3 +785,22 @@ def q_events_stream_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kickstarter_etl_pipeline_spark.streaming.stateful import stateful_conversions
 
     return stateful_conversions(spark, sf_dir)
+
+
+def q_events_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionizer on transformWithStateInPandas — Spark 4's
+    StatefulProcessor API (typed ValueState handle, init/close
+    lifecycle), exercising the JVM↔Python STATE PROTOCOL end-to-end:
+    every get/update crosses the state server as protobuf wire bytes
+    (see streaming.tws_sessionize; in this container the runtime is the
+    vendored pure-Python wire-format shim under vendor/pure_protobuf).
+    Emitted sessions are IDENTICAL to the applyInPandasWithState
+    operator's under the finite AvailableNow replay, so the SAME full
+    SQL oracle grades both (closed = every session but the user's
+    last) — a hash MATCH here certifies the protocol encoding, the
+    state round-trips, and the sessionization fold in one unit."""
+    from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+        tws_sessionize,
+    )
+
+    return tws_sessionize(spark, sf_dir)

