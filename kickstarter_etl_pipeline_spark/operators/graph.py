@@ -1024,8 +1024,11 @@ def betweenness_sampled(
     # _multi_source_bfs. Level frames are slices of the checkpointed
     # visited table.
     sym, visited = _multi_source_bfs(edges, pivots, rounds, u, v, loop_partitions)
+    # count(*) over (pivot, vertex) rows upper-bounds the per-pivot
+    # reached-vertex count (no countDistinct — that would add an
+    # exchange; this agg is one map-side-combinable pass).
     _max_sigma, _n_reached = visited.agg(
-        F.max("sigma").cast("long"), F.countDistinct("_id").cast("long")
+        F.max("sigma").cast("long"), F.count("*").cast("long")
     ).first()
     _guard_betweenness_bound(_max_sigma or 0, _n_reached or 0)
     sig_lvls: list[DataFrame] = [
