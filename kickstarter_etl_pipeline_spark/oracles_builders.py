@@ -40,6 +40,7 @@ _ORACLES["events_stream_upsert"] = _ORACLES["events_tumbling"]
 # sessions of the applyInPandasWithState one (same fold, same finite
 # replay) — one oracle grades both stateful APIs.
 _ORACLES["events_tws_sessions"] = _ORACLES["events_stateful_sessions"]
+_ORACLES["events_tws_timeout_sessions"] = _ORACLES["events_stateful_timeout_sessions"]
 # Compaction must preserve the data exactly — same oracle as the
 # idempotent-append round-trip (a plain aggregate over documents).
 _ORACLES["compaction_roundtrip_agg"] = _ORACLES["idempotent_append_agg"]

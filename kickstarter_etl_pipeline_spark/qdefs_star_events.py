@@ -804,3 +804,22 @@ def q_events_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tws_sessionize(spark, sf_dir)
+
+
+def q_events_tws_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS on the StatefulProcessor API: the production
+    bounded-state sessionizer re-expressed on transformWithStateInPandas
+    — gap-splits emit inline, the open session emits from
+    handleExpiredTimer once the watermark passes last_event + gap, and
+    state is cleared (eviction). Exercises the timer half of the state
+    protocol (RegisterTimer/DeleteTimer/ExpiryTimerRequest wire
+    messages through the vendored runtime) that events_tws_sessions'
+    NoTimeout fold does not. Emitted rows equal the
+    applyInPandasWithState EventTimeTimeout operator's exactly —
+    including the strict watermark boundary — so the SAME oracle
+    (watermark replay) grades both."""
+    from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+        tws_sessionize_with_timeout,
+    )
+
+    return tws_sessionize_with_timeout(spark, sf_dir)

@@ -52,9 +52,11 @@ from kickstarter_etl_pipeline_spark.streaming.stateful import (
     GAP_US,
     SESSION_SCHEMA,
     STATE_SCHEMA,
+    TIMEOUT_SESSION_SCHEMA,
 )
 
 _OUT_COLS = [f.name for f in SESSION_SCHEMA.fields]
+_TIMEOUT_COLS = [f.name for f in TIMEOUT_SESSION_SCHEMA.fields]
 
 #: Vendored minimal pure-Python protobuf runtime (public wire format
 #: only — see vendor/pure_protobuf/google/protobuf/__init__.py). Used
@@ -218,4 +220,114 @@ def tws_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     # memory-sink temp views are per-session — read back through the
     # child the query was planned on
+    return child.table(name)
+
+
+class TimeoutSessionProcessor(StatefulProcessor):
+    """Gap sessionizer with EVENT-TIME TIMER eviction — the production
+    bounded-state path on the StatefulProcessor API, mirroring
+    streaming.stateful._session_timeout_fn exactly: gap-splits emit
+    closed_by_timeout=False inline; the still-open session emits True
+    from :meth:`handleExpiredTimer` once the watermark passes
+    last_event + GAP, with state cleared (bounded memory).
+
+    Timer discipline: the old API's setTimeoutTimestamp REPLACES the
+    key's single timeout, while TWS timers ACCUMULATE — so each batch
+    deletes the previously armed timer (derivable from the carried
+    last_us, no extra state) before registering the new one. Every
+    register/delete/expiry crosses the JVM state server as protobuf
+    wire bytes (the vendored runtime's TimerStateCallCommand /
+    ExpiryTimerRequest messages get live coverage here)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("session", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        had_state = self._state.exists()
+        n, s, start_us, last_us = (
+            self._state.get() if had_state else (0, 0.0, None, None)
+        )
+        prev_last_us = last_us
+        out: list[list] = []
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = int(ts.value // 1_000)
+                if last_us is not None and us - last_us > GAP_US:
+                    out.append([user_id, n, round(s, 4), False])
+                    n, s, start_us = 0, 0.0, None
+                if start_us is None:
+                    start_us = us
+                n += 1
+                s += float(value)
+                last_us = us
+        self._state.update((n, s, start_us, last_us))
+        if had_state and prev_last_us is not None and prev_last_us != last_us:
+            self._handle.deleteTimer(prev_last_us // 1_000 + GAP_US // 1_000)
+        self._handle.registerTimer(last_us // 1_000 + GAP_US // 1_000)
+        if out:
+            yield pd.DataFrame(out, columns=_TIMEOUT_COLS)
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if not self._state.exists():
+            return
+        n, s, _start_us, _last_us = self._state.get()
+        self._state.clear()
+        yield pd.DataFrame(
+            [[user_id, n, round(s, 4), True]], columns=_TIMEOUT_COLS
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_sessionize_with_timeout(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 minute"
+) -> DataFrame:
+    """Run the event-time-timer sessionizer (StatefulProcessor API)
+    over the events fixture with AvailableNow; emitted rows equal
+    stateful_sessionize_with_timeout's exactly (same oracle)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires a google.protobuf runtime; "
+            "neither the real package nor the vendored shim is importable."
+        )
+    _export_worker_pythonpath(spark)
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+
+    child = isolated_session(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    stream = read_events_stream(child, sf_dir).withWatermark("ts", watermark)
+    sessions = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimeoutSessionProcessor(),
+        outputStructType=TIMEOUT_SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+    name = f"tws_timeout_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_tws_to_ckpt_")
+    query = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
     return child.table(name)

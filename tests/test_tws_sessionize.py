@@ -47,3 +47,25 @@ def test_tws_matches_old_api(spark):
     old = {tuple(r) for r in stateful_sessionize(spark, SF_SMOKE).collect()}
     assert new == old
     assert new  # non-empty: the stream really emitted sessions
+
+
+def test_tws_timeout_matches_old_api(spark):
+    """The event-time-TIMER sessionizer equals the old API's
+    EventTimeTimeout operator row-for-row — including the strict
+    watermark boundary for timer firing and the state eviction."""
+    from kickstarter_etl_pipeline_spark.streaming.stateful import (
+        stateful_sessionize_with_timeout,
+    )
+    from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+        tws_sessionize_with_timeout,
+    )
+
+    new = sorted(
+        map(tuple, tws_sessionize_with_timeout(spark, SF_SMOKE).collect())
+    )
+    old = sorted(
+        map(tuple, stateful_sessionize_with_timeout(spark, SF_SMOKE).collect())
+    )
+    assert new == old
+    assert any(r[3] for r in new)  # at least one timer-evicted session
+    assert any(not r[3] for r in new)  # and at least one gap-split
