@@ -129,3 +129,36 @@ ORACLES_R13["image_decode_stats"] = """
            md5(ps) AS raster_md5
     FROM r
 """
+
+
+# FULL twin of q_events_tws_user_profile: the three-state
+# StatefulProcessor fold under AvailableNow's single batch equals a
+# batch aggregate — total events (ValueState), distinct types + modal
+# type with ties to the lexically largest type (MapState iterator →
+# max of (count, type), mirrored as ORDER BY c DESC, t DESC),
+# and the sum of the 3 most recent values by (us, event_id) DESC
+# (ListState keep-3). round(x, 4) matches the processor's Python
+# round on the half-even grid the fixtures' 2dp values keep exact.
+ORACLES_R13["events_tws_user_profile"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_us(ts) AS us FROM events),
+    tc AS (SELECT user_id, event_type AS t, CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY 1, 2),
+    top AS (SELECT user_id, t, c,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, t DESC) AS rk,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                     AS n_types
+            FROM tc),
+    r3 AS (SELECT user_id, round(sum(value), 4) AS recent3_sum FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY us DESC, event_id DESC) AS rk
+             FROM e) WHERE rk <= 3 GROUP BY user_id),
+    tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM e GROUP BY user_id)
+    SELECT t.user_id, t.n_events, p.n_types,
+           p.t AS top_type, p.c AS top_type_n, r.recent3_sum
+    FROM tot t
+    JOIN (SELECT * FROM top WHERE rk = 1) p USING (user_id)
+    JOIN r3 r USING (user_id)
+"""

@@ -823,3 +823,22 @@ def q_events_tws_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return tws_sessionize_with_timeout(spark, sf_dir)
+
+
+def q_events_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE typed state variables per key on the StatefulProcessor API
+    — the capability transformWithState adds over the old API's single
+    state tuple, and the completion of the state-protocol coverage:
+    ValueState (running total), MapState (per-event-type counts —
+    GetValue/UpdateValue/Iterator wire messages), ListState (3 most
+    recent events — ListStateGet/ListStatePut), side by side in one
+    RocksDB-backed processor, every access crossing the JVM state
+    server through the vendored protobuf runtime. Under AvailableNow's
+    single batch the emitted profile equals a batch aggregate, so the
+    whole three-state fold is hash-graded (ties on the modal type
+    break to the lexically largest type on both engines)."""
+    from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+        tws_user_profile,
+    )
+
+    return tws_user_profile(spark, sf_dir)

@@ -42,6 +42,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 from kickstarter_etl_pipeline_spark.streaming.events_stream import (
@@ -323,6 +324,134 @@ def tws_sessionize_with_timeout(
     checkpoint = _checkpoint_dir("ks_tws_to_ckpt_")
     query = (
         sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return child.table(name)
+
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+        T.StructField("top_type_n", T.LongType()),
+        T.StructField("recent3_sum", T.DoubleType()),
+    ]
+)
+
+_PROFILE_COLS = [f.name for f in PROFILE_SCHEMA.fields]
+
+_COUNT_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_TYPE_KEY_SCHEMA = T.StructType([T.StructField("t", T.StringType())])
+_TOTAL_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_RECENT_SCHEMA = T.StructType(
+    [
+        T.StructField("us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """MULTIPLE TYPED STATE VARIABLES per key — the capability
+    transformWithState adds over applyInPandasWithState's single state
+    tuple, and the round's full protocol coverage: a ValueState (total
+    events), a MapState (per-event-type counts — GetValue/UpdateValue/
+    Iterator wire messages), and a ListState (the 3 most recent events
+    by (us, event_id) — ListStateGet/ListStatePut messages), all three
+    living side by side in one RocksDB-backed processor.
+
+    Emits one profile row per key per batch: total events, distinct
+    types, the modal type (ties to the LEXICALLY LARGEST type — max of
+    (count, type), same rule as the SQL twin), and the sum of the 3
+    most recent values. Under AvailableNow's single input batch that is
+    exactly one row per user, equal to a batch aggregate — which is
+    what makes the whole three-state fold fully oracle-able."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._total = handle.getValueState("total", _TOTAL_SCHEMA)
+        self._by_type = handle.getMapState("by_type", _TYPE_KEY_SCHEMA, _COUNT_SCHEMA)
+        self._recent = handle.getListState("recent", _RECENT_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        total = self._total.get()[0] if self._total.exists() else 0
+        recent = list(self._recent.get()) if self._recent.exists() else []
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            total += len(pdf)
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = self._by_type.getValue((etype,))
+                self._by_type.updateValue(
+                    (etype,), (int(cnt) + (prev[0] if prev else 0),)
+                )
+            recent.extend(
+                (int(ts.value // 1_000), int(eid), float(v))
+                for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"])
+            )
+        recent.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        recent = recent[:3]
+        self._total.update((total,))
+        self._recent.put(recent)
+        counts = [(t[0], c[0]) for t, c in self._by_type.iterator()]
+        top_n, top_t = max(((c, t) for t, c in counts))
+        yield pd.DataFrame(
+            [[
+                user_id,
+                total,
+                len(counts),
+                top_t,
+                top_n,
+                round(sum(r[2] for r in recent), 4),
+            ]],
+            columns=_PROFILE_COLS,
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the three-state profile processor over the events fixture
+    (AvailableNow, single batch) and return one profile row per user."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires a google.protobuf runtime; "
+            "neither the real package nor the vendored shim is importable."
+        )
+    _export_worker_pythonpath(spark)
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+
+    child = isolated_session(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    stream = read_events_stream(child, sf_dir)
+    profiles = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    name = f"tws_profile_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_tws_prof_ckpt_")
+    query = (
+        profiles.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint)

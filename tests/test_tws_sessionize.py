@@ -69,3 +69,85 @@ def test_tws_timeout_matches_old_api(spark):
     assert new == old
     assert any(r[3] for r in new)  # at least one timer-evicted session
     assert any(not r[3] for r in new)  # and at least one gap-split
+
+
+def test_tws_profile_state_carries_across_batches(spark, tmp_path):
+    """MapState counts and the ValueState total must ACCUMULATE across
+    micro-batches (not reset): replay the smoke events as two files
+    with maxFilesPerTrigger=1 → two batches; each key emits one profile
+    row per batch (append), and the row with the most events must equal
+    the single-batch profile over the full fixture — proving the
+    map/value state round-tripped the JVM state store between batches."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        _checkpoint_dir,
+    )
+    from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+        PROFILE_SCHEMA,
+        UserProfileProcessor,
+        _export_worker_pythonpath,
+        tws_user_profile,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    half = events.agg(
+        F2.expr("percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")
+    ).first()[0]
+    d = str(tmp_path / "ev")
+    events.filter(F2.unix_micros(F2.col("ts").cast("timestamp")) <= half).coalesce(1).write.parquet(
+        d + "/a.parquet"
+    )
+    events.filter(F2.unix_micros(F2.col("ts").cast("timestamp")) > half).coalesce(1).write.mode(
+        "append"
+    ).parquet(d + "/a.parquet")
+
+    _export_worker_pythonpath(spark)
+    child = isolated_session(
+        spark,
+        {"spark.sql.streaming.stateStore.providerClass":
+         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"},
+    )
+    stream = (
+        child.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/a.parquet")
+    )
+    name = f"tws_carry_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType=PROFILE_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir("ks_tws_carry_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = child.table(name).collect()
+    assert len(per_batch) > len({r["user_id"] for r in per_batch})  # >1 batch
+    final = {}
+    for r in per_batch:  # the accumulating profile: keep the max-events row
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    whole = {r["user_id"]: r for r in tws_user_profile(spark, SF_SMOKE).collect()}
+    assert set(final) == set(whole)
+    for uid, r in final.items():
+        w = whole[uid]
+        assert (r["n_events"], r["n_types"], r["top_type"], r["top_type_n"],
+                r["recent3_sum"]) == (
+            w["n_events"], w["n_types"], w["top_type"], w["top_type_n"],
+            w["recent3_sum"]), uid
