@@ -160,6 +160,12 @@ BENCH_QUERIES = [
     # exchange reuse across its shared clean-corpus subtree.
     "image_decode_stats",
     "curation_pack_manifest",
+    # the transformWithState sessionizer is the one cost model no other
+    # entry watches: per-key JVM↔Python state-protocol round-trips
+    # (protobuf wire messages through the vendored runtime) against the
+    # RocksDB store — ~5 s warm at sf0.1, ~1.5 s of it fixed streaming
+    # setup. events_tws_user_profile shares the model (not benched).
+    "events_tws_sessions",
 ]
 
 
