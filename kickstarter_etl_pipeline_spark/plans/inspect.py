@@ -167,7 +167,12 @@ def advise(df: DataFrame) -> list[str]:
             "move it above the first projection; derived-expression "
             "predicates never push."
         )
-    if not s["whole_stage_codegen"]:
+    # An UNEXECUTED AdaptiveSparkPlan renders without "[codegen id : N]"
+    # markers (they appear once stages finalize), so absence of codegen
+    # under AQE is indeterminate, not a finding — only flag plans that
+    # are codegen-free WITHOUT the AQE wrapper (pure mapInPandas /
+    # Python-UDF pipelines, exotic operators).
+    if not s["whole_stage_codegen"] and "AdaptiveSparkPlan" not in text:
         findings.append(
             "INFO: no whole-stage codegen span in the plan — the query runs "
             "interpreted (Python UDF / exotic operator on the hot path?); "

@@ -250,3 +250,29 @@ def test_advisor_flags_each_hazard_and_passes_clean_plans(spark, sf_dir):
 
     clean = [f for f in advise(q_star_flagship(spark, sf_dir)) if f.startswith("CRITICAL")]
     assert clean == [], clean
+
+
+def test_advisor_codegen_info_only_without_aqe(spark, monkeypatch):
+    """The no-codegen INFO must not fire on an unexecuted
+    AdaptiveSparkPlan (codegen ids only render once AQE finalizes
+    stages) — a plain global aggregate gets NO codegen finding — while
+    a genuinely interpreted plan (no codegen marker, no AQE wrapper)
+    still gets it. The positive case is a crafted plan text: nearly
+    every real batch operator codegens SOMETHING (even Scan
+    ExistingRDD), so the all-interpreted regime is synthesized."""
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.plans import inspect as I
+
+    agg = spark.range(100).agg(F2.sum("id").alias("s"))
+    assert not [f for f in I.advise(agg) if "codegen" in f]
+
+    crafted = (
+        "== Physical Plan ==\n"
+        "MapInPandas (2)\n"
+        "+- LocalTableScan (1)\n\n"
+        "(1) LocalTableScan\nOutput [1]: [id#0L]\n\n"
+        "(2) MapInPandas\nInput [1]: [id#0L]\n"
+    )
+    monkeypatch.setattr(I, "explain_text", lambda df: crafted)
+    assert [f for f in I.advise(object()) if "codegen" in f]
