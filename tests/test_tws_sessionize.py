@@ -151,3 +151,98 @@ def test_tws_profile_state_carries_across_batches(spark, tmp_path):
                 r["recent3_sum"]) == (
             w["n_events"], w["n_types"], w["top_type"], w["top_type_n"],
             w["recent3_sum"]), uid
+
+
+def test_tws_ttl_state_and_initial_state(spark, tmp_path):
+    """Two remaining protocol surfaces get live coverage: a ValueState
+    created WITH a TTL (the TTLConfig wire message inside
+    StateCallCommand) and an initialState GroupedData seeding
+    handleInitialState before the first batch. The processor counts
+    events per user on top of a seeded base — output must equal
+    base + batch count."""
+    import uuid as _uuid
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+    from pyspark.sql.streaming import StatefulProcessor as _SP
+
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        _checkpoint_dir,
+    )
+    from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+        _export_worker_pythonpath,
+        tws_available,
+    )
+    from tests.conftest import SF_SMOKE
+
+    assert tws_available()
+    _export_worker_pythonpath(spark)
+    child = isolated_session(
+        spark,
+        {"spark.sql.streaming.stateStore.providerClass":
+         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"},
+    )
+
+    out_schema = T2.StructType(
+        [T2.StructField("user_id", T2.LongType()),
+         T2.StructField("n_total", T2.LongType())]
+    )
+    cnt_schema = T2.StructType([T2.StructField("n", T2.LongType())])
+
+    class SeededCounter(_SP):
+        def init(self, handle):
+            # a LONG TTL so nothing actually expires in-test: the point
+            # is the TTLConfig message crossing the wire at create time
+            self._n = handle.getValueState("n", cnt_schema,
+                                           ttlDurationMs=3_600_000)
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._n.update((int(initialState["base"]),))
+
+        def handleInputRows(self, key, rows, timerValues) -> _It[_pd.DataFrame]:
+            (user_id,) = key
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield _pd.DataFrame([[user_id, n]],
+                                columns=["user_id", "n_total"])
+
+    events = child.read.parquet(f"{SF_SMOKE}/events.parquet")
+    base = events.groupBy("user_id").agg(
+        (F2.count("*") * 10).alias("base")  # seeded base = 10x count
+    )
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    stream = read_events_stream(child, SF_SMOKE)
+    name = f"tws_seed_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SeededCounter(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+            initialState=base.groupBy("user_id"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir("ks_tws_seed_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r["n_total"] for r in child.table(name).collect()}
+    want = {
+        r["user_id"]: 11 * r["n"]
+        for r in events.groupBy("user_id").agg(F2.count("*").alias("n")).collect()
+    }
+    assert got == want  # base (10x) + batch (1x) per user
