@@ -54,6 +54,110 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
+def _parse_tree(text: str) -> list[tuple[int, str, str]]:
+    """Parse the formatted explain's tree section into
+    (indent, operator name, id) triples, in pre-order."""
+    tree: list[tuple[int, str, str]] = []
+    for line in text.splitlines():
+        m = re.match(r"^([:+\-| ]*)(?:\* )?([A-Za-z][\w .]*?) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    return tree
+
+
+def _detail_blocks(text: str) -> dict[str, str]:
+    """Map operator id → its detail block ("(4) Exchange\\nArguments: …")."""
+    blocks: dict[str, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) [A-Za-z][^\n]*\n((?:(?!\(\d+\) )[^\n]*\n?)*)",
+        text,
+        flags=re.MULTILINE,
+    ):
+        blocks[m.group(1)] = m.group(2)
+    return blocks
+
+
+def _children(tree: list[tuple[int, str, str]], idx: int) -> list[int]:
+    """Direct children of tree[idx]: the minimal-indent nodes in its
+    following deeper-indented span."""
+    ind = tree[idx][0]
+    span: list[int] = []
+    for j in range(idx + 1, len(tree)):
+        if tree[j][0] <= ind:
+            break
+        span.append(j)
+    if not span:
+        return []
+    child_ind = min(tree[j][0] for j in span)
+    return [j for j in span if tree[j][0] == child_ind]
+
+
+#: Single-child operators that preserve (or reduce) a one-row bound.
+_ROW_PRESERVING = (
+    "Project",
+    "Filter",
+    "BroadcastExchange",
+    "Exchange",
+    "Sort",
+    "Window",
+    "WindowGroupLimit",
+    "ColumnarToRow",
+    "InputAdapter",
+    "Coalesce",
+    "AQEShuffleRead",
+    "Subquery",
+    "HashAggregate",  # handled specially below (grouped vs global)
+)
+
+
+def _one_row_subtree(
+    tree: list[tuple[int, str, str]], details: dict[str, str], idx: int
+) -> bool:
+    """True iff the subtree at tree[idx] provably produces at most ONE
+    row (or a constant-bounded handful): a global aggregate
+    ("Keys: []"), a LIMIT, or joins/pass-through operators over such.
+    Conservative — anything unrecognized returns False."""
+    _, name, oid = tree[idx]
+    if "Aggregate" in name:
+        det = details.get(oid, "")
+        if re.search(r"Keys(?: \[\d+\])?: \[\]", det):
+            return True
+        kids = _children(tree, idx)  # grouped agg of one row is one row
+        return bool(kids) and all(_one_row_subtree(tree, details, k) for k in kids)
+    if name.startswith(("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")):
+        return True  # bounded by the literal limit
+    if "Join" in name or name.startswith("CartesianProduct"):
+        kids = _children(tree, idx)
+        return len(kids) == 2 and all(
+            _one_row_subtree(tree, details, k) for k in kids
+        )
+    if any(name.startswith(p) for p in _ROW_PRESERVING):
+        kids = _children(tree, idx)
+        return bool(kids) and all(_one_row_subtree(tree, details, k) for k in kids)
+    return False
+
+
+def _classify_nested_loop_joins(text: str) -> tuple[int, int]:
+    """(benign, total) BroadcastNestedLoopJoins in the plan: benign =
+    the BROADCAST side is provably ≤ a constant number of rows (the
+    scalar-totals / one-row-argmax crossJoin device), where the join is
+    O(n·c) — a per-row constant lookup, not a pair blow-up."""
+    tree = _parse_tree(text)
+    details = _detail_blocks(text)
+    benign = total = 0
+    for i, (_ind, name, _oid) in enumerate(tree):
+        if not name.startswith("BroadcastNestedLoopJoin"):
+            continue
+        total += 1
+        kids = _children(tree, i)
+        if len(kids) != 2:
+            continue
+        build = kids[0] if "BuildLeft" in name else kids[1]
+        if _one_row_subtree(tree, details, build):
+            benign += 1
+    return benign, total
+
+
 def _single_partition_feeds_only_aggregates(text: str) -> bool:
     """True iff EVERY SinglePartition exchange in a formatted plan is
     consumed by an aggregate operator — the partial→final global-
@@ -134,12 +238,23 @@ def advise(df: DataFrame) -> list[str]:
             "scale; add an equi-join key or a banding/bucketing key."
         )
     if s["n_nested_loop_joins"]:
-        findings.append(
-            f"CRITICAL: {s['n_nested_loop_joins']} BroadcastNestedLoopJoin(s) — "
-            "non-equi join semantics; every probe row scans the whole "
-            "broadcast side. Restructure as an equi-join on a derived key "
-            "(range bands, buckets) unless one side is provably tiny."
-        )
+        benign, total = _classify_nested_loop_joins(text)
+        risky = total - benign
+        if risky:
+            findings.append(
+                f"CRITICAL: {risky} BroadcastNestedLoopJoin(s) with an "
+                "unbounded broadcast side — non-equi join semantics; every "
+                "probe row scans the whole broadcast side. Restructure as an "
+                "equi-join on a derived key (range bands, buckets) unless "
+                "that side is provably tiny."
+            )
+        if benign:
+            findings.append(
+                f"INFO: {benign} BroadcastNestedLoopJoin(s) whose broadcast "
+                "side is provably bounded (global aggregate / LIMIT — the "
+                "scalar-totals crossJoin device): O(n·c) per-row constant "
+                "lookup, not a pair blow-up."
+            )
     # formatted mode renders the distribution in the operator's
     # Arguments line ("Arguments: SinglePartition, ..."), not the
     # "(n) Exchange" header.

@@ -276,3 +276,29 @@ def test_advisor_codegen_info_only_without_aqe(spark, monkeypatch):
     )
     monkeypatch.setattr(I, "explain_text", lambda df: crafted)
     assert [f for f in I.advise(object()) if "codegen" in f]
+
+
+def test_advisor_bounded_broadcast_bnlj_demoted(spark, sf_dir):
+    """A crossJoin against a broadcast GLOBAL AGGREGATE (the
+    scalar-totals device used throughout the registry) must be demoted
+    to INFO — O(n·1) — while a non-equi join of two unbounded tables
+    stays CRITICAL."""
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.plans.inspect import advise
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    totals = orders.agg(F2.sum("o_totalprice").alias("t"))
+    scalar = orders.crossJoin(F2.broadcast(totals))
+    fs = advise(scalar)
+    assert not [f for f in fs if f.startswith("CRITICAL") and "NestedLoop" in f]
+    assert [f for f in fs if f.startswith("INFO") and "bounded" in f]
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    risky = orders.join(
+        lineitem, F2.col("o_totalprice") < F2.col("l_extendedprice")
+    )
+    assert [
+        f for f in advise(risky)
+        if f.startswith("CRITICAL") and "unbounded broadcast side" in f
+    ]
