@@ -162,3 +162,17 @@ ORACLES_R13["events_tws_user_profile"] = """
     JOIN (SELECT * FROM top WHERE rk = 1) p USING (user_id)
     JOIN r3 r USING (user_id)
 """
+
+
+# FULL twin of q_events_tws_warm_start: initial state = per-user batch
+# purchase count, stream adds one per event — so n_total is exactly
+# count(*) + count(purchases) and seeded iff the user had a purchase.
+ORACLES_R13["events_tws_warm_start"] = """
+    SELECT user_id,
+           CAST(count(*) +
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_total,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+             AS seeded
+    FROM events GROUP BY user_id
+"""

@@ -460,3 +460,98 @@ def tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return child.table(name)
+
+
+WARM_START_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("seeded", T.BooleanType()),
+    ]
+)
+
+_WARM_COLS = [f.name for f in WARM_START_SCHEMA.fields]
+
+_SEED_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+class WarmStartProcessor(StatefulProcessor):
+    """Batch-snapshot WARM START — the production pattern
+    transformWithState's ``initialState`` exists for: state is
+    bootstrapped from a historical batch aggregate via
+    :meth:`handleInitialState` (invoked once per seeded key before the
+    first batch's input rows), then the stream folds on top. Output per
+    key: the seeded base plus streamed events, and whether the key was
+    seeded at all — so the oracle separates both paths exactly."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._n = handle.getValueState("n", _SEED_SCHEMA)
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._n.update((int(initialState["base"]),))
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        seeded = self._n.exists()
+        n = self._n.get()[0] if seeded else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._n.update((n,))
+        yield pd.DataFrame([[user_id, n, seeded]], columns=_WARM_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def tws_warm_start_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed per-user state with the BATCH purchase count, then fold the
+    event stream on top (AvailableNow, single batch): one row per user,
+    n_total = purchases + all streamed events, seeded = had purchases."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires a google.protobuf runtime; "
+            "neither the real package nor the vendored shim is importable."
+        )
+    _export_worker_pythonpath(spark)
+    from pyspark.sql import functions as F
+
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    child = isolated_session(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    seed = (
+        load_table(child, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("base"))
+    )
+    stream = read_events_stream(child, sf_dir)
+    totals = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WarmStartProcessor(),
+        outputStructType=WARM_START_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+        initialState=seed.groupBy("user_id"),
+    )
+    name = f"tws_warm_{uuid.uuid4().hex[:8]}"
+    checkpoint = _checkpoint_dir("ks_tws_warm_ckpt_")
+    query = (
+        totals.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return child.table(name)

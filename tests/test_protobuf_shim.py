@@ -115,3 +115,85 @@ def test_repeated_fields_and_enum():
     back2 = sm.StateRequest()
     back2.ParseFromString(sh.SerializeToString())
     assert back2.statefulProcessorCall.setHandleState.state == sm.CLOSED
+
+
+# --- property tests: roundtrip + independent encoder cross-check ------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    def _ref_encode_response(status: int, err: str, value: bytes) -> bytes:
+        """Independent reference encoder for StateResponse, written from
+        the wire spec with a DIFFERENT construction than the shim's
+        (recursive bytes concat, no shared helpers) — agreement between
+        the two implementations pins the format, not the code."""
+
+        def vint(v: int) -> bytes:
+            if v < 0:
+                v += 1 << 64
+            out = b""
+            while v > 0x7F:
+                out += bytes([(v & 0x7F) | 0x80])
+                v >>= 7
+            return out + bytes([v])
+
+        parts = b""
+        if status != 0:
+            parts += b"\x08" + vint(status)
+        eb = err.encode()
+        if eb:
+            parts += b"\x12" + vint(len(eb)) + eb
+        if value:
+            parts += b"\x1a" + vint(len(value)) + value
+        return parts
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        err=st.text(max_size=60),
+        value=st.binary(max_size=80),
+    )
+    def test_response_encoding_matches_independent_reference(status, err, value):
+        sm = _sm()
+        mine = sm.StateResponse(
+            statusCode=status, errorMessage=err, value=value
+        ).SerializeToString()
+        assert mine == _ref_encode_response(status, err, value)
+        back = sm.StateResponse()
+        back.ParseFromString(mine)
+        assert (back.statusCode, back.errorMessage, back.value) == (
+            status, err, value,
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        values=st.lists(st.binary(max_size=40), max_size=8),
+        arrow=st.booleans(),
+        name=st.text(max_size=40),
+    )
+    def test_request_shapes_roundtrip(ts, values, arrow, name):
+        sm = _sm()
+        t = sm.RegisterTimer(expiryTimestampMs=ts)
+        t2 = sm.RegisterTimer()
+        t2.ParseFromString(t.SerializeToString())
+        assert t2.expiryTimestampMs == ts
+
+        p = sm.ListStatePut(value=values, fetchWithArrow=arrow)
+        p2 = sm.ListStatePut()
+        p2.ParseFromString(p.SerializeToString())
+        assert list(p2.value) == values and p2.fetchWithArrow is arrow
+
+        c = sm.StateCallCommand(
+            stateName=name, schema=name, ttl=sm.TTLConfig(durationMs=abs(ts) % (2**62))
+        )
+        c2 = sm.StateCallCommand()
+        c2.ParseFromString(c.SerializeToString())
+        assert c2.stateName == name and c2.ttl.durationMs == abs(ts) % (2**62)
