@@ -1838,3 +1838,137 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_stats(documents_as_ppm_images(docs))
+
+
+def q_preference_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fitting (Bradley & Terry 1952;
+    Hunter 2004's MM iteration) — the RLHF/preference-data family's
+    core model, fit on DETERMINISTIC pairwise contests derived from the
+    event stream: each user's consecutive event pair (by (ts, event_id)
+    total order) is a contest between the two event TYPES, won by the
+    higher ``value`` (equal values and same-type pairs are no-contest).
+
+    The MM update rides the integer-MICRO grid end-to-end (the
+    markov/HITS device — no floats until the final display division):
+
+        s⁰_i     = 10⁶
+        D_i      = Σ_{j≠i} (g_ij · 10¹²) DIV (s_i + s_j)
+        s'_i     = max(1, (W_i · 10¹²) DIV D_i)
+        s''_i    = max(1, (s'_i · NS · 10⁶) DIV Σ s')     (normalize:
+                   mean strength pinned at 1, so the scale-invariant
+                   family has ONE representative)
+
+    8 rounds, every term a per-term integer floor then an exact
+    order-free sum — both engines land on identical micros (the twin
+    unrolls the same 8 rounds; DuckDB ``//`` == Spark DIV on these
+    non-negative operands). The max(1,·) floor keeps a never-winning
+    type at one micro-unit instead of letting s hit 0 and a later
+    (s_i + s_j) divide by zero — identically on both engines. BIGINT
+    bounds: g_ij ≤ events, so g·10¹² ≤ ~10¹⁷ at sf0.1; after
+    normalization s ≤ NS·10⁶ + NS, so s'·NS·10⁶ stays ≤ ~10¹⁴.
+
+    Scale: the contest build is ONE user-keyed lag window over events
+    (data-sized); everything after runs on ≤ T² rows (T = event types,
+    ~7) — constant-size frames with broadcast one-row totals, the
+    markov_stationary posture exactly."""
+    from kickstarter_etl_pipeline_spark.operators.events import with_unix_micros
+
+    ev = with_unix_micros(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    lagd = (
+        ev.select("user_id", "event_type", "value", "_us", "event_id")
+        .withColumn("_pt", F.lag("event_type").over(w))
+        .withColumn("_pv", F.lag("value").over(w))
+        .filter(
+            F.col("_pt").isNotNull()
+            & (F.col("value") != F.col("_pv"))
+            & (F.col("event_type") != F.col("_pt"))
+        )
+    )
+    wl = (
+        lagd.select(
+            F.when(F.col("value") > F.col("_pv"), F.col("event_type"))
+            .otherwise(F.col("_pt"))
+            .alias("_w"),
+            F.when(F.col("value") > F.col("_pv"), F.col("_pt"))
+            .otherwise(F.col("event_type"))
+            .alias("_l"),
+        )
+        .groupBy("_w", "_l")
+        .agg(F.count("*").cast("long").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    games = (
+        wl.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"), "_n")
+        .unionByName(wl.select(F.col("_l").alias("_i"), F.col("_w").alias("_j"), "_n"))
+        .groupBy("_i", "_j")
+        .agg(F.sum("_n").cast("long").alias("_g"))
+        .localCheckpoint(eager=True)
+    )
+    types = games.select(F.col("_i").alias("_t")).distinct()
+    wins = (
+        types.join(
+            wl.groupBy("_w").agg(F.sum("_n").cast("long").alias("_wi")),
+            types["_t"] == F.col("_w"),
+            "left",
+        )
+        .select("_t", F.coalesce("_wi", F.lit(0).cast("long")).alias("_wi"))
+        .localCheckpoint(eager=True)
+    )
+    ns = F.broadcast(types.agg(F.count("*").cast("long").alias("_ns")))
+    s = types.select("_t", F.lit(1_000_000).cast("long").alias("_s")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(8):
+        d = (
+            games.join(
+                s.select(F.col("_t").alias("_i"), F.col("_s").alias("_si")), "_i"
+            )
+            .join(s.select(F.col("_t").alias("_j"), F.col("_s").alias("_sj")), "_j")
+            .select(
+                "_i", F.expr("(_g * 1000000000000) DIV (_si + _sj)").alias("_term")
+            )
+            .groupBy(F.col("_i").alias("_t"))
+            .agg(F.sum("_term").cast("long").alias("_d"))
+        )
+        # checkpoint: _sr feeds BOTH the normalizer total and the next
+        # s — lazy, the whole round would execute twice (the coverage
+        # pick_doc lesson).
+        sraw = (
+            wins.join(d, "_t")
+            .select(
+                "_t",
+                F.greatest(
+                    F.lit(1).cast("long"), F.expr("(_wi * 1000000000000) DIV _d")
+                ).alias("_sr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = F.broadcast(sraw.agg(F.sum("_sr").cast("long").alias("_tot")))
+        s = (
+            sraw.crossJoin(tot)
+            .crossJoin(ns)
+            .select(
+                "_t",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr("(_sr * _ns * 1000000) DIV _tot"),
+                ).alias("_s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    g_tot = games.groupBy(F.col("_i").alias("_t")).agg(
+        F.sum("_g").cast("long").alias("n_games")
+    )
+    return (
+        s.join(wins, "_t")
+        .join(g_tot, "_t")
+        .select(
+            F.col("_t").alias("event_type"),
+            F.col("_wi").alias("n_wins"),
+            "n_games",
+            round_det(F.col("_s").cast("double") / F.lit(1_000_000.0), 6).alias(
+                "strength"
+            ),
+        )
+    )

@@ -176,3 +176,69 @@ ORACLES_R13["events_tws_warm_start"] = """
              AS seeded
     FROM events GROUP BY user_id
 """
+
+
+# FULL twin of q_preference_bt_strengths: identical contest derivation
+# (consecutive-event pairs per user in (us, event_id) order, higher
+# value wins, ties/same-type = no contest) and the identical 8 unrolled
+# MM rounds on the integer-micro grid — per-term (g·10¹²) // (s_i+s_j),
+# (W·10¹²) // D, then the mean-1 normalization (s'·NS·10⁶) // Σs' with
+# the same max(1,·) floors. DuckDB // == Spark DIV on non-negative
+# operands; every sum is an exact BIGINT sum, so the engines land on
+# identical micros.
+def _bt_oracle_sql(rounds: int = 8) -> str:
+    head = """
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT event_type, value,
+                    lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    wl AS MATERIALIZED (
+      SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS w,
+             CASE WHEN value > pv THEN pt ELSE event_type END AS l,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lagd
+      WHERE pt IS NOT NULL AND value <> pv AND event_type <> pt
+      GROUP BY 1, 2),
+    games AS MATERIALIZED (
+      SELECT i, j, CAST(sum(n) AS BIGINT) AS g FROM (
+        SELECT w AS i, l AS j, n FROM wl
+        UNION ALL SELECT l AS i, w AS j, n FROM wl)
+      GROUP BY 1, 2),
+    types AS (SELECT DISTINCT i AS t FROM games),
+    wins AS MATERIALIZED (
+      SELECT t, CAST(coalesce(sum(n), 0) AS BIGINT) AS wi
+      FROM types LEFT JOIN wl ON wl.w = t GROUP BY t),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM types),
+    s0 AS (SELECT t, CAST(1000000 AS BIGINT) AS s FROM types)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT g.i AS t,
+             CAST(sum((g.g * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS d
+      FROM games g
+      JOIN s{r - 1} si ON si.t = g.i
+      JOIN s{r - 1} sj ON sj.t = g.j
+      GROUP BY g.i),
+    r{r} AS MATERIALIZED (
+      SELECT w.t,
+             greatest(CAST(1 AS BIGINT), (w.wi * 1000000000000) // d.d) AS sr
+      FROM wins w JOIN d{r} d ON d.t = w.t),
+    s{r} AS MATERIALIZED (
+      SELECT r.t,
+             greatest(CAST(1 AS BIGINT),
+                      (r.sr * ns.ns * 1000000)
+                        // (SELECT sum(sr) FROM r{r})) AS s
+      FROM r{r} r, ns)"""
+        )
+    tail = f"""
+    SELECT s.t AS event_type, w.wi AS n_wins,
+           (SELECT CAST(sum(g) AS BIGINT) FROM games WHERE i = s.t) AS n_games,
+           floor(CAST(s.s AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+             AS strength
+    FROM s{rounds} s JOIN wins w ON w.t = s.t"""
+    return head + "".join(steps) + tail
+
+
+ORACLES_R13["preference_bt_strengths"] = _bt_oracle_sql()

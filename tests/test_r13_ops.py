@@ -17,6 +17,14 @@ from kickstarter_etl_pipeline_spark.operators.multimodal import (
 )
 
 
+def _lcg(seed: int):
+    """The deterministic generator shared with test_r12_ops."""
+    s = seed
+    while True:
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        yield s
+
+
 def _ppm_bytes(w: int, h: int, rgb: bytes, header_junk: str = "") -> bytes:
     return f"P6\n{header_junk}{w} {h}\n255\n".encode() + rgb
 
@@ -117,3 +125,90 @@ def test_image_decode_stats_decode_branch_taken(spark, tmp_path):
     assert "?" in sanitized and sanitized.isascii()  # sanitizer sanity
     # the non-ASCII doc decodes with '?' bytes (0x3f) in the raster
     assert got[3][5] == expect[3][5]
+
+
+def test_bradley_terry_matches_python_reference(spark, tmp_path):
+    """q_preference_bt_strengths on a synthetic event stream equals a
+    pure-Python replay of the contest derivation and the 8-round
+    integer-micro MM iteration (floors, normalization, max(1,·) and
+    all) — data shaped unlike the fixtures, including a type that
+    never wins (pins the floor path)."""
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import (
+        q_preference_bt_strengths,
+    )
+
+    rng = _lcg(7)
+    rows = []
+    eid = 0
+    types = ["a", "b", "c", "loser"]
+    # 'loser' gets value 0 always → never wins a contest
+    for user in range(1, 9):
+        for step in range(30):
+            # use HIGH bits: a power-of-two-modulus LCG's low bits
+            # have period ≤ 4, which starved two types of any events
+            t = types[(next(rng) >> 8) % 4]
+            v = 0.0 if t == "loser" else float(1 + (next(rng) >> 8) % 50)
+            rows.append((eid, 1_000_000 + user * 10_000 + step * 7, user, t, v, "{}"))
+            eid += 1
+    sdf = (
+        spark.createDataFrame(
+            rows, ["event_id", "sec", "user_id", "event_type", "value", "props"]
+        )
+        .withColumn("ts", F2.timestamp_seconds("sec"))
+        .drop("sec")
+    )
+    path = str(tmp_path)
+    sdf.write.mode("overwrite").parquet(path + "/events.parquet")
+
+    # pure-Python replay
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for event_id, sec, user, t, v, _p in rows:
+        by_user[user].append((sec, event_id, t, v))
+    wl = defaultdict(int)
+    for user, evs in by_user.items():
+        evs.sort()
+        for (s1, e1, t1, v1), (s2, e2, t2, v2) in zip(evs, evs[1:]):
+            if t1 == t2 or v1 == v2:
+                continue
+            w, l = (t2, t1) if v2 > v1 else (t1, t2)
+            wl[(w, l)] += 1
+    games = defaultdict(int)
+    for (w, l), n in wl.items():
+        games[(w, l)] += n
+        games[(l, w)] += n
+    ts_ = sorted({t for pair in games for t in pair})
+    wins = {t: sum(n for (w, _l), n in wl.items() if w == t) for t in ts_}
+    ns_ = len(ts_)
+    s = {t: 1_000_000 for t in ts_}
+    for _ in range(8):
+        d = {
+            i: sum(
+                (g * 10**12) // (s[i] + s[j])
+                for (gi, j), g in games.items()
+                if gi == i
+            )
+            for i in ts_
+        }
+        sr = {t: max(1, (wins[t] * 10**12) // d[t]) for t in ts_}
+        tot = sum(sr.values())
+        s = {t: max(1, (sr[t] * ns_ * 1_000_000) // tot) for t in ts_}
+    import math
+
+    expect = {
+        t: (
+            wins[t],
+            sum(g for (i, _j), g in games.items() if i == t),
+            math.floor(s[t] / 1_000_000.0 * 1_000_000 + 0.5) / 1_000_000.0,
+        )
+        for t in ts_
+    }
+    got = {
+        r["event_type"]: (r["n_wins"], r["n_games"], r["strength"])
+        for r in q_preference_bt_strengths(spark, path).collect()
+    }
+    assert got == expect
+    assert got["loser"][0] == 0 and got["loser"][2] <= 0.000002  # floor path
