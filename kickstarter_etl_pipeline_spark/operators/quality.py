@@ -67,3 +67,34 @@ def quarantine_split(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame
     clean = tagged.filter(F.size("violated_rules") == 0).drop("violated_rules")
     quarantined = tagged.filter(F.size("violated_rules") > 0)
     return clean, quarantined
+
+
+def observe_quality(
+    df: DataFrame, cols: list[str], name: str = "dq"
+):
+    """Attach data-quality metrics that ride the EXISTING job — no
+    second scan. Every other check in this module (count_nulls,
+    duplicate_key_count, orphan_count) is its own aggregate, i.e. its
+    own pass over the data; at 100 TB a pipeline cannot afford a
+    verification re-read, so production DQ hangs metrics on the write
+    job itself. This is Spark's ``Observation`` / ``Dataset.observe``
+    device: accumulator-backed aggregates collected as a side effect
+    of whatever action the caller runs.
+
+    Returns ``(df_with_observation, observation)``; after ANY action
+    on the returned frame (count, write, collect), ``observation.get``
+    yields {n_rows, <col>_nulls, <col>_min, <col>_max per metric col}.
+    Only accumulator-safe aggregates belong here (count/min/max/sum —
+    NOT distinct counts, which need a shuffle of their own).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+        )
+        metrics.append(F.min(c).alias(f"{c}_min"))
+        metrics.append(F.max(c).alias(f"{c}_max"))
+    return df.observe(obs, *metrics), obs

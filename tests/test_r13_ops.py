@@ -212,3 +212,22 @@ def test_bradley_terry_matches_python_reference(spark, tmp_path):
     }
     assert got == expect
     assert got["loser"][0] == 0 and got["loser"][2] <= 0.000002  # floor path
+
+
+def test_observe_quality_rides_the_job(spark, tmp_path):
+    """observe_quality's metrics come back from the SAME action that
+    consumed the frame (a noop write — no .count(), no second
+    aggregate pass) and equal independently computed aggregates."""
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.operators.quality import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, 99.5)], ["k", "v"]
+    )
+    observed, obs = observe_quality(df, ["v"])
+    observed.write.mode("overwrite").format("noop").save()  # the real job
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["v_nulls"] == 1
+    assert m["v_min"] == -5.0 and m["v_max"] == 99.5
