@@ -693,3 +693,52 @@ def streaming_dedup_counts(
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n_distinct_keys"))
     )
+
+
+def stream_with_observed_metrics(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[dict]]:
+    """Streaming observability: ``Dataset.observe`` on a STREAMING
+    frame surfaces per-micro-batch metrics in each progress event's
+    ``observedMetrics`` — the production freshness/volume monitor that
+    costs NO extra pass and no extra stateful operator (accumulator-
+    backed, rides the batch's existing job, exactly like the batch
+    observe_quality device in operators/quality.py).
+
+    Runs the events stream to completion (AvailableNow) counting rows
+    and null values per batch; returns (final rows frame, one metrics
+    dict per micro-batch that processed data). At scale this is how a
+    pipeline alerts on a silent upstream drop: the metric arrives with
+    the batch, not from a later audit query."""
+    import json
+    import uuid as _uuid
+
+    stream = read_events_stream(spark, sf_dir).observe(
+        "io_volume",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("value_nulls"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    name = f"observed_{_uuid.uuid4().hex[:8]}"
+    query = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir("ks_observe_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    metrics = []
+    for progress in query.recentProgress:
+        # recentProgress entries are JSON strings on some API paths and
+        # StreamingQueryProgress objects on others — normalize.
+        if isinstance(progress, str):
+            progress = json.loads(progress)
+        else:
+            progress = json.loads(progress.prettyJson)
+        om = progress.get("observedMetrics", {}).get("io_volume")
+        if om and om.get("n_rows"):
+            metrics.append(om)
+    return spark.table(name), metrics
