@@ -76,9 +76,11 @@ _VENDOR_PROTOBUF = os.path.join(
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable, activating the vendored
     pure-Python shim when the real package is absent. Returns True when
-    an import now succeeds. Also exports the path through the PROCESS
-    env so Spark's Python workers (which import StateMessage_pb2 inside
-    the state-protocol loop) inherit it."""
+    an import now succeeds. Side-effect-free beyond sys.path — the
+    PYTHONPATH export for Spark's Python workers (which import
+    StateMessage_pb2 inside the state-protocol loop) happens only at
+    operator execution (_export_worker_pythonpath /
+    _export_process_pythonpath), never on an availability probe."""
     try:
         import google.protobuf  # noqa: F401
 
@@ -89,11 +91,6 @@ def ensure_protobuf() -> bool:
         return False
     if _VENDOR_PROTOBUF not in sys.path:
         sys.path.insert(0, _VENDOR_PROTOBUF)
-    current = os.environ.get("PYTHONPATH", "")
-    if _VENDOR_PROTOBUF not in current.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            _VENDOR_PROTOBUF + (os.pathsep + current if current else "")
-        )
     try:
         import google.protobuf  # noqa: F401
 
@@ -102,11 +99,34 @@ def ensure_protobuf() -> bool:
         return False
 
 
+def _export_process_pythonpath() -> None:
+    """Export the vendored shim path through the PROCESS env so any
+    subprocess Spark spawns outside sc.environment (e.g. the Python
+    worker daemon) can import google.protobuf. Deliberately NOT done in
+    ensure_protobuf: the availability probe must stay side-effect-free
+    (sys.path only), or the shim would shadow a real protobuf install
+    in every later subprocess (ADVICE r13). Called only on actual
+    transformWithState operator execution, and only when the shim is
+    the runtime actually in use."""
+    try:
+        import google.protobuf as gp
+    except ImportError:
+        return
+    if not os.path.abspath(gp.__file__ or "").startswith(_VENDOR_PROTOBUF):
+        return  # real protobuf in use — nothing to export
+    current = os.environ.get("PYTHONPATH", "")
+    if _VENDOR_PROTOBUF not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _VENDOR_PROTOBUF + (os.pathsep + current if current else "")
+        )
+
+
 def _export_worker_pythonpath(spark: SparkSession) -> None:
     """Propagate the shim path into Spark worker processes: PythonRDD /
     UDF envVars come from sc.environment (pyspark.core.rdd.
     _prepare_for_python_RDD), and PythonWorkerFactory merges an
     envVars PYTHONPATH into the worker's own."""
+    _export_process_pythonpath()
     env = spark.sparkContext.environment
     current = env.get("PYTHONPATH", "")
     if _VENDOR_PROTOBUF not in current.split(os.pathsep):
@@ -270,9 +290,13 @@ class TimeoutSessionProcessor(StatefulProcessor):
                 s += float(value)
                 last_us = us
         self._state.update((n, s, start_us, last_us))
-        if had_state and prev_last_us is not None and prev_last_us != last_us:
-            self._handle.deleteTimer(prev_last_us // 1_000 + GAP_US // 1_000)
-        self._handle.registerTimer(last_us // 1_000 + GAP_US // 1_000)
+        # last_us is None only when invoked for a key with no prior
+        # state and all-empty chunks — nothing to time out; arming a
+        # timer from None would TypeError (ADVICE r13).
+        if last_us is not None:
+            if had_state and prev_last_us is not None and prev_last_us != last_us:
+                self._handle.deleteTimer(prev_last_us // 1_000 + GAP_US // 1_000)
+            self._handle.registerTimer(last_us // 1_000 + GAP_US // 1_000)
         if out:
             yield pd.DataFrame(out, columns=_TIMEOUT_COLS)
 

@@ -197,3 +197,54 @@ if _HAVE_HYP:
         c2 = sm.StateCallCommand()
         c2.ParseFromString(c.SerializeToString())
         assert c2.stateName == name and c2.ttl.durationMs == abs(ts) % (2**62)
+
+
+def test_nested_submessage_auto_vivifies_on_write():
+    """r13 ADVICE: writing into a read-created default view of an unset
+    singular message field must persist into the parent (real-protobuf
+    auto-vivification), not be silently discarded — while a read-only
+    access must NOT set presence."""
+    sm = _sm()
+    cmd = sm.StateCallCommand()
+    cmd.ttl.durationMs = 1234
+    assert cmd.HasField("ttl") and cmd.ttl.durationMs == 1234
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 1234
+
+    # recursive: a two-deep chain attaches every hop, and the oneof
+    # registers the vivified member
+    req = sm.StateRequest()
+    req.stateVariableRequest.valueStateCall.stateName = "deep"
+    assert req.WhichOneof("method") == "stateVariableRequest"
+    rt = sm.StateRequest()
+    rt.ParseFromString(req.SerializeToString())
+    assert rt.stateVariableRequest.valueStateCall.stateName == "deep"
+
+    # read-only access never sets presence
+    probe = sm.StateCallCommand()
+    assert probe.ttl.durationMs == 0
+    assert not probe.HasField("ttl")
+
+
+def test_stale_view_does_not_clobber_later_value():
+    """A detached view handed out BEFORE the field was parsed must not
+    overwrite the parsed value when mutated afterwards."""
+    sm = _sm()
+    cmd = sm.StateCallCommand()
+    stale = cmd.ttl  # detached default view
+    parsed = sm.StateCallCommand(ttl=sm.TTLConfig(durationMs=77))
+    cmd.ParseFromString(parsed.SerializeToString())
+    stale.durationMs = 99  # must NOT displace the parsed 77
+    assert cmd.ttl.durationMs == 77
+
+
+def test_truncated_length_delimited_field_raises():
+    """r13 ADVICE: a truncated unknown length-delimited field must raise
+    instead of silently ending the parse as if the message were
+    complete (field 15 here is unknown to StateResponse; its declared
+    5-byte payload has only 2 bytes on the wire)."""
+    sm = _sm()
+    r = sm.StateResponse()
+    with pytest.raises(Exception):
+        r.ParseFromString(bytes([0x08, 0x02, 0x7A, 0x05, 0x01, 0x02]))

@@ -154,12 +154,21 @@ def test_tws_profile_state_carries_across_batches(spark, tmp_path):
 
 
 def test_tws_ttl_state_and_initial_state(spark, tmp_path):
-    """Two remaining protocol surfaces get live coverage: a ValueState
-    created WITH a TTL (the TTLConfig wire message inside
-    StateCallCommand) and an initialState GroupedData seeding
-    handleInitialState before the first batch. The processor counts
+    """initialState seeding gets live coverage (a GroupedData feeding
+    handleInitialState before the first batch): the processor counts
     events per user on top of a seeded base — output must equal
-    base + batch count."""
+    base + batch count.
+
+    TTL note (r14): this test formerly created the seeded state with a
+    ttlDurationMs under timeMode="none" and "passed" — vacuously. The
+    pyspark state client sets TTLConfig by in-place submessage mutation
+    (state_call_command.ttl.durationMs = ...), which the r13 vendored
+    protobuf shim silently DISCARDED, so the TTL never reached the JVM;
+    with the r14 auto-vivification fix the JVM (correctly) REJECTS TTL
+    under NoTime, so the state here is created TTL-free. The REAL TTL
+    surface is the GRADED events_tws_ttl_counts query under
+    processingTime (tests/test_tws_recovery.py), whose eviction
+    differential can only pass if the TTLConfig reaches the JVM."""
     import uuid as _uuid
     from collections.abc import Iterator as _It
 
@@ -196,10 +205,11 @@ def test_tws_ttl_state_and_initial_state(spark, tmp_path):
 
     class SeededCounter(_SP):
         def init(self, handle):
-            # a LONG TTL so nothing actually expires in-test: the point
-            # is the TTLConfig message crossing the wire at create time
-            self._n = handle.getValueState("n", cnt_schema,
-                                           ttlDurationMs=3_600_000)
+            # TTL-free on purpose: TTL is illegal under timeMode="none"
+            # now that the shim actually delivers the TTLConfig message
+            # (see docstring); the graded events_tws_ttl_counts query
+            # carries the positive TTL coverage under processingTime.
+            self._n = handle.getValueState("n", cnt_schema)
 
         def handleInitialState(self, key, initialState, timerValues):
             self._n.update((int(initialState["base"]),))
