@@ -27,6 +27,7 @@ from kickstarter_etl_pipeline_spark.operators.rounding import round_det  # noqa:
 from kickstarter_etl_pipeline_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     lsh_topk,
+    query_anchors,
 )
 from kickstarter_etl_pipeline_spark.operators.transform import fractional_days  # noqa: F401
 from kickstarter_etl_pipeline_spark.plans.star import (  # noqa: F401
@@ -379,7 +380,7 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kickstarter_etl_pipeline_spark.operators.similarity import quantized_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantized_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=20)
+    return quantized_topk(emb, query_anchors(emb, 20), k=5, shortlist=20)
 
 
 def q_user_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,3 +860,39 @@ def q_events_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tws_warm_start_totals(spark, sf_dir)
+
+
+def q_events_tws_restart_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTART RECOVERY + EXACTLY-ONCE as a GRADED surface: the events
+    fixture is split at its midpoint timestamp, phase 1 streams half A
+    through a transformWithStateInPandas fold and terminates, then a
+    NEW query instance resumes from the SAME RocksDB checkpoint with
+    half B added to the source directory (streaming/tws_recovery.py).
+    Phase 2's per-user totals equal the batch aggregate over ALL events
+    iff the state store survived the restart (no undercount) AND the
+    file-source log kept half A from being re-read (no inflation) —
+    the production re-deploy contract, hash-graded."""
+    from kickstarter_etl_pipeline_spark.streaming.tws_recovery import (
+        tws_restart_totals,
+    )
+
+    return tws_restart_totals(spark, sf_dir)
+
+
+def q_events_tws_ttl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State TTL EVICTION as a GRADED surface (the one StatefulProcessor
+    capability r13 left ungraded): two otherwise-identical per-user
+    counters — one with a 500 ms TTLConfig — fold across the two-phase
+    stop/resume replay (streaming/tws_recovery.py). The inter-phase gap
+    is a full query restart (seconds >> TTL), so phase 2 must see the
+    TTL'd state EVICTED (n_ttl = half-B count) while its no-TTL twin
+    carries (n_keep = full count): the differential hash-grades
+    eviction itself, with the restart as the built-in control. Note the
+    r14 shim fix made this gradable at all: pyspark's state client sets
+    TTLConfig via in-place submessage mutation, which the r13 vendored
+    runtime silently DISCARDED — the TTL never reached the JVM before."""
+    from kickstarter_etl_pipeline_spark.streaming.tws_recovery import (
+        tws_ttl_counts,
+    )
+
+    return tws_ttl_counts(spark, sf_dir)
