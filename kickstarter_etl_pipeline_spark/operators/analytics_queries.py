@@ -15,7 +15,11 @@ from kickstarter_etl_pipeline_spark.operators.dedup import (
 from kickstarter_etl_pipeline_spark.operators.dims import build_dim_date
 from kickstarter_etl_pipeline_spark.operators.multimodal import documents_as_media, extract_features
 from kickstarter_etl_pipeline_spark.operators.rounding import round_det
-from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+from kickstarter_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    query_anchors,
+)
 from kickstarter_etl_pipeline_spark.operators.transform import fractional_days
 from kickstarter_etl_pipeline_spark.plans.star import (
     tpch_dim_category,
@@ -778,10 +782,11 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distinct-over-a-sliding-window does NOT decompose into a window
     frame over daily aggregates (users repeat across days), so the
-    correct distributed shape is: distinct (day, user) pairs, a
-    bounded range self-join onto the day grid (fan-out ≤ 7 — an
-    equi-join on the derived grid day would also work via explode), and
-    a distinct count per grid day. Shuffles are keyed by day —
+    correct distributed shape is: distinct (day, user) pairs, EXPLODED
+    onto each of the ≤7 grid days the pair contributes to (a constant
+    fan-out, turning the range predicate into an EQUI-join — no
+    BroadcastNestedLoopJoin anywhere), then a distinct count per grid
+    day restricted to OBSERVED days. Shuffles are keyed by day —
     uniform. The sketch path at extreme scale is HLL partials per day
     merged over the window (distinct_users_rollup shows that merge).
     """
@@ -792,12 +797,15 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     days = day_user.select("day").distinct()
-    window_hits = days.alias("g").join(
-        day_user.alias("a"),
-        (F.col("a.day") <= F.col("g.day")) & (F.col("a.day") >= F.col("g.day") - 6),
+    contrib = day_user.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("g_day"),
+        "user_id",
     )
-    rolling = window_hits.groupBy(F.col("g.day").alias("day")).agg(
-        F.countDistinct("a.user_id").cast("long").alias("active_7d")
+    rolling = (
+        contrib.join(days, contrib.g_day == days.day)
+        .groupBy("g_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_7d"))
+        .select(F.col("g_day").alias("day"), "active_7d")
     )
     daily = day_user.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("active_1d")
@@ -1012,7 +1020,7 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (here 50 × 5), k-bounded at any scale, so IT carries the hint
     # and the label lookups stay shuffle-free without risking an OOM.
     labels = emb.select("vec_id", "label")
-    nn = brute_force_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    nn = brute_force_topk(emb, query_anchors(emb, 50), k=5)
     votes = (
         F.broadcast(nn)
         .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
@@ -1048,10 +1056,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_topk), so their composition is too: the oracle joins the
     two verified SQL pipelines and computes the identical hit ratio.
     """
-    from kickstarter_etl_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+    from kickstarter_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        query_anchors,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    queries = query_anchors(emb, 20)
     exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = lsh_topk(
         emb, queries, dim=64, k=5, num_planes=3, num_tables=6, n_probe=2

@@ -136,7 +136,13 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = scored.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
     n_total = F.broadcast(scored.agg(F.count("*").cast("long").alias("n_tot")))
 
-    grid = totals.select("source").crossJoin(per_q.select("q"))
+    # .limit(1000) is a no-op on data (source is an enumeration-bounded
+    # label, ~tens of values) that stamps a plan-provable hard cap on
+    # the grid product's broadcast side; the explicit broadcast hint
+    # pins the PROVEN side as the build side.
+    grid = per_q.select("q").crossJoin(
+        F.broadcast(totals.select("source").limit(1000))
+    )
     w_all = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
     cum_all = per_q.select(
         "q", F.sum("c_all").over(w_all).cast("long").alias("cum_all")

@@ -779,8 +779,10 @@ def q_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus — the embedding_topk shape); the PQ side is
     q_ann_pq_topk's code/LUT pipeline. The comparison join is
     50×50 rows."""
+    from kickstarter_etl_pipeline_spark.operators.similarity import query_anchors
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
+    q = query_anchors(emb, 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     )
     d9 = F.floor(

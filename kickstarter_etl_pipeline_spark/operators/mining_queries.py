@@ -376,10 +376,13 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: MMR greedy re-ranking (λ=0.7, k=5)
     over each query's exact top-20 cosine candidates."""
-    from kickstarter_etl_pipeline_spark.operators.similarity import mmr_diversified_topk
+    from kickstarter_etl_pipeline_spark.operators.similarity import (
+        mmr_diversified_topk,
+        query_anchors,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return mmr_diversified_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, pool=20)
+    return mmr_diversified_topk(emb, query_anchors(emb, 20), k=5, pool=20)
 
 
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,11 +419,11 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-inequality predicate; rank on the (rounded cosine DESC, id)
     total order."""
     from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
-    from kickstarter_etl_pipeline_spark.operators.similarity import dot, norm
+    from kickstarter_etl_pipeline_spark.operators.similarity import dot, norm, query_anchors
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
-        emb.filter(F.col("vec_id") < 20)
+        query_anchors(emb, 20)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("_qlabel"),

@@ -43,6 +43,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def query_anchors(emb: DataFrame, n: int, key: str = "vec_id") -> DataFrame:
+    """The first ``n`` corpus vectors (``key < n``) as the query/anchor
+    frame for the ANN/top-k tiers, with a PLAN-PROVABLE hard bound:
+    ``key`` is the table's primary key, so the trailing ``.limit(n)``
+    drops nothing — it stamps a ``GlobalLimit n`` into the plan that
+    the scale advisor (plans.inspect._one_row_subtree) can prove bounds
+    the broadcast side of the downstream anchor crossJoin, and that
+    HARD-caps the broadcast at runtime even against a pathological
+    input where the key filter alone would not (r13 ADVICE: a bare
+    ``limit`` is only as bounded as its literal)."""
+    return emb.filter(F.col(key) < n).limit(n)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -655,6 +655,10 @@ def q_kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("_cents")
         )
     )
+    # .limit(100): a no-op on data (nation is enumeration-bounded at
+    # 25) that stamps a plan-provable hard cap on both sides of the
+    # pair product below — the advisor proves the quadratic step is
+    # constant-size instead of trusting the docstring.
     xy = (
         rev.filter(F.col("_yr") == 1998)
         .select("n_name", F.col("_cents").alias("_x"))
@@ -662,6 +666,7 @@ def q_kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             rev.filter(F.col("_yr") == 1999).select("n_name", F.col("_cents").alias("_y")),
             "n_name",
         )
+        .limit(100)
     )
     a = xy.select(F.col("n_name").alias("_na"), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
     b = xy.select(F.col("n_name").alias("_nb"), F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
@@ -1135,8 +1140,11 @@ def q_mean_excess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for label, num, den in (("p90", 9, 10), ("p95", 19, 20), ("p99", 99, 100)):
         target = F.expr(f"(_n * {num} + {den - 1}) DIV {den}")
+        # rank is a total-order position (unique), so the equality pick
+        # is exactly one row; .limit(1) stamps that fact into the plan
+        # so the advisor proves the crossJoin's broadcast side bounded.
         thr = F.broadcast(
-            j.filter(F.col("rank") == target).select(F.col("_c").alias("_u"))
+            j.filter(F.col("rank") == target).select(F.col("_c").alias("_u")).limit(1)
         )
         row = (
             vals.crossJoin(thr)

@@ -92,6 +92,11 @@ def _children(tree: list[tuple[int, str, str]], idx: int) -> list[int]:
     return [j for j in span if tree[j][0] == child_ind]
 
 
+#: A LIMIT / rank-filter literal at or below this is a constant-bounded
+#: frame (safe to broadcast-nested-loop against); above it, the "limit"
+#: is really a data-sized cap and stays CRITICAL.
+_BOUNDED_LIMIT = 1000
+
 #: Single-child operators that preserve (or reduce) a one-row bound.
 _ROW_PRESERVING = (
     "Project",
@@ -110,22 +115,102 @@ _ROW_PRESERVING = (
 )
 
 
+def _subtree_span(tree: list[tuple[int, str, str]], idx: int) -> list[int]:
+    """Indices of the whole subtree rooted at tree[idx] (inclusive)."""
+    ind = tree[idx][0]
+    span = [idx]
+    for j in range(idx + 1, len(tree)):
+        if tree[j][0] <= ind:
+            break
+        span.append(j)
+    return span
+
+
+#: Expression heads whose value space is bounded by the CALENDAR, not
+#: by data volume: a group-by on one of these yields at most a few
+#: thousand groups per decade of data, independent of row count.
+_CALENDAR_EXPR = re.compile(
+    r"(?:cast\([\w#.]+ as date\)|to_date\(|date_trunc\(|"
+    r"year\(|month\(|quarter\(|weekofyear\(|dayofweek\() *[^\n]*AS {key}\b"
+)
+
+
+def _calendar_bounded_agg(
+    tree: list[tuple[int, str, str]], details: dict[str, str], idx: int
+) -> bool:
+    """True iff the aggregate at tree[idx] groups ONLY by keys whose
+    defining expressions (found as ``<expr> AS key#id`` in the subtree's
+    detail blocks) are calendar functions — date-cast, date_trunc,
+    year/month/etc. Such an aggregate's cardinality grows with elapsed
+    TIME, not data volume (a decade of days is 3,653 rows at any sf),
+    so broadcasting it is a calendar-spine device, not a pair blow-up."""
+    det = details.get(tree[idx][2], "")
+    m = re.search(r"Keys(?: \[\d+\])?: \[([^\]]*)\]", det)
+    if not m or not m.group(1).strip():
+        return False
+    keys = re.findall(r"[\w]+#\d+", m.group(1))
+    if not keys:
+        return False
+    sub_text = "\n".join(
+        details.get(tree[j][2], "") for j in _subtree_span(tree, idx)
+    )
+    for key in keys:
+        pat = _CALENDAR_EXPR.pattern.format(key=re.escape(key))
+        if not re.search(pat, sub_text):
+            return False
+    return True
+
+
 def _one_row_subtree(
     tree: list[tuple[int, str, str]], details: dict[str, str], idx: int
 ) -> bool:
     """True iff the subtree at tree[idx] provably produces at most ONE
     row (or a constant-bounded handful): a global aggregate
-    ("Keys: []"), a LIMIT, or joins/pass-through operators over such.
-    Conservative — anything unrecognized returns False."""
+    ("Keys: []"), a LIMIT at or below _BOUNDED_LIMIT, a literal local
+    relation, a calendar-spine Generate/aggregate, or joins /
+    pass-through operators over such. Conservative — anything
+    unrecognized returns False."""
     _, name, oid = tree[idx]
     if "Aggregate" in name:
         det = details.get(oid, "")
         if re.search(r"Keys(?: \[\d+\])?: \[\]", det):
             return True
+        if _calendar_bounded_agg(tree, details, idx):
+            return True
         kids = _children(tree, idx)  # grouped agg of one row is one row
         return bool(kids) and all(_one_row_subtree(tree, details, k) for k in kids)
+    if name.startswith("Generate"):
+        # explode(sequence(lo, hi, step)) over a one-row child is the
+        # calendar-spine device: output rows = the span of ONE row's
+        # sequence (time-range / step), independent of data volume.
+        if "sequence(" in details.get(oid, ""):
+            kids = _children(tree, idx)
+            return bool(kids) and all(
+                _one_row_subtree(tree, details, k) for k in kids
+            )
+        return False
     if name.startswith(("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")):
-        return True  # bounded by the literal limit
+        # Bounded by the literal limit — but only when the literal is
+        # actually small: limit(10_000_000) is not a benign broadcast
+        # side (ADVICE r13). The formatted detail renders the limit as
+        # the first integer of the Arguments line ("Arguments: 16" /
+        # "Arguments: 100, [x ASC], [cols]").
+        m = re.search(r"Arguments:\s*(\d+)", details.get(oid, ""))
+        return bool(m) and int(m.group(1)) <= _BOUNDED_LIMIT
+    if name.startswith("LocalTableScan") or name == "Scan OneRowRelation":
+        # Literal local relation: rows are driver-embedded constants
+        # (band spines, anchor grids) — bounded by construction.
+        return True
+    if name.startswith("Range"):
+        # spark.range(n) literal spine (band grids, percentile spines).
+        m = re.search(r"Range \((-?\d+), (-?\d+)", details.get(oid, ""))
+        return bool(m) and abs(int(m.group(2)) - int(m.group(1))) <= _BOUNDED_LIMIT
+    if name.startswith("Scan ExistingRDD"):
+        # createDataFrame over driver-local Python data plans as a scan
+        # of an applySchemaToPythonRDD — a literal local relation (the
+        # data already fit in the driver). localCheckpoint / arbitrary
+        # RDD scans do NOT qualify (data-sized) and return False.
+        return "applySchemaToPythonRDD" in details.get(oid, "")
     if "Join" in name or name.startswith("CartesianProduct"):
         kids = _children(tree, idx)
         return len(kids) == 2 and all(
@@ -158,11 +243,33 @@ def _classify_nested_loop_joins(text: str) -> tuple[int, int]:
     return benign, total
 
 
+def _classify_cartesian(text: str) -> tuple[int, int]:
+    """(benign, total) CartesianProducts: benign = BOTH sides provably
+    constant-bounded (the nation-pair / anchor-pair device), where the
+    product is c² rows — a constant, not a data blow-up."""
+    tree = _parse_tree(text)
+    details = _detail_blocks(text)
+    benign = total = 0
+    for i, (_ind, name, _oid) in enumerate(tree):
+        if not name.startswith("CartesianProduct"):
+            continue
+        total += 1
+        kids = _children(tree, i)
+        if len(kids) == 2 and all(
+            _one_row_subtree(tree, details, k) for k in kids
+        ):
+            benign += 1
+    return benign, total
+
+
 def _single_partition_feeds_only_aggregates(text: str) -> bool:
     """True iff EVERY SinglePartition exchange in a formatted plan is
     consumed by an aggregate operator — the partial→final global-
     aggregate pattern, where the one-task exchange carries only one
-    partial row per input partition and is therefore benign.
+    partial row per input partition and is therefore benign — or by a
+    GlobalLimit at or below _BOUNDED_LIMIT (the anchor-closure ``limit
+    k`` device: LocalLimit caps every partition at k before the
+    exchange, so at most k·P constant-bounded rows funnel through).
 
     Parses the formatted explain's two sections: the detail blocks
     ("(4) Exchange\\nArguments: SinglePartition, ...") name WHICH
@@ -188,18 +295,27 @@ def _single_partition_feeds_only_aggregates(text: str) -> bool:
         m = re.match(r"^([:+\-| ]*)(?:\* )?([A-Za-z][\w .]*?) \((\d+)\)\s*$", line)
         if m:
             tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    details = _detail_blocks(text)
     seen = set()
     for i, (indent, _name, oid) in enumerate(tree):
         if oid not in sp_ids:
             continue
         seen.add(oid)
         parent = None
+        parent_oid = None
         for j in range(i - 1, -1, -1):
             if tree[j][0] < indent:
-                parent = tree[j][1]
+                parent, parent_oid = tree[j][1], tree[j][2]
                 break
-        if parent is None or "Aggregate" not in parent:
+        if parent is None:
             return False
+        if "Aggregate" in parent:
+            continue
+        if parent.startswith(("GlobalLimit", "TakeOrderedAndProject")):
+            m = re.search(r"Arguments:\s*(\d+)", details.get(parent_oid, ""))
+            if m and int(m.group(1)) <= _BOUNDED_LIMIT:
+                continue
+        return False
     return seen == sp_ids
 
 
@@ -233,10 +349,18 @@ def advise(df: DataFrame) -> list[str]:
     s = plan_summary(df)
     findings: list[str] = []
     if s["has_cartesian"]:
-        findings.append(
-            "CRITICAL: CartesianProduct in the plan — O(n·m) pair blow-up at "
-            "scale; add an equi-join key or a banding/bucketing key."
-        )
+        c_benign, c_total = _classify_cartesian(text)
+        if c_total - c_benign:
+            findings.append(
+                "CRITICAL: CartesianProduct in the plan — O(n·m) pair blow-up "
+                "at scale; add an equi-join key or a banding/bucketing key."
+            )
+        if c_benign:
+            findings.append(
+                f"INFO: {c_benign} CartesianProduct(s) with BOTH sides "
+                "provably constant-bounded (global aggregate / small LIMIT / "
+                "literal relation): c² constant rows, not a data blow-up."
+            )
     if s["n_nested_loop_joins"]:
         benign, total = _classify_nested_loop_joins(text)
         risky = total - benign
@@ -261,11 +385,12 @@ def advise(df: DataFrame) -> list[str]:
     if "SinglePartition" in text:
         if _single_partition_feeds_only_aggregates(text):
             findings.append(
-                "INFO: Exchange SinglePartition feeding a final aggregate — "
-                "only per-partition PARTIAL rows cross the exchange (one row "
+                "INFO: Exchange SinglePartition feeding a final aggregate or "
+                "a small GlobalLimit — only per-partition PARTIAL rows or "
+                "LocalLimit-capped rows cross the exchange (one row / ≤k rows "
                 "per input partition, not the data), the normal global-"
-                "summary shape; nothing to fix unless the aggregate state "
-                "itself is huge (collect_list/collect_set of the data)."
+                "summary or anchor-closure shape; nothing to fix unless the "
+                "aggregate state itself is huge (collect_list of the data)."
             )
         else:
             findings.append(

@@ -225,14 +225,26 @@ def test_advisor_flags_each_hazard_and_passes_clean_plans(spark, sf_dir):
 
     from kickstarter_etl_pipeline_spark.plans.inspect import advise
 
-    a = spark.range(10).withColumnRenamed("id", "a")
-    b = spark.range(10).withColumnRenamed("id", "b")
+    # data-sized sides (parquet scans), so the pair hazards are REAL —
+    # spark.range literals would now be PROVEN bounded and demoted.
+    a = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F2.col("o_orderkey").alias("a")
+    )
+    b = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F2.col("o_orderkey").alias("b")
+    )
 
-    cross = a.crossJoin(b)
-    assert any("CartesianProduct" in f or "NestedLoop" in f for f in advise(cross))
+    cross = a.crossJoin(b)  # plans as CartesianProduct or BNLJ by size
+    assert any(
+        f.startswith("CRITICAL")
+        and ("CartesianProduct" in f or "NestedLoopJoin" in f)
+        for f in advise(cross)
+    )
 
     nonequi = a.join(b, F2.col("a") < F2.col("b"))
-    assert any("NestedLoopJoin" in f for f in advise(nonequi))
+    assert any(
+        f.startswith("CRITICAL") and "NestedLoopJoin" in f for f in advise(nonequi)
+    )
 
     funnel = a.withColumn("rn", F2.row_number().over(Window.orderBy("a")))
     assert any(
@@ -302,3 +314,78 @@ def test_advisor_bounded_broadcast_bnlj_demoted(spark, sf_dir):
         f for f in advise(risky)
         if f.startswith("CRITICAL") and "unbounded broadcast side" in f
     ]
+
+
+def test_prover_bounded_branches_demote_and_large_limit_stays(spark, sf_dir):
+    """r14 prover branches (VERDICT r13 task 3), each on a crafted plan:
+
+    - ``limit k`` (k <= 1000) anchor closure on a BNLJ broadcast side
+      -> INFO; ``limit 2_000_000`` -> stays CRITICAL (the r13 ADVICE
+      limit-threshold fix);
+    - literal local relation (createDataFrame of driver data) -> INFO;
+    - calendar-bounded aggregate (group-by on a date cast) -> INFO;
+    - Generate explode(sequence(..)) over a one-row aggregate (the
+      calendar-spine device) -> INFO;
+    - CartesianProduct with BOTH sides bounded -> INFO, not CRITICAL.
+    """
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.plans.inspect import advise
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def crit(df):
+        return [f for f in advise(df) if f.startswith("CRITICAL")]
+
+    # 1a. small-limit anchor closure
+    anchors = orders.filter(F2.col("o_orderkey") < 50).limit(50)
+    assert crit(orders.crossJoin(F2.broadcast(anchors))) == []
+    # 1b. a data-sized "limit" is NOT an anchor
+    big = orders.limit(2_000_000)
+    assert crit(orders.crossJoin(F2.broadcast(big))) != []
+
+    # 2. literal local relation
+    lit = spark.createDataFrame([(1, "x"), (2, "y")], "k: long, v: string")
+    assert crit(orders.crossJoin(F2.broadcast(lit))) == []
+
+    # 3. calendar-bounded aggregate broadcast
+    daily = events.groupBy(F2.to_date("ts").alias("day")).agg(
+        F2.count("*").alias("c")
+    )
+    assert crit(orders.crossJoin(F2.broadcast(daily))) == []
+    # ...but a data-keyed aggregate stays CRITICAL
+    perkey = events.groupBy("user_id").agg(F2.count("*").alias("c"))
+    assert crit(orders.crossJoin(F2.broadcast(perkey))) != []
+
+    # 4. calendar spine: explode(sequence) over a one-row aggregate
+    spine = events.agg(
+        F2.date_trunc("hour", F2.min("ts")).alias("h0"),
+        F2.date_trunc("hour", F2.max("ts")).alias("h1"),
+    ).select(
+        F2.explode(
+            F2.sequence("h0", "h1", F2.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    assert crit(orders.crossJoin(F2.broadcast(spine))) == []
+
+    # 5. both-bounded CartesianProduct demotes to INFO
+    xa = orders.limit(100).select(F2.col("o_orderkey").alias("xa"))
+    xb = orders.limit(100).select(F2.col("o_orderkey").alias("xb"))
+    pairs = xa.join(xb, F2.col("xa") < F2.col("xb"))
+    fs = advise(pairs)
+    assert [f for f in fs if f.startswith("CRITICAL")] == [], fs
+
+
+def test_advisor_true_positive_stays_flagged(spark, sf_dir):
+    """embedding_near_dup_exact is the DOCUMENTED correctness-tier full
+    pair scan (its 100 TB path is the LSH variant); the advisor must
+    keep flagging it CRITICAL — clearing a true data-sized pair join
+    would be advisor breakage, not progress."""
+    from kickstarter_etl_pipeline_spark.plans.inspect import advise
+    from kickstarter_etl_pipeline_spark.queries import queries
+
+    df = queries()["embedding_near_dup_exact"](spark, sf_dir)
+    assert any(
+        f.startswith("CRITICAL") and "NestedLoopJoin" in f for f in advise(df)
+    )
