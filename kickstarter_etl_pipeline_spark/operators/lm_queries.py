@@ -1842,37 +1842,14 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(documents_as_ppm_images(docs))
 
 
-def q_preference_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bradley-Terry preference-strength fitting (Bradley & Terry 1952;
-    Hunter 2004's MM iteration) — the RLHF/preference-data family's
-    core model, fit on DETERMINISTIC pairwise contests derived from the
-    event stream: each user's consecutive event pair (by (ts, event_id)
-    total order) is a contest between the two event TYPES, won by the
-    higher ``value`` (equal values and same-type pairs are no-contest).
-
-    The MM update rides the integer-MICRO grid end-to-end (the
-    markov/HITS device — no floats until the final display division):
-
-        s⁰_i     = 10⁶
-        D_i      = Σ_{j≠i} (g_ij · 10¹²) DIV (s_i + s_j)
-        s'_i     = max(1, (W_i · 10¹²) DIV D_i)
-        s''_i    = max(1, (s'_i · NS · 10⁶) DIV Σ s')     (normalize:
-                   mean strength pinned at 1, so the scale-invariant
-                   family has ONE representative)
-
-    8 rounds, every term a per-term integer floor then an exact
-    order-free sum — both engines land on identical micros (the twin
-    unrolls the same 8 rounds; DuckDB ``//`` == Spark DIV on these
-    non-negative operands). The max(1,·) floor keeps a never-winning
-    type at one micro-unit instead of letting s hit 0 and a later
-    (s_i + s_j) divide by zero — identically on both engines. BIGINT
-    bounds: g_ij ≤ events, so g·10¹² ≤ ~10¹⁷ at sf0.1; after
-    normalization s ≤ NS·10⁶ + NS, so s'·NS·10⁶ stays ≤ ~10¹⁴.
-
-    Scale: the contest build is ONE user-keyed lag window over events
-    (data-sized); everything after runs on ≤ T² rows (T = event types,
-    ~7) — constant-size frames with broadcast one-row totals, the
-    markov_stationary posture exactly."""
+def _bt_contests_and_fit(spark: SparkSession, sf_dir: str, rounds: int = 8):
+    """Shared Bradley-Terry machinery (the q_preference_bt_strengths
+    derivation, verbatim — extracted so the composed
+    q_preference_dataset_manifest reuses the IDENTICAL contest build
+    and MM fit the way curation_pack_manifest reuses clean_corpus).
+    Returns (lagd contests frame with user_id/event_id for split keys,
+    wl winner/loser cells, games symmetric game counts, wins per-type
+    win totals, s fitted integer-micro strengths after ``rounds``)."""
     from kickstarter_etl_pipeline_spark.operators.events import with_unix_micros
 
     ev = with_unix_micros(load_table(spark, sf_dir, "events"))
@@ -1921,7 +1898,7 @@ def q_preference_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = types.select("_t", F.lit(1_000_000).cast("long").alias("_s")).localCheckpoint(
         eager=True
     )
-    for _ in range(8):
+    for _ in range(rounds):
         d = (
             games.join(
                 s.select(F.col("_t").alias("_i"), F.col("_s").alias("_si")), "_i"
@@ -1959,6 +1936,41 @@ def q_preference_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return lagd, wl, games, wins, s
+
+
+def q_preference_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fitting (Bradley & Terry 1952;
+    Hunter 2004's MM iteration) — the RLHF/preference-data family's
+    core model, fit on DETERMINISTIC pairwise contests derived from the
+    event stream: each user's consecutive event pair (by (ts, event_id)
+    total order) is a contest between the two event TYPES, won by the
+    higher ``value`` (equal values and same-type pairs are no-contest).
+
+    The MM update rides the integer-MICRO grid end-to-end (the
+    markov/HITS device — no floats until the final display division):
+
+        s⁰_i     = 10⁶
+        D_i      = Σ_{j≠i} (g_ij · 10¹²) DIV (s_i + s_j)
+        s'_i     = max(1, (W_i · 10¹²) DIV D_i)
+        s''_i    = max(1, (s'_i · NS · 10⁶) DIV Σ s')     (normalize:
+                   mean strength pinned at 1, so the scale-invariant
+                   family has ONE representative)
+
+    8 rounds, every term a per-term integer floor then an exact
+    order-free sum — both engines land on identical micros (the twin
+    unrolls the same 8 rounds; DuckDB ``//`` == Spark DIV on these
+    non-negative operands). The max(1,·) floor keeps a never-winning
+    type at one micro-unit instead of letting s hit 0 and a later
+    (s_i + s_j) divide by zero — identically on both engines. BIGINT
+    bounds: g_ij ≤ events, so g·10¹² ≤ ~10¹⁷ at sf0.1; after
+    normalization s ≤ NS·10⁶ + NS, so s'·NS·10⁶ stays ≤ ~10¹⁴.
+
+    Scale: the contest build is ONE user-keyed lag window over events
+    (data-sized); everything after runs on ≤ T² rows (T = event types,
+    ~7) — constant-size frames with broadcast one-row totals, the
+    markov_stationary posture exactly."""
+    _lagd, _wl, games, wins, s = _bt_contests_and_fit(spark, sf_dir)
     g_tot = games.groupBy(F.col("_i").alias("_t")).agg(
         F.sum("_g").cast("long").alias("n_games")
     )
@@ -1974,3 +1986,78 @@ def q_preference_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_preference_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RLHF/preference END-TO-END unit (contests → BT fit →
+    per-pair preference-dataset manifest), graded as ONE query — the
+    curation_pack_manifest device applied to the preference family: the
+    contest derivation and the 8-round integer-micro Bradley-Terry MM
+    fit are _bt_contests_and_fit, REUSED VERBATIM by
+    q_preference_bt_strengths, and the manifest is what an RLHF data
+    build actually ships next to its (prompt, chosen, rejected) pairs:
+
+    per directed preference cell (chosen type beat rejected type at
+    least once) —
+    - n_pref (training pairs in the cell) and n_games (contests between
+      the two types in either direction);
+    - the reproducible ~80/20 train/val split (n_train/n_val by the
+      last-two-md5-hex device of the contest key user_id:event_id — the
+      train_val_test_split discipline, no RNG);
+    - calibration diagnostics on the integer-micro grid: empirical win
+      rate (n_pref·10⁶ DIV n_games), the fitted BT probability
+      (s_chosen·10⁶ DIV (s_chosen + s_rejected)), and their signed
+      micro gap — all BIGINT-exact, so the hash grades the fit's
+      calibration arithmetic, not a float tree;
+    - the chosen type's fitted strength (display division only).
+
+    Scale: the only data-sized stage is the shared user-keyed lag
+    window; cells/games/strengths are ≤ T² rows (T = event types)."""
+    lagd, _wl, games, _wins, s = _bt_contests_and_fit(spark, sf_dir)
+    contests = lagd.select(
+        F.when(F.col("value") > F.col("_pv"), F.col("event_type"))
+        .otherwise(F.col("_pt"))
+        .alias("_w"),
+        F.when(F.col("value") > F.col("_pv"), F.col("_pt"))
+        .otherwise(F.col("event_type"))
+        .alias("_l"),
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("user_id"), F.col("event_id"))), 31, 2
+        ).alias("_h2"),
+    )
+    cells = contests.groupBy("_w", "_l").agg(
+        F.count("*").cast("long").alias("n_pref"),
+        F.sum(F.when(F.col("_h2") < "cc", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+    )
+    out = (
+        cells.join(
+            games.select(
+                F.col("_i").alias("_w"), F.col("_j").alias("_l"), "_g"
+            ),
+            ["_w", "_l"],
+        )
+        .join(s.select(F.col("_t").alias("_w"), F.col("_s").alias("_sw")), "_w")
+        .join(s.select(F.col("_t").alias("_l"), F.col("_s").alias("_sl")), "_l")
+        .select(
+            F.col("_w").alias("chosen_type"),
+            F.col("_l").alias("rejected_type"),
+            "n_pref",
+            F.col("_g").alias("n_games"),
+            "n_train",
+            (F.col("n_pref") - F.col("n_train")).cast("long").alias("n_val"),
+            F.expr("(n_pref * 1000000) DIV _g").alias("empirical_micro"),
+            F.expr("(_sw * 1000000) DIV (_sw + _sl)").alias("bt_micro"),
+            (
+                F.expr("(n_pref * 1000000) DIV _g")
+                - F.expr("(_sw * 1000000) DIV (_sw + _sl)")
+            )
+            .cast("long")
+            .alias("gap_micro"),
+            round_det(
+                F.col("_sw").cast("double") / F.lit(1_000_000.0), 6
+            ).alias("chosen_strength"),
+        )
+    )
+    return out

@@ -186,11 +186,18 @@ ORACLES_R13["events_tws_warm_start"] = """
 # the same max(1,·) floors. DuckDB // == Spark DIV on non-negative
 # operands; every sum is an exact BIGINT sum, so the engines land on
 # identical micros.
-def _bt_oracle_sql(rounds: int = 8) -> str:
+def _bt_oracle_cte(rounds: int = 8) -> str:
+    """The shared Bradley-Terry WITH-block (contest derivation + the
+    unrolled integer-micro MM rounds), reused by BOTH preference twins:
+    preference_bt_strengths appends its strengths tail here, and
+    oracles_r14.preference_dataset_manifest appends the per-pair
+    manifest tail — the curation_pack constituent-reuse discipline.
+    lagd carries user_id/event_id so the manifest's md5 split key can
+    be derived from the same frame."""
     head = """
     WITH e AS (SELECT user_id, event_id, event_type, value,
                       epoch_us(ts) AS us FROM events),
-    lagd AS (SELECT event_type, value,
+    lagd AS (SELECT user_id, event_id, event_type, value,
                     lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
     wl AS MATERIALIZED (
@@ -232,13 +239,17 @@ def _bt_oracle_sql(rounds: int = 8) -> str:
                         // (SELECT sum(sr) FROM r{r})) AS s
       FROM r{r} r, ns)"""
         )
+    return head + "".join(steps)
+
+
+def _bt_oracle_sql(rounds: int = 8) -> str:
     tail = f"""
     SELECT s.t AS event_type, w.wi AS n_wins,
            (SELECT CAST(sum(g) AS BIGINT) FROM games WHERE i = s.t) AS n_games,
            floor(CAST(s.s AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
              AS strength
     FROM s{rounds} s JOIN wins w ON w.t = s.t"""
-    return head + "".join(steps) + tail
+    return _bt_oracle_cte(rounds) + tail
 
 
 ORACLES_R13["preference_bt_strengths"] = _bt_oracle_sql()

@@ -50,3 +50,44 @@ ORACLES_R14["events_tws_ttl_counts"] = """
     GROUP BY user_id
     HAVING sum(CASE WHEN us > cut THEN 1 ELSE 0 END) > 0
 """
+
+# FULL twin of q_preference_dataset_manifest — the composed preference
+# unit. The contest derivation and the 8 unrolled integer-micro MM
+# rounds are IMPORTED from oracles_r13._bt_oracle_cte (the same WITH
+# block grading preference_bt_strengths), so a drifting constituent
+# twin fails both queries loudly; only the tail differs: per directed
+# (chosen, rejected) cell, pair counts, the last-two-md5-hex ~80/20
+# train/val split on the contest key user_id:event_id, and the
+# BIGINT-exact calibration micros (empirical n_pref·10⁶ // n_games vs
+# fitted s_w·10⁶ // (s_w + s_l), plus their signed gap).
+def _preference_manifest_oracle_sql(rounds: int = 8) -> str:
+    from kickstarter_etl_pipeline_spark.oracles_r13 import _bt_oracle_cte
+
+    return _bt_oracle_cte(rounds) + f""",
+    contests AS (
+      SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS w,
+             CASE WHEN value > pv THEN pt ELSE event_type END AS l,
+             substring(md5(user_id || ':' || event_id), 31, 2) AS h2
+      FROM lagd
+      WHERE pt IS NOT NULL AND value <> pv AND event_type <> pt),
+    cells AS (
+      SELECT w, l, CAST(count(*) AS BIGINT) AS n_pref,
+             CAST(sum(CASE WHEN h2 < 'cc' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train
+      FROM contests GROUP BY 1, 2)
+    SELECT c.w AS chosen_type, c.l AS rejected_type,
+           c.n_pref, g.g AS n_games, c.n_train,
+           c.n_pref - c.n_train AS n_val,
+           (c.n_pref * 1000000) // g.g AS empirical_micro,
+           CAST((sw.s * 1000000) // (sw.s + sl.s) AS BIGINT) AS bt_micro,
+           CAST((c.n_pref * 1000000) // g.g
+             - (sw.s * 1000000) // (sw.s + sl.s) AS BIGINT) AS gap_micro,
+           floor(CAST(sw.s AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+             / 1000000.0 AS chosen_strength
+    FROM cells c
+    JOIN games g ON g.i = c.w AND g.j = c.l
+    JOIN s{rounds} sw ON sw.t = c.w
+    JOIN s{rounds} sl ON sl.t = c.l"""
+
+
+ORACLES_R14["preference_dataset_manifest"] = _preference_manifest_oracle_sql()
