@@ -30,6 +30,24 @@ DuckDB connection) cover the registry in ~1/N the wall clock::
 ``--merge`` unions the shard files into a JSON byte-identical to a
 single unsharded run except for the timing fields (per-query ``sec``,
 summary ``wall_sec``).
+
+Tier routing (r14, VERDICT r13 task 5): the ~20 streaming entries each
+pay a fixed query-startup cost (state store, checkpoint, AvailableNow
+run — the two-phase stop/resume queries pay it twice), which inflates
+every round-robin batch shard. ``--tier streaming`` runs ONLY the
+queries in queries.STREAMING_QUERIES; ``--tier batch`` runs the rest
+(and is what ``--shard`` should split). The close-tree recipe::
+
+    python -m ...certify --tier batch --shard 0/2 --out /tmp/b0.json &
+    python -m ...certify --tier batch --shard 1/2 --out /tmp/b1.json &
+    python -m ...certify --tier streaming --out /tmp/st.json &
+    wait
+    python -m ...certify --merge /tmp/b0.json /tmp/b1.json /tmp/st.json \
+        --out CERTIFY.json
+
+Tiers and shards are disjoint and jointly exhaustive by construction,
+so the merge equals an unsharded sweep modulo timings
+(tests/test_certify_shard.py pins all of it).
 """
 
 from __future__ import annotations
@@ -123,6 +141,7 @@ def certify(
     out_path: str | None,
     only: list[str] | None = None,
     shard: tuple[int, int] | None = None,
+    tier: str = "all",
 ) -> dict:
     import duckdb
     from pyspark.sql import SparkSession
@@ -151,6 +170,15 @@ def certify(
         if missing:
             raise SystemExit(f"--only names not in the registry: {missing}")
         queries = {k: v for k, v in queries.items() if k in set(only)}
+    if tier != "all":
+        from kickstarter_etl_pipeline_spark.queries import STREAMING_QUERIES
+
+        keep = (
+            STREAMING_QUERIES
+            if tier == "streaming"
+            else set(queries) - STREAMING_QUERIES
+        )
+        queries = {k: v for k, v in queries.items() if k in keep}
     names = _shard_names(sorted(queries), shard)
     results: dict[str, dict] = {}
     t_total = time.monotonic()
@@ -188,6 +216,8 @@ def certify(
     }
     if shard is not None:
         summary["shard"] = f"{shard[0]}/{shard[1]}"
+    if tier != "all":
+        summary["tier"] = tier
     out = {"summary": summary, "results": results}
     if out_path:
         with open(out_path, "w") as fh:
@@ -211,6 +241,12 @@ def main(argv=None) -> int:
         help="I/N — certify every N-th sorted registry entry from index I",
     )
     ap.add_argument(
+        "--tier",
+        choices=("all", "batch", "streaming"),
+        default="all",
+        help="restrict to the batch or streaming tier (queries.STREAMING_QUERIES)",
+    )
+    ap.add_argument(
         "--merge",
         nargs="+",
         default=None,
@@ -228,6 +264,7 @@ def main(argv=None) -> int:
             ns.out,
             only=ns.only.split(",") if ns.only else None,
             shard=_parse_shard(ns.shard) if ns.shard else None,
+            tier=ns.tier,
         )
     s = out["summary"]
     return 0 if s["mismatch"] == 0 and s["error"] == 0 else 1

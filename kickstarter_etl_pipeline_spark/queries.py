@@ -406,6 +406,38 @@ from kickstarter_etl_pipeline_spark.operators.eval_queries import (  # noqa: F40
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+#: Registry entries that run a Structured Streaming query (state-store
+#: init, checkpoint dir, one or two AvailableNow runs — a fixed
+#: ~3-30 s setup each, regardless of sf). ``certify --tier`` routes
+#: these to a DEDICATED process while the batch tier shards round-robin
+#: (VERDICT r13 task 5): the streaming tier's fixed costs stop
+#: inflating every batch shard, so certify wall stays flat as this
+#: tier grows. Membership is pinned by
+#: tests/test_certify_shard.py::test_streaming_tier_matches_name_heuristic.
+STREAMING_QUERIES: frozenset[str] = frozenset({
+    "events_stateful_sessions",
+    "events_stateful_timeout_sessions",
+    "events_stream_conversions",
+    "events_stream_dedup",
+    "events_stream_full_join",
+    "events_stream_hourly_daily",
+    "events_stream_left_join",
+    "events_stream_sessions",
+    "events_stream_sliding",
+    "events_stream_static_enrich",
+    "events_stream_tumbling",
+    "events_stream_unattributed",
+    "events_stream_upsert",
+    "events_tws_restart_totals",
+    "events_tws_sessions",
+    "events_tws_timeout_sessions",
+    "events_tws_ttl_counts",
+    "events_tws_user_profile",
+    "events_tws_warm_start",
+    "pystream_replay_agg",
+})
+
+
 # Contract surface
 # ---------------------------------------------------------------------------
 

@@ -103,3 +103,78 @@ def test_merge_rejects_mixed_sf_dirs(tmp_path):
     pb.write_text(json.dumps(b))
     with pytest.raises(SystemExit):
         merge_shards([str(pa), str(pb)], None)
+
+
+def test_streaming_tier_matches_name_heuristic():
+    """queries.STREAMING_QUERIES must be exactly the registry entries
+    whose names say they stream — a new streaming query added without
+    tier registration (or a stale entry) fails here, keeping the
+    certify --tier partition exhaustive."""
+    from kickstarter_etl_pipeline_spark.queries import STREAMING_QUERIES, queries
+
+    names = set(queries())
+    assert STREAMING_QUERIES <= names, sorted(STREAMING_QUERIES - names)
+    heuristic = {
+        n
+        for n in names
+        if "stream" in n or "tws" in n or "stateful" in n
+    }
+    assert STREAMING_QUERIES == heuristic, (
+        sorted(STREAMING_QUERIES ^ heuristic)
+    )
+
+
+def test_three_way_shard_merge_equals_unsharded(spark, tmp_path):
+    """VERDICT r13 task 6: the 3-way shard sweep must merge
+    byte-identically (modulo timings) to the unsharded run — proven
+    before the registry forces the move past 2-way."""
+    only = [
+        "dim_state",
+        "dim_category",
+        "region_rollup",
+        "distinct_counts",
+        "group_count_ordered",
+        "topk_customers",
+        "shipping_priority",
+    ]
+    single = certify(SF_SMOKE, None, only=only)
+    shard_paths = []
+    for i in range(3):
+        p = tmp_path / f"shard3_{i}.json"
+        certify(SF_SMOKE, str(p), only=only, shard=(i, 3))
+        shard_paths.append(str(p))
+    merged = merge_shards(shard_paths, None)
+    assert _strip_timings(merged) == _strip_timings(single)
+    assert list(merged["results"]) == list(single["results"])
+
+
+def test_tier_split_is_disjoint_exhaustive_and_merges(spark, tmp_path):
+    """VERDICT r13 task 5: --tier batch + --tier streaming partition the
+    registry, and their outputs merge to the same structure as one
+    unsharded run over the union (probed on a small mixed subset: two
+    batch queries + one real streaming query)."""
+    import copy as _copy
+
+    from kickstarter_etl_pipeline_spark.queries import STREAMING_QUERIES, queries
+
+    names = set(queries())
+    assert STREAMING_QUERIES < names  # proper subset: batch tier non-empty
+
+    only = ["dim_state", "region_rollup", "events_stream_tumbling"]
+    single = certify(SF_SMOKE, None, only=only)
+
+    pb = tmp_path / "tier_batch.json"
+    ps = tmp_path / "tier_stream.json"
+    b = certify(SF_SMOKE, str(pb), only=only, tier="batch")
+    st = certify(SF_SMOKE, str(ps), only=only, tier="streaming")
+    assert set(b["results"]) == {"dim_state", "region_rollup"}
+    assert set(st["results"]) == {"events_stream_tumbling"}
+
+    merged = merge_shards([str(pb), str(ps)], None)
+
+    def _strip(o):
+        o = _copy.deepcopy(_strip_timings(o))
+        o["summary"].pop("tier", None)
+        return o
+
+    assert _strip(merged) == _strip(single)
