@@ -981,6 +981,7 @@ def betweenness_sampled(
     u: str = "u",
     v: str = "v",
     loop_partitions: int = 8,
+    check_bound: bool = True,
 ) -> DataFrame:
     """Pivot-sampled betweenness centrality — Brandes' algorithm
     (Brandes 2001; the sampled estimator of Brandes & Pich 2007)
@@ -1027,10 +1028,14 @@ def betweenness_sampled(
     # count(*) over (pivot, vertex) rows upper-bounds the per-pivot
     # reached-vertex count (no countDistinct — that would add an
     # exchange; this agg is one map-side-combinable pass).
-    _max_sigma, _n_reached = visited.agg(
-        F.max("sigma").cast("long"), F.count("*").cast("long")
-    ).first()
-    _guard_betweenness_bound(_max_sigma or 0, _n_reached or 0)
+    # check_bound=False exists ONLY for guard-cost measurement (the r13
+    # bench-attribution alternation); every production/graded path
+    # keeps the default.
+    if check_bound:
+        _max_sigma, _n_reached = visited.agg(
+            F.max("sigma").cast("long"), F.count("*").cast("long")
+        ).first()
+        _guard_betweenness_bound(_max_sigma or 0, _n_reached or 0)
     sig_lvls: list[DataFrame] = [
         visited.filter(F.col("depth") == t).select("_p", "_id", "sigma")
         for t in range(rounds + 1)

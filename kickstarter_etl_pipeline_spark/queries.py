@@ -470,11 +470,22 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
 # rotated below the fold. After this round the oldest oracle-able
 # driver grade is r07.
 #
-# r14 rotation schedule: any never-graded round-14 additions first,
-# then the r07 remainder (char_entropy_per_doc onward in registry
-# order) and the r08 block; everything below the fold holds a green
-# driver grade or a latest-CERTIFY MATCH, or is declared rows-only;
-# the same-round all-registry signal is CERTIFY_r13.json
+# Round-14 state (executes the schedule committed at round-13 close):
+# the 50-slot window is the three never-driver-graded round-14
+# additions (events_tws_restart_totals, events_tws_ttl_counts,
+# preference_dataset_manifest — each certified MATCH at sf0.001 AND
+# sf0.01 on addition), then the FULL r07 remainder
+# (char_entropy_per_doc .. window_rank_topn, 27 entries) and the r08
+# block head (ivf_recall_report .. dedup_components, 20 entries)
+# filling the 50. The r13 window (50/50 full pass in CORRECTNESS_r13)
+# rotated below the fold. After this round the oldest oracle-able
+# driver grade is r08.
+#
+# r15 rotation schedule: any never-graded round-15 additions first,
+# then the r08 remainder (dq_star_report onward in registry order)
+# and the r09 block; everything below the fold holds a green driver
+# grade or a latest-CERTIFY MATCH, or is declared rows-only; the
+# same-round all-registry signal is CERTIFY_r14.json
 # (python -m kickstarter_etl_pipeline_spark.certify).
 _QUERIES: dict[str, QueryFn] = {
     # --- r14 WINDOW head: never-driver-graded round-14 additions
@@ -483,6 +494,60 @@ _QUERIES: dict[str, QueryFn] = {
     "events_tws_restart_totals": q_events_tws_restart_totals,
     "events_tws_ttl_counts": q_events_tws_ttl_counts,
     "preference_dataset_manifest": q_preference_dataset_manifest,
+    # r14 window fill (rotated at round-14 open per the schedule
+    # committed at the r13 close): the full r07 remainder
+    # (char_entropy_per_doc .. window_rank_topn, last green r07), then
+    # the r08 block head (ivf_recall_report .. dedup_components, last
+    # green r08) filling the 50. The r13 window (50/50 full pass in
+    # CORRECTNESS_r13) rotates below the fold with its grades on
+    # record. ---
+    "char_entropy_per_doc": q_char_entropy_per_doc,
+    "lorenz_curve_events": q_lorenz_curve_events,
+    "cube_status_priority": q_cube_status_priority,
+    "price_stats_by_status": q_price_stats_by_status,
+    "part_string_ops": q_part_string_ops,
+    "csv_roundtrip_agg": q_csv_roundtrip_agg,
+    "clean_corpus": q_clean_corpus,
+    "q1_pricing_summary_sql": q_q1_pricing_summary_sql,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "multimodal_features": q_multimodal_features,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders_count": q_customers_with_orders_count,
+    "custkeys_both_years": q_custkeys_both_years,
+    "project_rename_filter": q_project_rename_filter,
+    "dedup_components_star": q_dedup_components_star,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "scd1_merge_agg": q_scd1_merge_agg,
+    "idempotent_append_agg": q_idempotent_append_agg,
+    "token_frequency": q_token_frequency,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "source_quota": q_source_quota,
+    "repetition_stats": q_repetition_stats,
+    "window_rank_topn": q_window_rank_topn,
+    "ivf_recall_report": q_ivf_recall_report,
+    "simhash_twin_containment": q_simhash_twin_containment,
+    "price_percentile_bands": q_price_percentile_bands,
+    "events_asof_next_purchase": q_events_asof_next_purchase,
+    "simhash_near_dup_clusters": q_simhash_near_dup_clusters,
+    "embedding_pca_top": q_embedding_pca_top,
+    "readability_scores": q_readability_scores,
+    "embedding_dim_robust_stats": q_embedding_dim_robust_stats,
+    "embedding_outlier_report": q_embedding_outlier_report,
+    "events_stream_static_enrich": q_events_stream_static_enrich,
+    "schema_evolution_agg": q_schema_evolution_agg,
+    "countmin_heavy_hitters": q_countmin_heavy_hitters,
+    "hll_manual_report": q_hll_manual_report,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "rfm_segments": q_rfm_segments,
+    "events_stream_hourly_daily": q_events_stream_hourly_daily,
+    "graph_pagerank": q_graph_pagerank,
+    "bpe_token_counts": q_bpe_token_counts,
+    "corr_price_quantity": q_corr_price_quantity,
+    "dedup_components": q_dedup_components,
     # --- r13 WINDOW (rotated at round-13 open, per the schedule
     # committed at round-12 close): never-driver-graded round-13
     # additions first, then the r06 stretch the r12 continuation
@@ -726,55 +791,12 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_ivf_anchor_topk": q_ann_ivf_anchor_topk,
     "simhash_md5_candidates": q_simhash_md5_candidates,
     # --- last green r06 ---
-    # --- last green r07 ---
-    "char_entropy_per_doc": q_char_entropy_per_doc,
-    "lorenz_curve_events": q_lorenz_curve_events,
-    "cube_status_priority": q_cube_status_priority,
-    "price_stats_by_status": q_price_stats_by_status,
-    "part_string_ops": q_part_string_ops,
-    "csv_roundtrip_agg": q_csv_roundtrip_agg,
-    "clean_corpus": q_clean_corpus,
-    "q1_pricing_summary_sql": q_q1_pricing_summary_sql,
-    "doc_fingerprints": q_doc_fingerprints,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "multimodal_features": q_multimodal_features,
-    "customers_without_orders": q_customers_without_orders,
-    "customers_with_orders_count": q_customers_with_orders_count,
-    "custkeys_both_years": q_custkeys_both_years,
-    "project_rename_filter": q_project_rename_filter,
-    "dedup_components_star": q_dedup_components_star,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "scd1_merge_agg": q_scd1_merge_agg,
-    "idempotent_append_agg": q_idempotent_append_agg,
-    "token_frequency": q_token_frequency,
-    "stratified_sample": q_stratified_sample,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "source_quota": q_source_quota,
-    "repetition_stats": q_repetition_stats,
-    "window_rank_topn": q_window_rank_topn,
-    # --- last green r08 ---
-    "ivf_recall_report": q_ivf_recall_report,
-    "simhash_twin_containment": q_simhash_twin_containment,
-    "price_percentile_bands": q_price_percentile_bands,
-    "events_asof_next_purchase": q_events_asof_next_purchase,
-    "simhash_near_dup_clusters": q_simhash_near_dup_clusters,
-    "embedding_pca_top": q_embedding_pca_top,
-    "readability_scores": q_readability_scores,
-    "embedding_dim_robust_stats": q_embedding_dim_robust_stats,
-    "embedding_outlier_report": q_embedding_outlier_report,
-    "events_stream_static_enrich": q_events_stream_static_enrich,
-    "schema_evolution_agg": q_schema_evolution_agg,
-    "countmin_heavy_hitters": q_countmin_heavy_hitters,
-    "hll_manual_report": q_hll_manual_report,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "rfm_segments": q_rfm_segments,
-    "events_stream_hourly_daily": q_events_stream_hourly_daily,
-    "graph_pagerank": q_graph_pagerank,
-    "bpe_token_counts": q_bpe_token_counts,
-    "corr_price_quantity": q_corr_price_quantity,
-    "dedup_components": q_dedup_components,
+    # --- last green r07 --- (the full r07 remainder,
+    # char_entropy_per_doc .. window_rank_topn, moved INTO the r14
+    # window per the schedule committed at the r13 close) ---
+    # --- last green r08 --- (the block head, ivf_recall_report ..
+    # dedup_components, moved INTO the r14 window; the remainder below
+    # plus the r09 block is the committed r15 schedule) ---
     "dq_star_report": q_dq_star_report,
     "embedding_dim_stats": q_embedding_dim_stats,
     "embedding_quantization": q_embedding_quantization,
