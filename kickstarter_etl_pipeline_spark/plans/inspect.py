@@ -129,9 +129,15 @@ def _subtree_span(tree: list[tuple[int, str, str]], idx: int) -> list[int]:
 #: Expression heads whose value space is bounded by the CALENDAR, not
 #: by data volume: a group-by on one of these yields at most a few
 #: thousand groups per decade of data, independent of row count.
-_CALENDAR_EXPR = re.compile(
-    r"(?:cast\([\w#.]+ as date\)|to_date\(|date_trunc\(|"
-    r"year\(|month\(|quarter\(|weekofyear\(|dayofweek\() *[^\n]*AS {key}\b"
+#: The defining segment must CONSIST of one calendar call (boundary
+#: anchored, one level of nested parens allowed) — merely CONTAINING a
+#: calendar call is not a bound (`concat(year(d), user_id)` is
+#: data-sized; caught by test_prover_calendar_branch_rejects_mixed_keys).
+_CAL_ARGS = r"(?:[^()\n]|\([^()\n]*\))*"
+_CALENDAR_EXPR = (
+    r"(?:\[|, )(?:cast\([\w#.]+ as date\)|"
+    r"(?:to_date|date_trunc|year|month|quarter|weekofyear|dayofweek)"
+    r"\(" + _CAL_ARGS + r"\)) AS {key}\b"
 )
 
 
@@ -155,7 +161,7 @@ def _calendar_bounded_agg(
         details.get(tree[j][2], "") for j in _subtree_span(tree, idx)
     )
     for key in keys:
-        pat = _CALENDAR_EXPR.pattern.format(key=re.escape(key))
+        pat = _CALENDAR_EXPR.format(key=re.escape(key))
         if not re.search(pat, sub_text):
             return False
     return True

@@ -377,6 +377,33 @@ def test_prover_bounded_branches_demote_and_large_limit_stays(spark, sf_dir):
     assert [f for f in fs if f.startswith("CRITICAL")] == [], fs
 
 
+def test_prover_calendar_branch_rejects_mixed_keys(spark, sf_dir):
+    """The calendar-bounded branch must require the group key to BE a
+    calendar expression, not merely CONTAIN one: concat(year(ts),
+    user_id) embeds year() but its cardinality is data-sized (one group
+    per user per year), so broadcasting that aggregate stays CRITICAL."""
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.plans.inspect import advise
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    mixed = events.groupBy(
+        F2.concat(F2.year("ts").cast("string"), F2.col("user_id")).alias("yk")
+    ).agg(F2.count("*").alias("c"))
+    fs = advise(orders.crossJoin(F2.broadcast(mixed)))
+    assert [f for f in fs if f.startswith("CRITICAL")] != [], fs
+
+    # ...while a genuinely calendar-keyed twin (same shape, key IS the
+    # calendar call) still demotes — the tightening must not over-reject.
+    yearly = events.groupBy(F2.year("ts").alias("yk")).agg(
+        F2.count("*").alias("c")
+    )
+    fs2 = advise(orders.crossJoin(F2.broadcast(yearly)))
+    assert [f for f in fs2 if f.startswith("CRITICAL")] == [], fs2
+
+
 def test_advisor_true_positive_stays_flagged(spark, sf_dir):
     """embedding_near_dup_exact is the DOCUMENTED correctness-tier full
     pair scan (its 100 TB path is the LSH variant); the advisor must
