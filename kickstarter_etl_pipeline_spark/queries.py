@@ -383,6 +383,11 @@ from kickstarter_etl_pipeline_spark.operators.lm_queries import (  # noqa: F401 
     q_dsir_selection_report,
 )
 
+from kickstarter_etl_pipeline_spark.operators.classifier import (  # noqa: F401 — registry surface
+    q_classifier_curation_manifest,
+    q_quality_perceptron_trajectory,
+)
+
 from kickstarter_etl_pipeline_spark.operators.eval_queries import (  # noqa: F401 — registry surface
     q_quality_auc_report,
     q_welch_ttest_report,
@@ -470,18 +475,23 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
 # rotated below the fold. After this round the oldest oracle-able
 # driver grade is r07.
 #
-# Round-14 state (executes the schedule committed at round-13 close):
-# the 50-slot window is the three never-driver-graded round-14
-# additions (events_tws_restart_totals, events_tws_ttl_counts,
-# preference_dataset_manifest — each certified MATCH at sf0.001 AND
-# sf0.01 on addition), then the FULL r07 remainder
-# (char_entropy_per_doc .. window_rank_topn, 27 entries) and the r08
-# block head (ivf_recall_report .. dedup_components, 20 entries)
-# filling the 50. The r13 window (50/50 full pass in CORRECTNESS_r13)
-# rotated below the fold. After this round the oldest oracle-able
-# driver grade is r08.
+# Round-14 state (executes the schedule committed at round-13 close,
+# plus the mid-round classifier-family additions at the head per the
+# never-graded-first rule): the 50-slot window is the five
+# never-driver-graded round-14 additions (quality_perceptron_trajectory,
+# classifier_curation_manifest, events_tws_restart_totals,
+# events_tws_ttl_counts, preference_dataset_manifest — each certified
+# MATCH at sf0.001 AND sf0.01 on addition), then the FULL r07
+# remainder (char_entropy_per_doc .. window_rank_topn, 27 entries) and
+# the r08 block head (ivf_recall_report .. bpe_token_counts, 18
+# entries) filling the 50; the displaced corr_price_quantity and
+# dedup_components (CERTIFY_r13 MATCH) lead the r15 fill. The r13
+# window (50/50 full pass in CORRECTNESS_r13) rotated below the fold.
+# After this round the oldest oracle-able driver grade is r08.
 #
 # r15 rotation schedule: any never-graded round-15 additions first,
+# then the two r14-window entries the mid-round classifier additions
+# displaced below the fold (corr_price_quantity, dedup_components),
 # then the r08 remainder (dq_star_report onward in registry order)
 # and the r09 block; everything below the fold holds a green driver
 # grade or a latest-CERTIFY MATCH, or is declared rows-only; the
@@ -490,7 +500,12 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
 _QUERIES: dict[str, QueryFn] = {
     # --- r14 WINDOW head: never-driver-graded round-14 additions
     # (certified MATCH at sf0.001 AND sf0.01 on addition) lead the
-    # 50-slot window per the rotation contract. ---
+    # 50-slot window per the rotation contract. The two mid-round
+    # classifier-family additions displace the window's former tail
+    # (corr_price_quantity, dedup_components — both CERTIFY_r13 MATCH,
+    # r08 driver green) just below the fold; they lead the r15 fill. ---
+    "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
+    "classifier_curation_manifest": q_classifier_curation_manifest,
     "events_tws_restart_totals": q_events_tws_restart_totals,
     "events_tws_ttl_counts": q_events_tws_ttl_counts,
     "preference_dataset_manifest": q_preference_dataset_manifest,
