@@ -166,6 +166,14 @@ BENCH_QUERIES = [
     # RocksDB store — ~5 s warm at sf0.1, ~1.5 s of it fixed streaming
     # setup. events_tws_user_profile shares the model (not benched).
     "events_tws_sessions",
+    # round 14: the model-based curation family's composed unit. Its
+    # cost model is new to the bench: a driver-looped fit whose every
+    # epoch re-aggregates the FULL checkpointed feature frame (8
+    # corpus-sized map-side-combined scans + 1-row broadcasts — unlike
+    # markov_stationary's constant-size iterate frames), then a
+    # two_phase_rank global order for the calibrated selection.
+    # ~2.5 s min-of-3 probe at sf0.1 under loadavg ~2.3.
+    "classifier_curation_manifest",
 ]
 
 
