@@ -171,6 +171,31 @@ def run_with_metrics(spark, df) -> list[NodeStat]:
     return sorted(out, key=lambda s: s.node_id)
 
 
+def run_spill_bytes(spark, df) -> float:
+    """Execute ``df`` (noop sink) and return the TOTAL spill bytes the
+    execution recorded across all nodes ("spill size" covers sort /
+    aggregate / join memory-pressure spills). The brief's spill-aware
+    mandate, measured: a fixture-scale run of a well-sized plan must
+    spill ZERO bytes (pinned in tests), and the per-round artifact
+    records spill at the bench SF so growth shows up round-over-round."""
+    df.write.mode("overwrite").format("noop").save()
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    eid = max(execs.apply(i).executionId() for i in range(execs.size()))
+    mv = store.executionMetrics(eid)
+    total = 0.0
+    nodes = store.planGraph(eid).allNodes()
+    for i in range(nodes.size()):
+        ms = nodes.apply(i).metrics()
+        for k in range(ms.size()):
+            m = ms.apply(k)
+            if "spill size" in m.name():
+                v = mv.get(m.accumulatorId())
+                if v.isDefined():
+                    total += parse_metric(v.get())
+    return total
+
+
 def _classify(kind: str, v1: float, v2: float, ratio: float) -> tuple[float, str]:
     floor = _NOISE_FLOOR[kind]
     if v1 <= floor and v2 <= floor:
@@ -311,7 +336,12 @@ def main() -> None:
             args.target_sf,
         )
         d = report_dict(name, rep)
-        print(json.dumps({k: d[k] for k in ("query", "worst", "shape_match")}))
+        d["spill_bytes_at_big"] = run_spill_bytes(spark, reg[name](spark, args.big))
+        print(
+            json.dumps(
+                {k: d[k] for k in ("query", "worst", "shape_match", "spill_bytes_at_big")}
+            )
+        )
         out.append(d)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from kickstarter_etl_pipeline_spark.plans.projection import (
     parse_metric,
+    run_spill_bytes,
     run_with_metrics,
     scaling_report,
 )
@@ -109,6 +110,22 @@ def test_pair_blowup_is_flagged_superlinear(spark):
     flagged = [n for n in rep.nodes if n.cls == "superlinear"]
     assert any("Join" in n.name or n.name == "HashAggregate" for n in flagged)
     assert all(n.alpha > 1.5 for n in flagged)
+
+
+def test_no_spill_at_fixture_scale(spark):
+    """Spill-aware, measured: a well-sized sort-merge join + aggregate
+    at fixture scale must record ZERO spill bytes — if this ever goes
+    positive, partition sizing regressed (or the host is genuinely
+    memory-starved, which the bench ledger would corroborate)."""
+    o = spark.read.parquet(f"{BIG}/orders.parquet")
+    l = spark.read.parquet(f"{BIG}/lineitem.parquet")
+    df = (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert run_spill_bytes(spark, df) == 0.0
 
 
 def test_static_input_is_reported_not_misclassified(spark):
