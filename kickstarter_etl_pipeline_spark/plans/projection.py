@@ -130,9 +130,16 @@ class ScalingReport:
     @property
     def worst(self) -> str:
         """Worst class over the plan's OPERATOR nodes. Scans are the
-        input itself (linear by definition) and don't count."""
-        order = {"input": 0, "static-input": 0, "bounded": 0, "linear": 1, "superlinear": 2}
-        return max((n.cls for n in self.nodes), key=order.get, default="bounded")
+        input itself (linear by definition) and don't count — a plan
+        whose final stage is all checkpoint scans (iterative fits)
+        reads 'bounded' here; its loop body is the advisor's domain."""
+        order = {"bounded": 0, "linear": 1, "superlinear": 2}
+        ops = [n.cls for n in self.nodes if n.cls in order]
+        if not ops:
+            return "static-input" if any(
+                n.cls == "static-input" for n in self.nodes
+            ) else "bounded"
+        return max(ops, key=order.get)
 
 
 def run_with_metrics(spark, df) -> list[NodeStat]:
@@ -318,7 +325,13 @@ def main() -> None:
             "star_flagship,q1_pricing_summary,q7_nation_volume,"
             "dedup_exact,minhash_dedup_pairs,ann_lsh_topk,"
             "snm_blocking_report,classifier_curation_manifest,"
-            "embedding_near_dup_exact"
+            "embedding_near_dup_exact,"
+            # composed end-to-end units + the PPJoin-vs-brute contrast
+            # (does the prefix filter stay sub-quadratic when the
+            # fixture's ~40-word vocabulary saturates the shingle
+            # space? measured, not assumed) + one iterative-graph rep.
+            "curation_pack_manifest,preference_dataset_manifest,"
+            "jaccard_prefix_join,ngram_jaccard_pairs,graph_pagerank"
         ),
     )
     args = ap.parse_args()
