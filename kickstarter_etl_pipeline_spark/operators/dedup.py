@@ -227,6 +227,87 @@ def jaccard_pairs_from_shingle_table(sh: DataFrame, threshold: float, id_col: st
     )
 
 
+def _prefix_candidates(
+    staged: DataFrame,
+    num: int,
+    den: int,
+    id_col: str = "doc_id",
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the checkpointed
+    (id, shingle-array, size) frame via prefix + length + positional
+    filtering. ``positional=False`` exists ONLY for the pruning-power
+    measurement in tests/test_scale_paths.py (the betweenness
+    check_bound convention); production callers always take the full
+    PPJoin filter stack.
+
+    Positional filter (PPJoin proper, Xiao et al. 2008 §3.2,
+    integerized): a true match needs overlap
+    o_req = ⌈num·(sa+sb)/(num+den)⌉, and a shared prefix token at
+    positions (i, j) bounds the overlap by 1 + min(sa−i, sb−j) (the
+    token itself plus what can follow it on each side under the common
+    total order). Completeness survives any-match semantics: for a
+    true match the FIRST common token w sits inside both prefixes
+    (were every common token past position s − o_req + 1, fewer than
+    o_req tokens would remain — contradiction), and w's (i, j) bound
+    ≥ the true overlap ≥ o_req, so w passes this filter even when
+    other shared prefix tokens are pruned. Added after the round-14
+    scale projection MEASURED the prefix-only candidate set trending
+    quadratic on the vocab-saturated fixture (SCALE.md): 104,502 →
+    33,389 candidates at sf0.1, identical verified output."""
+    from pyspark.sql import Window
+
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("_df"))
+    # prefix length p = size − ⌈t·size⌉ + 1 under the (freq, shingle)
+    # order; ⌈t·n⌉ via exact integer DIV (not double floor-division,
+    # which is only exact while n·num < 2^53)
+    p_len = (
+        F.col("_size")
+        - F.expr(f"(_size * {num} + {den - 1}) DIV {den}").cast("long")
+        + 1
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(staged.select(id_col, "_size"), id_col)
+        .filter(F.col("_pos") <= p_len)
+        .select(id_col, "shingle", "_size", F.col("_pos").cast("long").alias("_pos"))
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("_size").alias("size_a"),
+        F.col("_pos").alias("pos_a"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("_size").alias("size_b"),
+        F.col("_pos").alias("pos_b"),
+    )
+    joined = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J ≥ t needs den·min(sizes) ≥ num·max(sizes)
+        .filter(
+            F.least("size_a", "size_b") * den >= F.greatest("size_a", "size_b") * num
+        )
+    )
+    if positional:
+        joined = joined.filter(
+            F.least(
+                F.col("size_a") - F.col("pos_a"), F.col("size_b") - F.col("pos_b")
+            )
+            + 1
+            >= F.expr(
+                f"((size_a + size_b) * {num} + {num + den - 1}) DIV {num + den}"
+            )
+        )
+    return joined.select("id_a", "id_b").distinct()
+
+
 def prefix_filtered_jaccard_pairs(
     df: DataFrame,
     threshold_num: int = 7,
@@ -265,10 +346,10 @@ def prefix_filtered_jaccard_pairs(
     per-document window (doc-sized groups) to rank and cut prefixes,
     one equi-join keyed by prefix shingles (bounded fan-out by the
     rarest-first order), and an array_intersect verify on the
-    candidate pairs only. The length filter den·min ≥ num·max prunes
-    size-incompatible candidates before the verify join."""
-    from pyspark.sql import Window
-
+    candidate pairs only. Candidates are pruned by the length filter
+    (den·min ≥ num·max) AND the positional filter (PPJoin proper —
+    see _prefix_candidates; measured 3.1× fewer candidates at sf0.1
+    on the vocab-saturated fixture, identical verified output)."""
     num, den = int(threshold_num), int(threshold_den)
     staged = (
         with_shingles(ensure_min_partitions(df), text_col, "_sh", n)
@@ -276,40 +357,7 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("_size") >= 1)
         .localCheckpoint(eager=True)
     )
-    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("_df"))
-    # prefix length p = size − ⌈t·size⌉ + 1 under the (freq, shingle)
-    # order; ⌈t·n⌉ via exact integer DIV (not double floor-division,
-    # which is only exact while n·num < 2^53)
-    p_len = (
-        F.col("_size")
-        - F.expr(f"(_size * {num} + {den - 1}) DIV {den}").cast("long")
-        + 1
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
-    prefix = (
-        sh.join(freq, "shingle")
-        .withColumn("_pos", F.row_number().over(w))
-        .join(staged.select(id_col, "_size"), id_col)
-        .filter(F.col("_pos") <= p_len)
-        .select(id_col, "shingle", "_size")
-    )
-    a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("_size").alias("size_a")
-    )
-    b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("_size").alias("size_b")
-    )
-    cands = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: J ≥ t needs den·min(sizes) ≥ num·max(sizes)
-        .filter(
-            F.least("size_a", "size_b") * den >= F.greatest("size_a", "size_b") * num
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = _prefix_candidates(staged, num, den, id_col)
     sets_a = staged.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     sets_b = staged.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     verified = (

@@ -750,6 +750,47 @@ def test_prefix_join_equals_exact_and_synthetic(spark, sf_dir):
     assert got_fix == brute
 
 
+def test_positional_filter_prunes_without_losing_pairs(spark):
+    """The r14 positional filter (PPJoin proper) must strictly shrink
+    the candidate set AND never drop a pair the verify step would keep
+    — completeness is a theorem (_prefix_candidates docstring); this
+    checks both sides empirically on the same staged frame. Runs at
+    sf0.01: pruning power grows with block size (at sf0.001 the filter
+    is a no-op — blocks are tiny; at sf0.1 it cuts 104,502 → 33,389,
+    the SCALE.md measurement)."""
+    from tests.conftest import SF_CORRECT
+
+    from kickstarter_etl_pipeline_spark.operators.dedup import (
+        _prefix_candidates,
+        with_shingles,
+    )
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    staged = (
+        with_shingles(ensure_min_partitions(docs), "text", "_sh", 3)
+        .select("doc_id", "_sh", F.size("_sh").cast("long").alias("_size"))
+        .filter(F.col("_size") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    with_pos = {
+        (r["id_a"], r["id_b"])
+        for r in _prefix_candidates(staged, 7, 10, positional=True).collect()
+    }
+    without = {
+        (r["id_a"], r["id_b"])
+        for r in _prefix_candidates(staged, 7, 10, positional=False).collect()
+    }
+    assert with_pos < without, (len(with_pos), len(without))
+    # no true pair lost: every verified pair must still be a candidate
+    sets = {r["doc_id"]: set(r["_sh"]) for r in staged.collect()}
+    for ia, ib in without - with_pos:
+        common = len(sets[ia] & sets[ib])
+        assert common * 17 < (len(sets[ia]) + len(sets[ib])) * 7, (ia, ib)
+
+
 def test_bootstrap_ci_partition_invariant_and_sane(spark, sf_dir):
     """bootstrap_ci_report: replicate means are exact integer floor
     divisions of md5-deterministic weighted sums — partition count must
