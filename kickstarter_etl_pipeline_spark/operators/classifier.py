@@ -70,9 +70,11 @@ _WEIGHT_COLS = [
 ]
 
 
-def doc_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document integer features + label, checkpointed (ONE scan
-    of documents feeds all 8 epochs and the scoring pass).
+def _featurize(docs: DataFrame) -> DataFrame:
+    """Pure-expression feature builder over a (doc_id, text, lang,
+    source, n_chars) frame — batch AND streaming frames alike (no
+    window, no shuffle, no state), so the offline fit and the online
+    scorer are guaranteed the IDENTICAL feature definitions.
 
     Features (per mille of characters, on lower-cased text):
     x0 bias = 1000, x1 vowels [aeiou], x2 spaces, x3 rare letters
@@ -80,7 +82,6 @@ def doc_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``DIV`` on non-negative operands == DuckDB ``//`` (the BT rule);
     greatest(1, len) guards empty text.
     """
-    docs = load_table(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id",
         "lang",
@@ -117,7 +118,16 @@ def doc_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(_nsp * 1000) DIV _d").alias("x2"),
         F.expr("(_nr * 1000) DIV _d").alias("x3"),
         F.expr("(_ne * 1000) DIV _d").alias("x4"),
-    ).localCheckpoint(eager=True)
+    )
+
+
+def doc_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch feature frame, checkpointed: ONE scan of documents feeds
+    all 8 fit epochs and the scoring pass (see _featurize for the
+    feature definitions shared with the streaming scorer)."""
+    return _featurize(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
 
 
 _MARGIN = "w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4"
@@ -197,6 +207,72 @@ def q_quality_perceptron_trajectory(spark: SparkSession, sf_dir: str) -> DataFra
 #: at a target keep RATE, not at raw sign, so the selection stays
 #: non-degenerate whatever the score distribution does).
 KEEP_PER_MILLE = 600
+
+
+def q_documents_stream_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-OFFLINE / score-ONLINE — the deployment pattern of a
+    classifier filter: fit the 8-epoch perceptron in batch
+    (perceptron_fit, the same code the graded batch queries run),
+    inline the fitted weights as plan literals, and score a
+    STRUCTURED-STREAMING file-source stream of the documents table
+    with the identical ``_featurize`` expressions; one streaming
+    aggregate emits per-(lang, source) doc counts, the exact BIGINT
+    margin sum, and the positive-margin count.
+
+    The weight hand-off is a 1-row bounded scalar collect (the markov-
+    normalizer pattern) so the stream side stays a pure STATELESS map
+    + one aggregation — no stream-side shuffle beyond the agg, no
+    state store, bounded output cardinality (the lang×source grid).
+
+    FIXTURE-VERIFICATION TIER ONLY: ``complete`` + ``memory`` sink
+    materialize the grid on the driver — fine at any sf (the grid is
+    enumeration-bounded), and the oracle is the batch replay of the
+    same fit + scoring (oracles_r14)."""
+    import uuid
+
+    from kickstarter_etl_pipeline_spark.streaming.events_stream import (
+        _checkpoint_dir,
+    )
+
+    feats = doc_feature_frame(spark, sf_dir)
+    w, _ = perceptron_fit(feats)
+    wr = w.collect()[0]  # 1 row, 5 BIGINTs — bounded by construction
+    margin_lit = " + ".join(
+        f"CAST({int(wr[f'w{k}'])} AS BIGINT) * x{k}" for k in range(5)
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    agg = (
+        _featurize(stream)
+        .withColumn("_mar", F.expr(margin_lit))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_mar").cast("long").alias("margin_sum"),
+            F.sum(F.expr("CASE WHEN _mar > 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_positive"),
+        )
+    )
+    name = f"stream_classifier_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir("ks_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
 
 
 def q_classifier_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -192,3 +192,28 @@ def _classifier_manifest_sql(epochs: int = 8, keep_pm: int = 600) -> str:
 
 ORACLES_R14["quality_perceptron_trajectory"] = _perceptron_trajectory_sql()
 ORACLES_R14["classifier_curation_manifest"] = _classifier_manifest_sql()
+
+
+# FULL twin of q_documents_stream_classifier_scores (train-offline /
+# score-online): the batch replay of the identical fit + scoring —
+# the SAME unrolled 8-epoch CTE chain (a drifting constituent fails
+# the whole family), margins under the epoch-8 weights, grouped on the
+# (lang, source) grid. The streaming side must land on identical
+# BIGINT margin sums or the stream-side feature expressions / weight
+# hand-off drifted from the batch fit.
+def _stream_scores_oracle_sql(epochs: int = 8) -> str:
+    return _perceptron_cte(epochs) + f""",
+    smargins AS (
+      SELECT f.lang, f.source,
+             w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2
+               + w.w3 * f.x3 + w.w4 * f.x4 AS mar
+      FROM f, w{epochs}_ w)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mar) AS BIGINT) AS margin_sum,
+           CAST(sum(CASE WHEN mar > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive
+    FROM smargins GROUP BY lang, source"""
+
+
+ORACLES_R14["documents_stream_classifier_scores"] = _stream_scores_oracle_sql()

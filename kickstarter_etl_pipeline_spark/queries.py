@@ -385,6 +385,7 @@ from kickstarter_etl_pipeline_spark.operators.lm_queries import (  # noqa: F401 
 
 from kickstarter_etl_pipeline_spark.operators.classifier import (  # noqa: F401 — registry surface
     q_classifier_curation_manifest,
+    q_documents_stream_classifier_scores,
     q_quality_perceptron_trajectory,
 )
 
@@ -420,6 +421,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: tier grows. Membership is pinned by
 #: tests/test_certify_shard.py::test_streaming_tier_matches_name_heuristic.
 STREAMING_QUERIES: frozenset[str] = frozenset({
+    "documents_stream_classifier_scores",
     "events_stateful_sessions",
     "events_stateful_timeout_sessions",
     "events_stream_conversions",
@@ -479,19 +481,21 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
 # plus the mid-round classifier-family additions at the head per the
 # never-graded-first rule): the 50-slot window is the five
 # never-driver-graded round-14 additions (quality_perceptron_trajectory,
-# classifier_curation_manifest, events_tws_restart_totals,
-# events_tws_ttl_counts, preference_dataset_manifest — each certified
-# MATCH at sf0.001 AND sf0.01 on addition), then the FULL r07
-# remainder (char_entropy_per_doc .. window_rank_topn, 27 entries) and
-# the r08 block head (ivf_recall_report .. bpe_token_counts, 18
-# entries) filling the 50; the displaced corr_price_quantity and
-# dedup_components (CERTIFY_r13 MATCH) lead the r15 fill. The r13
+# classifier_curation_manifest, documents_stream_classifier_scores,
+# events_tws_restart_totals, events_tws_ttl_counts,
+# preference_dataset_manifest — each certified MATCH at sf0.001 AND
+# sf0.01 on addition), then the FULL r07 remainder
+# (char_entropy_per_doc .. window_rank_topn, 27 entries) and the r08
+# block head (ivf_recall_report .. graph_pagerank, 17 entries) filling
+# the 50; the displaced bpe_token_counts, corr_price_quantity and
+# dedup_components (CERTIFY_r13/r14 MATCH) lead the r15 fill. The r13
 # window (50/50 full pass in CORRECTNESS_r13) rotated below the fold.
 # After this round the oldest oracle-able driver grade is r08.
 #
 # r15 rotation schedule: any never-graded round-15 additions first,
-# then the two r14-window entries the mid-round classifier additions
-# displaced below the fold (corr_price_quantity, dedup_components),
+# then the three r14-window entries the mid-round classifier-family
+# additions displaced below the fold (bpe_token_counts,
+# corr_price_quantity, dedup_components),
 # then the r08 remainder (dq_star_report onward in registry order)
 # and the r09 block; everything below the fold holds a green driver
 # grade or a latest-CERTIFY MATCH, or is declared rows-only; the
@@ -500,12 +504,14 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
 _QUERIES: dict[str, QueryFn] = {
     # --- r14 WINDOW head: never-driver-graded round-14 additions
     # (certified MATCH at sf0.001 AND sf0.01 on addition) lead the
-    # 50-slot window per the rotation contract. The two mid-round
+    # 50-slot window per the rotation contract. The three mid-round
     # classifier-family additions displace the window's former tail
-    # (corr_price_quantity, dedup_components — both CERTIFY_r13 MATCH,
-    # r08 driver green) just below the fold; they lead the r15 fill. ---
+    # (bpe_token_counts, corr_price_quantity, dedup_components — all
+    # CERTIFY_r13/r14 MATCH, r08 driver green) just below the fold;
+    # they lead the r15 fill. ---
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
+    "documents_stream_classifier_scores": q_documents_stream_classifier_scores,
     "events_tws_restart_totals": q_events_tws_restart_totals,
     "events_tws_ttl_counts": q_events_tws_ttl_counts,
     "preference_dataset_manifest": q_preference_dataset_manifest,

@@ -94,6 +94,42 @@ def test_trajectory_shape_and_feature_bounds(spark, sf_dir):
         assert 0 <= mm[f"lo{k}"] <= mm[f"hi{k}"] <= 1000
 
 
+def test_stream_scorer_repeatable_and_consistent_with_batch(spark, sf_dir):
+    """Train-offline/score-online: the streaming scorer must (a) be
+    repeatable within one session (uuid'd memory sink + fresh
+    checkpoint — the checkpoint-collision gotcha), and (b) agree with
+    a batch replay of the same fit + scoring on every cell."""
+    from kickstarter_etl_pipeline_spark.operators.classifier import (
+        q_documents_stream_classifier_scores,
+    )
+
+    first = {
+        (r.lang, r.source): (r.n_docs, r.margin_sum, r.n_positive)
+        for r in q_documents_stream_classifier_scores(spark, sf_dir).collect()
+    }
+    again = {
+        (r.lang, r.source): (r.n_docs, r.margin_sum, r.n_positive)
+        for r in q_documents_stream_classifier_scores(spark, sf_dir).collect()
+    }
+    assert first == again and first
+    feats = doc_feature_frame(spark, sf_dir)
+    w, _ = perceptron_fit(feats)
+    wr = w.collect()[0]
+    margin = sum(F.col(f"x{k}") * F.lit(int(wr[f"w{k}"])) for k in range(5))
+    batch = {
+        (r.lang, r.source): (r.n_docs, r.margin_sum, r.n_positive)
+        for r in feats.withColumn("_mar", margin)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_mar").cast("long").alias("margin_sum"),
+            F.sum((F.col("_mar") > 0).cast("long")).cast("long").alias("n_positive"),
+        )
+        .collect()
+    }
+    assert first == batch
+
+
 def test_classifier_plans_carry_no_critical(spark, sf_dir):
     """Plan posture: the fit's crossJoins are 1-row broadcasts and the
     manifest's rank is the two-phase range partitioning — the advisor
