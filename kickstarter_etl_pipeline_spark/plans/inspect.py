@@ -228,6 +228,48 @@ def _one_row_subtree(
     return False
 
 
+def _pid_bounded_subtree(
+    tree: list[tuple[int, str, str]], details: dict[str, str], idx: int
+) -> bool:
+    """True iff the subtree at tree[idx] is (row-preserving ops over) a
+    grouped aggregate whose EVERY group key is defined by
+    ``spark_partition_id() AS key`` in the subtree — output ≤ P rows
+    (the cluster's partition count), the two_phase_rank control frame.
+
+    Deliberately NOT part of _one_row_subtree: P is bounded by the
+    CLUSTER, not by a constant — fine to funnel through one task or
+    broadcast-hash-join (the documented two-phase-rank posture), but a
+    P-row BNLJ build side would still be P comparisons per probe row,
+    so the constant-bound prover must not absorb this rule."""
+    _, name, oid = tree[idx]
+    if "Aggregate" in name:
+        det = details.get(oid, "")
+        m = re.search(r"Keys(?: \[\d+\])?: \[([^\]]*)\]", det)
+        if not m or not m.group(1).strip():
+            return False
+        keys = re.findall(r"[\w]+#\d+", m.group(1))
+        if not keys:
+            return False
+        sub_text = "\n".join(
+            details.get(tree[j][2], "") for j in _subtree_span(tree, idx)
+        )
+        return all(
+            re.search(
+                # rendered SPARK_PARTITION_ID() in formatted details,
+                # spark_partition_id() in SQL text — match either case
+                r"(?i)spark_partition_id\(\) AS " + re.escape(key) + r"\b",
+                sub_text,
+            )
+            for key in keys
+        )
+    if any(name.startswith(p) for p in _ROW_PRESERVING):
+        kids = _children(tree, idx)
+        return bool(kids) and all(
+            _pid_bounded_subtree(tree, details, k) for k in kids
+        )
+    return False
+
+
 def _classify_nested_loop_joins(text: str) -> tuple[int, int]:
     """(benign, total) BroadcastNestedLoopJoins in the plan: benign =
     the BROADCAST side is provably ≤ a constant number of rows (the
@@ -275,7 +317,11 @@ def _single_partition_feeds_only_aggregates(text: str) -> bool:
     partial row per input partition and is therefore benign — or by a
     GlobalLimit at or below _BOUNDED_LIMIT (the anchor-closure ``limit
     k`` device: LocalLimit caps every partition at k before the
-    exchange, so at most k·P constant-bounded rows funnel through).
+    exchange, so at most k·P constant-bounded rows funnel through),
+    or fed by a provably bounded INPUT subtree (a constant-bounded
+    anchor closure, or the ≤P-row spark_partition_id-keyed control
+    aggregate that two_phase_rank's offset window rides — r14: the
+    input-volume bound makes the consumer's shape irrelevant).
 
     Parses the formatted explain's two sections: the detail blocks
     ("(4) Exchange\\nArguments: SinglePartition, ...") name WHICH
@@ -307,6 +353,18 @@ def _single_partition_feeds_only_aggregates(text: str) -> bool:
         if oid not in sp_ids:
             continue
         seen.add(oid)
+        # Input-volume bound beats consumer shape: if the exchange's
+        # CHILD subtree is provably constant-bounded (anchor closures)
+        # or ≤ P rows (a spark_partition_id-keyed aggregate — the
+        # two_phase_rank control frame), the one-task funnel carries
+        # control data regardless of what consumes it (Sort, Window).
+        kids = _children(tree, i)
+        if kids and all(
+            _one_row_subtree(tree, details, k)
+            or _pid_bounded_subtree(tree, details, k)
+            for k in kids
+        ):
+            continue
         parent = None
         parent_oid = None
         for j in range(i - 1, -1, -1):
@@ -391,12 +449,12 @@ def advise(df: DataFrame) -> list[str]:
     if "SinglePartition" in text:
         if _single_partition_feeds_only_aggregates(text):
             findings.append(
-                "INFO: Exchange SinglePartition feeding a final aggregate or "
-                "a small GlobalLimit — only per-partition PARTIAL rows or "
-                "LocalLimit-capped rows cross the exchange (one row / ≤k rows "
-                "per input partition, not the data), the normal global-"
-                "summary or anchor-closure shape; nothing to fix unless the "
-                "aggregate state itself is huge (collect_list of the data)."
+                "INFO: Exchange SinglePartition carrying only bounded control "
+                "data — a final-aggregate's partial rows, a small GlobalLimit "
+                "closure, or a spark_partition_id-keyed control frame (≤ P "
+                "rows, the two-phase-rank offset device); nothing to fix "
+                "unless the aggregate state itself is huge (collect_list of "
+                "the data)."
             )
         else:
             findings.append(

@@ -377,6 +377,52 @@ def test_prover_bounded_branches_demote_and_large_limit_stays(spark, sf_dir):
     assert [f for f in fs if f.startswith("CRITICAL")] == [], fs
 
 
+def test_pid_control_funnel_demotes_but_global_window_stays(spark, sf_dir):
+    """r14 funnel rule: a SinglePartition exchange whose INPUT is the
+    ≤P-row spark_partition_id-keyed control aggregate (two_phase_rank's
+    offset window) demotes to INFO — the funnel carries control data,
+    not the corpus — while a raw global window over data-sized input
+    keeps the WARN (pinned in the advisor hazard test too)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.plans.inspect import advise
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # hand-built two_phase_rank control shape: per-partition counts,
+    # then a global window over the P-row frame.
+    control = (
+        orders.withColumn("_pid", F2.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F2.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F2.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    )
+    fs = advise(control)
+    sp = [f for f in fs if "SinglePartition" in f]
+    assert sp and all(f.startswith("INFO") for f in sp), fs
+
+    # HONEST LIMIT, pinned: the real two_phase_rank checkpoints the
+    # ranked rows BEFORE the control aggregate, so the plan the
+    # advisor sees starts at `Scan ExistingRDD` — the
+    # `spark_partition_id() AS _pid` definition is destroyed by the
+    # checkpoint boundary and the textual prover cannot (and must
+    # not pretend to) re-derive the ≤P bound across it. The standing
+    # WARN on checkpointed two_phase_rank consumers stays, documented
+    # in PLANS.md as the bounded control funnel.
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ranked = two_phase_rank(
+        orders.select("o_orderkey", "o_totalprice"), ["o_totalprice", "o_orderkey"]
+    )
+    fs2 = advise(ranked)
+    assert [f for f in fs2 if f.startswith("WARN") and "SinglePartition" in f], fs2
+
+
 def test_prover_calendar_branch_rejects_mixed_keys(spark, sf_dir):
     """The calendar-bounded branch must require the group key to BE a
     calendar expression, not merely CONTAIN one: concat(year(ts),
