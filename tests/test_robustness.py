@@ -423,6 +423,36 @@ def test_pid_control_funnel_demotes_but_global_window_stays(spark, sf_dir):
     assert [f for f in fs2 if f.startswith("WARN") and "SinglePartition" in f], fs2
 
 
+def test_pid_funnel_rule_rejects_mixed_keys(spark, sf_dir):
+    """Safety of the r14 funnel rule: an aggregate keyed by
+    (spark_partition_id, user_id) is DATA-sized (one group per user
+    per partition), so a global window over it must keep the WARN —
+    the ≤P bound holds only when EVERY key is the partition id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from kickstarter_etl_pipeline_spark.plans.inspect import advise
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mixed = (
+        events.withColumn("_pid", F2.spark_partition_id())
+        .groupBy("_pid", "user_id")
+        .agg(F2.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F2.sum("_cnt").over(
+                Window.orderBy("_pid", "user_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+    )
+    fs = advise(mixed)
+    assert [
+        f for f in fs if f.startswith("WARN") and "SinglePartition" in f
+    ], fs
+
+
 def test_prover_calendar_branch_rejects_mixed_keys(spark, sf_dir):
     """The calendar-bounded branch must require the group key to BE a
     calendar expression, not merely CONTAIN one: concat(year(ts),
