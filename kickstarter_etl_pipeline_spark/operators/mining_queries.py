@@ -411,6 +411,105 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_apply_merge(seq, lhs: str, rhs: str):
+    """Left-to-right non-overlapping application of ONE merge rule to a
+    space-joined symbol string — the exact `merge_vocab` step of
+    Sennrich et al. 2016, as a single JVM-side higher-order fold.
+
+    The accumulator keeps every symbol space-prefixed, so
+    ``endswith(acc, ' ' || lhs)`` is true iff the accumulator's LAST
+    SYMBOL is exactly ``lhs`` (symbols never contain spaces); merging
+    then just appends ``rhs`` with no space. Because the merged token
+    ``lhs||rhs`` has no internal space and ``rhs`` is non-empty, a
+    freshly-merged tail can never re-match ``lhs`` — i.e. the fold IS
+    the left-to-right non-overlapping scan ('a a a' + (a,a) → 'aa a',
+    not 'aa aa'). Pinned by test_bpe_apply_merge_semantics."""
+    return F.ltrim(
+        F.aggregate(
+            F.split(seq, " "),
+            F.lit(""),
+            lambda acc, s: F.when(
+                acc.endswith(F.concat(F.lit(" "), F.lit(lhs)))
+                & (s == F.lit(rhs)),
+                F.concat(acc, F.lit(rhs)),
+            ).otherwise(F.concat(acc, F.lit(" "), s)),
+        )
+    )
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al. 2016),
+    8 merge rounds — the step `bpe_merge_candidates` only previews.
+    Each round: corpus-frequency-weighted adjacent-pair counts over
+    the CURRENT symbolization, argmax by (count DESC, lhs, rhs),
+    apply the winning merge left-to-right non-overlapping to every
+    word, repeat. Output: one row per learned merge rule —
+    (merge_rank, lhs, rhs, merged, pair_count at selection time,
+    symbols_after = corpus-weighted total symbol count AFTER applying
+    the rule). `symbols_after` forces the oracle to replay the merge
+    APPLICATIONS exactly, not just the selections.
+
+    Scale: classic BPE trains on the word-frequency table, not the
+    corpus — the only corpus-wide pass is ONE groupBy(word) count
+    (Heaps'-law sublinear vocab; ~10⁷ rows at 100 TB). Each round is
+    then a bounded-key pair aggregate (map-side-combines to ≲|charset
+    ∪ merges|² keys), a 1-row argmax collect (the BT-MM bounded-
+    scalar-collect device — the merge literal must parametrize the
+    next round's fold), and a narrow per-row map over the vocab.
+    localCheckpoint per round truncates the 8-deep fold lineage.
+
+    Determinism: counts are exact BIGINT; the argmax total order is
+    (count DESC, lhs ASC, rhs ASC); no floats anywhere."""
+    rounds = 8
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        syms = F.split("seq", " ")
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(seq, ' ')) - 1),"
+                    " i -> struct(element_at(split(seq, ' '), i) AS lhs,"
+                    " element_at(split(seq, ' '), i + 1) AS rhs))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.lhs", "p.rhs")
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully collapsed (unreachable on fixtures)
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, best[0].pair_count
+        vocab = vocab.select(
+            "freq", _bpe_apply_merge(F.col("seq"), lhs, rhs).alias("seq")
+        ).localCheckpoint(eager=True)
+        total = vocab.agg(
+            F.sum(F.col("freq") * F.size(syms)).cast("long").alias("t")
+        ).collect()[0].t
+        merges.append((r, lhs, rhs, lhs + rhs, cnt, total))
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count bigint, symbols_after bigint",
+    )
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retriever-training data mining: for each anchor (vec_id < 20),
     the top-3 DIFFERENT-label neighbors by cosine — the classic hard

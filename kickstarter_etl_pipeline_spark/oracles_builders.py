@@ -19,6 +19,7 @@ from kickstarter_etl_pipeline_spark.oracles_r11 import ORACLES_R11
 from kickstarter_etl_pipeline_spark.oracles_r12 import ORACLES_R12
 from kickstarter_etl_pipeline_spark.oracles_r13 import ORACLES_R13
 from kickstarter_etl_pipeline_spark.oracles_r14 import ORACLES_R14
+from kickstarter_etl_pipeline_spark.oracles_r15 import ORACLES_R15
 
 _ORACLES: dict[str, str] = {}
 _ORACLES.update(ORACLES_CORE)
@@ -31,6 +32,7 @@ _ORACLES.update(ORACLES_R11)
 _ORACLES.update(ORACLES_R12)
 _ORACLES.update(ORACLES_R13)
 _ORACLES.update(ORACLES_R14)
+_ORACLES.update(ORACLES_R15)
 
 _ORACLES["q1_pricing_summary_sql"] = _ORACLES["q1_pricing_summary"]
 # Star-rewriting CC must produce the exact same groups as min-label CC.

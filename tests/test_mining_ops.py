@@ -311,3 +311,86 @@ def test_t_closeness_flag_is_exact(spark, sf_dir):
         assert 0.0 <= r["emd"] <= 1.0
         if abs(r["emd"] - 0.2) > 1e-5:
             assert r["violates_t02"] == (1 if r["emd"] > 0.2 else 0), r
+
+
+def test_bpe_apply_merge_semantics(spark):
+    """The single-pass fold must be Sennrich's left-to-right
+    NON-OVERLAPPING merge_vocab: 'a a a' + (a,a) -> 'aa a' (a fresh
+    merge never re-matches lhs), 'a a a a' -> 'aa aa', a merge rule
+    (a,b) must not fire when the next SYMBOL merely starts with b
+    ([a, bc]), and lhs must match the whole last symbol ([xa, b])."""
+    from kickstarter_etl_pipeline_spark.operators.mining_queries import _bpe_apply_merge
+
+    cases = [
+        ("a a a", "a", "a", "aa a"),
+        ("a a a a", "a", "a", "aa aa"),
+        ("a b a b", "a", "b", "ab ab"),
+        ("a bc", "a", "b", "a bc"),
+        ("xa b", "a", "b", "xa b"),
+        ("h e l l o", "l", "l", "h e ll o"),
+        ("ab", "a", "b", "ab"),
+    ]
+    df = spark.createDataFrame(
+        [(i, seq) for i, (seq, _, _, _) in enumerate(cases)], "i int, seq string"
+    )
+    for i, (seq, lhs, rhs, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_apply_merge(F.col("seq"), lhs, rhs).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == want, (seq, lhs, rhs, got, want)
+
+
+def test_bpe_train_matches_reference_algorithm(spark, sf_dir):
+    """Cross-check the distributed trainer against an independent
+    pure-Python implementation of Sennrich et al. 2016's get_stats /
+    merge_vocab loop (tuple-keyed dicts, no string folds — a genuinely
+    different mechanism) on the full sf0.001 corpus: all 8 merge rules,
+    their selection-time counts, AND the post-application corpus
+    symbol totals must agree exactly."""
+    import re
+    from collections import Counter
+
+    from kickstarter_etl_pipeline_spark.queries import q_bpe_train_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = Counter()
+    for r in docs.select("text").collect():
+        for w in re.split(r"\s+", r["text"].strip().lower()):
+            if len(w) >= 2:
+                words[tuple(w)] += 1
+
+    expected = []
+    vocab = dict(words)
+    for rank in range(1, 9):
+        stats = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += freq
+        if not stats:
+            break
+        (lhs, rhs), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+        total = sum(len(s) * f for s, f in vocab.items())
+        expected.append((rank, lhs, rhs, lhs + rhs, cnt, total))
+
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"],
+         r["symbols_after"])
+        for r in q_bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
