@@ -437,17 +437,13 @@ def _bpe_apply_merge(seq, lhs: str, rhs: str):
     )
 
 
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL iterative BPE tokenizer training (Sennrich et al. 2016),
-    8 merge rounds — the step `bpe_merge_candidates` only previews.
-    Each round: corpus-frequency-weighted adjacent-pair counts over
-    the CURRENT symbolization, argmax by (count DESC, lhs, rhs),
-    apply the winning merge left-to-right non-overlapping to every
-    word, repeat. Output: one row per learned merge rule —
-    (merge_rank, lhs, rhs, merged, pair_count at selection time,
-    symbols_after = corpus-weighted total symbol count AFTER applying
-    the rule). `symbols_after` forces the oracle to replay the merge
-    APPLICATIONS exactly, not just the selections.
+def _bpe_fit(spark: SparkSession, sf_dir: str, rounds: int = 8):
+    """Shared BPE training loop (Sennrich et al. 2016) — extracted so
+    the composed q_bpe_tokenized_stats reuses the IDENTICAL fit the
+    way curation_pack_manifest reuses clean_corpus. Returns
+    (tokenized vocab frame with columns w/freq/seq after all rounds,
+    merges list of (rank, lhs, rhs, merged, pair_count,
+    symbols_after)).
 
     Scale: classic BPE trains on the word-frequency table, not the
     corpus — the only corpus-wide pass is ONE groupBy(word) count
@@ -460,7 +456,6 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts are exact BIGINT; the argmax total order is
     (count DESC, lhs ASC, rhs ASC); no floats anywhere."""
-    rounds = 8
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(TX.tokens("text")).alias("w"))
@@ -468,6 +463,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
         .select(
+            "w",
             "freq",
             F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"),
         )
@@ -475,7 +471,6 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges: list[tuple] = []
     for r in range(1, rounds + 1):
-        syms = F.split("seq", " ")
         pairs = vocab.select(
             "freq",
             F.explode(
@@ -497,16 +492,78 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         lhs, rhs, cnt = best[0].lhs, best[0].rhs, best[0].pair_count
         vocab = vocab.select(
-            "freq", _bpe_apply_merge(F.col("seq"), lhs, rhs).alias("seq")
+            "w", "freq", _bpe_apply_merge(F.col("seq"), lhs, rhs).alias("seq")
         ).localCheckpoint(eager=True)
         total = vocab.agg(
-            F.sum(F.col("freq") * F.size(syms)).cast("long").alias("t")
+            F.sum(F.col("freq") * F.size(F.split("seq", " "))).cast("long").alias("t")
         ).collect()[0].t
         merges.append((r, lhs, rhs, lhs + rhs, cnt, total))
+    return vocab, merges
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al. 2016),
+    8 merge rounds — the step `bpe_merge_candidates` only previews.
+    Each round: corpus-frequency-weighted adjacent-pair counts over
+    the CURRENT symbolization, argmax by (count DESC, lhs, rhs),
+    apply the winning merge left-to-right non-overlapping to every
+    word, repeat (loop mechanics + scale posture in _bpe_fit). Output:
+    one row per learned merge rule — (merge_rank, lhs, rhs, merged,
+    pair_count at selection time, symbols_after = corpus-weighted
+    total symbol count AFTER applying the rule). `symbols_after`
+    forces the oracle to replay the merge APPLICATIONS exactly, not
+    just the selections."""
+    _, merges = _bpe_fit(spark, sf_dir, rounds=8)
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string,"
         " pair_count bigint, symbols_after bigint",
+    )
+
+
+def q_bpe_tokenized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed train→APPLY→measure BPE unit: fit the 8 merge
+    rules (_bpe_fit — the IDENTICAL loop grading bpe_train_merges),
+    then tokenize the whole corpus under the learned tokenizer and
+    report per-(lang, source) tokenizer-quality metrics: word
+    instances, BPE token count, fertility (BPE tokens per word,
+    integer micros), and compression (BPE tokens per character,
+    integer micros — chars only over the tokenized words, so both
+    ratios share a denominator basis).
+
+    Tokenizing the corpus is a broadcast-joinable dictionary lookup:
+    the fitted vocab (word → symbol count) is Heaps'-law small, so the
+    corpus-sized side never reshuffles — explode words, hash-join to
+    the vocab, one map-side-combined aggregate on the enumeration-
+    bounded (lang, source) grid. Exact-BIGINT ratios via the micro
+    grid (the BT-MM discipline)."""
+    vocab, _ = _bpe_fit(spark, sf_dir, rounds=8)
+    lut = F.broadcast(
+        vocab.select(
+            "w", F.size(F.split("seq", " ")).cast("long").alias("n_toks")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", "source", F.explode(TX.tokens("text")).alias("w")
+    ).filter(F.length("w") >= 2)
+    return (
+        words.join(lut, "w")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_words",
+            "bpe_tokens",
+            "n_chars",
+            F.expr("(bpe_tokens * 1000000) DIV n_words").alias("fertility_micro"),
+            F.expr("(bpe_tokens * 1000000) DIV n_chars").alias("compression_micro"),
+        )
     )
 
 

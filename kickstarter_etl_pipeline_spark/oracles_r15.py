@@ -24,13 +24,19 @@ ORACLES_R15: dict[str, str] = {}
 # symbols_after from v{r}, so a selection-only replay that skipped the
 # application step cannot hash-match. v{r} is MATERIALIZED because it
 # feeds both p{r+1} and m{r}'s scalar subquery (device 7).
-def _bpe_train_oracle_sql(rounds: int = 8) -> str:
+def _bpe_train_cte(rounds: int = 8) -> str:
+    """The shared WITH chain: toks → v0 (word-frequency table, each
+    word as a space-joined symbol string, carrying the word itself so
+    the tokenized-stats tail can join the corpus back to its
+    tokenization) → per round r: p{r}/b{r}/v{r}/m{r}. Both round-15
+    BPE twins append their tails to THIS chain (the _bt_oracle_cte
+    reuse discipline: a drifting constituent fails both loudly)."""
     head = """
     WITH toks AS (
       SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
       FROM documents),
     v0 AS MATERIALIZED (
-      SELECT CAST(count(*) AS BIGINT) AS freq,
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
              trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
       FROM toks WHERE length(w) >= 2 GROUP BY w)"""
     steps = []
@@ -45,7 +51,7 @@ def _bpe_train_oracle_sql(rounds: int = 8) -> str:
     b{r} AS (SELECT lhs, rhs, pair_count FROM p{r}
              ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
     v{r} AS MATERIALIZED (
-      SELECT freq,
+      SELECT w, freq,
              ltrim(list_reduce(list_prepend('', string_split(seq, ' ')),
                (acc, s) -> CASE
                  WHEN ends_with(acc, ' ' || b.lhs) AND s = b.rhs
@@ -58,12 +64,47 @@ def _bpe_train_oracle_sql(rounds: int = 8) -> str:
              (SELECT CAST(sum(freq * len(string_split(seq, ' '))) AS BIGINT)
               FROM v{r}) AS symbols_after
       FROM b{r})""")
-    tail = (
-        "\n    SELECT * FROM ("
+    return head + "".join(steps)
+
+
+def _bpe_train_oracle_sql(rounds: int = 8) -> str:
+    return (
+        _bpe_train_cte(rounds)
+        + "\n    SELECT * FROM ("
         + " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
         + ") ORDER BY merge_rank"
     )
-    return head + "".join(steps) + tail
 
 
 ORACLES_R15["bpe_train_merges"] = _bpe_train_oracle_sql()
+
+
+# FULL twin of q_bpe_tokenized_stats — the composed train→apply→
+# measure unit. The 8 training rounds are IMPORTED verbatim from
+# _bpe_train_cte (the same chain grading bpe_train_merges); the tail
+# re-walks the corpus words, joins each instance to its v8
+# tokenization, and aggregates the tokenizer-quality grid. The micro
+# ratios use `//` on non-negative BIGINTs (== Spark DIV); DuckDB
+# sum(BIGINT) → HUGEINT is cast back per the r13 gotcha.
+def _bpe_stats_oracle_sql(rounds: int = 8) -> str:
+    return _bpe_train_cte(rounds) + f""",
+    docw AS (
+      SELECT lang, source, w FROM (
+        SELECT lang, source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE length(w) >= 2),
+    grid AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS bpe_tokens,
+             CAST(sum(length(docw.w)) AS BIGINT) AS n_chars
+      FROM docw JOIN v{rounds} v USING (w)
+      GROUP BY 1, 2)
+    SELECT lang, source, n_words, bpe_tokens, n_chars,
+           (bpe_tokens * 1000000) // n_words AS fertility_micro,
+           (bpe_tokens * 1000000) // n_chars AS compression_micro
+    FROM grid"""
+
+
+ORACLES_R15["bpe_tokenized_stats"] = _bpe_stats_oracle_sql()

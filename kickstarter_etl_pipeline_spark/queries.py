@@ -323,6 +323,7 @@ from kickstarter_etl_pipeline_spark.operators.mining_queries import (  # noqa: F
     q_winnowing_fingerprints,
     q_bloom_prefiltered_join,
     q_bpe_merge_candidates,
+    q_bpe_tokenized_stats,
     q_bpe_train_merges,
     q_hard_negative_mining,
     q_table_diff_report,
@@ -513,6 +514,7 @@ _QUERIES: dict[str, QueryFn] = {
     # --- never-driver-graded round-15 additions (rotation rule:
     # never-graded first) ---
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_tokenized_stats": q_bpe_tokenized_stats,
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,

@@ -394,3 +394,24 @@ def test_bpe_train_matches_reference_algorithm(spark, sf_dir):
         for r in q_bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_bpe_tokenized_stats_consistent_with_training(spark, sf_dir):
+    """The composed unit must be internally consistent with the
+    trainer it reuses: the grid's total BPE token count equals the
+    final merge round's symbols_after (both are the corpus-weighted
+    symbol total under all 8 merges), every fertility is >= 1e6
+    (a merge never splits a word), and n_chars >= bpe_tokens (a
+    symbol is >= 1 char)."""
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_bpe_tokenized_stats,
+        q_bpe_train_merges,
+    )
+
+    merges = q_bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    grid = q_bpe_tokenized_stats(spark, sf_dir).collect()
+    assert sum(r["bpe_tokens"] for r in grid) == merges[-1]["symbols_after"]
+    for r in grid:
+        assert r["fertility_micro"] >= 1_000_000
+        assert r["n_chars"] >= r["bpe_tokens"]
+        assert r["compression_micro"] <= 1_000_000
