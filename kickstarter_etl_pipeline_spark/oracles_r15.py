@@ -108,3 +108,24 @@ def _bpe_stats_oracle_sql(rounds: int = 8) -> str:
 
 
 ORACLES_R15["bpe_tokenized_stats"] = _bpe_stats_oracle_sql()
+
+
+# FULL twin of q_dpp_join_prune_agg (plans/warehouse_queries.py): the
+# hive-partitioned write→read round-trip is values-transparent (the
+# partitioned_prune_agg precedent), so the twin is the same dim-join
+# aggregate on the plain orders table. year() is BIGINT in DuckDB —
+# cast to INTEGER to match Spark's year() INT.
+ORACLES_R15["dpp_join_prune_agg"] = """
+    WITH dim AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS dim_year,
+             CAST(count(*) AS BIGINT) AS n_year
+      FROM orders GROUP BY 1 HAVING (dim_year % 2) = 0)
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price,
+           max(n_year) AS n_year
+    FROM orders JOIN dim ON CAST(year(o_orderdate) AS INTEGER) = dim.dim_year
+    GROUP BY 1, 2
+"""

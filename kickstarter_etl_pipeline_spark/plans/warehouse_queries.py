@@ -147,6 +147,49 @@ def q_compaction_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dpp_join_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-driven DYNAMIC partition pruning end-to-end — the star-
+    schema scan optimization static pruning can't do: the fact is
+    written hive-partitioned by order year, the dim side is an
+    AGGREGATED year frame filtered at runtime (even years), and the
+    fact scan is pruned by the dim's surviving keys via Catalyst's
+    DPP (`dynamicpruningexpression(order_year IN dynamicpruning#N)` in
+    PartitionFilters — plan-pinned in
+    tests/test_streaming_append_and_jdbc.py). At 100 TB this is the
+    difference between scanning every date partition and scanning only
+    the ones the dim filter selects; the dim broadcast is reused as
+    the pruning subquery, so the pruning costs no extra pass.
+
+    Output: per surviving (order_year, o_orderpriority), order count,
+    exact-decimal price total, and the dim's year total riding along
+    to prove the join contributed."""
+    from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
+    from kickstarter_etl_pipeline_spark.sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    path = run_scratch_dir("dpp_orders_") + "/t"
+    write_parquet(orders, path, partition_by=["order_year"])
+    dim = (
+        orders.groupBy(F.col("order_year").alias("dim_year"))
+        .agg(F.count("*").cast("long").alias("n_year"))
+        .filter(F.col("dim_year") % 2 == 0)
+    )
+    fact = spark.read.parquet(path)
+    return (
+        fact.join(F.broadcast(dim), fact["order_year"] == dim["dim_year"])
+        .groupBy("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.max("n_year").alias("n_year"),
+        )
+    )
+
+
 def q_partitioned_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned fact layout end-to-end: orders written partitioned by
     order year (the reference's date-keyed warehouse layout re-expressed

@@ -174,6 +174,7 @@ from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (  # noqa: F4
     q_scd1_merge_agg,
     q_scd2_priority_history,
     q_compaction_roundtrip_agg,
+    q_dpp_join_prune_agg,
     q_partitioned_prune_agg,
     q_incremental_rollup_agg,
     q_idempotent_append_agg,
@@ -515,6 +516,7 @@ _QUERIES: dict[str, QueryFn] = {
     # never-graded first) ---
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_tokenized_stats": q_bpe_tokenized_stats,
+    "dpp_join_prune_agg": q_dpp_join_prune_agg,
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,

@@ -236,3 +236,42 @@ def test_upsert_rollup_refines_open_windows_and_drops_late(spark, tmp_path):
     assert rows["2024-01-01 13:00:00"]["sum_value"] == 3.0
     # Open windows are visible (the append sink would withhold 15:00).
     assert rows["2024-01-01 15:00:00"]["n_events"] == 1
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
+    """The join-driven prune must be DYNAMIC: the fact scan's
+    PartitionFilters carry a dynamicpruningexpression fed by the dim
+    subquery (not just a static predicate), and the aggregate equals
+    the plain-orders computation."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from kickstarter_etl_pipeline_spark.plans.warehouse_queries import (
+        q_dpp_join_prune_agg,
+    )
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    df = q_dpp_join_prune_agg(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    expected = {
+        (r["order_year"], r["o_orderpriority"]): r["n"]
+        for r in orders.filter(F.col("order_year") % 2 == 0)
+        .groupBy("order_year", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["order_year"], r["o_orderpriority"]): r["n_orders"]
+        for r in df.collect()
+    }
+    assert got == expected and len(got) > 0
