@@ -110,6 +110,28 @@ def _bpe_stats_oracle_sql(rounds: int = 8) -> str:
 ORACLES_R15["bpe_tokenized_stats"] = _bpe_stats_oracle_sql()
 
 
+# FULL twin of q_events_tws_evolved_totals (streaming/tws_recovery.py):
+# the two-phase replay resumes the phase-1 checkpoint with the state
+# schema WIDENED (n) → (n, s) under the Avro encoding, so for every
+# user with events after the integer-µs midpoint cut: n_total spans
+# BOTH halves (the old field must survive evolution), sum_b_value
+# spans half B alone (the added field is Avro-defaulted to NULL at
+# evolution time). State loss undercounts n_total; a half-A re-read
+# inflates both; a non-null default corrupts sum_b_value — each fails
+# this hash. Same cut arithmetic / 4dp snap as the restart twin.
+ORACLES_R15["events_tws_evolved_totals"] = """
+    WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+    c AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(sum(CASE WHEN us > cut THEN value ELSE 0 END), 4)
+             AS sum_b_value
+    FROM e, c
+    GROUP BY user_id
+    HAVING max(CASE WHEN us > cut THEN 1 ELSE 0 END) = 1
+"""
+
+
 # FULL twin of q_dpp_join_prune_agg (plans/warehouse_queries.py): the
 # hive-partitioned write→read round-trip is values-transparent (the
 # partitioned_prune_agg precedent), so the twin is the same dim-join

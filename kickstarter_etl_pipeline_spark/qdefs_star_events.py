@@ -896,3 +896,24 @@ def q_events_tws_ttl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tws_ttl_counts(spark, sf_dir)
+
+
+def q_events_tws_evolved_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State SCHEMA EVOLUTION across a restart as a GRADED surface —
+    the production 'redeploy the streaming job with richer state'
+    contract: phase 1 folds a per-user count in a ONE-field ValueState
+    and terminates; phase 2 resumes the SAME RocksDB checkpoint with
+    the state widened to (n, s) under the Avro state encoding
+    (streaming/tws_recovery.py — evolution is illegal under the
+    default UnsafeRow encoding, so the isolated session pins
+    ``spark.sql.streaming.stateStore.encodingFormat=avro``). Per user
+    active in half B, the emitted row differentially proves every
+    failure mode: n_total spans BOTH halves (evolved state lost →
+    undercount), sum_b_value spans half B alone (the Avro NULL default
+    for the added field; a re-read of half A inflates it; a non-null
+    default corrupts it) — all hash-graded against the batch twin."""
+    from kickstarter_etl_pipeline_spark.streaming.tws_recovery import (
+        tws_evolved_totals,
+    )
+
+    return tws_evolved_totals(spark, sf_dir)

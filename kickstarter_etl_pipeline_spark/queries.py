@@ -262,6 +262,7 @@ from kickstarter_etl_pipeline_spark.qdefs_star_events import (  # noqa: F401 —
     q_user_triangle_counts,
     q_events_asof_purchase_click,
     q_events_stateful_sessions,
+    q_events_tws_evolved_totals,
     q_events_tws_restart_totals,
     q_events_tws_sessions,
     q_events_tws_timeout_sessions,
@@ -438,6 +439,7 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
     "events_stream_tumbling",
     "events_stream_unattributed",
     "events_stream_upsert",
+    "events_tws_evolved_totals",
     "events_tws_restart_totals",
     "events_tws_sessions",
     "events_tws_timeout_sessions",
@@ -520,6 +522,7 @@ _QUERIES: dict[str, QueryFn] = {
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,
+    "events_tws_evolved_totals": q_events_tws_evolved_totals,
     "events_tws_restart_totals": q_events_tws_restart_totals,
     "events_tws_ttl_counts": q_events_tws_ttl_counts,
     "preference_dataset_manifest": q_preference_dataset_manifest,

@@ -145,6 +145,75 @@ class TtlCounterProcessor(StatefulProcessor):
         pass
 
 
+EVOLVED_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("sum_b_value", T.DoubleType()),
+    ]
+)
+
+_EVO_V1 = T.StructType([T.StructField("n", T.LongType())])
+_EVO_V2 = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+)
+
+
+class EvolvingTotalsV1(StatefulProcessor):
+    """Phase-1 half of the STATE SCHEMA EVOLUTION pair: a per-user
+    count in a ONE-field ValueState. Its phase-2 twin re-opens the
+    same named state with a WIDENED schema (an added nullable field)
+    — the production 'redeploy the job with richer state' path, legal
+    under the Avro state encoding."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._v = handle.getValueState("agg", _EVO_V1)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n = self._v.get()[0] if self._v.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._v.update((n,))
+        yield pd.DataFrame(
+            [[user_id, n, 0.0]], columns=["user_id", "n_total", "sum_b_value"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+class EvolvingTotalsV2(StatefulProcessor):
+    """Phase-2 half: the SAME named state, schema widened (n) → (n, s).
+    Avro evolution fills the new field with NULL on first read of
+    evolved state, so s accumulates half B only while n carries both
+    halves — the differential that hash-grades evolution (state loss
+    undercounts n; a re-read of half A inflates both; a non-null
+    default corrupts s)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._v = handle.getValueState("agg", _EVO_V2)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._v.exists():
+            n, s = self._v.get()
+            s = 0.0 if s is None else float(s)
+        else:
+            n, s = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._v.update((n, s))
+        yield pd.DataFrame(
+            [[user_id, n, round(s, 4)]],
+            columns=["user_id", "n_total", "sum_b_value"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def _split_events_by_midpoint(spark: SparkSession, sf_dir: str):
     """Write the events fixture as two single-file halves split at the
     integer-µs midpoint ``(min + max) div 2`` (half A: us <= cut, half
@@ -182,9 +251,15 @@ def _two_phase_tws(
     processor_factory,
     out_schema: T.StructType,
     time_mode: str = "none",
+    processor_factory_p2=None,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Run the two-phase stop/resume replay (module docstring) with a
-    fresh processor instance per phase, returning phase 2's emissions."""
+    fresh processor instance per phase, returning phase 2's emissions.
+    ``processor_factory_p2`` lets phase 2 run a DIFFERENT processor
+    against the same checkpoint (the schema-evolution redeploy);
+    ``extra_confs`` extends the isolated session (e.g. the Avro state
+    encoding evolution requires)."""
     if not tws_available():
         raise RuntimeError(
             "transformWithStateInPandas requires a google.protobuf runtime; "
@@ -195,15 +270,14 @@ def _two_phase_tws(
         isolated_session,
     )
 
-    child = isolated_session(
-        spark,
-        {
-            "spark.sql.streaming.stateStore.providerClass": (
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            )
-        },
-    )
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    }
+    confs.update(extra_confs or {})
+    child = isolated_session(spark, confs)
     src, staged_b, n_a, n_b = _split_events_by_midpoint(child, sf_dir)
     root = run_scratch_dir("ks_tws_resume_")
     checkpoint = os.path.join(root, "ckpt")
@@ -236,10 +310,10 @@ def _two_phase_tws(
             f"(saw {seen} of {expected_rows} input rows)"
         )
 
-    def _run_phase(tag: str, expected_rows: int) -> DataFrame:
+    def _run_phase(tag: str, expected_rows: int, factory=None) -> DataFrame:
         stream = read_events_raw_stream(child, src, glob="*.parquet")
         folded = stream.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=processor_factory(),
+            statefulProcessor=(factory or processor_factory)(),
             outputStructType=out_schema,
             outputMode="append",
             timeMode=time_mode,
@@ -268,7 +342,8 @@ def _two_phase_tws(
 
     _run_phase("p1", n_a)  # phase 1: half A only; emissions discarded
     shutil.copy(staged_b, os.path.join(src, "b.parquet"))
-    return _run_phase("p2", n_b)  # resumes the SAME checkpoint; sees only B
+    # resumes the SAME checkpoint; sees only B (optionally evolved)
+    return _run_phase("p2", n_b, factory=processor_factory_p2)
 
 
 def tws_restart_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +352,25 @@ def tws_restart_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (restricted to users active in half B — the keys phase 2 invokes)."""
     return _two_phase_tws(
         spark, sf_dir, RestartTotalsProcessor, RESTART_SCHEMA
+    )
+
+
+def tws_evolved_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE SCHEMA EVOLUTION across a restart, graded: phase 1 runs
+    the one-field count processor, phase 2 resumes the SAME RocksDB
+    checkpoint with the state widened to (n, s) under the Avro state
+    encoding (``spark.sql.streaming.stateStore.encodingFormat=avro``
+    — evolution is illegal under the default UnsafeRow encoding).
+    Per user active in half B: n_total = count over BOTH halves (the
+    surviving old field), sum_b_value = value sum over half B alone
+    (the added field, Avro-defaulted to NULL at evolution time)."""
+    return _two_phase_tws(
+        spark,
+        sf_dir,
+        EvolvingTotalsV1,
+        EVOLVED_SCHEMA,
+        processor_factory_p2=EvolvingTotalsV2,
+        extra_confs={"spark.sql.streaming.stateStore.encodingFormat": "avro"},
     )
 
 

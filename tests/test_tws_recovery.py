@@ -70,3 +70,51 @@ def test_ttl_state_evicts_between_phases(spark):
     assert any(keep > ttl for keep, ttl in got.values()), (
         "no user carried phase-1 history — the eviction differential is vacuous"
     )
+
+
+def test_state_schema_evolution_across_restart(spark):
+    """Phase 2 re-opens the phase-1 state with a WIDENED schema under
+    the Avro encoding: the old count field must carry both halves, the
+    added sum field must cover half B only (Avro NULL default at
+    evolution time) — and the differential must differentiate (some
+    user has phase-1 history AND half-B value, else evolution of
+    non-empty state was never exercised)."""
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+    from kickstarter_etl_pipeline_spark.streaming.tws_recovery import (
+        tws_evolved_totals,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    row = ev.select(F.min(us).alias("mn"), F.max(us).alias("mx")).first()
+    cut = (int(row["mn"]) + int(row["mx"])) // 2
+    want = {
+        r["user_id"]: (r["n_total"], r["sum_b"])
+        for r in ev.withColumn("_us", us)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.round(
+                F.sum(F.when(F.col("_us") > cut, F.col("value")).otherwise(0.0)), 4
+            ).alias("sum_b"),
+            F.sum(F.when(F.col("_us") > cut, 1).otherwise(0)).alias("n_b"),
+        )
+        .filter(F.col("n_b") > 0)
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_total"], r["sum_b_value"])
+        for r in tws_evolved_totals(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in ev.withColumn("_us", us)
+        .filter(F.col("_us") > cut)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert any(
+        n_total > ev_counts[u] for u, (n_total, _) in got.items()
+    ), "no user carried phase-1 state through the evolution — vacuous"
