@@ -686,3 +686,46 @@ def q_cooccurrence_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(emitted).cast("long").alias("emitted_pairs"),
         F.sum(unsalted).cast("long").alias("unsalted_pairs"),
     )
+
+
+def q_recursive_cte_ancestor_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy walk via Spark 4's native ``WITH RECURSIVE`` — the
+    DECLARATIVE twin of part_hierarchy_rollup's path-doubling closure,
+    and the complementary aggregate: per part, its depth and the
+    root-to-node PATH value sum (the accumulator-carrying walk that
+    recursion expresses naturally and a closure join does not emit).
+    Same deterministic 4-ary taxonomy (child k → parent (k−1) DIV 4,
+    virtual root 0), same integer-cents snap; the DuckDB twin runs the
+    IDENTICAL recursive SQL — both engines execute genuine recursion.
+
+    Scale: each recursion level is ONE equi-join of the previous
+    level's frontier against the child table — levels = tree depth
+    (log₄ N ≈ 13 at 10⁸ parts, under the engine's recursion limit of
+    100), frontier rows total N across all levels, every exchange
+    keyed by dense integer ids. The path-doubling variant trades more
+    rows (N·log N closure) for fewer rounds (log₂ depth); this one is
+    the row-lean choice when depth is shallow — the registry now
+    carries BOTH strategies, graded against each other's family."""
+    part = load_table(spark, sf_dir, "part")
+    part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).createOrReplaceTempView("part_nodes_v")
+    # The anchor is the REAL root row (the fixture carries p_partkey 0);
+    # the recursive join keeps c.id >= 1 because (0-1) DIV 4 = 0 would
+    # make the root its own child (DIV truncates toward zero).
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(id, depth, path_cents) AS (
+          SELECT id, 0, cents FROM part_nodes_v WHERE id = 0
+          UNION ALL
+          SELECT c.id, w.depth + 1, w.path_cents + c.cents
+          FROM walk w
+          JOIN part_nodes_v c
+            ON c.id >= 1 AND CAST((c.id - 1) DIV 4 AS BIGINT) = w.id
+        )
+        SELECT id, depth, path_cents FROM walk
+        """
+    )

@@ -110,6 +110,40 @@ def _bpe_stats_oracle_sql(rounds: int = 8) -> str:
 ORACLES_R15["bpe_tokenized_stats"] = _bpe_stats_oracle_sql()
 
 
+# FULL twin of q_recursive_cte_ancestor_paths: the IDENTICAL recursive
+# SQL (modulo the view name and DuckDB's `//` for DIV) — both engines
+# run genuine recursion over the same deterministic 4-ary taxonomy.
+ORACLES_R15["recursive_cte_ancestor_paths"] = """
+    WITH RECURSIVE nodes AS (
+      SELECT CAST(p_partkey AS BIGINT) AS id,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part),
+    walk(id, depth, path_cents) AS (
+      SELECT id, 0, cents FROM nodes WHERE id = 0
+      UNION ALL
+      SELECT c.id, w.depth + 1, w.path_cents + c.cents
+      FROM walk w
+      JOIN nodes c ON c.id >= 1 AND CAST((c.id - 1) // 4 AS BIGINT) = w.id
+    )
+    SELECT id, depth, path_cents FROM walk
+"""
+
+
+# FULL twin of q_pipe_syntax_pricing: the STANDARD-form SQL the pipe
+# dialect must lower to — the grade proves dialect equivalence.
+ORACLES_R15["pipe_syntax_pricing"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 4) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY 1, 2
+    HAVING count(*) > 0
+"""
+
+
 # FULL twin of q_events_tws_evolved_totals (streaming/tws_recovery.py):
 # the two-phase replay resumes the phase-1 checkpoint with the state
 # schema WIDENED (n) → (n, s) under the Avro encoding, so for every

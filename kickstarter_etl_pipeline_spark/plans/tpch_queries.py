@@ -609,3 +609,28 @@ def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+def q_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (|>) as a graded engine surface: the
+    pricing summary's filter→aggregate→project chain written as a
+    linear pipeline (the dialect designed for composable analytics —
+    each |> stage consumes the previous result, so the query reads in
+    execution order). Catalyst lowers it to the IDENTICAL logical plan
+    as the standard form; the DuckDB twin is that standard form, so
+    the grade proves dialect equivalence, not just syntax acceptance.
+    Exact-decimal money sums per the q1 discipline."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe_v")
+    return spark.sql(
+        """
+        FROM lineitem_pipe_v
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE count(*) AS n_items,
+                     round(sum(l_quantity), 4) AS sum_qty,
+                     CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 0
+        |> SELECT l_returnflag, l_linestatus, n_items, sum_qty, sum_disc_price
+        """
+    )

@@ -44,6 +44,7 @@ from kickstarter_etl_pipeline_spark.plans.tpch_queries import (  # noqa: F401 â€
     q_q8_market_share,
     q_q10_returned_items,
     q_q13_order_count_distribution,
+    q_pipe_syntax_pricing,
 )
 
 from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa: F401 â€” registry surface
@@ -109,6 +110,7 @@ from kickstarter_etl_pipeline_spark.operators.graph_queries import (  # noqa: F4
     q_graph_spectral_partition,
     q_graph_weighted_distances,
     q_part_hierarchy_rollup,
+    q_recursive_cte_ancestor_paths,
 )
 
 from kickstarter_etl_pipeline_spark.operators.stats_queries import (  # noqa: F401 â€” registry surface
@@ -519,6 +521,8 @@ _QUERIES: dict[str, QueryFn] = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_tokenized_stats": q_bpe_tokenized_stats,
     "dpp_join_prune_agg": q_dpp_join_prune_agg,
+    "recursive_cte_ancestor_paths": q_recursive_cte_ancestor_paths,
+    "pipe_syntax_pricing": q_pipe_syntax_pricing,
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,

@@ -1,0 +1,93 @@
+"""Round-15 operator pins: Spark-native recursion vs the path-doubling
+closure (strategy equivalence on the same taxonomy) and pipe-syntax
+dialect equivalence (query-level oracle parity is covered by
+test_oracle_parity's automatic parametrization)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_recursive_cte_agrees_with_path_doubling_closure(spark, sf_dir):
+    """Two independent strategies over the SAME 4-ary taxonomy must
+    agree: the recursive walk's depth per part equals the closure
+    query's ancestor count, and the walk's path sums are consistent
+    with the parent relation (path_cents(child) = path_cents(parent)
+    + cents(child))."""
+    from kickstarter_etl_pipeline_spark.operators.graph_queries import (
+        q_part_hierarchy_rollup,
+        q_recursive_cte_ancestor_paths,
+    )
+
+    walk = {
+        r["id"]: (r["depth"], r["path_cents"])
+        for r in q_recursive_cte_ancestor_paths(spark, sf_dir).collect()
+    }
+    closure_depth = {
+        r["p_partkey"]: r["depth"]
+        for r in q_part_hierarchy_rollup(spark, sf_dir).collect()
+    }
+    assert set(walk) == set(closure_depth) and walk
+    for pid, (d, _) in walk.items():
+        assert d == closure_depth[pid], pid
+
+    cents = {
+        r["id"]: r["cents"]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            F.col("p_partkey").cast("long").alias("id"),
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    for pid, (_, pc) in walk.items():
+        if pid == 0:
+            assert pc == cents[0]
+            continue
+        assert pc == walk[(pid - 1) // 4][1] + cents[pid], pid
+
+
+def test_pipe_syntax_equals_dataframe_api(spark, sf_dir):
+    """The pipe-dialect query must produce the exact rows of the same
+    computation through the DataFrame API — Catalyst lowers both to
+    the same logical plan, so any divergence is a dialect bug."""
+    from kickstarter_etl_pipeline_spark.plans.tpch_queries import (
+        q_pipe_syntax_pricing,
+    )
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["n_items"],
+            r["sum_qty"],
+            r["sum_disc_price"],
+        )
+        for r in q_pipe_syntax_pricing(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 10)
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["n_items"],
+            r["sum_qty"],
+            r["sum_disc_price"],
+        )
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
