@@ -1261,3 +1261,40 @@ def q_curation_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_sample"),
         )
     )
+
+
+def q_collated_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware dedup keys (Spark 4 string collations) — the
+    case-insensitive exact-dedup contract without materializing a
+    normalized copy of the corpus: per lang, the binary-
+    distinct vs UTF8_LCASE-collated-distinct text counts. Case
+    variance is SYNTHESIZED deterministically (odd doc_ids upper-
+    cased) because the fixture corpus is uniformly lowercase — without
+    it the two counts would coincide and the grade could not tell a
+    working collation from a no-op; with it, a broken collation
+    inflates n_ci_distinct and fails the hash. The dedup key is the
+    document's LEADING TOKEN (the fixture's ~30-word vocabulary
+    guarantees cross-parity collisions in every cell, so the collated
+    count is strictly below the binary one — non-vacuity pinned in
+    tests/test_r15_ops.py; full texts never collide per cell at
+    fixture SF, which would have made the grade vacuous). The DuckDB
+    twin lowers the varied key (the classic normalize-then-distinct),
+    so the grade proves the collated path EQUALS normalization
+    semantics while the plan shows what collation buys at 100 TB: the
+    distinct runs on the collation key directly — no second
+    normalized column to materialize and shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    varied = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 1, F.upper(first))
+        .otherwise(first)
+        .alias("varied"),
+    )
+    return varied.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("count(DISTINCT varied)").cast("long").alias("n_binary_distinct"),
+        F.expr("count(DISTINCT varied COLLATE UTF8_LCASE)")
+        .cast("long")
+        .alias("n_ci_distinct"),
+    )

@@ -144,6 +144,27 @@ ORACLES_R15["pipe_syntax_pricing"] = """
 """
 
 
+# FULL twin of q_collated_dedup_counts: the normalize-then-distinct
+# form the collated path must equal (lower() over the same
+# deterministically case-varied text).
+ORACLES_R15["collated_dedup_counts"] = """
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             string_split_regex(trim(text), '\\s+')[1] AS k
+      FROM documents),
+    varied AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 1 THEN upper(k) ELSE k END AS varied
+      FROM keyed)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT varied) AS BIGINT) AS n_binary_distinct,
+           CAST(count(DISTINCT lower(varied)) AS BIGINT) AS n_ci_distinct
+    FROM varied
+    GROUP BY 1
+"""
+
+
 # FULL twin of q_events_tws_evolved_totals (streaming/tws_recovery.py):
 # the two-phase replay resumes the phase-1 checkpoint with the state
 # schema WIDENED (n) → (n, s) under the Avro encoding, so for every

@@ -233,6 +233,7 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_bleu_overlap_report,
     q_phrase_search_hits,
     q_cohens_kappa_quality,
+    q_collated_dedup_counts,
 )
 
 from kickstarter_etl_pipeline_spark.qdefs_star_events import (  # noqa: F401 — registry surface
@@ -523,6 +524,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dpp_join_prune_agg": q_dpp_join_prune_agg,
     "recursive_cte_ancestor_paths": q_recursive_cte_ancestor_paths,
     "pipe_syntax_pricing": q_pipe_syntax_pricing,
+    "collated_dedup_counts": q_collated_dedup_counts,
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,

@@ -91,3 +91,22 @@ def test_pipe_syntax_equals_dataframe_api(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_collated_distinct_actually_discriminates(spark, sf_dir):
+    """The synthesized case variance must make the grade non-vacuous:
+    somewhere in the grid the collated distinct count is STRICTLY
+    below the binary one (a no-op collation would tie everywhere and
+    the oracle hash could not catch it), and the collated count always
+    bounds the binary count from below."""
+    from kickstarter_etl_pipeline_spark.operators.corpus_queries import (
+        q_collated_dedup_counts,
+    )
+
+    rows = q_collated_dedup_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_ci_distinct"] <= r["n_binary_distinct"] <= r["n_docs"]
+    assert any(r["n_ci_distinct"] < r["n_binary_distinct"] for r in rows), (
+        "case variance never collapsed a pair — the collation grade is vacuous"
+    )
