@@ -174,6 +174,18 @@ BENCH_QUERIES = [
     # two_phase_rank global order for the calibrated selection.
     # ~2.5 s min-of-3 probe at sf0.1 under loadavg ~2.3.
     "classifier_curation_manifest",
+    # round 15: the BPE trainer is a new driver-looped cost model —
+    # each of its 8 rounds runs a bounded-key pair aggregate over the
+    # word-frequency table + a 1-row argmax collect + a per-row string
+    # fold re-checkpoint, so its cost is rounds × (tiny-agg scheduling
+    # + vocab map), distinct from the classifier's corpus-sized epoch
+    # re-scans. The recursive CTE is the first UnionLoop plan in the
+    # registry (per-level frontier joins inside ONE query — engine-
+    # managed iteration vs the driver-managed loops above). Probes at
+    # sf0.1 (warm min-of-2): bpe 5.7 s (8 rounds x ~0.6 s of
+    # scheduling + the one corpus-sized v0 groupBy), recursive 2.4 s.
+    "bpe_train_merges",
+    "recursive_cte_ancestor_paths",
 ]
 
 

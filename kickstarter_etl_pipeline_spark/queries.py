@@ -510,15 +510,16 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
 # same-round all-registry signal is CERTIFY_r14.json
 # (python -m kickstarter_etl_pipeline_spark.certify).
 _QUERIES: dict[str, QueryFn] = {
-    # --- r14 WINDOW head: never-driver-graded round-14 additions
-    # (certified MATCH at sf0.001 AND sf0.01 on addition) lead the
-    # 50-slot window per the rotation contract. The three mid-round
-    # classifier-family additions displace the window's former tail
-    # (bpe_token_counts, corr_price_quantity, dedup_components — all
-    # CERTIFY_r13/r14 MATCH, r08 driver green) just below the fold;
-    # they lead the r15 fill. ---
-    # --- never-driver-graded round-15 additions (rotation rule:
-    # never-graded first) ---
+    # --- r15 WINDOW head: the seven never-driver-graded round-15
+    # additions (each certified MATCH at sf0.001 AND sf0.01 on
+    # addition: bpe_train_merges, bpe_tokenized_stats,
+    # dpp_join_prune_agg, recursive_cte_ancestor_paths,
+    # pipe_syntax_pricing, collated_dedup_counts,
+    # events_tws_evolved_totals — the last sits with its TWS family
+    # a few entries down) lead the 50-slot window per the rotation
+    # contract, followed by the never-graded r14 additions. The seven
+    # entries they push below the fold all hold CERTIFY_r14/r15 MATCH
+    # grades (see the close-tree CERTIFY artifact). ---
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_tokenized_stats": q_bpe_tokenized_stats,
     "dpp_join_prune_agg": q_dpp_join_prune_agg,
