@@ -1,4 +1,6 @@
-"""Round-15 DuckDB oracle twins.
+"""Late round-14 DuckDB oracle twins (the "r15" ledger label —
+the r14 ledger was sealed by the mid-round CERTIFY_r14 artifacts;
+these entries are graded by the r14 window).
 
 Same contract as every other ledger: each entry is the ANSI-SQL twin
 of the identically-named ``queries()`` entry, producing IDENTICAL
@@ -28,7 +30,7 @@ def _bpe_train_cte(rounds: int = 8) -> str:
     """The shared WITH chain: toks → v0 (word-frequency table, each
     word as a space-joined symbol string, carrying the word itself so
     the tokenized-stats tail can join the corpus back to its
-    tokenization) → per round r: p{r}/b{r}/v{r}/m{r}. Both round-15
+    tokenization) → per round r: p{r}/b{r}/v{r}/m{r}. Both late-r14
     BPE twins append their tails to THIS chain (the _bt_oracle_cte
     reuse discipline: a drifting constituent fails both loudly)."""
     head = """

@@ -510,16 +510,18 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
 # same-round all-registry signal is CERTIFY_r14.json
 # (python -m kickstarter_etl_pipeline_spark.certify).
 _QUERIES: dict[str, QueryFn] = {
-    # --- r15 WINDOW head: the seven never-driver-graded round-15
-    # additions (each certified MATCH at sf0.001 AND sf0.01 on
-    # addition: bpe_train_merges, bpe_tokenized_stats,
+    # --- r14 WINDOW head: the seven LATE round-14 additions (second
+    # continuation session; each certified MATCH at sf0.001 AND
+    # sf0.01 on addition: bpe_train_merges, bpe_tokenized_stats,
     # dpp_join_prune_agg, recursive_cte_ancestor_paths,
     # pipe_syntax_pricing, collated_dedup_counts,
     # events_tws_evolved_totals — the last sits with its TWS family
-    # a few entries down) lead the 50-slot window per the rotation
-    # contract, followed by the never-graded r14 additions. The seven
-    # entries they push below the fold all hold CERTIFY_r14/r15 MATCH
-    # grades (see the close-tree CERTIFY artifact). ---
+    # a few entries down) lead the 50-slot window per the
+    # never-graded-first rule, followed by the earlier r14 additions.
+    # (Their oracles live in the oracles_r15.py ledger because the
+    # r14 ledger was sealed by the mid-round CERTIFY_r14 artifacts.)
+    # The seven entries they push below the fold all hold
+    # CERTIFY_r14 MATCH grades plus the close-tree CERTIFY refresh. ---
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_tokenized_stats": q_bpe_tokenized_stats,
     "dpp_join_prune_agg": q_dpp_join_prune_agg,
