@@ -167,6 +167,31 @@ ORACLES_R15["collated_dedup_counts"] = """
 """
 
 
+# FULL twin of q_events_stream_state_split (streaming/state_inspect.py):
+# append-mode emission replay — a window row is 'emitted' iff its end
+# is at or below the global watermark (ms-truncated max event time −
+# 1 h, the events_stream_hourly_daily convention), else it is still
+# held in the state store and surfaces through the State Data Source
+# as 'open'. Both sides carry the same batch aggregate values, so a
+# lost state row, a phantom emission, or a watermark drift each fails
+# the hash.
+ORACLES_R15["events_stream_state_split"] = """
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+    wm AS (SELECT CAST(floor(max(us) / 1000) AS BIGINT) - 3600000 AS wm_ms
+           FROM e),
+    hourly AS (
+      SELECT date_trunc('hour', make_timestamp(us)) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM e GROUP BY 1, 2)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+           n_events, sum_value,
+           CASE WHEN epoch_ms(h + INTERVAL 1 HOUR) <= wm_ms
+                THEN 'emitted' ELSE 'open' END AS phase
+    FROM hourly, wm
+"""
+
+
 # FULL twin of q_events_tws_evolved_totals (streaming/tws_recovery.py):
 # the two-phase replay resumes the phase-1 checkpoint with the state
 # schema WIDENED (n) → (n, s) under the Avro encoding, so for every

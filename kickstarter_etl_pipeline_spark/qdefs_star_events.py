@@ -917,3 +917,22 @@ def q_events_tws_evolved_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tws_evolved_totals(spark, sf_dir)
+
+
+def q_events_stream_state_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store OBSERVABILITY as a GRADED surface (Spark 4 State
+    Data Source): run the append-mode watermarked tumbling
+    aggregation, then emit every window exactly once tagged by where
+    it lives — 'emitted' from the exactly-once parquet sink, 'open'
+    read DIRECTLY from the checkpoint's state store
+    (streaming/state_inspect.py). The oracle replays the append-mode
+    watermark split (window end ≤ ms-truncated max event time − 1 h),
+    so a lost state row, a phantom emission, or a watermark drift
+    each fails the hash — the production liveness probe (bounded
+    state ≈ open windows, inspected without stopping the stream),
+    hash-graded."""
+    from kickstarter_etl_pipeline_spark.streaming.state_inspect import (
+        tumbling_state_split,
+    )
+
+    return tumbling_state_split(spark, sf_dir)

@@ -265,6 +265,7 @@ from kickstarter_etl_pipeline_spark.qdefs_star_events import (  # noqa: F401 —
     q_user_triangle_counts,
     q_events_asof_purchase_click,
     q_events_stateful_sessions,
+    q_events_stream_state_split,
     q_events_tws_evolved_totals,
     q_events_tws_restart_totals,
     q_events_tws_sessions,
@@ -442,6 +443,7 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
     "events_stream_tumbling",
     "events_stream_unattributed",
     "events_stream_upsert",
+    "events_stream_state_split",
     "events_tws_evolved_totals",
     "events_tws_restart_totals",
     "events_tws_sessions",
@@ -531,6 +533,7 @@ _QUERIES: dict[str, QueryFn] = {
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,
+    "events_stream_state_split": q_events_stream_state_split,
     "events_tws_evolved_totals": q_events_tws_evolved_totals,
     "events_tws_restart_totals": q_events_tws_restart_totals,
     "events_tws_ttl_counts": q_events_tws_ttl_counts,
