@@ -110,3 +110,54 @@ def test_collated_distinct_actually_discriminates(spark, sf_dir):
     assert any(r["n_ci_distinct"] < r["n_binary_distinct"] for r in rows), (
         "case variance never collapsed a pair — the collation grade is vacuous"
     )
+
+
+def test_aqe_skew_join_splits_and_preserves_results(spark):
+    """AQE's runtime skew-join handling — the engine-level complement
+    to the manually salted join (skew_salted_join): with one key
+    holding ~90% of a 200k-row side, the executed plan must carry a
+    skew=true sort-merge join (OptimizeSkewedJoin split the hot
+    partition at RUNTIME from shuffle statistics), and the aggregate
+    must equal the AQE-off run bit-exactly — the split is a physical
+    re-plan, never a semantic one."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+
+    def run(child):
+        left = child.range(0, 200000).select(
+            F.when(F.col("id") % 100 < 90, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = child.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        return (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    aqe_on = run(isolated_session(spark, {"spark.sql.adaptive.enabled": "true", **skew_confs}))
+    row_on = aqe_on.collect()[0]
+    plan = aqe_on._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"skew=true", plan), plan[:1500]
+
+    aqe_off = run(isolated_session(spark, {"spark.sql.adaptive.enabled": "false", **skew_confs}))
+    row_off = aqe_off.collect()[0]
+    assert (row_on["n"], row_on["s"]) == (row_off["n"], row_off["s"])
+    assert row_on["n"] == 200000
