@@ -1298,3 +1298,21 @@ def q_collated_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ci_distinct"),
     )
+
+
+def q_documents_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-dup detection as a GRADED surface (the ingest-time
+    dedup pattern): odd-id documents STREAM against a static
+    MinHash-LSH index of the even-id corpus; every (new, indexed) pair
+    with exact Jaccard ≥ 0.8 is emitted from a fully STATELESS
+    streaming pipeline — per-band bucket joins, a first-matching-band
+    expression instead of a stateful distinct, and per-row exact
+    verification via array_intersect (operators/dedup.py
+    stream_near_dup_pairs). The twin is the exact even↔odd pair scan
+    at the same threshold (banding recall ≈ 1 at 0.8, the
+    minhash_dedup_pairs S-curve bound), so a missed candidate, a
+    double-counted band, or a drifted verification each fails the
+    hash."""
+    from kickstarter_etl_pipeline_spark.operators.dedup import stream_near_dup_pairs
+
+    return stream_near_dup_pairs(spark, sf_dir, threshold=0.8)

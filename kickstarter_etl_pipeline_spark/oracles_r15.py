@@ -167,6 +167,36 @@ ORACLES_R15["collated_dedup_counts"] = """
 """
 
 
+# FULL twin of q_documents_stream_near_dup: the exact even↔odd pair
+# scan at threshold 0.8 — the streamed LSH+verify pipeline equals it
+# because banding recall ≈ 1 at 0.8 (the minhash_dedup_pairs S-curve
+# bound; same jaccard snap and shingle derivation).
+ORACLES_R15["documents_stream_near_dup"] = """
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+             FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(n_common / (sa.n + sb.n - n_common) * 1000000 + 0.5)
+            / 1000000.0 >= 0.8
+"""
+
+
 # FULL twin of q_events_stream_state_split (streaming/state_inspect.py):
 # append-mode emission replay — a window row is 'emitted' iff its end
 # is at or below the global watermark (ms-truncated max event time −

@@ -234,6 +234,7 @@ from kickstarter_etl_pipeline_spark.operators.corpus_queries import (  # noqa: F
     q_phrase_search_hits,
     q_cohens_kappa_quality,
     q_collated_dedup_counts,
+    q_documents_stream_near_dup,
 )
 
 from kickstarter_etl_pipeline_spark.qdefs_star_events import (  # noqa: F401 — registry surface
@@ -430,6 +431,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: tests/test_certify_shard.py::test_streaming_tier_matches_name_heuristic.
 STREAMING_QUERIES: frozenset[str] = frozenset({
     "documents_stream_classifier_scores",
+    "documents_stream_near_dup",
     "events_stateful_sessions",
     "events_stateful_timeout_sessions",
     "events_stream_conversions",
@@ -534,6 +536,7 @@ _QUERIES: dict[str, QueryFn] = {
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,
     "events_stream_state_split": q_events_stream_state_split,
+    "documents_stream_near_dup": q_documents_stream_near_dup,
     "events_tws_evolved_totals": q_events_tws_evolved_totals,
     "events_tws_restart_totals": q_events_tws_restart_totals,
     "events_tws_ttl_counts": q_events_tws_ttl_counts,

@@ -161,3 +161,79 @@ def test_aqe_skew_join_splits_and_preserves_results(spark):
     row_off = aqe_off.collect()[0]
     assert (row_on["n"], row_on["s"]) == (row_off["n"], row_off["s"])
     assert row_on["n"] == 200000
+
+
+def test_let_bound_shingle_expr_matches_reference(spark, sf_dir):
+    """The streaming side's single let-bound expression must produce
+    byte-identical shingle sets AND bucket vectors to the batch
+    machinery (with_shingles → minhash_signature → banding) for every
+    document — this is what keeps the stream and the LSH index in one
+    hash universe. (The first cut of the expression lost an escaping
+    level and tokenized on the letter 's'; this pin would have caught
+    it before certify did.)"""
+    from kickstarter_etl_pipeline_spark.operators.dedup import (
+        _shingles_sig_buckets_expr,
+        minhash_signature,
+        with_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    ref = (
+        with_shingles(docs, "text", "_sh", 3)
+        .withColumn("sig", minhash_signature("_sh", 64))
+        .select("doc_id", "_sh", "sig")
+        .localCheckpoint(eager=True)
+    )
+    band_args = ", ".join(f"element_at(sig, b * 4 + {r + 1})" for r in range(4))
+    ref_b = ref.select(
+        "doc_id",
+        F.col("_sh").alias("sh_ref"),
+        F.expr(f"transform(sequence(0, 15), b -> xxhash64({band_args}))").alias(
+            "b_ref"
+        ),
+    )
+    new = docs.select(
+        "doc_id", _shingles_sig_buckets_expr().alias("_st")
+    ).select(
+        "doc_id",
+        F.col("_st.sh").alias("sh_new"),
+        F.col("_st.buckets").alias("b_new"),
+    )
+    joined = ref_b.join(new, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["sh_new"] == r["sh_ref"], r["doc_id"]
+        assert r["b_new"] == r["b_ref"], r["doc_id"]
+
+
+def test_stream_near_dup_degenerate_docs(spark, tmp_path):
+    """Short docs (< 3 tokens) share the NULL-signature bucket vector;
+    without the empty-shingle guard their collisions divide by zero
+    under ANSI mode (caught live at certify). They must be silently
+    excluded while real near-dups still surface, and a pair colliding
+    in many bands must appear exactly ONCE (the first-matching-band
+    dedup)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "en", "s0", len(base)),           # index side
+        (1, base, "en", "s0", len(base)),           # stream side: exact dup
+        (2, "hi", "en", "s0", 2),                    # index, degenerate
+        (3, "yo", "en", "s0", 2),                    # stream, degenerate
+        (5, "unrelated words entirely different text here now", "en", "s0", 10),
+    ]
+    import glob
+    import shutil
+
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "_stage"))
+    # single FILE named documents.parquet, matching the fixture layout
+    # (the stream reader's pathGlobFilter matches file names)
+    (part,) = glob.glob(str(tmp_path / "_stage" / "part-*.parquet"))
+    shutil.copy(part, str(tmp_path / "documents.parquet"))
+
+    from kickstarter_etl_pipeline_spark.operators.dedup import stream_near_dup_pairs
+
+    got = stream_near_dup_pairs(spark, str(tmp_path), threshold=0.8).collect()
+    pairs = [(r["id_a"], r["id_b"], r["jaccard"]) for r in got]
+    assert pairs == [(1, 0, 1.0)], pairs
