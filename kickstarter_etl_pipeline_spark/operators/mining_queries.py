@@ -567,6 +567,47 @@ def q_bpe_tokenized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third composed BPE unit — train → tokenize → PACK: fit the
+    8 merge rules (_bpe_fit, the IDENTICAL loop grading
+    bpe_train_merges), size every document in LEARNED-tokenizer
+    tokens (broadcast vocab lookup; sub-2-char words count 1 symbol),
+    then run the concat-and-split packing rule (the pack_sequences
+    regime — per-source streams, 128-token context windows, no
+    padding) under those counts. Real pretraining pipelines pack by
+    the production tokenizer's counts, not whitespace — this is that
+    pipeline as ONE graded query: (doc, source, BPE token count,
+    window id, offset, boundary-span flag) per document.
+
+    Scale: the fit is _bpe_fit's posture; sizing is one broadcast
+    hash-join + a map-side-combined per-doc sum; packing is one
+    shuffle on the shard key + an in-shard running sum (shards are
+    the parallelism unit, as in pack_sequences)."""
+    vocab, _ = _bpe_fit(spark, sf_dir, rounds=8)
+    lut = F.broadcast(
+        vocab.select("w", F.size(F.split("seq", " ")).cast("long").alias("_bt"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sized = (
+        docs.select("doc_id", "source", F.explode(TX.tokens("text")).alias("w"))
+        .join(lut, "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.coalesce("_bt", F.lit(1).cast("long"))).cast("long").alias("n_bpe_tokens"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_bpe_tokens").over(w)
+    start = (cum - F.col("n_bpe_tokens")).cast("long")
+    bin_id = F.floor(start / 128)
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_bpe_tokens",
+        bin_id.alias("bin_id"),
+        (start % 128).alias("bin_offset"),
+        (F.floor((cum - 1) / 128) > bin_id).alias("spans_boundary"),
+    )
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retriever-training data mining: for each anchor (vec_id < 20),
     the top-3 DIFFERENT-label neighbors by cosine — the classic hard

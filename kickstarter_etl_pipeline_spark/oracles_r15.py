@@ -112,6 +112,39 @@ def _bpe_stats_oracle_sql(rounds: int = 8) -> str:
 ORACLES_R15["bpe_tokenized_stats"] = _bpe_stats_oracle_sql()
 
 
+# FULL twin of q_bpe_pack_manifest — the third composed BPE unit.
+# The 8 training rounds come verbatim from _bpe_train_cte; the tail
+# sizes every document in learned-tokenizer tokens (per-token join to
+# v8; sub-2-char words count 1 symbol via the LEFT join coalesce) and
+# replays the concat-and-split packing rule (the pack_sequences
+# window arithmetic) under those counts.
+def _bpe_pack_oracle_sql(rounds: int = 8) -> str:
+    return _bpe_train_cte(rounds) + f""",
+    dw AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents),
+    sized AS (
+      SELECT doc_id, any_value(source) AS source,
+             CAST(sum(coalesce(len(string_split(v.seq, ' ')), 1)) AS BIGINT)
+               AS n_bpe_tokens
+      FROM dw LEFT JOIN v{rounds} v USING (w)
+      GROUP BY doc_id),
+    c AS (
+      SELECT *, sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sized)
+    SELECT doc_id, source, n_bpe_tokens,
+           CAST(floor((cum - n_bpe_tokens) / 128) AS BIGINT) AS bin_id,
+           CAST((cum - n_bpe_tokens) % 128 AS BIGINT) AS bin_offset,
+           floor((cum - 1) / 128) > floor((cum - n_bpe_tokens) / 128)
+             AS spans_boundary
+    FROM c"""
+
+
+ORACLES_R15["bpe_pack_manifest"] = _bpe_pack_oracle_sql()
+
+
 # FULL twin of q_recursive_cte_ancestor_paths: the IDENTICAL recursive
 # SQL (modulo the view name and DuckDB's `//` for DIV) — both engines
 # run genuine recursion over the same deterministic 4-ary taxonomy.

@@ -330,6 +330,7 @@ from kickstarter_etl_pipeline_spark.operators.mining_queries import (  # noqa: F
     q_winnowing_fingerprints,
     q_bloom_prefiltered_join,
     q_bpe_merge_candidates,
+    q_bpe_pack_manifest,
     q_bpe_tokenized_stats,
     q_bpe_train_merges,
     q_hard_negative_mining,
@@ -528,6 +529,7 @@ _QUERIES: dict[str, QueryFn] = {
     # CERTIFY_r14 MATCH grades plus the close-tree CERTIFY refresh. ---
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_tokenized_stats": q_bpe_tokenized_stats,
+    "bpe_pack_manifest": q_bpe_pack_manifest,
     "dpp_join_prune_agg": q_dpp_join_prune_agg,
     "recursive_cte_ancestor_paths": q_recursive_cte_ancestor_paths,
     "pipe_syntax_pricing": q_pipe_syntax_pricing,

@@ -415,3 +415,41 @@ def test_bpe_tokenized_stats_consistent_with_training(spark, sf_dir):
         assert r["fertility_micro"] >= 1_000_000
         assert r["n_chars"] >= r["bpe_tokens"]
         assert r["compression_micro"] <= 1_000_000
+
+
+def test_bpe_pack_consistent_with_family(spark, sf_dir):
+    """The pack unit must agree with its siblings: the corpus total of
+    learned-tokenizer tokens equals the trainer's final symbols_after
+    plus one symbol per sub-2-char token (the fallback the trainer's
+    length filter excludes), offsets stay inside the 128-token window,
+    and bin ids
+    are monotone in doc order within every source."""
+    from collections import defaultdict
+
+    from kickstarter_etl_pipeline_spark.queries import (
+        q_bpe_pack_manifest,
+        q_bpe_train_merges,
+    )
+
+    from pyspark.sql import functions as F
+
+    merges = q_bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    rows = q_bpe_pack_manifest(spark, sf_dir).collect()
+    short = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") < 2)
+        .count()
+    )
+    assert (
+        sum(r["n_bpe_tokens"] for r in rows)
+        == merges[-1]["symbols_after"] + short
+    )
+    per_source = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["bin_offset"] < 128
+        per_source[r["source"]].append((r["doc_id"], r["bin_id"]))
+    for docs in per_source.values():
+        docs.sort()
+        bins = [b for _, b in docs]
+        assert bins == sorted(bins)
