@@ -200,6 +200,22 @@ ORACLES_R15["collated_dedup_counts"] = """
 """
 
 
+# FULL twin of q_events_tws_state_at_rest: the state store after a
+# half-A-only run holds exactly the half-A per-user fold, so the twin
+# is the batch aggregate below the integer-µs midpoint cut (same cut
+# arithmetic / 4dp snap as the restart twin).
+ORACLES_R15["events_tws_state_at_rest"] = """
+    WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+    c AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(sum(value), 4) AS sum_value
+    FROM e, c
+    WHERE us <= cut
+    GROUP BY user_id
+"""
+
+
 # FULL twin of q_documents_stream_near_dup: the exact even↔odd pair
 # scan at threshold 0.8 — the streamed LSH+verify pipeline equals it
 # because banding recall ≈ 1 at 0.8 (the minhash_dedup_pairs S-curve

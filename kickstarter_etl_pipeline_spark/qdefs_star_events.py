@@ -936,3 +936,19 @@ def q_events_stream_state_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tumbling_state_split(spark, sf_dir)
+
+
+def q_events_tws_state_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CUSTOM state read at rest as a GRADED surface: the
+    RestartTotalsProcessor's ValueState, read straight out of the
+    RocksDB checkpoint via the State Data Source's ``stateVarName``
+    option after a half-A-only run (streaming/tws_recovery.py
+    tws_state_at_rest) — per-user (count, value-sum) must equal the
+    batch aggregate over half A. Completes the state-observability
+    pair: events_stream_state_split reads a windowed-aggregation
+    store; this reads user-defined StatefulProcessor state."""
+    from kickstarter_etl_pipeline_spark.streaming.tws_recovery import (
+        tws_state_at_rest,
+    )
+
+    return tws_state_at_rest(spark, sf_dir)

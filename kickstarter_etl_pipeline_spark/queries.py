@@ -268,6 +268,7 @@ from kickstarter_etl_pipeline_spark.qdefs_star_events import (  # noqa: F401 —
     q_events_stateful_sessions,
     q_events_stream_state_split,
     q_events_tws_evolved_totals,
+    q_events_tws_state_at_rest,
     q_events_tws_restart_totals,
     q_events_tws_sessions,
     q_events_tws_timeout_sessions,
@@ -448,6 +449,7 @@ STREAMING_QUERIES: frozenset[str] = frozenset({
     "events_stream_upsert",
     "events_stream_state_split",
     "events_tws_evolved_totals",
+    "events_tws_state_at_rest",
     "events_tws_restart_totals",
     "events_tws_sessions",
     "events_tws_timeout_sessions",
@@ -540,6 +542,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_stream_state_split": q_events_stream_state_split,
     "documents_stream_near_dup": q_documents_stream_near_dup,
     "events_tws_evolved_totals": q_events_tws_evolved_totals,
+    "events_tws_state_at_rest": q_events_tws_state_at_rest,
     "events_tws_restart_totals": q_events_tws_restart_totals,
     "events_tws_ttl_counts": q_events_tws_ttl_counts,
     "preference_dataset_manifest": q_preference_dataset_manifest,

@@ -384,3 +384,66 @@ def tws_ttl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, TtlCounterProcessor, TTL_SCHEMA,
         time_mode="processingTime",
     )
+
+
+def tws_state_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM StatefulProcessor state read AT REST (Spark 4 State Data
+    Source + ``stateVarName``): run the restart device's phase 1 only
+    (half A through the RestartTotalsProcessor fold), then read the
+    typed ``ns`` ValueState DIRECTLY from the RocksDB checkpoint — no
+    query running, no emission path. Per user active in half A the
+    store must hold exactly the half-A (count, value-sum), which is
+    what the batch twin replays: a state row lost, doubled, or
+    mis-typed fails the hash. This is the TWS complement of
+    events_stream_state_split (which reads a windowed-AGGREGATION
+    store): same reader, user-defined typed state."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires a google.protobuf runtime; "
+            "neither the real package nor the vendored shim is importable."
+        )
+    _export_worker_pythonpath(spark)
+    from kickstarter_etl_pipeline_spark.operators.partitioning import (
+        isolated_session,
+    )
+
+    child = isolated_session(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    src, _staged_b, _n_a, _n_b = _split_events_by_midpoint(child, sf_dir)
+    root = run_scratch_dir("ks_tws_atrest_")
+    checkpoint = os.path.join(root, "ckpt")
+    out_dir = os.path.join(root, "out")
+    stream = read_events_raw_stream(child, src, glob="*.parquet")
+    folded = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RestartTotalsProcessor(),
+        outputStructType=RESTART_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    query = (
+        folded.writeStream.foreachBatch(
+            lambda batch_df, _bid: batch_df.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    st = (
+        child.read.format("statestore")
+        .option("stateVarName", "ns")
+        .load(checkpoint)
+    )
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.n").alias("n_total"),
+        F.round(F.col("value.s"), 4).alias("sum_value"),
+    )

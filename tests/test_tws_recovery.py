@@ -118,3 +118,31 @@ def test_state_schema_evolution_across_restart(spark):
     assert any(
         n_total > ev_counts[u] for u, (n_total, _) in got.items()
     ), "no user carried phase-1 state through the evolution — vacuous"
+
+
+def test_state_at_rest_equals_half_a_fold(spark):
+    """Reading the typed ValueState straight from the checkpoint after
+    a half-A-only run must reproduce the half-A batch fold exactly —
+    and the store must hold NO user absent from half A."""
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+    from kickstarter_etl_pipeline_spark.streaming.tws_recovery import (
+        tws_state_at_rest,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    row = ev.select(F.min(us).alias("mn"), F.max(us).alias("mx")).first()
+    cut = (int(row["mn"]) + int(row["mx"])) // 2
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.withColumn("_us", us)
+        .filter(F.col("_us") <= cut)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_total"], r["sum_value"])
+        for r in tws_state_at_rest(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
