@@ -200,6 +200,34 @@ ORACLES_R15["collated_dedup_counts"] = """
 """
 
 
+# FULL twin of q_lateral_topn_orders: the IDENTICAL lateral SQL —
+# both engines run a genuine correlated LATERAL with ORDER+LIMIT.
+ORACLES_R15["lateral_topn_orders"] = """
+    SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_orderpriority = p.o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l
+"""
+
+
+# FULL twin of q_sql_scripting_rollup: the scripting block's session
+# variable inlined as a scalar subquery — the cutoff is an
+# exactly-stored double (100th highest price), so the strict
+# inequality partitions rows identically in both engines.
+ORACLES_R15["sql_scripting_rollup"] = """
+    WITH c AS (SELECT o_totalprice AS cutoff FROM orders
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 1 OFFSET 99)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+             AS DOUBLE) AS total_above
+    FROM orders, c WHERE o_totalprice > cutoff
+    GROUP BY o_orderpriority
+"""
+
+
 # FULL twin of q_events_tws_state_at_rest: the state store after a
 # half-A-only run holds exactly the half-A per-user fold, so the twin
 # is the batch aggregate below the integer-µs midpoint cut (same cut

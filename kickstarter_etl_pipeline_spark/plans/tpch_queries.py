@@ -634,3 +634,50 @@ def q_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, n_items, sum_qty, sum_disc_price
         """
     )
+
+
+def q_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): per order
+    priority, the top-3 orders by (price DESC, key) — the classic
+    per-group top-k expressed as a lateral join instead of a window
+    (Catalyst rewrites it to a correlated join; on a 100 TB fact the
+    window/two_phase_rank form is the scale path and is separately
+    graded — this grades the DIALECT, with the DuckDB twin running
+    the IDENTICAL lateral SQL). Deterministic via the total order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+        SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+        FROM (SELECT DISTINCT o_orderpriority FROM orders_lat_v) p,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+                 WHERE o.o_orderpriority = p.o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l
+        """
+    )
+
+
+def q_sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 BEGIN/DECLARE/SET blocks) as a graded
+    surface: a session variable is computed from one query (the 100th
+    highest order price — an exactly-stored double, so no IEEE-avg
+    drift between engines) and parameterizes the next (per-priority
+    rollup of strictly-pricier orders). The DuckDB twin inlines the
+    same scalar as a subquery, so the grade proves the scripting
+    block's variable plumbing changes nothing semantically."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_scr_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE;
+          SET cutoff = (SELECT o_totalprice FROM orders_scr_v
+                        ORDER BY o_totalprice DESC, o_orderkey
+                        LIMIT 1 OFFSET 99);
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_above,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_above
+          FROM orders_scr_v WHERE o_totalprice > cutoff
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -45,6 +45,8 @@ from kickstarter_etl_pipeline_spark.plans.tpch_queries import (  # noqa: F401 â€
     q_q10_returned_items,
     q_q13_order_count_distribution,
     q_pipe_syntax_pricing,
+    q_lateral_topn_orders,
+    q_sql_scripting_rollup,
 )
 
 from kickstarter_etl_pipeline_spark.operators.analytics_queries import (  # noqa: F401 â€” registry surface
@@ -536,6 +538,8 @@ _QUERIES: dict[str, QueryFn] = {
     "recursive_cte_ancestor_paths": q_recursive_cte_ancestor_paths,
     "pipe_syntax_pricing": q_pipe_syntax_pricing,
     "collated_dedup_counts": q_collated_dedup_counts,
+    "lateral_topn_orders": q_lateral_topn_orders,
+    "sql_scripting_rollup": q_sql_scripting_rollup,
     "quality_perceptron_trajectory": q_quality_perceptron_trajectory,
     "classifier_curation_manifest": q_classifier_curation_manifest,
     "documents_stream_classifier_scores": q_documents_stream_classifier_scores,

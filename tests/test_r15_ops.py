@@ -237,3 +237,69 @@ def test_stream_near_dup_degenerate_docs(spark, tmp_path):
     got = stream_near_dup_pairs(spark, str(tmp_path), threshold=0.8).collect()
     pairs = [(r["id_a"], r["id_b"], r["jaccard"]) for r in got]
     assert pairs == [(1, 0, 1.0)], pairs
+
+
+def test_lateral_topn_equals_window_form(spark, sf_dir):
+    """The lateral per-group top-3 must equal the window-rank form —
+    dialect equivalence inside ONE engine (the cross-engine half is
+    the oracle)."""
+    from pyspark.sql import Window
+
+    from kickstarter_etl_pipeline_spark.plans.tpch_queries import (
+        q_lateral_topn_orders,
+    )
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    got = {
+        (r["o_orderpriority"], r["o_orderkey"], r["o_totalprice"])
+        for r in q_lateral_topn_orders(spark, sf_dir).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r["o_orderpriority"], r["o_orderkey"], r["o_totalprice"])
+        for r in load_table(spark, sf_dir, "orders")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_sql_scripting_variable_matches_inline_scalar(spark, sf_dir):
+    """The scripted session variable must change nothing semantically:
+    the scripted rollup equals the scalar-subquery form row-exactly,
+    and the cutoff actually cuts (some order is excluded)."""
+    from kickstarter_etl_pipeline_spark.plans.tpch_queries import (
+        q_sql_scripting_rollup,
+    )
+    from kickstarter_etl_pipeline_spark.sources.readers import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_above"], r["total_above"])
+        for r in q_sql_scripting_rollup(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .orderBy(F.asc("o_totalprice"))
+        .limit(1)
+        .collect()[0]["o_totalprice"]
+    )
+    want = {
+        r["o_orderpriority"]: (r["n"], r["t"])
+        for r in orders.filter(F.col("o_totalprice") > cutoff)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) == 99  # 100th row itself is cut
