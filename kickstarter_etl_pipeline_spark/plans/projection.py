@@ -331,7 +331,11 @@ def main() -> None:
             # fixture's ~40-word vocabulary saturates the shingle
             # space? measured, not assumed) + one iterative-graph rep.
             "curation_pack_manifest,preference_dataset_manifest,"
-            "jaccard_prefix_join,ngram_jaccard_pairs,graph_pagerank"
+            "jaccard_prefix_join,ngram_jaccard_pairs,graph_pagerank,"
+            # late-r14 families: the BPE trainer (Heaps'-law vocab —
+            # its loop cost must stay flat while the v0 groupBy scan
+            # grows) and its packing composition.
+            "bpe_train_merges,bpe_pack_manifest"
         ),
     )
     args = ap.parse_args()
