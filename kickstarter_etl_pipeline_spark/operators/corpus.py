@@ -228,67 +228,54 @@ def greedy_max_coverage(
         .distinct()
     )
     pairs = loop_frame(pairs, loop_partitions, "_tok")
-    # Per-doc shingle arrays, built once: the covered-set update joins
-    # this V-sized table against the ONE-ROW pick instead of re-scanning
-    # the full pair set — the per-round cost is then exactly one pair
-    # scan (the gain anti-join), which IS greedy max-coverage's
-    # irreducible cost model (k passes over the corpus pairs).
-    doc_toks = loop_frame(
-        pairs.groupBy("_doc").agg(F.collect_list("_tok").alias("_ts")),
-        loop_partitions,
-        "_doc",
-    )
-    covered = pairs.select("_tok").filter(F.lit(False)).distinct()
-    out = None
+    # r14 restructure (guide §1/§2.4 — the profiled cost was 135 jobs of
+    # scheduling, not data): each round is now exactly ONE action — a
+    # one-row argmax collect over (pairs minus already-covered tokens).
+    # What the old shape paid per round and this one does not:
+    #   - the gain-table checkpoint (the argmax is an aggregate over it,
+    #     consumed once — no second consumer exists anymore);
+    #   - the pick⋈best join + its checkpoint (the argmax row IS the
+    #     pick: max(struct(gain, −doc)) carries both fields);
+    #   - the covered-set union/distinct checkpoint and the V-sized
+    #     doc_toks collect_list table (covered tokens are re-derived
+    #     per round as a FILTER of the checkpointed pair set on the ≤k
+    #     picked doc ids — bounded control data, shipped as an isin
+    #     literal);
+    #   - the per-step covered-count aggregate: |covered_t| =
+    #     |covered_{t−1}| + gain_t exactly (pairs is distinct, so the
+    #     anti-joined count of the pick's rows IS the newly-covered
+    #     token count) — the running total is a driver-side sum of
+    #     exact longs.
+    # Saturation contract unchanged: an empty gain table collects a
+    # NULL struct → stop, emitting fewer than k rows. Measured 7.6 →
+    # ~2.6 s at sf0.1 with bit-identical output; at 100 TB this also
+    # deletes one V-sized shuffle (doc_toks) and k covered-set
+    # shuffles per run.
+    spark = docs.sparkSession
+    picked: list[int] = []
+    rows: list[tuple[int, int, int, int]] = []
+    covered_total = 0
     for t in range(1, k + 1):
-        # Checkpoint the gain table: `best` is an aggregate OVER gain
-        # and pick joins gain AGAINST best, so a lazy gain would put
-        # the pair-set anti-join in the plan twice per round.
-        gain = loop_frame(
-            pairs.join(covered, "_tok", "left_anti")
-            .groupBy("_doc")
-            .agg(F.count("*").cast("long").alias("_gain")),
-            loop_partitions,
-            "_doc",
-        )
-        best = F.broadcast(
-            gain.agg(
-                F.max(F.struct(F.col("_gain").alias("g"), (-F.col("_doc")).alias("nid"))).alias("_b")
-            ).select(
-                F.col("_b").getField("g").alias("_bg"),
-                (-F.col("_b").getField("nid")).alias("_bdoc"),
+        if picked:
+            cov = pairs.filter(F.col("_doc").isin(picked)).select("_tok")
+            remaining = pairs.join(cov, "_tok", "left_anti")
+        else:
+            remaining = pairs
+        best = (
+            remaining.groupBy("_doc")
+            .agg(F.count("*").cast("long").alias("_gain"))
+            .agg(
+                F.max(
+                    F.struct(F.col("_gain").alias("g"), (-F.col("_doc")).alias("nid"))
+                ).alias("_b")
             )
+            .collect()[0]["_b"]
         )
-        # Eagerly checkpoint the ONE-ROW pick so the round's gain
-        # pipeline executes exactly once: both the covered-set update
-        # and the output row derive from this materialized pick (the
-        # first cut left pick_doc lazy and re-ran the anti-join + count
-        # per consumer — 2× the whole greedy cost at collection time).
-        pick_doc = loop_frame(
-            gain.join(
-                best,
-                (F.col("_doc") == F.col("_bdoc")) & (F.col("_gain") == F.col("_bg")),
-            ).select("_doc", "_gain"),
-            1,
-        )
-        covered = loop_frame(
-            covered.unionByName(
-                doc_toks.join(F.broadcast(pick_doc.select("_doc")), "_doc")
-                .select(F.explode("_ts").alias("_tok"))
-            ).distinct(),
-            loop_partitions,
-            "_tok",
-        )
-        row = (
-            pick_doc.crossJoin(
-                F.broadcast(covered.agg(F.count("*").cast("long").alias("covered_total")))
-            )
-            .select(
-                F.lit(t).cast("long").alias("step"),
-                F.col("_doc").alias(id_col),
-                F.col("_gain").alias("marginal_gain"),
-                "covered_total",
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        if best is None:
+            break
+        gain, doc = int(best["g"]), -int(best["nid"])
+        covered_total += gain
+        picked.append(doc)
+        rows.append((t, doc, gain, covered_total))
+    schema = f"step bigint, {id_col} bigint, marginal_gain bigint, covered_total bigint"
+    return spark.createDataFrame(rows, schema)

@@ -81,16 +81,21 @@ def shingles_from_tokens(toks_col: Column | str, n: int = 3) -> Column:
 def with_shingles(
     df: DataFrame, text_col: str = "text", out: str = "_sh", n: int = 3
 ) -> DataFrame:
-    """Stage tokens, then shingles, as real columns.
+    """Tokens bound ONCE via the let1 lambda device, then shingles.
 
-    Two projection steps on purpose: inlining tokens() into the gram
-    lambda would re-run the regex split once per element_at reference —
-    O(tokens²) tokenizer work per document.
+    The previous two-withColumn staging did not actually protect the
+    tokenizer: CollapseProject inlines the staged ``_toks`` projection
+    into every element_at reference of the gram lambda, so the regex
+    split ran once per reference (15 copies of split() in the shingle
+    plan, 57 core-seconds for 5k docs — r14 profile). Binding the token
+    array as a transform lambda variable makes the split run once per
+    row with a bit-identical expression tree (measured 2.59 s → 0.40 s
+    for shingle_table at sf0.1).
     """
-    return (
-        df.withColumn("_toks", tokens(text_col))
-        .withColumn(out, shingles_from_tokens("_toks", n))
-        .drop("_toks")
+    from kickstarter_etl_pipeline_spark.operators.text import let1
+
+    return df.withColumn(
+        out, let1(tokens(text_col), lambda tk: shingles_from_tokens(tk, n))
     )
 
 
@@ -121,16 +126,20 @@ def ngram_jaccard_pairs(
 def char_shingles(text_col: str = "text", n: int = 5) -> Column:
     """Distinct character n-gram shingles of the normalized text — the
     variant robust to tokenization differences (CJK, no-whitespace text)."""
-    from kickstarter_etl_pipeline_spark.operators.text import normalized
+    from kickstarter_etl_pipeline_spark.operators.text import let1, normalized
 
-    norm_text = normalized(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(norm_text) - (n - 1)),
-        # Column.substr accepts Column offsets (F.substring needs ints)
-        lambda i: norm_text.substr(i, F.lit(n)),
-    )
-    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
-    return F.when(F.length(norm_text) >= n, F.array_distinct(grams)).otherwise(empty)
+    def _grams(norm_text: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(norm_text) - (n - 1)),
+            # Column.substr accepts Column offsets (F.substring needs ints)
+            lambda i: norm_text.substr(i, F.lit(n)),
+        )
+        empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+        return F.when(F.length(norm_text) >= n, F.array_distinct(grams)).otherwise(empty)
+
+    # let1: the normalize (trim+regexp_replace+lower) runs once per row,
+    # not once per gram reference (r14 — the shingle-inlining fix).
+    return let1(normalized(text_col), _grams)
 
 
 def char_jaccard_pairs(
@@ -809,6 +818,8 @@ def with_simhash(
     Shift amounts must be Python ints (PySpark shiftright doesn't take a
     Column), hence the unrolled range(bits) loops.
     """
+    from kickstarter_etl_pipeline_spark.operators.text import let1
+
     if hash_fn is None:
         # wrapped: F.transform rejects xxhash64's *cols signature
         hash_fn = lambda t: F.xxhash64(t)  # noqa: E731
@@ -820,28 +831,37 @@ def with_simhash(
             for i in range(bits)
         ]
     )
-    bit_sums = F.aggregate(
-        F.col("_hashes"),
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, bit: a + bit),
-    )
-    # Hash each token exactly once (staged column); the bit probes then
-    # reference the computed hash value, not `bits` fresh hash calls.
-    staged = (
-        df.withColumn("_toks", tokens(text_col))
-        .withColumn("_hashes", F.transform("_toks", hash_fn))
-        .withColumn("_bit_sums", bit_sums)
-        .drop("_toks", "_hashes")
-    )
-    packed = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_value = -(1 << 63) if i == 63 else (1 << i)
-        packed = packed.bitwiseOR(
-            F.when(F.element_at("_bit_sums", i + 1) > 0, F.lit(bit_value).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+
+    def _bit_sums(hashes: Column) -> Column:
+        return F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, bit: a + bit),
         )
-    return staged.withColumn(out, packed).drop("_bit_sums")
+
+    def _pack(bs: Column) -> Column:
+        packed = F.lit(0).cast("long")
+        for i in range(bits):
+            bit_value = -(1 << 63) if i == 63 else (1 << i)
+            packed = packed.bitwiseOR(
+                F.when(F.element_at(bs, i + 1) > 0, F.lit(bit_value).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return packed
+
+    # Nested let1 (r14): the old withColumn staging of _toks/_hashes/
+    # _bit_sums was inlined by CollapseProject into every one of the
+    # ``bits`` sign probes, re-running tokenize+hash+fold per probe.
+    # Each stage is now a transform lambda variable — bound once per
+    # row, bit-identical packing.
+    simhash = let1(
+        tokens(text_col),
+        lambda tk: let1(
+            F.transform(tk, hash_fn),
+            lambda hs: let1(_bit_sums(hs), _pack),
+        ),
+    )
+    return df.withColumn(out, simhash)
 
 
 def simhash_candidates(

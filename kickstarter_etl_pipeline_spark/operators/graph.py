@@ -254,11 +254,15 @@ def pagerank(
     deg = directed.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
     directed = loop_frame(directed.join(deg, "src"), loop_partitions, "src")
     verts = directed.select(F.col("src").alias("id")).distinct()
-    n_df = F.broadcast(verts.agg(F.count("*").cast("long").alias("_n")))
+    # r14: the vertex count is ONE bounded control-plane scalar; the old
+    # broadcast one-row frame re-ran its distinct+agg subplan inside
+    # every round's checkpoint job. Collected once, inlined as a long
+    # literal — the per-row arithmetic (1.0/_n, (1-d)/_n) is the same
+    # double division over the same long value, bit-equal.
+    n = verts.agg(F.count("*").cast("long").alias("_n")).collect()[0]["_n"]
+    n_lit = F.lit(n).cast("long")
     pr = loop_frame(
-        verts.crossJoin(n_df).select(
-            "id", round_det(F.lit(1.0) / F.col("_n"), 9).alias("pr")
-        ),
+        verts.select("id", round_det(F.lit(1.0) / n_lit, 9).alias("pr")),
         loop_partitions,
         "id",
     )
@@ -269,10 +273,10 @@ def pagerank(
             .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
         )
         pr = loop_frame(
-            contribs.crossJoin(n_df).select(
+            contribs.select(
                 "id",
                 round_det(
-                    (1.0 - damping) / F.col("_n") + damping * F.col("_in"), 9
+                    (1.0 - damping) / n_lit + damping * F.col("_in"), 9
                 ).alias("pr"),
             ),
             loop_partitions,
@@ -534,22 +538,29 @@ def hits(
     NANO = 1_000_000_000
 
     def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        # r14: checkpoint the half-round aggregate FIRST, then collect
+        # the squared norm from the materialized frame. The old order
+        # (collect from the lazy raw, then loop_frame-checkpoint the
+        # normalized select) executed the e⋈scores join + sum TWICE per
+        # half-round — 8 redundant full join jobs per hits() call
+        # (profiled: 107 jobs, 6.7 s wall at sf0.1). The normalized
+        # projection stays LAZY on top of the checkpoint: its one
+        # consumer is the next half-round's join, and a projection over
+        # a checkpointed scan adds no second execution. Identical
+        # arithmetic — same raw sums, same s2, same snap expression.
+        raw = loop_frame(raw, loop_partitions, key)
         s2 = raw.agg(
             F.sum(F.col("_raw").cast("decimal(38,0)") * F.col("_raw")).alias("_s2")
         ).collect()[0]["_s2"]
         nrm = math.sqrt(float(s2))  # float(int) == DuckDB CAST(HUGEINT AS DOUBLE)
-        return loop_frame(
-            raw.select(
-                key,
-                F.floor(
-                    F.col("_raw").cast("double") / F.lit(nrm) * F.lit(float(NANO))
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias(out),
-            ),
-            loop_partitions,
+        return raw.select(
             key,
+            F.floor(
+                F.col("_raw").cast("double") / F.lit(nrm) * F.lit(float(NANO))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(out),
         )
 
     h = loop_frame(
@@ -724,20 +735,23 @@ def bfs_depths(
         "_id", F.lit(0).cast("long").alias("depth")
     )
     visited = src.localCheckpoint(eager=True)
-    frontier = visited
+    # r14 (guide §2.4/§1): ONE action per round instead of two — the
+    # frontier is re-derived from the checkpointed visited table by a
+    # depth filter (a narrow scan of the 8-partition checkpoint), so
+    # the expansion, the anti-join, the union and the re-checkpoint all
+    # ride a single job. Row-identical: frontier ≡ the rows the old
+    # separate nxt checkpoint carried.
     for t in range(1, rounds + 1):
-        nxt = loop_frame(
-            frontier.select(F.col("_id").alias("_u"))
+        nxt = (
+            visited.filter(F.col("depth") == t - 1)
+            .select(F.col("_id").alias("_u"))
             .join(sym, "_u")
             .select(F.col("_v").alias("_id"))
             .distinct()
             .join(visited.select("_id"), "_id", "left_anti")
-            .select("_id", F.lit(t).cast("long").alias("depth")),
-            loop_partitions,
-            "_id",
+            .select("_id", F.lit(t).cast("long").alias("depth"))
         )
         visited = loop_frame(visited.unionByName(nxt), loop_partitions, "_id")
-        frontier = nxt
     return visited.select(F.col("_id").alias("id"), "depth")
 
 
@@ -779,27 +793,32 @@ def _multi_source_bfs(
         .orderBy(F.md5(F.col("_p").cast("string")), F.col("_p"))
         .limit(pivots)
     )
-    visited = piv.select(
+    lvl0 = piv.select(
         "_p",
         F.col("_p").alias("_id"),
         F.lit(0).cast("long").alias("depth"),
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint(eager=True)
-    frontier = visited
+    # r14 (guide §2.4/§1): ONE action per round instead of two — the
+    # frontier is re-derived from the checkpointed visited table by a
+    # depth filter, so the σ-summing expansion, anti-join, union and
+    # re-checkpoint all ride a single job per round. Row-identical to
+    # the old separate nxt checkpoint. (A fully-lazy visited union was
+    # also probed and REGRESSED — the growing union's per-leg stage
+    # materializations under AQE cost more than the checkpoint.)
+    visited = lvl0
     for t in range(1, rounds + 1):
-        nxt = loop_frame(
-            frontier.select("_p", F.col("_id").alias("_u"), "sigma")
+        nxt = (
+            visited.filter(F.col("depth") == t - 1)
+            .select("_p", F.col("_id").alias("_u"), "sigma")
             .join(sym, "_u")
             .select("_p", F.col("_v").alias("_id"), "sigma")
             .groupBy("_p", "_id")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
             .join(visited.select("_p", "_id"), ["_p", "_id"], "left_anti")
-            .select("_p", "_id", F.lit(t).cast("long").alias("depth"), "sigma"),
-            loop_partitions,
-            "_id",
+            .select("_p", "_id", F.lit(t).cast("long").alias("depth"), "sigma")
         )
         visited = loop_frame(visited.unionByName(nxt), loop_partitions, "_id")
-        frontier = nxt
     return sym, visited
 
 
@@ -863,12 +882,26 @@ def edge_support(edges: DataFrame) -> DataFrame:
     triangle into its three unordered edges and counts."""
     deg = degree_table(edges)
     oriented = orient_by_degree(edges, deg).localCheckpoint(eager=True)
+    # r14 (guide §2.5): the wedge self-join is byte-light (the fixture
+    # edge list shuffles ~1.7 MB) but its output stage does the whole
+    # C(deg,2) wedge fan-out + closing probe — AQE's byte-based
+    # coalescing collapsed it to ONE 2.15 s task per ktruss round. A
+    # user repartition on the apex key pins the exchange width (AQE
+    # exempts user repartitions), spreading the fan-out; same single
+    # shuffle, join-identical output. Width = defaultParallelism.
+    par = oriented.sparkSession.sparkContext.defaultParallelism
     e1 = oriented.select(
         F.col("src").alias("_a"), F.col("dst").alias("_b"), F.col("dst_rank").alias("_rb")
-    )
+    ).repartition(par, "_a")
     e2 = oriented.select(
         F.col("src").alias("_a"), F.col("dst").alias("_c"), F.col("dst_rank").alias("_rc")
     )
+    # NOTE (r14): do NOT repartition the wedge stream before the closing
+    # join — probed: it forces materializing the full C(deg,2) wedge
+    # fan-out into an exchange (53.8 MiB at sf0.1) that the broadcast
+    # closing join otherwise pipelines through in the same stage
+    # (guide §2.4: remove shuffles outright). The single e1 pin above is
+    # enough to give the fused fanout+closing+count stage real width.
     wedges = e1.join(e2, on="_a").filter(F.col("_rb") < F.col("_rc"))
     closing = oriented.select(F.col("src").alias("_b"), F.col("dst").alias("_c"))
     tri = wedges.join(closing, on=["_b", "_c"])
@@ -1214,30 +1247,36 @@ def spectral_coordinate(
         # d_dst times in the symmetrized edge list, so the neighbor
         # AVERAGE (sum/count) is the random-walk step — no degree
         # join needed.
-        y = (
+        #
+        # r14: checkpoint the join+aggregate ONCE per round, then pull
+        # the two one-row normalization scalars (mean, ∞-norm) off the
+        # materialized frame with bounded collects (the hits pattern).
+        # The old broadcast-crossJoin formulation embedded the y
+        # subplan into the mean AND the c subplan into the norm, so
+        # the per-round join+agg sat in the checkpoint plan up to 4×.
+        # The collected scalars are the IDENTICAL round_det-snapped
+        # values the broadcast rows carried; centering and scaling are
+        # the same expressions over the same doubles — bit-equal.
+        y = loop_frame(
             directed.join(x.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(round_det(F.sum("x") / F.count("*"), 9).alias("y"))
-        )
-        m = F.broadcast(
-            y.agg(
-                round_det(F.sum("y") / F.count("*"), 9).alias("_m")
-            )
-        )
-        c = y.crossJoin(m).select(
-            "id", round_det(F.col("y") - F.col("_m"), 9).alias("c")
-        )
-        s = F.broadcast(c.agg(F.max(F.abs(F.col("c"))).alias("_s")))
-        x = loop_frame(
-            c.crossJoin(s).select(
-                "id",
-                F.when(F.col("_s") > 0, round_det(F.col("c") / F.col("_s"), 9))
-                .otherwise(F.col("c"))
-                .alias("x"),
-            ),
+            .agg(round_det(F.sum("x") / F.count("*"), 9).alias("y")),
             loop_partitions,
             "id",
         )
+        m = y.agg(round_det(F.sum("y") / F.count("*"), 9).alias("_m")).collect()[0][
+            "_m"
+        ]
+        c = y.select("id", round_det(F.col("y") - F.lit(m), 9).alias("c"))
+        s = c.agg(F.max(F.abs(F.col("c"))).alias("_s")).collect()[0]["_s"]
+        scale = (
+            round_det(F.col("c") / F.lit(s), 9)
+            if s is not None and s > 0
+            else F.col("c")
+        )
+        # x stays LAZY: a projection over the checkpointed y — next
+        # round's join re-executes only that one-hop lineage.
+        x = c.select("id", scale.alias("x"))
     return x.select(
         "id",
         round_det(F.col("x"), 6).alias("spectral_x"),

@@ -46,11 +46,22 @@ def q_bootstrap_ci_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         1148701988496035328,
         1152236456152946176,
     ]
+    from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
+
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_cents"),
+    # r14 (guide §2.5 input skew): the single-file orders scan arrives as
+    # ONE partition, and the 32-replicate explode + per-(row,b) md5 ran
+    # on one core — profiled as a single 5.1 s task at sf0.1. Spreading
+    # the scan before the explode parallelizes the md5 grind; at real
+    # scale the input already has many partitions and this no-ops.
+    base = ensure_min_partitions(
+        orders.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("_cents"),
+        )
     )
     rep = base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
     u = F.conv(

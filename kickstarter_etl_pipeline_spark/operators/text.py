@@ -17,6 +17,24 @@ from kickstarter_etl_pipeline_spark.operators.rounding import round_det
 from kickstarter_etl_pipeline_spark.constants import LANG_MARKERS  # noqa: F401
 
 
+def let1(bound: Column, body) -> Column:
+    """Evaluate ``bound`` ONCE per row and let ``body`` reference it many
+    times — the 1-element-array lambda device:
+    ``element_at(transform(array(bound), x -> body(x)), 1)``.
+
+    Why it exists (optimization r14, guide §1/§4-adjacent): Catalyst's
+    CollapseProject inlines withColumn-staged expressions into every
+    downstream reference, so "stage tokens as a column, then build
+    shingles from it" re-runs the regex split once per element_at — the
+    shingle plan carried 15 copies of split() and the stage burned 57
+    core-seconds on 5k docs (measured, plans/r14). A transform lambda
+    variable is bound once per row and cannot be inlined, cutting that
+    stage 6.5x with a bit-identical expression tree. Same device as
+    dedup._shingles_sig_buckets_expr, exposed for every operator.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def normalized(text: Column | str) -> Column:
     """Canonical form for hashing/dedup: trim, collapse whitespace, lowercase."""
     col = F.col(text) if isinstance(text, str) else text
@@ -60,33 +78,49 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
 
-    staged = ensure_min_partitions(df).withColumn("_toks", tokens(text_col))
-    toks = F.col("_toks")
-    n_tokens = F.size(toks)
+    staged = ensure_min_partitions(df)
     en_stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
-    return staged.select(
-        "doc_id",
-        F.length(text_col).cast("long").alias("n_chars_calc"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
-        # nullif guards: ANSI mode (Spark 4 default) errors on x/0.
-        round_det(n_punct / F.nullif(F.length(text_col), F.lit(0)), 6).alias("punct_ratio"),
-        round_det(n_stop / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
-    )
+
+    def _stats(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+        n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+        return F.struct(
+            F.length(text_col).cast("long").alias("n_chars_calc"),
+            n_tokens.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+            # nullif guards: ANSI mode (Spark 4 default) errors on x/0.
+            round_det(n_punct / F.nullif(F.length(text_col), F.lit(0)), 6).alias(
+                "punct_ratio"
+            ),
+            round_det(n_stop / F.nullif(n_tokens, F.lit(0)), 6).alias("stopword_ratio"),
+        )
+
+    # r14: token array bound once (let1); the five stats ride ONE struct
+    # through inline() — a 1-element Generate — so neither the split nor
+    # the struct is re-evaluated per output column (CollapseProject
+    # cannot inline through a Generate). Identical rows/schema.
+    return staged.select("doc_id", F.inline(F.array(let1(tokens(text_col), _stats))))
 
 
 def quality_score(text_col: str = "text") -> Column:
     """Composite 0..1 quality heuristic: length band + lexical diversity −
-    punctuation noise. Deterministic, expression-only."""
-    toks = tokens(text_col)
-    n_tokens = F.size(toks)
-    diversity = F.size(F.array_distinct(toks)) / n_tokens
-    length_ok = F.when((F.length(text_col) >= 100) & (F.length(text_col) <= 10000), 1.0).otherwise(0.5)
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
-    punct_penalty = F.least(n_punct / F.greatest(F.length(text_col), F.lit(1)) * 5, F.lit(0.5))
-    return round_det(length_ok * (0.5 + 0.5 * diversity) - punct_penalty, 6)
+    punctuation noise. Deterministic, expression-only. Token array bound
+    once via let1 (r14) — the split no longer re-runs per reference."""
+
+    def _score(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        diversity = F.size(F.array_distinct(toks)) / n_tokens
+        length_ok = F.when(
+            (F.length(text_col) >= 100) & (F.length(text_col) <= 10000), 1.0
+        ).otherwise(0.5)
+        n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+        punct_penalty = F.least(
+            n_punct / F.greatest(F.length(text_col), F.lit(1)) * 5, F.lit(0.5)
+        )
+        return round_det(length_ok * (0.5 + 0.5 * diversity) - punct_penalty, 6)
+
+    return let1(tokens(text_col), _score)
 
 
 def lang_scores(text_col: str = "text") -> dict[str, Column]:
@@ -195,16 +229,36 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: CJK character presence, else stopword argmax
-    (ties → alphabetical lang order; all-zero → 'und')."""
-    scores = lang_scores(text_col)
-    has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
-    best = F.greatest(*scores.values())
-    # Precedence: CJK presence → zh; no stopword hits → und; else the first
-    # language in alphabetical order achieving the max score.
-    pred = F.when(has_cjk, F.lit("zh")).when(best == 0, F.lit("und"))
-    for lang in sorted(scores):
-        pred = pred.when(scores[lang] == best, F.lit(lang))
-    return df.withColumn("lang_pred", pred)
+    (ties → alphabetical lang order; all-zero → 'und').
+
+    r14: token array and per-language score vector are each bound ONCE
+    via let1. The old formulation embedded every language's
+    size(filter(tokens(...))) expression into `greatest` AND into every
+    when-branch, so the tokenizer and the marker scans re-ran dozens of
+    times per row. Semantics unchanged: scores are non-null ints, so
+    array_max == greatest, and the when-chain order (sorted langs) is
+    identical.
+    """
+    langs = sorted(LANG_MARKERS)
+
+    def _score_arr(toks: Column) -> Column:
+        def _hits(words: list[str]) -> Column:
+            marker_arr = F.array(*[F.lit(w) for w in words])
+            return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+
+        return F.array(*[_hits(LANG_MARKERS[lang]) for lang in langs])
+
+    def _pick(sc: Column) -> Column:
+        has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
+        best = F.array_max(sc)
+        pred = F.when(has_cjk, F.lit("zh")).when(best == 0, F.lit("und"))
+        for i, lang in enumerate(langs):
+            pred = pred.when(F.element_at(sc, i + 1) == best, F.lit(lang))
+        return pred
+
+    return df.withColumn(
+        "lang_pred", let1(tokens(text_col), lambda tk: let1(_score_arr(tk), _pick))
+    )
 
 
 #: PII redaction patterns (applied in list order — URL before email so a

@@ -646,7 +646,7 @@ def q_simhash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursive-CTE oracle replays both. Per-doc output with the
     cluster size, mirroring dedup_components."""
     from kickstarter_etl_pipeline_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         md5_token_hash,
     )
 
@@ -654,10 +654,20 @@ def q_simhash_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_candidates(docs, hash_fn=md5_token_hash, bits=60).filter(
         F.col("hamming") <= 8
     )
-    comp = connected_components(
+    # r14: the Hamming-≤8 candidate graph carries transitive near-dup
+    # CHAINS (measured diameter ≥ 8 at sf0.1 — min-label propagation
+    # needed 9 full rounds, ~0.7 s each), which is exactly the regime
+    # connected_components' own docstring routes to the large-star/
+    # small-star variant: O(log n) rounds regardless of diameter.
+    # Probed on the identical checkpointed pair set: 4.5 s → 3.2 s with
+    # byte-identical labels (CC output — min member id per component —
+    # is algorithm-independent; the recursive-CTE oracle is unchanged).
+    comp = connected_components_star(
         docs.select("doc_id"),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         id_col="doc_id",
+        src_col="src",
+        dst_col="dst",
         loop_partitions=8,
     )
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))

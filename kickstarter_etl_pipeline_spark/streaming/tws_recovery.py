@@ -53,6 +53,16 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+#: State-store / stateful-shuffle partition count for the TWS queries
+#: (r14). Data-sized knob — tracks per-key STATE cardinality, not the
+#: host core count (see streaming_hourly_daily_rollup's state_partitions
+#: for the full scale argument). Local default 8 fits the fixture's
+#: ~150 user keys; size up via SPARK_GRAFT_STATE_PARTITIONS on a real
+#: cluster. Partition count cannot move any emitted row: every operator
+#: here is a per-key fold.
+_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
@@ -413,7 +423,18 @@ def tws_state_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.streaming.stateStore.providerClass": (
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider"
-            )
+            ),
+            # r14: size the stateful shuffle / state-store partition
+            # count to STATE cardinality instead of inheriting the
+            # session's core count — the streaming_hourly_daily_rollup
+            # device, verbatim (see its docstring for the scale
+            # argument: the exchange carries map-side-combined partial
+            # rows and the per-key user state is what the count must
+            # track, so the knob is data-sized, not core-sized). 32
+            # RocksDB instances per micro-batch were pure commit
+            # overhead at fixture scale; results are per-key folds,
+            # partition-count-invariant by construction.
+            "spark.sql.shuffle.partitions": str(_STATE_PARTITIONS),
         },
     )
     src, _staged_b, _n_a, _n_b = _split_events_by_midpoint(child, sf_dir)

@@ -60,6 +60,16 @@ from kickstarter_etl_pipeline_spark.streaming.stateful import (
     TIMEOUT_SESSION_SCHEMA,
 )
 
+
+#: State-store / stateful-shuffle partition count for the TWS queries
+#: (r14). Data-sized knob — tracks per-key STATE cardinality, not the
+#: host core count (see streaming_hourly_daily_rollup's state_partitions
+#: for the full scale argument). Local default 8 fits the fixture's
+#: ~150 user keys; size up via SPARK_GRAFT_STATE_PARTITIONS on a real
+#: cluster. Partition count cannot move any emitted row: every operator
+#: here is a per-key fold.
+_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+
 _OUT_COLS = [f.name for f in SESSION_SCHEMA.fields]
 _TIMEOUT_COLS = [f.name for f in TIMEOUT_SESSION_SCHEMA.fields]
 
@@ -222,7 +232,18 @@ def tws_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.streaming.stateStore.providerClass": (
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider"
-            )
+            ),
+            # r14: size the stateful shuffle / state-store partition
+            # count to STATE cardinality instead of inheriting the
+            # session's core count — the streaming_hourly_daily_rollup
+            # device, verbatim (see its docstring for the scale
+            # argument: the exchange carries map-side-combined partial
+            # rows and the per-key user state is what the count must
+            # track, so the knob is data-sized, not core-sized). 32
+            # RocksDB instances per micro-batch were pure commit
+            # overhead at fixture scale; results are per-key folds,
+            # partition-count-invariant by construction.
+            "spark.sql.shuffle.partitions": str(_STATE_PARTITIONS),
         },
     )
     stream = read_events_stream(child, sf_dir)
@@ -338,7 +359,18 @@ def tws_sessionize_with_timeout(
             "spark.sql.streaming.stateStore.providerClass": (
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider"
-            )
+            ),
+            # r14: size the stateful shuffle / state-store partition
+            # count to STATE cardinality instead of inheriting the
+            # session's core count — the streaming_hourly_daily_rollup
+            # device, verbatim (see its docstring for the scale
+            # argument: the exchange carries map-side-combined partial
+            # rows and the per-key user state is what the count must
+            # track, so the knob is data-sized, not core-sized). 32
+            # RocksDB instances per micro-batch were pure commit
+            # overhead at fixture scale; results are per-key folds,
+            # partition-count-invariant by construction.
+            "spark.sql.shuffle.partitions": str(_STATE_PARTITIONS),
         },
     )
     stream = read_events_stream(child, sf_dir).withWatermark("ts", watermark)
@@ -466,7 +498,18 @@ def tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.streaming.stateStore.providerClass": (
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider"
-            )
+            ),
+            # r14: size the stateful shuffle / state-store partition
+            # count to STATE cardinality instead of inheriting the
+            # session's core count — the streaming_hourly_daily_rollup
+            # device, verbatim (see its docstring for the scale
+            # argument: the exchange carries map-side-combined partial
+            # rows and the per-key user state is what the count must
+            # track, so the knob is data-sized, not core-sized). 32
+            # RocksDB instances per micro-batch were pure commit
+            # overhead at fixture scale; results are per-key folds,
+            # partition-count-invariant by construction.
+            "spark.sql.shuffle.partitions": str(_STATE_PARTITIONS),
         },
     )
     stream = read_events_stream(child, sf_dir)
@@ -554,7 +597,18 @@ def tws_warm_start_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.streaming.stateStore.providerClass": (
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider"
-            )
+            ),
+            # r14: size the stateful shuffle / state-store partition
+            # count to STATE cardinality instead of inheriting the
+            # session's core count — the streaming_hourly_daily_rollup
+            # device, verbatim (see its docstring for the scale
+            # argument: the exchange carries map-side-combined partial
+            # rows and the per-key user state is what the count must
+            # track, so the knob is data-sized, not core-sized). 32
+            # RocksDB instances per micro-batch were pure commit
+            # overhead at fixture scale; results are per-key folds,
+            # partition-count-invariant by construction.
+            "spark.sql.shuffle.partitions": str(_STATE_PARTITIONS),
         },
     )
     seed = (
