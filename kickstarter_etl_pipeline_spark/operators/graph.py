@@ -687,6 +687,12 @@ def transitive_closure(
         F.col(anc).cast("long").alias("anc"), F.col(des).cast("long").alias("des")
     ).distinct()
     clo = loop_frame(clo, loop_partitions, "des")
+    # r14 fixpoint early exit (the ktruss device): the closure only
+    # grows, so an unchanged row count means C ∘ C added nothing and
+    # every remaining round is a no-op — identical result, rounds ×
+    # (self-join + distinct) saved. The count is a bounded scan of the
+    # fresh checkpoint (control-plane scalar, like the loop counter).
+    n_clo = clo.count()
     for _ in range(rounds):
         step = (
             clo.alias("a")
@@ -694,6 +700,10 @@ def transitive_closure(
             .select(F.col("a.anc").alias("anc"), F.col("b.des").alias("des"))
         )
         clo = loop_frame(clo.unionByName(step).distinct(), loop_partitions, "des")
+        n_new = clo.count()
+        if n_new == n_clo:
+            break
+        n_clo = n_new
     return clo
 
 
