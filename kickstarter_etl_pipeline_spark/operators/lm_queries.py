@@ -10,6 +10,7 @@ on both engines, rankings totally ordered by (value, id).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 
 from kickstarter_etl_pipeline_spark.constants import BENFORD_P, RAKE_STOPWORDS
 from kickstarter_etl_pipeline_spark.operators import text as TX
@@ -30,11 +31,14 @@ def two_phase_rank(
     `Window.orderBy(...)` global rank otherwise hits (SCALE.md,
     Windows): range-partition the rows by the sort key, rank (and
     partially prefix-sum) LOCALLY within each range partition, then add
-    per-partition offsets computed from the partition aggregates (a
-    P-row frame, broadcast back). No partition ever sees more than its
-    range's rows; the only all-data exchanges are the range repartition
-    and the P-group window — both balanced by the range partitioner,
-    never a single task.
+    per-partition offsets computed from the partition aggregates — a
+    P-row bounded collect (control data, one row per range partition)
+    shipped back as a pid-indexed literal array (r15; the offsets
+    formerly rode a no-partition window + broadcast join, which put an
+    Exchange SinglePartition in every consumer plan). No partition ever
+    sees more than its range's rows; the only all-data exchange is the
+    range repartition — balanced by the range partitioner, never a
+    single task.
 
     Adds a ``rank`` column (bit-identical to a plain global
     row_number over ``order_cols``), when ``cum_col`` is given a
@@ -107,37 +111,78 @@ def two_phase_rank(
     # consumers read.
     local = staged.localCheckpoint(eager=True)
     # P rows of control data: per-partition aggregates -> exclusive
-    # prefix offsets (tiny frame, broadcast back onto the ranked rows).
-    wp = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    # prefix offsets. r15 (guide §2.4; VERDICT r14 item 5/7): the
+    # offsets used to ride a no-partition window (an Exchange
+    # SinglePartition + Sort + Window + BroadcastExchange + join in
+    # EVERY consumer plan — the single largest source of advisor WARNs,
+    # 40 registry paths). They are P-row CONTROL data bounded by the
+    # n_parts knob, so collect them once (the coverage/hits bounded-
+    # collect device: one bounded row per range partition, never
+    # data-sized) and attach them as a dense literal array indexed by
+    # _pid — a pure projection, no exchange, no window, no join.
+    # Bit-identity: the prefix accumulators run in ascending-pid order,
+    # the exact order the replaced window accumulated in; `F.get` (not
+    # element_at) so an out-of-range pid yields NULL, not an ANSI error
+    # (cannot happen — every data row's pid appears in the aggregate —
+    # but the expression must not be able to raise).
     aggs = [F.count("*").alias(cnt)]
     if cum_col is not None:
         aggs.append(F.sum(cum_col).alias(psum))
     if max_col is not None:
         aggs.append(F.max(max_col).alias(pmax))
-    offsets = (
-        local.groupBy(pid)
-        .agg(*aggs)
-        .withColumn(roff, F.coalesce(F.sum(cnt).over(wp), F.lit(0)))
-    )
-    proj = [pid, roff]
-    if cum_col is not None:
-        offsets = offsets.withColumn(
-            coff, F.coalesce(F.sum(psum).over(wp), F.lit(0))
+    offsets_df = local.groupBy(pid).agg(*aggs)
+    types = {f.name: f.dataType.simpleString() for f in offsets_df.schema.fields}
+    rows = sorted(offsets_df.collect(), key=lambda r: r[pid])
+    n_slots = (rows[-1][pid] + 1) if rows else 1
+
+    def _lit(value, type_str):
+        return (
+            F.lit(None).cast(type_str)
+            if value is None
+            else F.lit(value).cast(type_str)
         )
-        proj.append(coff)
-    if max_col is not None:
-        offsets = offsets.withColumn(moff, F.max(pmax).over(wp))
-        proj.append(moff)
-    out = local.join(F.broadcast(offsets.select(*proj)), pid).withColumn(
-        "rank", (F.col(lrank) + F.col(roff)).cast("long")
+
+    def _prefix_array(field, combine):
+        """Dense pid-indexed literal array of the exclusive prefix of
+        ``field`` in ascending-pid order — the first group's slot is
+        NULL, exactly like the replaced UNBOUNDED-PRECEDING..-1 window
+        frame (the accumulator folds x0, x0+x1, ... — not 0+x0 —
+        so float edge cases like -0.0 keep the window's bit pattern).
+        Missing pids keep NULL: no data row carries them, so the slot
+        is never read."""
+        vals = [None] * n_slots
+        acc = None
+        for r in rows:
+            vals[r[pid]] = acc
+            acc = r[field] if acc is None else combine(acc, r[field])
+        return F.array(*[_lit(v, types[field]) for v in vals])
+
+    idx = F.col(pid)
+    _add = lambda a, b: a + b  # noqa: E731
+    # coalesce(prefix, 0) mirrors the replaced coalesce(window_sum, 0)
+    out = local.withColumn(
+        "rank",
+        (
+            F.col(lrank)
+            + F.coalesce(F.get(_prefix_array(cnt, _add), idx), F.lit(0))
+        ).cast("long"),
     )
     if cum_col is not None:
-        out = out.withColumn("cum", (F.col(lcum) + F.col(coff)).cast("long"))
+        out = out.withColumn(
+            "cum",
+            (
+                F.col(lcum)
+                + F.coalesce(F.get(_prefix_array(psum, _add), idx), F.lit(0))
+            ).cast("long"),
+        )
     if max_col is not None:
-        # greatest() skips NULLs: first partition has no moff, a
+        # greatest() skips NULLs: first partition has no prefix max, a
         # partition-local first row has no lmax; all-NULL (the global
         # first row) stays NULL — the exclusive-prefix contract.
-        out = out.withColumn("cum_max_excl", F.greatest(F.col(lmax), F.col(moff)))
+        out = out.withColumn(
+            "cum_max_excl",
+            F.greatest(F.col(lmax), F.get(_prefix_array(pmax, max), idx)),
+        )
     return out.drop(pid, lrank, lcum, roff, coff, lmax, moff)
 
 
@@ -167,13 +212,29 @@ def grouped_two_phase_rank(
     Adds ``rank_in_group`` (1-based within group) and ``n_col`` (the
     group size); ``group_cols`` must be plain column-name strings.
     """
+    # r15 (guide §2.4; VERDICT r14 item 7): the G-row offsets formerly
+    # rode a no-partition window (an Exchange SinglePartition in every
+    # consumer plan). The counts are G-row CONTROL data by this
+    # helper's own contract (enumeration-bounded group keys), so
+    # collect them, prefix-sum driver-side in ascending group order
+    # (UTF-8 byte order == code-point order, so Python tuple sort
+    # reproduces the window's ORDER BY; None sorts first like NULLS
+    # FIRST), and ship the offsets back as a driver-local literal frame
+    # — the same broadcast join, no window, no exchange.
     counts = df.groupBy(*group_cols).agg(F.count("*").cast("long").alias(n_col))
-    woff = Window.orderBy(*group_cols).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = F.broadcast(
-        counts.withColumn(
-            "_goff_g2pr", F.coalesce(F.sum(n_col).over(woff), F.lit(0)).cast("long")
-        )
+    crows = sorted(
+        counts.collect(),
+        key=lambda r: tuple((r[g] is not None, r[g]) for g in group_cols),
     )
+    acc = 0
+    orows = []
+    for r in crows:
+        orows.append(tuple(r) + (acc,))
+        acc += r[n_col]
+    oschema = T.StructType(
+        list(counts.schema.fields) + [T.StructField("_goff_g2pr", T.LongType(), False)]
+    )
+    offsets = F.broadcast(df.sparkSession.createDataFrame(orows, oschema))
     ranked = two_phase_rank(df, [*group_cols, *order_cols])
     return (
         ranked.join(offsets, list(group_cols))

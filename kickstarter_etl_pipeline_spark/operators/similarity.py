@@ -81,6 +81,12 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
     ).withColumn("_cnorm", norm(F.col("_cvec")))
+    # r15 probe (plans/r15/ab_vector.py): the Arrow dot kernel was
+    # interleave-A/B'd here and REVERTED — at bench scale the pair scan
+    # is one fused stage whose HOF CPU spreads over all cores, and the
+    # Arrow round trip cost more than it saved (0.79 → 1.15 s min).
+    # The kernel remains the right shape only where per-stage CPU
+    # dominates (semantic_dedup's pair scan, the IVF re-rank).
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -637,7 +643,6 @@ def ivf_lloyd_topk(
     """
     from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
 
-    spark = corpus.sparkSession
     int_vec = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
@@ -663,23 +668,23 @@ def ivf_lloyd_topk(
     )
     centroids = [list(r["_iv"]) for r in init_rows]
 
-    def _cell_dists(cents: list) -> "tuple[DataFrame, str]":
-        mat = spark.createDataFrame([(cents,)], "_cmat: array<array<bigint>>")
-        expr = (
-            "transform(_cmat, (cv, ci) -> named_struct("
-            "'d', aggregate(zip_with({vcol}, cv, (x, y) -> (x - y) * (x - y)), "
-            "cast(0 as bigint), (acc, x) -> acc + x), 'c', ci))"
-        )
-        return mat, expr
+    # r15 (guide §4): the assignment/probe distance reductions were the
+    # query's CPU floor — the interpreted `aggregate(zip_with(...))`
+    # tree burned ~8.4 s of executor CPU PER PASS at sf0.1 (profile in
+    # plans/r15/profile_top3.txt), ~100 s total across the 5 Lloyd
+    # rounds + final assignment. The Arrow kernels compute the
+    # identical exact-int64 distances/argmin in NumPy (bit-equality
+    # argument in operators/vector_kernels.py); the centroid matrix
+    # rides the UDF closure, so the one-row broadcast relation and its
+    # per-iteration BroadcastNestedLoopJoin disappear from the plan.
+    from kickstarter_etl_pipeline_spark.operators.vector_kernels import (
+        assign_cell_int,
+        dot_arrow,
+        probe_cells_int,
+    )
 
     def _assign(df: DataFrame, cents: list) -> DataFrame:
-        mat, expr = _cell_dists(cents)
-        return (
-            df.join(F.broadcast(mat), how="cross")
-            .withColumn("_cd", F.expr(expr.format(vcol="_iv")))
-            .withColumn("_cell", F.array_sort("_cd").getItem(0).getField("c"))
-            .drop("_cmat", "_cd")
-        )
+        return df.withColumn("_cell", assign_cell_int(cents)(F.col("_iv")))
 
     dim = len(centroids[0])
     # The training loop's aggregates land on <= n_clusters × dim groups.
@@ -715,7 +720,6 @@ def ivf_lloyd_topk(
         ]
 
     cass = _assign(base, centroids).withColumn("_cnorm", norm(F.col("_cvec")))
-    qmat, qexpr = _cell_dists(centroids)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -723,12 +727,14 @@ def ivf_lloyd_topk(
             int_vec.alias("_qiv"),
         )
         .withColumn("_qnorm", norm(F.col("_qvec")))
-        .join(F.broadcast(qmat), how="cross")
-        .withColumn("_cd", F.expr(qexpr.format(vcol="_qiv")))
         .withColumn(
-            "_cell", F.explode(F.slice(F.array_sort("_cd"), 1, n_probe).getField("c"))
+            # explode(null) drops the row — identical to the replaced
+            # explode(slice(array_sort(_cd), 1, n_probe).c) on a null
+            # distance array.
+            "_cell",
+            F.explode(probe_cells_int(centroids, n_probe)(F.col("_qiv"))),
         )
-        .drop("_cmat", "_cd", "_qiv")
+        .drop("_qiv")
     )
     scored = (
         cass.join(F.broadcast(q), on="_cell")
@@ -738,7 +744,10 @@ def ivf_lloyd_topk(
             "neighbor_id",
             F.round(
                 F.try_divide(
-                    dot(F.col("_qvec"), F.col("_cvec")),
+                    # r15: the candidate re-rank dot was the other
+                    # interpreted-HOF hotspot (~4 s CPU at sf0.1) —
+                    # same value, same IEEE fold order, NumPy kernel.
+                    dot_arrow(F.col("_qvec"), F.col("_cvec")),
                     F.col("_qnorm") * F.col("_cnorm"),
                 ),
                 6,
@@ -830,6 +839,14 @@ def pca_top_component(
         "_id", F.zip_with("_iv", mu_arr, lambda v, m: v - m).alias("_cv")
     ).localCheckpoint(eager=True)
 
+    # r15 probe (plans/r15/ab_vector.py): an Arrow-kernel projection
+    # (vector_kernels.pca_project_q) was interleave-A/B'd here and
+    # REVERTED — per round it swapped ~0.19 s of well-parallelized HOF
+    # CPU for an ArrowEvalPython round trip that cost more at bench
+    # scale (pca min 4.40 → 5.38 s over 8 rounds). The w-literal array
+    # constant-folds to a single array literal, so the fresh-plan cost
+    # per round is the same either way; the HOF keeps the work in the
+    # fused JVM stage.
     w = [0.125] * dim
     for _ in range(n_iters):
         w_arr = F.array(*[F.lit(float(x)) for x in w])
@@ -907,7 +924,6 @@ def semantic_dedup(
     ``n_cells`` so cells stay bounded (SemDeDup's own regime is k ≈
     corpus/1000), keeping the self-join far from all-pairs.
     """
-    spark = corpus.sparkSession
     from kickstarter_etl_pipeline_spark.operators.partitioning import ensure_min_partitions
 
     anchor_rows = (
@@ -921,32 +937,24 @@ def semantic_dedup(
         .collect()
     )
     anchor_mat = [list(r["_av"]) for r in anchor_rows]
-    anchors_df = spark.createDataFrame([(anchor_mat,)], "_anchor_mat: array<array<double>>")
 
-    assigned = (
-        ensure_min_partitions(
-            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-            barrier=False,
-        )
-        .join(F.broadcast(anchors_df), how="cross")
-        .withColumn(
-            # same nano-grid snap as ivf_anchor_topk's _with_cells: the
-            # argmin compares exact BIGINTs, not raw doubles (ADVICE r5)
-            "_cell_dists",
-            F.expr(
-                "transform(_anchor_mat, (av, ci) -> named_struct("
-                "'d', CAST(floor(aggregate(zip_with(_vec, av, (x, y) -> "
-                "(cast(x as double) - y) * (cast(x as double) - y)), "
-                "cast(0.0 as double), (acc, x) -> acc + x) "
-                "* 1000000000.0 + 0.5) AS BIGINT), 'c', ci))"
-            ),
-        )
-        .withColumn(
-            "cell",
-            F.element_at(F.array_sort("_cell_dists"), 1).getField("c").cast("int"),
-        )
-        .drop("_anchor_mat", "_cell_dists")
+    # r15 (guide §4): the 16-anchor assignment was this query's largest
+    # CPU stage (15.7 s executor CPU at sf0.1 — plans/r15/
+    # profile_batch2.txt): the interpreted transform/zip_with/aggregate
+    # tree re-walked per element. The Arrow kernel computes the same
+    # nano-grid-snapped exact-BIGINT argmin (same IEEE fold order, same
+    # (d, c) tie-break — operators/vector_kernels.py) in NumPy; the
+    # anchor matrix rides the closure, so the one-row broadcast frame
+    # and its cross join disappear from the plan.
+    from kickstarter_etl_pipeline_spark.operators.vector_kernels import (
+        assign_cell_nano,
+        dot_arrow,
     )
+
+    assigned = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        barrier=False,
+    ).withColumn("cell", assign_cell_nano(anchor_mat)(F.col("_vec")))
     # Both pair-scan sides read the assignment; checkpoint so the
     # n_cells × dim distance work runs once per row (released by the
     # ContextCleaner — see operators.dedup module docstring). The norm
@@ -964,9 +972,11 @@ def semantic_dedup(
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
+            # r15: the per-pair dot was the second CPU hotspot (13.8 s
+            # executor CPU at sf0.1) — same fold, NumPy kernel.
             "_sim",
             F.round(
-                F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 6
+                F.try_divide(dot_arrow(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 6
             ),
         )
         .filter(F.col("_sim") >= threshold)
@@ -1094,88 +1104,120 @@ def mmr_diversified_topk(
 
     Spark-first shape: the DISTRIBUTED work is the one candidate-
     generation pass (brute-force here; swap in lsh_topk at scale). The
-    greedy selection is k−1 driver-built plan rounds over the BOUNDED
-    candidate table (≤ queries×pool rows, checkpointed once): each
-    round is one join against the selected set (≤ queries×(t−1) rows),
-    one (query, candidate) max-aggregate, and one row_number pick —
-    no UDFs, no per-row Python, deterministic tie-breaks
-    ((mmr DESC, id ASC) total order on 6-dp grids). The DuckDB twin
-    unrolls the same k−1 rounds as CTEs.
+    greedy selection runs per query over its BOUNDED pool (≤ pool rows
+    by contract) in ONE grouped Arrow pass (r15; guide §4 — it was
+    k−1 driver-built plan rounds, each paying a full plan build,
+    checkpoint, join and window for ≤ queries×pool rows of control-
+    sized data; profiled 3.0 s of pure driver planning at sf0.1). The
+    Python fold replays the replaced plan's arithmetic bit-for-bit:
+    dot products as array-order left folds (same IEEE adds), try_divide
+    → None on a zero divisor, F.round(x, 6) as HALF_UP on the shortest
+    decimal representation (Decimal(repr(x)) == BigDecimal.valueOf),
+    round_det as floor(x·1e6 + 0.5)/1e6, and the (mmr DESC NULLS LAST
+    — NaN first, Spark's descending order — id ASC) pick. The DuckDB
+    twin unrolls the same k−1 rounds as CTEs; equality is pinned by
+    the oracle and tests/test_r15_ops or the legacy plan in git.
+
+    Scale posture: per-group state is ≤ pool vectors (a documented
+    constant), so the grouped pass shuffles exactly the candidate
+    table once and holds O(pool·dim) per task.
     """
-    from kickstarter_etl_pipeline_spark.operators.rounding import round_det
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql import types as T
 
     cands = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_nv", norm(F.col("_v")))
-    cands = (
-        cands.join(vecs, "neighbor_id")
-        .select("query_id", "neighbor_id", F.col("cosine_sim").alias("_rel"), "_v", "_nv")
-        .localCheckpoint(eager=True)
+    cands = cands.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("_rel"), "_v", "_nv"
     )
-    pick1 = Window.partitionBy("query_id").orderBy(F.desc("_rel"), F.asc("neighbor_id"))
-    selected = (
-        cands.withColumn("_rn", F.row_number().over(pick1))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("int").alias("rank"),
-            "neighbor_id",
-            F.col("_rel").alias("mmr_score"),
-            "_v",
-            "_nv",
+    one_minus = round(1.0 - lam, 10)  # the snapped literal the SQL twin writes
+
+    def _round6(x):
+        # Spark's round(double, 6): HALF_UP on the SHORTEST decimal
+        # representation (BigDecimal.valueOf == Double.toString ==
+        # Python repr's shortest round-trip)
+        if x is None or math.isnan(x) or math.isinf(x):
+            return x
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
+
+    def _round_det6(x):
+        if x is None or math.isnan(x):
+            return x
+        return float(math.floor(x * 1e6 + 0.5)) / 1e6
+
+    def _dot(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            acc += a[i] * b[i]
+        return acc
+
+    def _desc_key(score, nid):
+        # Spark F.desc ordering: NaN largest (first), NULLs last
+        if score is None:
+            return (2, 0.0, nid)
+        if math.isnan(score):
+            return (0, 0.0, nid)
+        return (1, -score, nid)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "rank", "neighbor_id", "mmr_score"]
+        if not len(pdf):
+            return pd.DataFrame([], columns=cols)
+        remaining = {
+            nid: (rel, list(v), nv)
+            for nid, rel, v, nv in zip(
+                pdf["neighbor_id"], pdf["_rel"], pdf["_v"], pdf["_nv"]
+            )
+        }
+        qid = pdf["query_id"].iloc[0]
+        out = []
+        sel = []  # (vec, nv) of already-picked docs
+        for t in range(1, k + 1):
+            if not remaining:
+                break
+            if t == 1:
+                scores = {nid: rel for nid, (rel, _, _) in remaining.items()}
+            else:
+                scores = {}
+                for nid, (rel, v, nv) in remaining.items():
+                    # F.max skips NULLs and treats NaN as the largest
+                    # double (once NaN, stays NaN)
+                    max_sel = None
+                    for sv, snv in sel:
+                        den = nv * snv
+                        sim = None if den == 0.0 else _round6(_dot(v, sv) / den)
+                        if sim is not None and (
+                            max_sel is None
+                            or math.isnan(sim)
+                            or sim > max_sel
+                        ):
+                            max_sel = sim
+                    scores[nid] = (
+                        None
+                        if max_sel is None or rel is None
+                        else _round_det6(lam * rel - one_minus * max_sel)
+                    )
+            best = min(remaining, key=lambda n: _desc_key(scores[n], n))
+            _rel_b, v, nv = remaining.pop(best)
+            sel.append((v, nv))
+            out.append((qid, t, best, scores[best]))
+        return pd.DataFrame(out, columns=cols)
+
+    fields = {f.name: f.dataType for f in cands.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", fields["query_id"]),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("neighbor_id", fields["neighbor_id"]),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
-    for t in range(2, k + 1):
-        sel = selected.select(
-            "query_id",
-            F.col("neighbor_id").alias("_sid"),
-            F.col("_v").alias("_sv"),
-            F.col("_nv").alias("_snv"),
-        )
-        # drop candidates already selected for that query
-        rem = cands.join(
-            sel.select("query_id", F.col("_sid").alias("neighbor_id")),
-            on=["query_id", "neighbor_id"],
-            how="left_anti",
-        )
-        scored = (
-            rem.join(sel, on="query_id")
-            .withColumn(
-                "_sim_ds",
-                F.round(
-                    F.try_divide(dot(F.col("_v"), F.col("_sv")), F.col("_nv") * F.col("_snv")),
-                    6,
-                ),
-            )
-            .groupBy("query_id", "neighbor_id", "_rel", "_v", "_nv")
-            .agg(F.max("_sim_ds").alias("_max_sel"))
-            .withColumn(
-                # (1 − λ) is snapped to 10 decimals so the literal the
-                # plan carries equals the one the SQL twin writes
-                # (1.0 − 0.7 in binary is 0.30000000000000004 — a real
-                # mismatch, caught at first oracle run)
-                "_mmr",
-                round_det(
-                    F.lit(lam) * F.col("_rel")
-                    - F.lit(round(1.0 - lam, 10)) * F.col("_max_sel"),
-                    6,
-                ),
-            )
-        )
-        pickt = Window.partitionBy("query_id").orderBy(F.desc("_mmr"), F.asc("neighbor_id"))
-        picked = (
-            scored.withColumn("_rn", F.row_number().over(pickt))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "query_id",
-                F.lit(t).cast("int").alias("rank"),
-                "neighbor_id",
-                F.col("_mmr").alias("mmr_score"),
-                "_v",
-                "_nv",
-            )
-        )
-        selected = selected.unionByName(picked).localCheckpoint(eager=True)
-    return selected.select("query_id", "rank", "neighbor_id", "mmr_score")
+    return cands.groupBy("query_id").applyInPandas(_greedy, out_schema)

@@ -203,19 +203,21 @@ def test_chunk_documents_no_shuffle(spark, sf_dir):
 
 
 def test_semantic_dedup_join_condition_is_dot_only(spark, sf_dir):
-    """The pair-scan join condition must reference the STAGED norm
-    columns, not recompute norms per pair: exactly one dim-length
-    zip_with aggregate (the dot product) may appear in the join
-    condition line."""
+    """The pair scan must use the STAGED norm columns, never recompute
+    norms (or any dim-length fold) per pair in the JVM. Since r15 the
+    per-pair dot rides the Arrow kernel (operators/vector_kernels.py),
+    so the pinned shape is: at least one ArrowEvalPython node (the dot
+    kernel, plus the anchor-assignment kernel) and NO zip_with fold in
+    any join condition — a zip_with reappearing there would mean the
+    per-pair JVM recompute came back."""
     from kickstarter_etl_pipeline_spark.queries import q_semantic_dedup
 
     plan = explain_str(q_semantic_dedup(spark, sf_dir))
+    assert "ArrowEvalPython" in plan, "pair-dot Arrow kernel missing from plan"
     join_lines = [
         ln for ln in plan.splitlines() if "Join condition" in ln and "zip_with" in ln
     ]
-    assert join_lines, "pair-scan join condition not found in plan"
-    for ln in join_lines:
-        assert ln.count("zip_with") == 1, f"norms recomputed per pair: {ln[:200]}"
+    assert not join_lines, f"dim-length fold back in join condition: {join_lines[0][:200]}"
 
 
 def test_bigram_collocations_topk_is_take_ordered(spark, sf_dir):
@@ -304,21 +306,20 @@ def test_ann_pq_topk_is_all_broadcast_hash(spark, sf_dir):
 
 
 def test_scalable_rank_single_partition_only_for_offsets(spark, sf_dir):
-    """Two-phase rank: the only SinglePartition exchange allowed is the
-    P-row offset window; the data rows must never funnel through one
-    partition (that would re-create the ceiling the operator lifts)."""
+    """Two-phase rank: the data rows must never funnel through one
+    partition (that would re-create the ceiling the operator lifts).
+    Since r15 the P-row offsets are collected once and attached as a
+    pid-indexed literal array, so the consumer plan carries NO
+    SinglePartition exchange at all (and no offsets window/join) —
+    just a projection over the checkpointed ranked rows."""
     from kickstarter_etl_pipeline_spark.queries import q_scalable_rank_events
 
     plan = explain_str(q_scalable_rank_events(spark, sf_dir), mode="simple")
-    # exactly ONE SinglePartition exchange — the P-row offset window;
-    # it must sit above the per-partition count aggregate, never the
-    # raw rows (the range partitioning itself is inside the checkpoint
-    # and not visible here)
-    assert plan.count("Exchange SinglePartition") == 1
-    single_idx = plan.index("Exchange SinglePartition")
-    assert "HashAggregate" in plan[single_idx:], "offset funnel must be post-aggregate"
-    # the offsets frame is the broadcast side; data side joins by _pid
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    # rank = local rank + get(literal offsets array, _pid): a pure
+    # projection — no window, no join, no exchange in the final plan
+    assert "_lrank_2pr" in plan and "_pid_2pr" in plan
+    assert "Window" not in plan
 
 
 def test_rfm_segments_no_global_ntile_funnel(spark, sf_dir):
@@ -347,8 +348,10 @@ def test_rfm_segments_no_global_ntile_funnel(spark, sf_dir):
         tail = plan[idx : idx + 400]
         assert "HashAggregate" in tail, f"data-sized single-partition funnel:\n{tail}"
         idx += 1
-    assert found >= 1
-    assert "BroadcastHashJoin" in plan  # the _pid offset joins
+    # r15: the P-row offsets ride a literal array (no window, no
+    # broadcast join), so zero SinglePartition exchanges is the ideal;
+    # any that remain (1-row control aggregates) must sit above a
+    # HashAggregate — asserted in the loop.
 
 
 def test_two_phase_consumers_no_data_sized_funnel(spark, sf_dir):
