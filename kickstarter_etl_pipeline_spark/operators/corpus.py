@@ -205,11 +205,13 @@ def greedy_max_coverage(
     universe rich enough to stay submodular-interesting even on a
     tiny-vocabulary corpus (the fixtures have 31 distinct unigrams, so
     unigram coverage saturates at pick 1). Each of the k rounds is one
-    shingle-keyed anti-join against the covered set plus one doc-keyed
-    count and a ONE-ROW argmax that rides a broadcast (no driver
-    collect, no global sort — max of (gain, −id) structs). k is a
-    constant; covered is at most the shingle vocabulary. The
-    anti-join's probe side is the pair set — linear per round.
+    shingle-keyed anti-join of the pair set against the ≤k picked docs'
+    own pairs plus one doc-keyed count, whose ONE-ROW argmax (max of
+    (gain, −id) structs — no global sort) is collected to the driver:
+    bounded control data, one row per round, k rounds total. The picked
+    ids ship back as a ≤k-int `isin` literal; `covered_total` is the
+    exact running sum of the collected gains. The anti-join's probe
+    side is the pair set — linear per round.
     """
     from kickstarter_etl_pipeline_spark.operators.dedup import shingle_table
     from kickstarter_etl_pipeline_spark.operators.partitioning import loop_frame

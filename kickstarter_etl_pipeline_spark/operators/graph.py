@@ -260,6 +260,14 @@ def pagerank(
     # literal — the per-row arithmetic (1.0/_n, (1-d)/_n) is the same
     # double division over the same long value, bit-equal.
     n = verts.agg(F.count("*").cast("long").alias("_n")).collect()[0]["_n"]
+    # Degenerate-input guard (r15, ADVICE r14): with n == 0 the foldable
+    # literal division 1.0/0 would raise DIVIDE_BY_ZERO at optimization
+    # time under ANSI, where the old crossJoin form simply produced an
+    # empty frame — return the empty (id, pr_permille) result directly.
+    if n == 0:
+        return verts.select(
+            "id", F.lit(None).cast("double").alias("pr_permille")
+        )
     n_lit = F.lit(n).cast("long")
     pr = loop_frame(
         verts.select("id", round_det(F.lit(1.0) / n_lit, 9).alias("pr")),

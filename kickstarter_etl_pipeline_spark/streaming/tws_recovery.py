@@ -54,15 +54,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-#: State-store / stateful-shuffle partition count for the TWS queries
-#: (r14). Data-sized knob — tracks per-key STATE cardinality, not the
-#: host core count (see streaming_hourly_daily_rollup's state_partitions
-#: for the full scale argument). Local default 8 fits the fixture's
-#: ~150 user keys; size up via SPARK_GRAFT_STATE_PARTITIONS on a real
-#: cluster. Partition count cannot move any emitted row: every operator
-#: here is a per-key fold.
-_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
-
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 from kickstarter_etl_pipeline_spark.scratch import run_scratch_dir
@@ -70,7 +61,11 @@ from kickstarter_etl_pipeline_spark.sources.readers import load_table
 from kickstarter_etl_pipeline_spark.streaming.events_stream import (
     read_events_raw_stream,
 )
+
+# _STATE_PARTITIONS is defined ONCE in tws_sessionize (r15, ADVICE r14 —
+# the duplicated env read here could silently drift).
 from kickstarter_etl_pipeline_spark.streaming.tws_sessionize import (
+    _STATE_PARTITIONS,
     _export_worker_pythonpath,
     tws_available,
 )
