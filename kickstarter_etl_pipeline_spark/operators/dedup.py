@@ -607,6 +607,15 @@ def connected_components(
     pathological chain-shaped graphs (label propagation needs diameter
     rounds; a large-star/small-star variant converging in O(log n)
     rounds is the upgrade path if such graphs become the norm).
+
+    Routing measurement (r15, VERDICT r14 item 8): on the threshold-0.5
+    word-3-gram Jaccard graph (dedup_components' input) at sf0.1 the
+    loop reaches its fixpoint in TWO rounds (one propagation + the
+    all-zero confirm) — the clusters are direct-neighbor cliques, so
+    min-label propagation is the right variant there (measured walls on
+    the identical checkpointed edge set: LP 1.38 s vs star 2.12 s
+    min-of-3). The Hamming-≤8 SimHash graph (diameter ≥ 8, measured
+    r14) routes to :func:`connected_components_star` instead.
     """
     # Size the per-round exchanges to LABEL-TABLE cardinality, not
     # the session default — the loop's cost at fixture scale is

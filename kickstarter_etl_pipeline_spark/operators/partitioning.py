@@ -88,39 +88,44 @@ def ensure_min_partitions(
 
 
 def loop_frame(df: DataFrame, n: int | None, *keys: str) -> DataFrame:
-    """Pin an iterative loop-carried frame to ``n`` hash partitions on
-    its loop key(s), then eagerly localCheckpoint it.
+    """Pin an iterative loop-carried frame to ``n`` stored partitions
+    with a NARROW coalesce, then eagerly localCheckpoint it.
 
     This replaces the retired ``loop_shuffle_partitions`` context
     manager (round 11): that device scoped a small
     ``spark.sql.shuffle.partitions`` over a loop body by MUTATING
     session-global state — correct for a serial driver, but any query
     planned concurrently on the same SparkSession silently inherited
-    the tiny partition count. Per-frame repartitioning has no shared
-    state at all: each round's carried frame (rank vector, label
-    table, frontier, surviving edge list) is explicitly exchanged to
-    ``n`` partitions on the key the next round joins on, and the eager
-    checkpoint truncates lineage. Honest scope of the knob (plan-probed
-    round 11): partitioning INFO does not survive the checkpoint — the
-    LogicalRDD scan reports unknown partitioning, so next-round joins
-    re-exchange at session width regardless — but the repartition still
-    pins the checkpoint's stored partition COUNT, i.e. the per-round
-    scan width (8 scan tasks per reference instead of 32 on bench
-    fixtures). Every exchange inside the round is left to the session
-    conf + AQE. Re-deriving co-partitioning per round was measured
-    SLOWER than letting the joins re-exchange (NOTES round 11), so
-    this helper deliberately does not try.
+    the tiny partition count. Per-frame pinning has no shared state.
 
-    ``n`` is the data-sized knob the operators document: the carried
-    frame is vertex-cardinality data, so the default 8 fits bench
-    fixtures and a billion-vertex graph needs thousands. ``n=None``
-    skips the exchange and just checkpoints (the caller opted out).
+    r15 (guide §2.4): the pin is a ``coalesce(n)``, not a
+    ``repartition(n, keys)``. The round-11 plan probe already
+    established that partitioning INFO does not survive the checkpoint
+    (the LogicalRDD scan reports unknown partitioning, so next-round
+    joins re-exchange at session width regardless) — the hash exchange
+    was paying a full shuffle per round for NOTHING but the stored
+    partition COUNT, which the narrow coalesce pins for free by
+    merging the preceding stage's shuffle-read partitions down to
+    ``n``. Interleaved A/B at sf0.1 across the seven graph-loop bench
+    queries: every one improved, 1.06×–1.83× (plans/r15/ab_graph2.py;
+    results cell-identical). ``keys`` are kept as call-site
+    documentation of the loop key — they no longer force an exchange.
+
+    Scope notes: coalesce only SHRINKS — a frame already narrower than
+    ``n`` keeps its width (every call site feeds a post-shuffle frame
+    at session width; a narrow frame that needs SPREADING is
+    ensure_min_partitions' job, not this helper's). The stage feeding
+    the checkpoint now runs at ``n`` tasks; ``n`` is the data-sized
+    knob the operators document (default 8 fits bench fixtures, a
+    billion-vertex graph needs thousands), so that width is the
+    intended per-round processing width at any scale. ``n=None``
+    skips the pin and just checkpoints (the caller opted out).
     Partition count provably cannot move any result — the iterative
     operators are integer-exact or per-round grid-snapped — and
     partition-invariance is regression-tested.
     """
     if n:
-        df = df.repartition(int(n), *keys) if keys else df.repartition(int(n))
+        df = df.coalesce(int(n))
     return df.localCheckpoint(eager=True)
 
 
