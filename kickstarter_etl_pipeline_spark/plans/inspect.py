@@ -383,6 +383,129 @@ def _single_partition_feeds_only_aggregates(text: str) -> bool:
     return seen == sp_ids
 
 
+#: Operators a predicate cannot be pushed below without changing
+#: results (window/aggregate/generate consume the pre-filter row set)
+#: or that sever the pushdown path entirely (Python evaluation).
+_PUSHDOWN_BARRIERS = (
+    "Window",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "Generate",
+    "Expand",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Remove BALANCED outer paren layers ('(a AND b)' -> 'a AND b',
+    but '(a) AND (b)' stays)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        balanced = True
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    balanced = False
+                    break
+        if not balanced:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def _top_level_conjuncts(cond: str) -> list[str]:
+    """Split a rendered Filter condition on paren-depth-0 ' AND '
+    (after stripping balanced outer parens)."""
+    cond = _strip_outer_parens(cond)
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond.startswith(" AND ", i):
+            parts.append(cond[start:i])
+            start = i + 5
+            i += 4
+        i += 1
+    parts.append(cond[start:])
+    return [_strip_outer_parens(p) for p in parts if p.strip()]
+
+
+_BARE_PUSHABLE = re.compile(
+    # a conjunct a parquet scan could take verbatim: isnotnull/isnull of
+    # a BARE attribute, or a comparison/IN with the bare attribute on
+    # one side and no function wrapping it
+    r"^(?:"
+    r"isnotnull\(\w+#\d+L?\)"
+    r"|isnull\(\w+#\d+L?\)"
+    r"|\(?\w+#\d+L?\)? *(?:=|>|<|>=|<=|<=>) *[^()]+"
+    r"|[^()]+ *(?:=|>|<|>=|<=|<=>) *\(?\w+#\d+L?\)?"
+    r"|\w+#\d+L? IN \([^()]*\)"
+    r")$"
+)
+
+
+def _missed_raw_pushdown(text: str) -> bool:
+    """True iff some Filter holds a conjunct a parquet scan could have
+    taken verbatim (a bare-attribute null test / comparison / IN on a
+    column the scan below it outputs) with NO semantic barrier
+    (window/aggregate/generate/Python eval) between the filter and the
+    scan — i.e. a pushdown that genuinely should have happened and
+    didn't. Filters on derived expressions, and raw-column filters
+    pinned above a window (first/last-touch shapes, where pushing would
+    change results), return False — those are the plan working as
+    designed, demoted to INFO by the caller."""
+    tree = _parse_tree(text)
+    details = _detail_blocks(text)
+    scan_out: dict[int, set[str]] = {}
+    for j, (_i, name, oid) in enumerate(tree):
+        # FILE scans only: an ExistingRDD (checkpoint) scan has no
+        # pushdown machinery, so a filter above it is not a miss
+        if name.startswith(("Scan parquet", "Scan csv", "Scan orc", "Scan json")):
+            det = details.get(oid, "")
+            m = re.search(r"Output(?: \[\d+\])?: \[([^\]]*)\]", det)
+            scan_out[j] = set(re.findall(r"\w+#\d+L?", m.group(1))) if m else set()
+    for i, (_ind, name, oid) in enumerate(tree):
+        if not name.startswith("Filter"):
+            continue
+        m = re.search(r"Condition : (.*)", details.get(oid, ""))
+        if not m:
+            continue
+        span = _subtree_span(tree, i)
+        scans = [j for j in span if j in scan_out]
+        if not scans:
+            continue
+        attrs_below = set().union(*(scan_out[j] for j in scans))
+        barrier = any(
+            tree[j][1].startswith(_PUSHDOWN_BARRIERS) for j in span if j != i
+        )
+        if barrier:
+            continue
+        for conj in _top_level_conjuncts(m.group(1)):
+            conj_attrs = set(re.findall(r"\w+#\d+L?", conj))
+            if (
+                conj_attrs
+                and conj_attrs <= attrs_below
+                and _BARE_PUSHABLE.match(conj)
+            ):
+                return True
+    return False
+
+
 def advise(df: DataFrame) -> list[str]:
     """Scale-hazard advisor: the judgments the repo's plan-shape tests
     make about ITS queries, exposed for a user's OWN queries — run it
@@ -465,12 +588,26 @@ def advise(df: DataFrame) -> list[str]:
             )
     n_filters = len(re.findall(r"^\(\d+\) Filter\b", text, flags=re.MULTILINE))
     if s["n_scans"] and n_filters and not s["pushed_filters"]:
-        findings.append(
-            "WARN: Filter operators present but NO filter reached a scan "
-            "(PushedFilters empty) — if the predicate tests a raw column, "
-            "move it above the first projection; derived-expression "
-            "predicates never push."
-        )
+        # r15 precision pass (the previous blanket rule flagged 53
+        # registry paths, ALL of which turned out to be filters on
+        # derived expressions or raw-column filters semantically pinned
+        # above a window/aggregate — plans working as designed): WARN
+        # only when a bare raw-column conjunct failed to push with no
+        # barrier between the filter and the scan.
+        if _missed_raw_pushdown(text):
+            findings.append(
+                "WARN: a bare raw-column predicate did not reach its scan "
+                "(PushedFilters empty, no window/aggregate barrier below "
+                "the Filter) — move the predicate above the first "
+                "projection / check the scan supports that filter type."
+            )
+        else:
+            findings.append(
+                "INFO: Filters present but none pushed to a scan — every "
+                "unpushed predicate tests a derived expression or sits "
+                "above a window/aggregate it cannot cross without "
+                "changing results; nothing to fix."
+            )
     # An UNEXECUTED AdaptiveSparkPlan renders without "[codegen id : N]"
     # markers (they appear once stages finalize), so absence of codegen
     # under AQE is indeterminate, not a finding — only flag plans that

@@ -49,3 +49,48 @@ def test_subset_sweep_flags_only_the_documented_true_positive(spark):
         )
     }
     assert flagged == (set(subset) & EXPECTED_CRITICAL), flagged
+
+
+def test_missed_raw_pushdown_classifier():
+    """r15 advisor precision: the PushedFilters-empty rule WARNs only
+    when a bare raw-column conjunct failed to push with no semantic
+    barrier below the Filter; derived-expression predicates and
+    window-pinned raw filters are demoted (all 53 r14 WARN paths were
+    of those kinds). Synthetic plan texts pin both directions."""
+    from kickstarter_etl_pipeline_spark.plans.inspect import _missed_raw_pushdown
+
+    def plan(filter_cond: str, mid_op: str = "") -> str:
+        mid_tree = f"   +- {mid_op} (3)\n    " if mid_op else ""
+        mid_detail = f"\n(3) {mid_op}\nInput [1]: [a#1L]\n" if mid_op else ""
+        return (
+            "== Physical Plan ==\n"
+            "Filter (2)\n"
+            f"{mid_tree}+- Scan parquet  (1)\n"
+            "\n\n"
+            "(1) Scan parquet \n"
+            "Output [1]: [a#1L]\n"
+            "ReadSchema: struct<a:bigint>\n"
+            f"{mid_detail}"
+            "\n(2) Filter\n"
+            f"Condition : {filter_cond}\n"
+        )
+
+    # bare raw-column predicate, no barrier: a genuine miss -> True
+    assert _missed_raw_pushdown(plan("(isnotnull(a#1L) AND (a#1L > 5))"))
+    # derived-expression predicate: never pushable -> False
+    assert not _missed_raw_pushdown(plan("(size(split(a#1L, x, -1), false) > 0)"))
+    # bare conjunct buried in a CASE: not a top-level pushable -> False
+    assert not _missed_raw_pushdown(
+        plan("CASE WHEN NOT ((a#1L % 10) = 0) THEN true ELSE isnotnull(a#1L) END")
+    )
+    # raw predicate pinned above a Window: pushing would change results -> False
+    assert not _missed_raw_pushdown(plan("(a#1L = 5)", mid_op="Window"))
+    # raw predicate above an ExistingRDD checkpoint: no pushdown machinery -> False
+    ckpt = (
+        "== Physical Plan ==\n"
+        "Filter (2)\n"
+        "+- Scan ExistingRDD (1)\n"
+        "\n\n(1) Scan ExistingRDD\nOutput [1]: [a#1L]\n"
+        "\n(2) Filter\nCondition : (a#1L > 5)\n"
+    )
+    assert not _missed_raw_pushdown(ckpt)
