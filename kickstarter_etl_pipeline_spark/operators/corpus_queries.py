@@ -423,14 +423,20 @@ def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_start")
         .agg(F.count("*").cast("long").alias("n_docs"), F.sum("_n").cast("long").alias("n_tokens"))
     )
-    total = F.broadcast(buckets.agg(F.sum("n_tokens").alias("_tot")))
-    w = Window.orderBy("bucket_start").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r15 (VERDICT r14 item 7): the bucket table is control data
+    # (≤ a few hundred length buckets at any corpus size) — its prefix
+    # sum rides a driver literal (collected_offsets) instead of a
+    # no-partition window (SinglePartition exchange)
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import collected_offsets
+
+    off = collected_offsets(buckets, ["bucket_start"], [("n_tokens", "_coff")])
+    total = F.broadcast(off.agg(F.sum("n_tokens").alias("_tot")))
     return (
-        buckets.crossJoin(total)
+        off.crossJoin(total)
         .withColumn("token_share", round_det(F.col("n_tokens") / F.col("_tot"), 6))
         .withColumn(
             "cum_token_share",
-            round_det(F.sum("n_tokens").over(w) / F.col("_tot"), 6),
+            round_det((F.col("_coff") + F.col("n_tokens")) / F.col("_tot"), 6),
         )
         .select("bucket_start", "n_docs", "n_tokens", "token_share", "cum_token_share")
     )
@@ -661,15 +667,25 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(_bucket(F.col("doc_id")).alias("pct"))
         .agg(F.sum("_n").cast("long").alias("_nt"))
     )
-    wcum = Window.orderBy("pct").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    # r15 (VERDICT r14 item 7): the 10-row decile frame is control data
+    # — its prefix sums ride a driver literal (collected_offsets)
+    # instead of a no-partition window (SinglePartition exchange)
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import collected_offsets
+
+    joined = (
         thresholds.join(F.broadcast(vocab_b), "pct", "left")
         .join(F.broadcast(volume_b), "pct", "left")
         .select(
             "pct",
-            F.sum(F.coalesce(F.col("_nt"), F.lit(0))).over(wcum).cast("long").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_nv"), F.lit(0))).over(wcum).cast("long").alias("vocab_size"),
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("_nt"),
+            F.coalesce(F.col("_nv"), F.lit(0)).cast("long").alias("_nv"),
         )
+    )
+    off = collected_offsets(joined, ["pct"], [("_nt", "_ct"), ("_nv", "_cv")])
+    return off.select(
+        "pct",
+        (F.col("_ct") + F.col("_nt")).cast("long").alias("n_tokens"),
+        (F.col("_cv") + F.col("_nv")).cast("long").alias("vocab_size"),
     )
 
 

@@ -67,9 +67,16 @@ def q_quality_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("pos")).cast("long").alias("n"),
         )
     )
-    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per.select(
-        "p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("cneg")
+    # r15 (VERDICT r14 item 7): the cumulative sweep used a global
+    # no-partition window — a SinglePartition funnel over the
+    # grid-cardinality score table (data-derived, can reach millions of
+    # distinct values at scale). two_phase_rank's range-partitioned
+    # running sum computes the identical exact-long cumulative; the
+    # exclusive prefix is the inclusive cum minus the row's own count.
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    cum = two_phase_rank(per, ["q"], cum_col="n").select(
+        "p", "n", (F.col("cum") - F.col("n")).cast("long").alias("cneg")
     )
     agg = cum.agg(
         F.sum(F.col("p") * (2 * F.col("cneg") + F.col("n"))).cast("long").alias("u2"),
@@ -143,21 +150,36 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = per_q.select("q").crossJoin(
         F.broadcast(totals.select("source").limit(1000))
     )
-    w_all = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
-    cum_all = per_q.select(
-        "q", F.sum("c_all").over(w_all).cast("long").alias("cum_all")
+    # r15 (VERDICT r14 item 7): both cumulative sweeps move off global/
+    # per-source windows onto the range-partitioned two_phase_rank cum
+    # device. The global ECDF was a SinglePartition funnel over the
+    # grid-cardinality score table; the per-source one put each
+    # source's ENTIRE grid on one task (enumeration-bounded keys — the
+    # ledger's fat-partition window trap). The per-source cumulative is
+    # recovered from the GLOBAL (source, q)-ordered running sum minus
+    # the source's prefix offset (exact longs; the offsets ride a
+    # driver literal — sources are control-sized by the same contract
+    # as the limit(1000) cap below).
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import (
+        collected_offsets,
+        two_phase_rank,
     )
-    w_s = Window.partitionBy("source").orderBy("q").rowsBetween(
-        Window.unboundedPreceding, 0
+
+    cum_all = two_phase_rank(per_q, ["q"], cum_col="c_all").select(
+        "q", F.col("cum").cast("long").alias("cum_all")
     )
+    base = grid.join(per_sq, ["source", "q"], "left").select(
+        "source", "q", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    offs = collected_offsets(totals, ["source"], [("n_s", "_soff")])
     cum = (
-        grid.join(per_sq, ["source", "q"], "left")
-        .select("source", "q", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        two_phase_rank(base, ["source", "q"], cum_col="c")
+        .join(F.broadcast(offs), "source")
         .select(
-            "source", "q", F.sum("c").over(w_s).cast("long").alias("cum_s")
+            "source", "q", (F.col("cum") - F.col("_soff")).cast("long").alias("cum_s"),
+            "n_s",
         )
         .join(cum_all, "q")
-        .join(F.broadcast(totals), "source")
         .crossJoin(n_total)
     )
     d_num = F.abs(
@@ -328,12 +350,18 @@ def q_rank_correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def doubled_midranks(col: str) -> DataFrame:
+        # r15 (VERDICT r14 item 7): the cumulative-before sweep used a
+        # global no-partition window — a SinglePartition funnel over
+        # the value-grid table (data-derived at scale). two_phase_rank's
+        # range-partitioned running sum gives the identical exact-long
+        # cumulative; cum_before = inclusive cum − the row's own count.
+        from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
         per = base.groupBy(col).agg(F.count("*").cast("long").alias("_c"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return per.select(
+        return two_phase_rank(per, [col], cum_col="_c").select(
             col,
             (
-                2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                2 * (F.col("cum") - F.col("_c"))
                 + F.col("_c")
                 + 1
             ).cast("long").alias(f"_r2{col}"),

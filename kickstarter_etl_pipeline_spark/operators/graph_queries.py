@@ -300,10 +300,17 @@ def q_graph_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     per_depth = visited.groupBy("depth").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
-    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
-    total = F.broadcast(per_depth.agg(F.sum("n_pairs").cast("long").alias("_t")))
+    # r15 (VERDICT r14 item 7): the ≤(rounds+1)-row depth table is
+    # control data — its prefix sum rides a driver literal
+    # (collected_offsets) instead of a no-partition window
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import collected_offsets
+
+    off = collected_offsets(per_depth, ["depth"], [("n_pairs", "_coff")])
+    total = F.broadcast(off.agg(F.sum("n_pairs").cast("long").alias("_t")))
     return (
-        per_depth.withColumn("cum_pairs", F.sum("n_pairs").over(w).cast("long"))
+        off.withColumn(
+            "cum_pairs", (F.col("_coff") + F.col("n_pairs")).cast("long")
+        )
         .crossJoin(total)
         .select(
             "depth",

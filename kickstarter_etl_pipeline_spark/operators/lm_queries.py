@@ -154,7 +154,9 @@ def two_phase_rank(
         acc = None
         for r in rows:
             vals[r[pid]] = acc
-            acc = r[field] if acc is None else combine(acc, r[field])
+            v = r[field]
+            if v is not None:  # window aggregates skip NULLs
+                acc = v if acc is None else combine(acc, v)
         return F.array(*[_lit(v, types[field]) for v in vals])
 
     idx = F.col(pid)
@@ -184,6 +186,47 @@ def two_phase_rank(
             F.greatest(F.col(lmax), F.get(_prefix_array(pmax, max), idx)),
         )
     return out.drop(pid, lrank, lcum, roff, coff, lmax, moff)
+
+
+def collected_offsets(
+    counts: DataFrame,
+    order_cols: "list[str]",
+    sums: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Driver-literal exclusive prefix sums over a CONTROL-SIZED
+    aggregate frame (r15): collect ``counts`` (bounded by the caller's
+    contract — dims, statuses, depth levels, …), running-sum each
+    ``(src, out)`` in ascending ``order_cols`` order (first row 0, the
+    ``coalesce(sum() OVER (... ROWS UNBOUNDED PRECEDING TO -1), 0)``
+    contract; NULL keys first, like NULLS FIRST), and return the rows +
+    long offset columns as a driver-local literal frame. Replaces the
+    no-partition offsets window — an Exchange SinglePartition + Sort +
+    Window in every consumer plan — with a LocalTableScan. Exactness:
+    all summed inputs are longs (asserted), so the Python running sum
+    is the identical integer the window computed."""
+    for src, _ in sums:
+        dt = counts.schema[src].dataType.simpleString()
+        if dt != "bigint":
+            raise TypeError(
+                f"collected_offsets: {src} must be bigint (exact running "
+                f"sums), got {dt}"
+            )
+    rows = sorted(
+        counts.collect(),
+        key=lambda r: tuple((r[c] is not None, r[c]) for c in order_cols),
+    )
+    acc = {src: 0 for src, _ in sums}
+    out_rows = []
+    for r in rows:
+        out_rows.append(tuple(r) + tuple(acc[src] for src, _ in sums))
+        for src, _ in sums:
+            if r[src] is not None:  # window sums skip NULLs
+                acc[src] += r[src]
+    schema = T.StructType(
+        list(counts.schema.fields)
+        + [T.StructField(out, T.LongType(), False) for _, out in sums]
+    )
+    return counts.sparkSession.createDataFrame(out_rows, schema)
 
 
 def grouped_two_phase_rank(
@@ -216,25 +259,15 @@ def grouped_two_phase_rank(
     # rode a no-partition window (an Exchange SinglePartition in every
     # consumer plan). The counts are G-row CONTROL data by this
     # helper's own contract (enumeration-bounded group keys), so
-    # collect them, prefix-sum driver-side in ascending group order
-    # (UTF-8 byte order == code-point order, so Python tuple sort
-    # reproduces the window's ORDER BY; None sorts first like NULLS
-    # FIRST), and ship the offsets back as a driver-local literal frame
-    # — the same broadcast join, no window, no exchange.
+    # collect them and ship the prefix sums back as a driver-local
+    # literal frame (collected_offsets: UTF-8 byte order == code-point
+    # order, so the Python tuple sort reproduces the window's ORDER BY;
+    # None sorts first like NULLS FIRST) — the same broadcast join, no
+    # window, no exchange.
     counts = df.groupBy(*group_cols).agg(F.count("*").cast("long").alias(n_col))
-    crows = sorted(
-        counts.collect(),
-        key=lambda r: tuple((r[g] is not None, r[g]) for g in group_cols),
+    offsets = F.broadcast(
+        collected_offsets(counts, list(group_cols), [(n_col, "_goff_g2pr")])
     )
-    acc = 0
-    orows = []
-    for r in crows:
-        orows.append(tuple(r) + (acc,))
-        acc += r[n_col]
-    oschema = T.StructType(
-        list(counts.schema.fields) + [T.StructField("_goff_g2pr", T.LongType(), False)]
-    )
-    offsets = F.broadcast(df.sparkSession.createDataFrame(orows, oschema))
     ranked = two_phase_rank(df, [*group_cols, *order_cols])
     return (
         ranked.join(offsets, list(group_cols))
@@ -261,9 +294,10 @@ def _embedding_dim_m2_mad4(emb: DataFrame) -> "tuple[DataFrame, DataFrame, DataF
 
     def med2(df: DataFrame, vcol: str) -> DataFrame:
         r = two_phase_rank(df, ["_d", vcol, "vec_id"])
-        cnt = r.groupBy("_d").agg(F.count("*").alias("_n"))
-        woff = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, -1)
-        off = cnt.withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
+        cnt = r.groupBy("_d").agg(F.count("*").cast("long").alias("_n"))
+        # 64-dim control frame: prefix offsets ride a driver literal
+        # (r15 — no offsets window / SinglePartition exchange)
+        off = collected_offsets(cnt, ["_d"], [("_n", "_off")])
         j = r.join(F.broadcast(off), "_d")
         lr = F.col("rank") - F.col("_off")
         mid = j.filter(
@@ -1657,14 +1691,9 @@ def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_col="_wt",
     )
     gt = li.groupBy("l_returnflag").agg(F.sum("_wt").cast("long").alias("_w"))
-    w_off = Window.orderBy("l_returnflag").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = gt.select(
-        "l_returnflag",
-        "_w",
-        F.coalesce(F.sum("_w").over(w_off), F.lit(0)).cast("long").alias("_off"),
-    )
+    # 3-row control frame: prefix offsets ride a driver literal (r15 —
+    # no offsets window / SinglePartition exchange)
+    offs = collected_offsets(gt, ["l_returnflag"], [("_w", "_off")])
     crossed = ranked.join(F.broadcast(offs), "l_returnflag").filter(
         2 * (F.col("cum") - F.col("_off")) >= F.col("_w")
     )
@@ -1694,14 +1723,10 @@ def q_trimmed_mean_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"]
     )
     gt = li.groupBy("l_returnflag").agg(F.count("*").cast("long").alias("_n_g"))
-    w_off = Window.orderBy("l_returnflag").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = gt.select(
-        "l_returnflag",
-        "_n_g",
-        F.coalesce(F.sum("_n_g").over(w_off), F.lit(0)).cast("long").alias("_off"),
-        F.floor(F.col("_n_g") / 10).cast("long").alias("_k"),
+    # 3-row control frame: prefix offsets ride a driver literal (r15 —
+    # no offsets window / SinglePartition exchange)
+    offs = collected_offsets(gt, ["l_returnflag"], [("_n_g", "_off")]).withColumn(
+        "_k", F.floor(F.col("_n_g") / 10).cast("long")
     )
     j = ranked.join(F.broadcast(offs), "l_returnflag").withColumn(
         "_grank", F.col("rank") - F.col("_off")
@@ -1818,11 +1843,15 @@ def q_dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = logw.orderBy(F.desc("_s"), F.asc("doc_id")).limit(100)
+    # r15: rank BEFORE the metadata join — the window then sits
+    # directly above the GlobalLimit(100), a plan-provably bounded
+    # funnel (the join is 1:1 on doc_id, so ranks are unchanged)
     w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    top = top.withColumn("rank", F.row_number().over(w).cast("int"))
     return (
         top.join(docs.select("doc_id", "lang", "source"), "doc_id")
         .select(
-            F.row_number().over(w).cast("int").alias("rank"),
+            "rank",
             "doc_id",
             "lang",
             "source",

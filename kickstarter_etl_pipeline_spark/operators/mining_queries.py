@@ -1136,9 +1136,17 @@ def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("band")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_glob = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
     cum = filled.withColumn("_cuma", F.sum("_a").over(w_cls))
-    gcum = F.broadcast(gfilled.withColumn("_cumg", F.sum("_g").over(w_glob)))
+    # r15 (VERDICT r14 item 7): the 10-row global band cumulative rides
+    # a driver literal (collected_offsets) instead of a no-partition
+    # window (SinglePartition exchange)
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import collected_offsets
+
+    gcum = F.broadcast(
+        collected_offsets(gfilled, ["band"], [("_g", "_goff")]).withColumn(
+            "_cumg", (F.col("_goff") + F.col("_g")).cast("long")
+        )
+    )
     tot = banded.groupBy("source").agg(
         F.count("*").cast("long").alias("class_size")
     )

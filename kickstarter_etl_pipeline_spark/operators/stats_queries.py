@@ -226,13 +226,22 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("_c_all"),
     )
     total = F.broadcast(subj.agg(F.count("*").cast("long").alias("_n_total")))
-    w_excl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, -1)
+    # r15 (VERDICT r14 item 7): both day-grid prefix sweeps move off
+    # global no-partition windows (SinglePartition funnels) onto
+    # two_phase_rank's range-partitioned running aggregates — exact
+    # integer cumulatives either way (exclusive prefix = inclusive cum
+    # minus the row's own value; inclusive max = greatest of the
+    # exclusive prefix max and the row's own flag).
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
     at_risk = (
-        days.crossJoin(total)
+        two_phase_rank(days, ["_day"], cum_col="_c_all")
+        .crossJoin(total)
         .withColumn(
             "n_at_risk",
-            F.col("_n_total") - F.coalesce(F.sum("_c_all").over(w_excl), F.lit(0)),
+            F.col("_n_total") - (F.col("cum") - F.col("_c_all")),
         )
+        .drop("rank", "cum")
     )
     evd = at_risk.filter(F.col("n_events") > 0)
     term9 = F.when(
@@ -245,14 +254,18 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long"),
     )
-    w_incl = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    staged = evd.withColumn("_term9", term9).withColumn(
+        "_h", (F.col("n_events") >= F.col("n_at_risk")).cast("int")
+    )
     curve = (
-        evd.withColumn("_term9", term9)
+        two_phase_rank(staged, ["_day"], cum_col="_term9", max_col="_h")
+        .withColumn("_hit0", F.greatest(F.col("cum_max_excl"), F.col("_h")))
         .withColumn(
-            "_hit0",
-            F.max((F.col("n_events") >= F.col("n_at_risk")).cast("int")).over(w_incl),
+            # inclusive running sum skipping NULLs: cum already folds
+            # the row's own _term9 (F.sum skips a NULL own-row term)
+            "_ln9",
+            F.col("cum"),
         )
-        .withColumn("_ln9", F.sum("_term9").over(w_incl))
     )
     return curve.select(
         F.col("_day").alias("event_day"),
@@ -1088,13 +1101,21 @@ def q_order_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_day")
         .agg(F.sum("_d").cast("long").alias("_delta"))
     )
-    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
-    lead_day = F.lead("_day").over(Window.orderBy("_day"))
-    cum = deltas.select(
+    # r15 (VERDICT r14 item 7): the sweep's prefix sum and the lead()
+    # both rode global no-partition windows (SinglePartition funnels
+    # over the delta frame); the prefix now rides two_phase_rank's
+    # range-partitioned cum and the lead is a rank self-join over the
+    # same checkpointed ranked frame (rank k joins rank k+1's day) —
+    # exact integers either way.
+    from kickstarter_etl_pipeline_spark.operators.lm_queries import two_phase_rank
+
+    ranked = two_phase_rank(deltas, ["_day"], cum_col="_delta")
+    nxt = ranked.select((F.col("rank") - 1).alias("rank"), F.col("_day").alias("_next"))
+    cum = ranked.join(nxt, "rank", "left").select(
         "_day",
-        F.sum("_delta").over(w).cast("long").alias("_open"),
+        F.col("cum").cast("long").alias("_open"),
         F.coalesce(
-            F.datediff(lead_day, F.col("_day")), F.lit(1)
+            F.datediff(F.col("_next"), F.col("_day")), F.lit(1)
         ).cast("long").alias("_span_days"),
     )
     stats = F.broadcast(
